@@ -1,0 +1,95 @@
+"""SparkSession factory with scale-aware defaults.
+
+Reference parity: pandas-td's ``Connection``/``QueryEngine`` (SURVEY.md §2.12,
+``pandas_td/td.py::Connection`` ≈L60-150, UNVERIFIED — /root/reference is
+empty) held an API client + default database. Here the "engine" is an actual
+local Spark runtime, so the factory is where cluster-shape decisions live.
+
+Design notes for 100 TB / 1000-executor scale
+---------------------------------------------
+* AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  shuffle-hash conversion replace hand-tuned ``spark.sql.shuffle.partitions``
+  at large scale. We still set a local-friendly floor for tests.
+* Arrow on: every pandas edge (``toPandas``, ``pandas_udf``) is
+  Arrow-batched, never row-pickled.
+* UTC session timezone: TD's ``time`` column is epoch *seconds* (UTC by
+  definition); pinning the session tz makes ``timestamp_seconds`` /
+  ``unix_timestamp`` round-trips deterministic across hosts.
+* Parquet pushdown knobs left at defaults (on) — correctness of our plans is
+  asserted in tests via ``explain()`` snapshots instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark", "DEFAULT_CONFS"]
+
+DEFAULT_CONFS: dict[str, str] = {
+    # -- optimizer / execution ------------------------------------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # -- pandas / Arrow edge --------------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # -- determinism ----------------------------------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # parquet TIMESTAMP(NANOS) is unreadable by Spark 4.x as a timestamp;
+    # read as LONG nanos and let sources/io.py convert to TIMESTAMP (µs) —
+    # lossless for the fixtures (sub-µs components are zero).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # -- local-mode ergonomics ------------------------------------------------
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "pandas_td_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``shuffle_partitions`` defaults to the local core count — the right
+    number for local[(N)]; on a real cluster AQE coalescing makes the static
+    value mostly a ceiling, so callers would set it to ~2-3× total cores.
+    """
+    n = _cpus()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{n}]"
+    )
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or n)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # TD-compatible SQL function surface (td_time_range etc.) is registered
+    # lazily here so ``spark.sql`` text can use them like the reference's
+    # delegated engines did.
+    from pandas_td_spark.functions.td import register_td_functions
+
+    register_td_functions(spark)
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,415 @@
+"""Relational operator coverage (SURVEY.md §2.1-2.4, §2.6-2.7).
+
+Each query is the *library-level* demonstration of one operator family,
+registered with a DuckDB oracle. The reference delegated all of these to
+Presto/Hive as SQL text (pandas_td/td.py::read_td_query — UNVERIFIED,
+/root/reference empty); here they are declarative DataFrame plans that
+Catalyst compiles to pushed-down scans, broadcast/sort-merge joins and
+partial+final hash aggregates.
+
+Float determinism: see queries/_util.py (decimal-exact sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.queries.registry import query
+
+_SHIP_CUTOFF = "1998-09-02 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# A1/A9/O1 — flagship: TPC-H Q1-style pricing summary (scan→filter→agg→sort)
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                                                                       AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + grouped aggregation; the entry() flagship."""
+    li = spark.table("lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — multi-way star join with broadcast dims (revenue per nation)
+# ---------------------------------------------------------------------------
+@query(
+    "q02_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact joins shuffle on keys; dimension joins broadcast.
+
+    100 TB note: nation/region/customer are broadcastable dims; lineitem ⋈
+    orders is the only genuine shuffle. AQE converts it to shuffled-hash /
+    handles skew at runtime.
+    """
+    li, o = spark.table("lineitem"), spark.table("orders")
+    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — left outer join (customers incl. those with zero orders)
+# ---------------------------------------------------------------------------
+@query(
+    "q03_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE)
+               AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q03_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers."""
+    c, o = spark.table("customer"), spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — left semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "q04_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 finished order — no duplication, no payload from
+    the right side (semi join keeps the build side narrow at scale)."""
+    c = spark.table("customer")
+    o = spark.table("orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — left anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "q05_anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = spark.table("customer"), spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — cross join (small × small)
+# ---------------------------------------------------------------------------
+@query(
+    "q06_cross_join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q06_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("region")
+        .crossJoin(spark.table("nation"))
+        .select("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — non-equi (theta) join: parts priced within a supplier-specific band
+# ---------------------------------------------------------------------------
+@query(
+    "q07_theta_join",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_parts
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal / 4 AND s_acctbal / 2
+    GROUP BY s_suppkey
+    """,
+)
+def q07_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality condition → BroadcastNestedLoopJoin (small side
+    broadcast). At 100 TB one side must be broadcastable or the condition
+    bucketized (SURVEY §2.3 J9 note)."""
+    s, p = spark.table("supplier"), spark.table("part")
+    cond = (p.p_retailprice >= s.s_acctbal / 4) & (p.p_retailprice <= s.s_acctbal / 2)
+    return s.join(p, cond).groupBy("s_suppkey").agg(F.count("*").alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — global top-k (ORDER BY + LIMIT → TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@query(
+    "q08_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q08_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst plans TakeOrderedAndProject: per-partition heap + driver
+    merge — no global sort, the only top-k shape that survives 100 TB."""
+    return (
+        spark.table("orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1-U4 — set operations
+# ---------------------------------------------------------------------------
+@query(
+    "q09_union_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q09_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.table("customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "q10_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q10_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q11_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'A'
+    """,
+)
+def q11_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.where(
+        (F.col("l_linestatus") == "F") & (F.col("l_returnflag") == "A")
+    ).select("l_orderkey")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# A2 — multi-distinct aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q12_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct → Catalyst RewriteDistinctAggregates (expand + two-
+    phase agg), still shuffle-bounded."""
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — ROLLUP grouping sets
+# ---------------------------------------------------------------------------
+@query(
+    "q13_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/A10 — HAVING + per-aggregate FILTER
+# ---------------------------------------------------------------------------
+@query(
+    "q14_having_filtered_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q14_having_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+                "n_urgent"
+            ),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(28,6)"),
+                )
+            )
+            .cast("double")
+            .alias("f_spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — min_by / max_by / bool_or
+# ---------------------------------------------------------------------------
+@query(
+    "q15_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q15_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TD_FIRST/TD_LAST analogue (SURVEY §2.4 A7). o_totalprice is unique
+    per customer in the fixture, making min_by/max_by deterministic."""
+    o = spark.table("orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — predicate surface: BETWEEN / IN / LIKE / IS NULL / boolean algebra
+# ---------------------------------------------------------------------------
+@query(
+    "q16_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_name LIKE '%re%'
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def q16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part")
+    return p.where(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & F.col("p_name").like("%re%")
+        & F.col("p_retailprice").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size")

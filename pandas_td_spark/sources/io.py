@@ -1,0 +1,210 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S8).
+
+Reference parity (all loci UNVERIFIED — /root/reference is empty):
+
+* ``read_table``  ↔ ``pandas_td/td.py::read_td_table`` — projection +
+  time-range + limit, generated as SQL text there; expressed declaratively
+  here so Catalyst pushes projection/predicate/limit into the parquet scan.
+* ``read_query``  ↔ ``pandas_td/td.py::read_td_query`` — arbitrary SQL.
+* ``write_table`` ↔ ``pandas_td/td.py::to_td`` + ``StreamingUploader`` —
+  ``if_exists`` ∈ {fail, replace, append}, ``time`` column injection.
+
+Scale notes
+-----------
+* Tables are plain parquet files/directories; at 100 TB they would be
+  dt-partitioned directories — :func:`read_table`'s time predicate is a
+  simple range conjunction on a stable column, exactly the shape dynamic
+  partition pruning consumes.
+* ``write_table`` sizes output files via ``maxRecordsPerFile`` (the Spark
+  analogue of the reference's 10 000-row upload chunks) instead of
+  repartitioning, so no extra shuffle is introduced on the write path.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_td_spark.functions.td import TimeLike, td_time_range
+
+__all__ = [
+    "TABLES",
+    "table_path",
+    "read_table",
+    "read_query",
+    "write_table",
+    "register_views",
+]
+
+#: Fixture tables (TESTDATA.md); register_views exposes all of them.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_IF_EXISTS_TO_MODE = {
+    "fail": "errorifexists",
+    "replace": "overwrite",
+    "append": "append",
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS). Spark 4.x cannot read
+    those as timestamps (PARQUET_TYPE_ILLEGAL); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as BIGINT
+    nanos. Footer inspection is driver-side and O(footers), not O(data)."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing ns-timestamp columns back to
+    TimestampType (µs) — lossless when sub-µs components are zero, which
+    holds for the driver fixtures (verified via DuckDB ``epoch_ns % 1000``)."""
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_columns(path):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div`: double division would lose precision at
+            # ~1.7e18 ns (beyond double's 53-bit mantissa)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+    time_range: tuple[TimeLike, TimeLike] | None = None,
+    time_col: str = "time",
+    limit: int | None = None,
+) -> DataFrame:
+    """S1: scan with projection, time predicate, limit.
+
+    The reference generated ``SELECT {cols} FROM t WHERE td_time_range(time,
+    s, e) LIMIT n`` (default limit 10 000) and shipped it to Presto. Here the
+    same plan is declared and Catalyst pushes each piece down: check
+    ``.explain`` for ``PushedFilters`` + pruned ``ReadSchema``.
+
+    ``time_col`` may name an epoch-seconds BIGINT column (TD convention), a
+    TIMESTAMP column, or a raw parquet TIMESTAMP(NANOS) column (the
+    ``events.ts`` fixture). In the nanos case the predicate is applied to the
+    raw BIGINT **before** normalization, as a plain ``>= / <`` literal
+    comparison — the shape the parquet reader pushes down to row-group
+    statistics (check ``PushedFilters`` in ``.explain``).
+    """
+    path = table_path(sf_dir, name)
+    raw = spark.read.parquet(path)
+    ns_cols = [
+        c for c in _ns_timestamp_columns(path) if dict(raw.dtypes).get(c) == "bigint"
+    ]
+    df = raw
+    if time_range is not None:
+        start, end = time_range
+        from pandas_td_spark.functions.td import to_epoch_seconds
+
+        s, e = to_epoch_seconds(start), to_epoch_seconds(end)
+        t = F.col(time_col)
+        if time_col in ns_cols:
+            # pushable: literal bounds scaled to the stored unit
+            cond = F.lit(True)
+            if s is not None:
+                cond = cond & (t >= F.lit(s * 1_000_000_000))
+            if e is not None:
+                cond = cond & (t < F.lit(e * 1_000_000_000))
+            df = df.where(cond)
+        else:
+            if dict(df.dtypes).get(time_col) == "timestamp":
+                t = F.unix_timestamp(t)
+            df = df.where(td_time_range(t, s, e))
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if columns:
+        df = df.select(*columns)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def read_query(spark: SparkSession, sql: str, **kwargs) -> DataFrame:
+    """S2: arbitrary SQL against registered views. ``kwargs`` become named
+    parameters (Spark ≥3.4 parameterized SQL) — the analogue of the
+    reference's ``params=``/magic ``{var}`` substitution without string
+    injection."""
+    return spark.sql(sql, args=kwargs) if kwargs else spark.sql(sql)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    if_exists: str = "fail",
+    time_col: str | None = None,
+    time_value: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """S5: bulk sink with the reference's ``if_exists`` semantics.
+
+    * ``time_col``: convert that column to epoch-seconds BIGINT ``time``.
+    * neither given: inject ``time_value`` (explicit, deterministic — the
+      reference injected wall-clock `now`, which we refuse to do silently).
+    * Plain-parquet ``replace`` is not atomic (SURVEY §7 risk) — Delta/Iceberg
+      is the production answer; local parity keeps parquet.
+    """
+    if if_exists not in _IF_EXISTS_TO_MODE:
+        raise ValueError(
+            f"if_exists must be one of {sorted(_IF_EXISTS_TO_MODE)}, got {if_exists!r}"
+        )
+    if time_col is not None:
+        src = F.col(time_col)
+        if dict(df.dtypes).get(time_col) == "timestamp":
+            src = F.unix_timestamp(src)
+        df = df.withColumn("time", src.cast("bigint"))
+    elif "time" not in df.columns:
+        if time_value is None:
+            raise ValueError(
+                "no `time` column: pass time_col= or an explicit time_value="
+            )
+        df = df.withColumn("time", F.lit(int(time_value)).cast("bigint"))
+    writer = (
+        df.write.mode(_IF_EXISTS_TO_MODE[if_exists])
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S6-adjacent: expose every fixture table as a temp view so the SQL
+    surface (``read_query``/oracle parity) sees the same names DuckDB does."""
+    for name in TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            _load(spark, sf_dir, name).createOrReplaceTempView(name)

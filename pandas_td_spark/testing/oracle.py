@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate (SURVEY.md §5).
+
+Runs a registered Spark query and its DuckDB oracle SQL side-by-side on the
+same parquet fixtures and compares row-count + schema (column names) +
+order-insensitive values. Comparison is EXACT (the driver hashes values), so
+queries must be engineered for bit-identical floats — see the decimal-sum
+pattern in queries/relational.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from pandas_td_spark.sources.io import TABLES, table_path
+
+__all__ = ["duckdb_connection", "run_oracle", "compare_frames", "check_query"]
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb_connection(sf_dir)
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # canonicalize cell values to hashable, engine-neutral forms
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare_frames(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"schema: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
+    a, b = _canon(spark_df), _canon(oracle_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].tolist(), b[c].tolist()
+            bad = 0
+            first = None
+            for i, (x, y) in enumerate(zip(av, bv)):
+                same = (
+                    x == y
+                    or (x is None and y is None)
+                    or (
+                        isinstance(x, float)
+                        and isinstance(y, float)
+                        and math.isnan(x)
+                        and math.isnan(y)
+                    )
+                    or (pd.isna(x) is True and pd.isna(y) is True)
+                )
+                if not same:
+                    bad += 1
+                    if first is None:
+                        first = (i, x, y)
+            if bad:
+                problems.append(f"col {c!r}: {bad} mismatched values, first={first}")
+    return problems
+
+
+def check_query(spark: SparkSession, sf_dir: str, name: str) -> list[str]:
+    """Run query `name` against its oracle; [] = pass, else mismatch notes.
+    Queries with no oracle get a rows-only sanity check (runs, rows >= 0)."""
+    from pandas_td_spark.queries.registry import all_queries, spark_queries
+
+    q = all_queries()[name]
+    sdf = spark_queries()[name](spark, sf_dir).toPandas()
+    if q.oracle is None:
+        return []  # rows-only: materialization above is the check
+    return compare_frames(sdf, run_oracle(sf_dir, q.oracle))
