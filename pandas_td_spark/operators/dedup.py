@@ -1,0 +1,264 @@
+"""Deduplication operators (north star L1/L2; PAPERS.md corpus —
+MinHash/LSH per Broder '97, SimHash per Charikar '02 as popularized by the
+Google near-dup paper; no reference locus, pandas-td had no dedup and
+/root/reference is empty).
+
+All operators are pure DataFrame compositions over built-in expressions
+(higher-order array functions + xxhash64) — no Python UDFs — so signature
+computation is one codegen'd scan. The only shuffles are the ones the
+algorithms require:
+
+* exact dedup            → 1 shuffle (hash agg on the digest)
+* MinHash LSH candidates → 1 shuffle (self-join on band key); candidate set
+  is band-bounded, never the O(n²) cross product
+* SimHash pairs          → banded on hash prefix for the same reason
+
+100 TB notes: band keys are uniformly-distributed hashes → no skew; the
+exact-jaccard verify only runs on candidate pairs. `num_hashes`/`bands`
+trade recall vs shuffle volume exactly as in the LSH S-curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "exact_dedup",
+    "shingle_array",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash64",
+    "simhash_pairs",
+]
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    """Canonical text form for exact dedup: lowercase, trim, collapse
+    whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """L1: keep the lowest-id row per normalized-text digest.
+
+    groupBy on a 128-bit digest (not the full text) keeps shuffle rows
+    narrow; partial aggregation dedups map-side first.
+    """
+    h = F.md5(normalized_text(text_col)).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_array(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeded hash functions,
+    the min of xxhash64(shingle, seed+i) over the shingle set. Pure
+    expression work — evaluated once per row inside codegen."""
+    return F.transform(
+        F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(shingles, lambda sh: F.xxhash64(sh, s))
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """L2 candidate generation: banded MinHash (b bands × r rows).
+
+    Docs agreeing on all r signature slots of any band collide on that
+    band's key; the self-equi-join on (band_idx, band_key) is the only
+    shuffle and its key space is uniform hashes → skew-free. Returns
+    distinct candidate (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sig = minhash_signature(shingle_array(text_col, shingle_n), num_hashes)
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice(sig, b * r + 1, r), lambda x: x.cast("string")))
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over all colliding pairs (inverted-index
+    join on shingle). Exact but shuffle-heavy — the oracle/verify path; LSH
+    above is the scale path. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
+    ).select(
+        F.col(id_col),
+        F.explode("shingles").alias("s"),
+        F.size("shingles").alias("n_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return inter.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(text_col: str | Column = "text") -> Column:
+    """64-bit SimHash of the whitespace token bag.
+
+    Per token: xxhash64 → 64 bits; per bit: +1 if set else -1, summed over
+    tokens via ``F.aggregate`` (fold) into a 64-slot int array; final hash
+    sets bit i when slot i > 0. Entirely JVM-side expression work.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    bitsums = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.call_function("shiftright", F.xxhash64(w), i)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            bitsums,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda s, i: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+            ).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),  # slots are disjoint bits: XOR == OR == +
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banded on ``4`` rotations of ``prefix_bits`` top bits (Manku et al.'s
+    table scheme): a pair within Hamming k of each other must agree on at
+    least one of the 4 16-bit blocks when k ≤ 3, so the equi-join on
+    (block_idx, block_value) bounds candidates without the O(n²) cross
+    join. Exact Hamming verify on candidates via bit_count(xor).
+    """
+    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sig"))
+    blocks = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63 // prefix_bits)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col("sig"), b * F.lit(prefix_bits)
+                ).bitwiseAND(F.lit((1 << prefix_bits) - 1)),
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (north star L3; PAPERS.md —
+brute-force top-k baseline + random-hyperplane LSH scale path per
+Charikar '02 / REPOSE ICDE'21).
+
+Embeddings are ``array<float>`` (fixed dim). The dot product is generated
+as an explicit left-associative chain of ``element_at`` terms in DOUBLE:
+
+* stays inside whole-stage codegen (no Python, no Arrow hop);
+* bit-identical across engines that evaluate IEEE doubles left-to-right —
+  which is what lets the DuckDB oracle hash-match exactly (the same chain
+  is generated as SQL text by :func:`dot_sql`).
+
+Scale path: brute-force top-k is a broadcast of the (small) query set
+against a full scan — linear, shuffle-free until the final per-query top-k
+(TakeOrderedAndProject-shaped via window rank). The LSH variant buckets
+vectors by hyperplane sign bits first, turning the scan into a bucket
+equi-join; recall is tested against the exact path in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["dot_chain", "dot_sql", "cosine_topk", "bucket_array_udf", "lsh_topk"]
+
+
+def dot_chain(a: str, b: str, dim: int) -> Column:
+    """Σ a[i]·b[i] as a left-assoc DOUBLE chain (deterministic order)."""
+    terms = [
+        F.element_at(F.col(a), i).cast("double")
+        * F.element_at(F.col(b), i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    return functools.reduce(operator.add, terms)
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """The identical chain as SQL text (for the DuckDB oracle)."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def _with_norm(df: DataFrame, dim: int, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", F.sqrt(dot_chain(vec, vec, dim)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query id (self excluded).
+
+    The query side is a literal-filtered broadcast (tiny); the corpus scan
+    is a single pass; ranking is a window over q_id — shuffle bounded by
+    |queries| × |corpus| candidate rows, the brute-force baseline.
+    """
+    n = _with_norm(emb, dim, vec)
+    q = n.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
+    c = n.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec).alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    cos = dot_chain("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+    """Multi-table random-hyperplane bucket ids as a vectorized Pandas UDF.
+
+    Returns an ``array<bigint>`` of ``n_tables`` bucket ids per vector.
+    The (n_tables·n_planes × dim) Gaussian plane matrix is derived
+    deterministically from ``numpy.random.default_rng(seed)`` — no stored
+    model, reproducible on any cluster size.
+
+    Why a UDF here (vs expression chains): a per-plane 64-term expression ×
+    32 plane instances exceeds the JVM 64KB method limit and kicks the whole
+    stage out of codegen (observed InternalCompilerException + interpreter
+    fallback). One Arrow-batched numpy matmul per batch is both faster and
+    plan-friendly; the exact cosine path stays expression-based because the
+    oracle needs cross-engine bit-determinism, which buckets do not.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim) float32
+        bits = (mat @ planes.T) >= 0  # (batch, n_tables*n_planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        ids = (bits * powers).sum(axis=2)  # (batch, n_tables) int64
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
+
+    Single-table sign-LSH has recall p^b per table with p = 1 - θ/π; for
+    weakly-similar corpora (θ ≈ 70° ⇒ p ≈ 0.6) one table is useless, so we
+    union candidates over ``n_tables`` independent plane sets (seeded
+    deterministically): recall ≈ 1-(1-p^b)^L. Defaults (b=4, L=8) target
+    ~0.7 recall at θ≈70°, and much higher on genuinely clustered data.
+
+    Plan shape: per-vector bucket array (one codegen'd scan), posexplode →
+    equi-join on (table_idx, bucket) — candidates bounded by L·n/2^b per
+    query, never the cross product; distinct before the exact re-rank.
+    Recall is measured against cosine_topk in tests/test_llm.py.
+    """
+    buckets = bucket_array_udf(dim, n_planes, n_tables)(F.col(vec))
+    n = _with_norm(emb.withColumn("buckets", buckets), dim, vec)
+    exploded = n.select(
+        F.col(id_col),
+        F.col(vec),
+        F.col("__norm"),
+        F.posexplode("buckets").alias("table_idx", "bucket"),
+    )
+    q = exploded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+        "table_idx",
+        "bucket",
+    )
+    c = exploded.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec).alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+        "table_idx",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table_idx", "bucket"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_vec", "q_norm", "n_id", "c_vec", "c_norm")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos = dot_chain("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = cand.select("q_id", "n_id", cos.alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )

@@ -1,1 +1,232 @@
-"""placeholder — populated in later commits."""
+"""LLM-data-pipeline operator queries (SURVEY.md §2.10 L1-L6, north star).
+
+Backed by ``operators/dedup.py`` and ``operators/similarity.py``. Oracles
+exist wherever DuckDB can reproduce the exact semantics (exact dedup,
+inverted-index Jaccard, brute-force cosine via the shared left-assoc dot
+chain); sketch-based operators (MinHash LSH, SimHash, hyperplane LSH)
+cannot be faithfully oracled in SQL (xxhash64 is Spark-specific) and are
+registered rows-only — their quality is asserted by recall tests against
+the exact paths in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_td_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    normalized_text,
+    simhash_pairs,
+)
+from pandas_td_spark.operators.similarity import cosine_topk, dot_sql, lsh_topk
+from pandas_td_spark.queries.registry import query
+
+_DIM = 64
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup groups over normalized text
+# ---------------------------------------------------------------------------
+@query(
+    "q50_dedup_exact_groups",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def q50_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest → group → keeper: the shuffle-narrow exact-dedup plan (hash
+    the 128-bit digest, never the full text)."""
+    d = spark.table("documents")
+    return (
+        d.select(F.md5(normalized_text("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@query(
+    "q51_dedup_exact_keep",
+    oracle=r"""
+    SELECT doc_id, lang, n_chars FROM documents d
+    WHERE doc_id = (
+      SELECT MIN(doc_id) FROM documents d2
+      WHERE md5(regexp_replace(trim(lower(d2.text)), '\s+', ' ', 'g'))
+          = md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
+    )
+    """,
+)
+def q51_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *result* (surviving rows) via operators.dedup.exact_dedup."""
+    d = spark.table("documents")
+    return exact_dedup(d).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# L2 — exact n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+@query(
+    "q52_near_dup_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    """,
+)
+def q52_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard ≥ 0.6 — the exact (verify-path) near-dup join."""
+    return jaccard_pairs(
+        spark.table("documents"), shingle_n=3, threshold=0.6
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 scale path — MinHash LSH candidates + exact verify (rows-only)
+# ---------------------------------------------------------------------------
+@query("q53_minhash_lsh_pairs", oracle=None)
+def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash (32 hashes, 8 bands × 4) candidates, exact-Jaccard
+    verified ≥ 0.6. xxhash64-based → no DuckDB oracle; recall vs
+    q52 asserted in tests/test_llm.py."""
+    docs = spark.table("documents")
+    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8)
+    exact = jaccard_pairs(docs, shingle_n=3, threshold=0.6)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# L2 — SimHash near-dup pairs (rows-only)
+# ---------------------------------------------------------------------------
+@query("q54_simhash_pairs", oracle=None)
+def q54_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash, Manku-style 16-bit block banding, Hamming ≤ 3 (the
+    radius the 4-block scheme guarantees: any pair within Hamming 3 must
+    agree exactly on ≥1 of the 4 blocks). Planted near-dups in the fixture
+    sit at Hamming 0-5; ham ≤ 3 recovers the tight ones with ~0 noise."""
+    return simhash_pairs(spark.table("documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# L3 — brute-force cosine top-k (oracle: identical left-assoc chain)
+# ---------------------------------------------------------------------------
+_N_SQL = dot_sql("embedding", "embedding", _DIM)
+_QC_SQL = dot_sql("q_vec", "c_vec", _DIM)
+
+@query(
+    "q55_embedding_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, sqrt({_N_SQL}) AS nrm FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm FROM n
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ), c AS (
+      SELECT vec_id AS n_id, embedding AS c_vec, nrm AS c_norm FROM n
+    ), scored AS (
+      SELECT q_id, n_id, ({_QC_SQL}) / (q_norm * c_norm) AS cosine
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    )
+    SELECT q_id, n_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q55_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast query set × corpus scan, per-query
+    window top-k. Cosine evaluated as the shared deterministic chain."""
+    return cosine_topk(spark.table("embeddings"), _QUERY_IDS, k=5, dim=_DIM)
+
+
+# ---------------------------------------------------------------------------
+# L3 scale path — hyperplane-LSH bucketed top-k (rows-only)
+# ---------------------------------------------------------------------------
+@query("q56_embedding_lsh_topk", oracle=None)
+def q56_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH (8 tables ×
+    4 planes) + exact re-rank over the unioned candidates. Recall vs q55
+    asserted in tests/test_llm.py."""
+    return lsh_topk(
+        spark.table("embeddings"),
+        _QUERY_IDS,
+        k=5,
+        dim=_DIM,
+        n_planes=4,
+        n_tables=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — per-label centroid stats (decimal-exact means)
+# ---------------------------------------------------------------------------
+@query(
+    "q57_label_centroids",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d1,
+           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d2,
+           CAST(SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d3,
+           CAST(SUM(CAST(CAST(embedding[4] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d4
+    FROM embeddings GROUP BY label
+    """,
+)
+def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("embeddings")
+    aggs = [F.count("*").alias("n")]
+    for d in range(1, 5):
+        aggs.append(
+            (
+                F.sum(
+                    F.element_at("embedding", d).cast("double").cast("decimal(28,12)")
+                ).cast("double")
+                / F.count("*")
+            ).alias(f"mean_d{d}")
+        )
+    return e.groupBy("label").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# L5 — multimodal/binary column plumbing (metadata over opaque bytes)
+# ---------------------------------------------------------------------------
+@query(
+    "q58_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars_c
+    FROM documents
+    """,
+)
+def q58_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column discipline (north star L5): payload as BINARY +
+    typed metadata alongside. Decode/feature-extraction over these bytes
+    lives in operators/multimodal.py (mapInPandas, stubbed decode)."""
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.length("text").cast("bigint").alias("n_chars_c"),
+    )

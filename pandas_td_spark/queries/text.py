@@ -1,1 +1,197 @@
-"""placeholder — populated in later commits."""
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.10 L4
++ north-star "text analysis": token counting, quality scoring, language id,
+document fingerprinting).
+
+No reference locus (pandas-td had no text ops — /root/reference empty);
+semantics defined here, following the LLM-data-pipeline literature
+(PAPERS.md). Everything is built-in expression work — higher-order array
+functions (`transform`/`filter`/`aggregate`), no Python UDFs — so the whole
+stage is JVM-side codegen and scales linearly with one parquet scan, no
+shuffle except the final aggregation where present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_td_spark.queries.registry import query
+
+#: tiny embedded stopword list (shared by Spark + oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# token counting + type-token ratio
+# ---------------------------------------------------------------------------
+@query(
+    "q40_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + type-token ratio per document."""
+    d = spark.table("documents")
+    w = _words()
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_unique"),
+        (
+            F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        ).alias("ttr"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus profile per language
+# ---------------------------------------------------------------------------
+@query(
+    "q41_lang_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q41_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.table("documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# word frequency (explode/unnest + top-k)
+# ---------------------------------------------------------------------------
+@query(
+    "q42_word_freq",
+    oracle="""
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY word
+    ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def q42_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST lateral-join analogue (SURVEY §2.3 J11): explode → count →
+    top-k via TakeOrderedAndProject."""
+    d = spark.table("documents")
+    return (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (stopword ratio + mean token length)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text,' '),
+                                w -> w IN ({_SW_SQL}))) AS DOUBLE)
+             / len(string_split(text,' ')) AS stopword_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text,' ')) AS mean_token_len,
+           CASE WHEN len(string_split(text,' ')) >= 20 THEN 1 ELSE 0 END AS len_ok
+    FROM documents
+    """,
+)
+def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals used by pretraining-data filters
+    (C4/Gopher-style): stopword density, mean token length, length gate."""
+    d = spark.table("documents")
+    w = _words()
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        (
+            F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("double")
+            / F.size(w)
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(w)
+        ).alias("mean_token_len"),
+        F.when(F.size(w) >= 20, F.lit(1)).otherwise(F.lit(0)).alias("len_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id (marker-word voting heuristic)
+# ---------------------------------------------------------------------------
+@query(
+    "q44_language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(text,' '),
+                                     w -> w IN ({_SW_SQL}))) > 0
+                THEN 'en' ELSE 'und' END AS guessed_lang
+    FROM documents
+    """,
+)
+def q44_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language id. The fixture corpus is synthetic English-ish
+    word soup, so the heuristic reduces to en/und — the operator shape
+    (per-language marker sets voted per doc, one scan, no shuffle) is the
+    real deliverable; production would plug fastText-style n-gram tables
+    into the same plan."""
+    d = spark.table("documents")
+    w = _words()
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(
+            F.size(F.filter(w, lambda x: F.array_contains(sw, x))) > 0, "en"
+        )
+        .otherwise("und")
+        .alias("guessed_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (order-insensitive bag-of-words digest)
+# ---------------------------------------------------------------------------
+@query(
+    "q45_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),
+                               ' ')) AS fp
+    FROM documents
+    """,
+)
+def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fingerprint: md5 over the sorted distinct token set —
+    invariant to word order/repetition; the cheap first-pass near-dup key."""
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_words())))
+        ).alias("fp"),
+    )

@@ -1,1 +1,312 @@
-"""placeholder — populated in later commits."""
+"""Window-function coverage (SURVEY.md §2.5 W1-W6, §2.8 F8 sessionize).
+
+The reference delegated all window SQL to Presto; TD workflows leaned on
+per-key ranking (``TD_X_RANK``) and gap-based sessionization
+(``td_sessionize``, deprecated upstream). Both are expressed here as native
+Spark window plans — a single hash-partition shuffle per window spec, sort
+within partitions, no driver involvement.
+
+Determinism notes: every ORDER BY inside a window carries a unique
+tie-breaker column; running/sliding sums go through the decimal-exact
+pattern (queries/_util.py); frames are spelled explicitly (ROWS, not the
+default RANGE) so peer-row semantics cannot diverge between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_td_spark.queries.registry import query
+
+
+# ---------------------------------------------------------------------------
+# W1 — ranking: per-customer top-3 orders (TD_X_RANK analogue)
+# ---------------------------------------------------------------------------
+@query(
+    "q20_window_topk_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q20_window_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank-and-filter — the scalable alternative to
+    per-key sorts; one shuffle on the partition key."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — lag/lead: per-user deltas between consecutive events
+# ---------------------------------------------------------------------------
+@query(
+    "q21_window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def q21_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/W5 — running aggregate with explicit ROWS frame
+# ---------------------------------------------------------------------------
+@query(
+    "q22_window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def q22_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — sliding ROWS frame: 5-row moving average per user
+# ---------------------------------------------------------------------------
+@query(
+    "q23_window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q23_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — first_value / last_value / nth_value over full-partition frame
+# ---------------------------------------------------------------------------
+@query(
+    "q24_window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q24_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — distribution ranks: ntile / percent_rank / cume_dist / dense_rank
+# ---------------------------------------------------------------------------
+@query(
+    "q25_window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           DENSE_RANK()   OVER w AS drank
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q25_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) window — single-partition sort; acceptable
+    only on small dims, flagged for 100 TB (repartition by a key first)."""
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return spark.table("supplier").select(
+        "s_suppkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — td_sessionize batch idiom: cumulative-gap session ids per user
+# ---------------------------------------------------------------------------
+@query(
+    "q26_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)))
+                            AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """td_sessionize (SURVEY §2.8 F8): 30-min-gap sessions counted per user.
+
+    Cumulative-gap idiom — one window shuffle on user_id, then a grouped
+    count; the same plan shape sessionizes 100 TB (state bounded per key).
+    The streaming twin is streaming/jobs.py::sessionized_counts.
+    """
+    from pandas_td_spark.operators.sessionize import with_session_id
+
+    ev = spark.table("events")
+    sess = with_session_id(
+        ev, key="user_id", ts_col="ts", timeout_sec=1800, order_cols=["event_id"]
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4-adjacent — batch session_window (start/end/gap semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "q27_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` in batch mode — window end = last event
+    + gap; a new session starts when the inter-event gap is >= the timeout
+    (mirrored exactly in the oracle's cumulative-gap emulation)."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start")
+            .cast("bigint")
+            .alias("session_start"),
+            F.unix_timestamp("session_window.end")
+            .cast("bigint")
+            .alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot — event-type counts per user (reference magics' --pivot analogue)
+# ---------------------------------------------------------------------------
+@query(
+    "q28_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — without it Spark runs an extra
+    distinct job to discover values (a full scan at 100 TB)."""
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )

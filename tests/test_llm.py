@@ -1,0 +1,56 @@
+"""Quality gates for the sketch-based (non-oracle-able) operators: the
+approximate paths must track their exact counterparts (SURVEY.md §2.10).
+Run at sf0.01 where the driver planted 25 near-dup pairs."""
+
+from __future__ import annotations
+
+from pandas_td_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_pairs,
+)
+from pandas_td_spark.operators.similarity import cosine_topk, lsh_topk
+from pandas_td_spark.sources.io import register_views
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_minhash_lsh_recall(spark):
+    register_views(spark, SF)
+    docs = spark.table("documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"MinHash LSH recall {recall:.2f} < 0.9"
+
+
+def test_simhash_finds_planted_pairs_with_low_noise(spark):
+    register_views(spark, SF)
+    docs = spark.table("documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    found = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    # ham<=3 is tighter than jaccard>=0.6: expect a meaningful subset, little noise
+    assert len(found & exact) >= len(exact) * 0.4
+    assert len(found - exact) <= len(found) * 0.5
+
+
+def test_hyperplane_lsh_topk_recall(spark):
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    qids = list(range(10))
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in lsh_topk(emb, qids, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # weakly-similar corpus (mean top-5 cosine ~0.32 => theta ~71deg):
+    # theoretical recall ~0.7 for b=4, L=8
+    assert recall >= 0.5, f"multi-table LSH recall {recall:.2f} < 0.5"
