@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract; BASELINE.md measurement plan).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Materialization is ``df.write.format("noop")`` — full plan execution
+(scans, shuffles, joins, UDFs) without sink or driver-transfer cost, the
+standard Spark benching idiom. Session build time is excluded; each query
+is timed once after a shared warm-up query (JIT + codegen cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else float("nan")
+
+    from pandas_td_spark.engine.session import get_spark
+    from pandas_td_spark.queries.registry import spark_queries
+
+    spark = get_spark(app_name="pandas_td_spark_bench")
+    qs = spark_queries()
+
+    # warm-up: touch every fixture + exercise codegen once
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("select count(*) from lineitem").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
+
+    out = {
+        "metric": "sum_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ from pandas_td_spark.operators.dedup import (
     lsh_candidate_pairs,
     normalized_text,
     simhash_pairs,
+    verify_jaccard_on_pairs,
 )
 from pandas_td_spark.operators.similarity import cosine_topk, dot_sql, lsh_topk
 from pandas_td_spark.queries.registry import query
@@ -112,8 +113,7 @@ def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q52 asserted in tests/test_llm.py."""
     docs = spark.table("documents")
     cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8)
-    exact = jaccard_pairs(docs, shingle_n=3, threshold=0.6)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return verify_jaccard_on_pairs(cand, docs, threshold=0.6)
 
 
 # ---------------------------------------------------------------------------
