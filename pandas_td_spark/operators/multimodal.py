@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column operators (north star L5/L6).
+
+Convention: an opaque ``BINARY`` payload column + a typed metadata struct
+alongside (``media_meta``: n_bytes, digest, detected format). Payloads over
+~2 GB stay out-of-table as URI columns — same discipline, pointer-typed.
+
+The Spark-side plumbing here is REAL and tested: schemas, metadata
+expressions (JVM-side), and the ``mapInPandas`` batch shape for
+decode/feature-extraction. The actual codecs (PIL/ffmpeg et al.) are NOT in
+this container, so ``decode_fn`` defaults to a clearly-marked deterministic
+STUB (documented below) and real decoders plug into the same signature.
+
+Scale notes: feature extraction is embarrassingly parallel —
+``mapInPandas`` streams Arrow batches, so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch × payload size``; keep
+payload columns pruned (select id+payload only) before featurizing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["media_meta", "with_media_meta", "featurize_binary", "stub_decoder"]
+
+#: magic-byte prefixes → format tag (expression-side, real logic)
+_MAGIC = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("664C6143", "flac"),
+    ("494433", "mp3"),
+]
+
+
+def media_meta(payload: str | Column) -> Column:
+    """Typed metadata struct for an opaque binary column — size, stable
+    digest, magic-byte format detection. Pure JVM expressions."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    head = F.hex(F.substring(c, 1, 8))
+    fmt = F.lit("unknown")
+    for magic, name in reversed(_MAGIC):
+        fmt = F.when(head.startswith(magic), name).otherwise(fmt)
+    return F.struct(
+        F.octet_length(c).cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.xxhash64(c))).alias("digest"),
+        fmt.alias("format"),
+    )
+
+
+def with_media_meta(
+    df: DataFrame, payload: str = "payload", out: str = "media_meta"
+) -> DataFrame:
+    return df.withColumn(out, media_meta(payload))
+
+
+def stub_decoder(payload: bytes, out_dim: int) -> np.ndarray:
+    """STUB decode/featurize (no codec libraries in this container).
+
+    Deterministic fake: features are a seeded hash-expansion of the bytes —
+    stable across runs/machines, shaped exactly like a real embedding, so
+    every downstream operator (similarity join, dedup, clustering) is
+    exercised for real. Swap in a PIL/torchvision/librosa-backed callable
+    with the same ``(bytes, out_dim) -> np.ndarray[float32]`` signature for
+    production.
+    """
+    import hashlib
+
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(out_dim).astype(np.float32)
+
+
+def featurize_binary(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    out_dim: int = 16,
+    decode_fn: Callable[[bytes, int], np.ndarray] | None = None,
+    batch_size_hint: str | None = None,
+) -> DataFrame:
+    """Decode + feature-extract opaque payloads → ``(id, feature)`` rows.
+
+    ``mapInPandas`` (Arrow-batched) with column pruning enforced up front:
+    only (id, payload) cross the Python boundary. ``decode_fn`` is the
+    pluggable codec; the default is :func:`stub_decoder` (deterministic
+    fake — see its docstring).
+    """
+    fn = decode_fn or stub_decoder
+    pruned = df.select(F.col(id_col), F.col(payload))
+    schema = f"{id_col} long, feature array<float>"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                fn(bytes(b), out_dim).tolist() for b in pdf[payload]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+
+    return pruned.mapInPandas(_batches, schema=schema)

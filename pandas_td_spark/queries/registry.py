@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def _ensure_loaded() -> None:
     # Import side-effect modules that populate the registry.
     from pandas_td_spark.queries import (  # noqa: F401
+        advanced,
         llm,
         relational,
         tdfuncs,

@@ -1,0 +1,196 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9 T1-T8).
+
+The reference had ingest-only streaming — ``pandas_td/td.py::
+StreamingUploader`` chunked msgpack.gz uploads with per-chunk unique ids
+for at-least-once idempotency (UNVERIFIED, /root/reference empty). This
+module supplies the *processing* side the north star requires, plus an
+idempotent sink (T8) that reproduces the uploader's exactly-once-effective
+semantics with checkpoints + deterministic batch overwrite.
+
+Every builder takes a batch-or-streaming DataFrame where possible so the
+same logic is testable in both modes; tests replay ``events.parquet``
+through a file source with ``Trigger.AvailableNow`` and compare against
+the batch twins (tests/test_streaming.py).
+
+Scale notes: all aggregations are keyed on (window, low-cardinality key) —
+state size is bounded by watermark horizon × key cardinality, independent
+of input volume; dropDuplicates state is bounded by the watermark (T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionized_counts",
+    "dedup_stream",
+    "write_idempotent_parquet",
+]
+
+#: events fixture schema (FIXTURES.md) — file-source streams cannot infer.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1: file-source stream of events parquet files in ``directory``.
+
+    (The sf fixtures store TIMESTAMP(NANOS) which the streaming parquet
+    reader surfaces as BIGINT under nanosAsLong — tests stage a µs-precision
+    copy; production tables would be written with µs timestamps.)
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T2+T5: tumbling event-time windows with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3: sliding windows (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T4: session windows per user — the streaming twin of
+    ``td_sessionize`` (operators/sessionize.py); state closes once the
+    watermark passes session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T6: drop duplicate event_ids with watermark-bounded state — the
+    processing-side replacement for the reference uploader's unique-id
+    at-least-once dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def write_idempotent_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """T8: exactly-once-effective sink.
+
+    ``foreachBatch`` + deterministic ``batch_id`` partition overwrite: a
+    replayed micro-batch rewrites its own partition rather than appending
+    twice — the Spark-native analogue of the reference's per-chunk
+    ``unique_id`` upload idempotency (td.py::StreamingUploader,
+    UNVERIFIED). Requires dynamic partition overwrite so only the replayed
+    batch's partition is touched.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    writer = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def run_to_memory(
+    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Test helper: drain an availableNow stream into an in-memory table
+    and return it as a batch DataFrame. ``output_mode``: "complete" for
+    aggregations (append would hold back windows the watermark hasn't
+    finalized when the stream ends), "append" for row-level streams."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,111 @@
+"""pandas-td API-parity tests — same spirit as the reference's mocked-client
+suite (SURVEY.md §5: test_td.py asserted generated-SQL / if_exists / proxy
+behavior), but against the real local engine."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+import pandas_td_spark as td
+
+
+@pytest.fixture()
+def con(spark):
+    return td.connect(warehouse=tempfile.mkdtemp(prefix="wh_"), spark=spark)
+
+
+def _seed(con):
+    frame = pd.DataFrame(
+        {
+            "x": [1, 2, 3, 4],
+            "y": ["a", "b", "a", "c"],
+            "time": [100, 200, 300, 400],
+        }
+    )
+    td.to_td(frame, "testdb.t1", con, if_exists="fail", index=False)
+    return frame
+
+
+def test_engine_url_parsing(con):
+    e = td.create_engine("presto:mydb", con=con)
+    assert (e.type, e.database) == ("presto", "mydb")
+    e2 = td.create_engine("presto://key123@api.example.com/other", con=con)
+    assert (e2.type, e2.database) == ("presto", "other")
+    with pytest.raises(ValueError):
+        td.create_engine("bogus", con=con)
+
+
+def test_roundtrip_query_and_table(con):
+    frame = _seed(con)
+    engine = td.create_engine("presto:testdb", con=con)
+    out = td.read_td_query("SELECT x, y FROM t1 ORDER BY x", engine)
+    assert out.x.tolist() == [1, 2, 3, 4]
+    # read_td alias
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 4
+    # generated scan: columns + time_range [start, end) + limit
+    out2 = td.read_td_table(
+        "t1", engine, columns=["x", "time"], time_range=(200, 400), limit=10
+    )
+    assert sorted(out2.x.tolist()) == [2, 3]
+    assert list(out2.columns) == ["x", "time"]
+
+
+def test_if_exists_matrix(con):
+    frame = _seed(con)
+    engine = td.create_engine("presto:testdb", con=con)
+    with pytest.raises(Exception):
+        td.to_td(frame, "testdb.t1", con, if_exists="fail", index=False)
+    td.to_td(frame.head(1), "testdb.t1", con, if_exists="replace", index=False)
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 1
+    td.to_td(frame, "testdb.t1", con, if_exists="append", index=False)
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 5
+    with pytest.raises(ValueError):
+        td.to_td(frame, "testdb.t1", con, if_exists="nope", index=False)
+    with pytest.raises(ValueError):
+        td.to_td(frame, "not_a_qualified_name", con, index=False)
+
+
+def test_time_injection_and_index(con):
+    frame = pd.DataFrame({"v": [1.0, 2.0]})
+    td.to_td(
+        frame, "testdb.t2", con, if_exists="replace",
+        index_label="idx", time_value=42,
+    )
+    engine = td.create_engine("presto:testdb", con=con)
+    out = td.read_td("SELECT idx, v, time FROM t2 ORDER BY idx", engine)
+    assert out.time.tolist() == [42, 42]
+    assert out.idx.tolist() == [0, 1]
+
+
+def test_result_proxy_iteration_and_description(con):
+    _seed(con)
+    engine = td.create_engine("presto:testdb", con=con)
+    rp = engine.execute("SELECT x, y FROM t1 ORDER BY x")
+    assert [n for n, _ in rp.description] == ["x", "y"]
+    rows = list(rp)
+    assert rows[0] == (1, "a")
+    # job re-attach (read_td_job)
+    out = td.read_td_job(rp.job_id, engine)
+    assert len(out) == 4
+
+
+def test_catalog_listing(con):
+    _seed(con)
+    assert "testdb" in con.databases().name.tolist()
+    t = con.tables("testdb")
+    assert t.name.tolist() == ["t1"] and t["count"].tolist() == [4]
+
+
+def test_params_and_index_col(con):
+    _seed(con)
+    engine = td.create_engine("presto:testdb", con=con)
+    out = td.read_td_query(
+        "SELECT x, y FROM t1 WHERE x >= :lo ORDER BY x",
+        engine,
+        index_col="x",
+        params={"lo": 3},
+    )
+    assert out.index.tolist() == [3, 4]
