@@ -137,12 +137,13 @@ def to_epoch_seconds(value: TimeLike, tz: str = "UTC") -> int | None:
         s = value.strip()
         if re.fullmatch(r"-?\d+", s):
             return int(s)
+        # note: all-digit strings ("20240110") were already taken as epoch
+        # above — TD's `time` is epoch seconds, so digits mean epoch
         for fmt in (
             "%Y-%m-%d %H:%M:%S",
             "%Y-%m-%dT%H:%M:%S",
             "%Y-%m-%d %H:%M",
             "%Y-%m-%d",
-            "%Y%m%d",
         ):
             try:
                 return to_epoch_seconds(_dt.datetime.strptime(s, fmt), tz)

@@ -48,6 +48,7 @@ def _ensure_loaded() -> None:
     # Import side-effect modules that populate the registry.
     from pandas_td_spark.queries import (  # noqa: F401
         advanced,
+        approx,
         llm,
         relational,
         tdfuncs,

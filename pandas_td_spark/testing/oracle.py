@@ -46,8 +46,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     # canonicalize cell values to hashable, engine-neutral forms
     for c in df.columns:
         if df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
         elif str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")

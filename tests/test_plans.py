@@ -1,0 +1,65 @@
+"""Plan-shape assertions (SURVEY.md §5 item 1: explain-snapshot pushdown
+checks). These fail if a refactor silently loses pushdown, broadcast, or
+top-k physical strategies — the properties that matter at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_td_spark.plans.explain import (
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+)
+from pandas_td_spark.queries.registry import spark_queries
+from pandas_td_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_filter_pushdown_and_column_pruning(spark):
+    df = read_table(
+        spark,
+        SF,
+        "lineitem",
+        columns=["l_orderkey", "l_quantity"],
+    ).where(F.col("l_quantity") > 10)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), f"filter not pushed: {pf}"
+    scans = read_schema_columns(df)
+    assert scans and set(scans[0]) == {"l_orderkey", "l_quantity"}, (
+        "column pruning failed: scan reads " + str(scans)
+    )
+
+
+def test_time_range_on_nanos_column_is_pushed(spark):
+    df = read_table(
+        spark, SF, "events", time_range=("2024-01-05", "2024-01-10"),
+        time_col="ts",
+    )
+    pf = pushed_filters(df)
+    assert any("ts" in f and ("GreaterThanOrEqual" in f or ">=" in f) for f in pf), (
+        "raw-nanos time predicate should reach the parquet scan: " + str(pf)
+    )
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    q = spark_queries()["q02_revenue_by_nation"]
+    assert has_broadcast_hash_join(q(spark, SF))
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    q = spark_queries()["q08_topk_orders"]
+    assert has_take_ordered(q(spark, SF))
+
+
+def test_flagship_agg_is_partial_then_final(spark):
+    # map-side combine (partial_sum before the exchange) is the property
+    # that bounds shuffle volume at scale; codegen ids are only visible in
+    # executed AQE plans, so assert the aggregation strategy instead
+    from pandas_td_spark.plans.explain import physical_plan
+
+    q = spark_queries()["q01_pricing_summary"]
+    plan = physical_plan(q(spark, SF))
+    assert "partial_sum" in plan and "Exchange" in plan

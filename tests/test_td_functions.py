@@ -1,0 +1,154 @@
+"""Property-based + golden tests for the td_* function family (SURVEY.md
+§5 item 3: time-range boundary semantics, tz handling, duration parsing,
+strftime translation; plus Python-surface vs SQL-surface equivalence)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pandas_td_spark.functions.td import (
+    parse_duration_seconds,
+    strftime_to_spark,
+    to_epoch_seconds,
+)
+
+# ---------------------------------------------------------------------------
+# driver-side normalization (pure python — hypothesis-friendly)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=2**33))
+def test_epoch_ints_pass_through(n):
+    assert to_epoch_seconds(n) == n
+    assert to_epoch_seconds(str(n)) == n
+
+
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 1, 1)
+    )
+)
+def test_datetime_roundtrip_utc(d):
+    d = d.replace(microsecond=0)
+    epoch = to_epoch_seconds(d)
+    assert dt.datetime.fromtimestamp(epoch, dt.timezone.utc).replace(
+        tzinfo=None
+    ) == d
+
+
+def test_date_string_formats_agree():
+    assert (
+        to_epoch_seconds("2024-01-10")
+        == to_epoch_seconds("2024-01-10 00:00:00")
+        == to_epoch_seconds(dt.date(2024, 1, 10))
+        == 1704844800
+    )
+    # all-digit strings are epochs (TD: `time` is epoch seconds), never dates
+    assert to_epoch_seconds("20240110") == 20240110
+
+
+def test_timezone_shifts_epoch():
+    utc = to_epoch_seconds("2024-01-10", tz="UTC")
+    tokyo = to_epoch_seconds("2024-01-10", tz="Asia/Tokyo")
+    assert utc - tokyo == 9 * 3600
+
+
+@given(
+    st.integers(min_value=-10_000, max_value=10_000),
+    st.sampled_from(list("smhdw")),
+)
+def test_duration_parse(n, unit):
+    secs = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}[unit]
+    assert parse_duration_seconds(f"{n}{unit}") == n * secs
+
+
+@pytest.mark.parametrize("bad", ["", "d", "1x", "1.5h", "h1", "1 d"])
+def test_duration_rejects_garbage(bad):
+    with pytest.raises(ValueError):
+        parse_duration_seconds(bad)
+
+
+def test_strftime_translation_goldens():
+    assert strftime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strftime_to_spark("%H:%M:%S") == "HH:mm:ss"
+    assert strftime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strftime_to_spark("%d %B %Y %p") == "dd MMMM yyyy a"
+    with pytest.raises(ValueError):
+        strftime_to_spark("%Q")
+
+
+# ---------------------------------------------------------------------------
+# engine-side semantics (boundaries + python/SQL surface equivalence)
+# ---------------------------------------------------------------------------
+
+def test_time_range_boundaries_on_engine(spark):
+    from pandas_td_spark.functions.td import td_time_range
+
+    df = spark.range(5).select((F.col("id") * 100).alias("time"))
+    got = sorted(
+        r.time for r in df.where(td_time_range("time", 100, 300)).collect()
+    )
+    assert got == [100, 200]  # start inclusive, end exclusive
+    assert df.where(td_time_range("time", None, None)).count() == 5
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_python_and_sql_surfaces_agree_on_format(spark, t):
+    from pandas_td_spark.functions.td import td_time_format
+
+    py = (
+        spark.range(1)
+        .select(td_time_format(F.lit(t), "%Y-%m-%d %H:%M:%S"))
+        .first()[0]
+    )
+    sql = spark.sql(
+        f"select td_time_format({t}, 'yyyy-MM-dd HH:mm:ss', 'UTC')"
+    ).first()[0]
+    assert py == sql == dt.datetime.fromtimestamp(
+        t, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_sql_time_range_matches_python(spark):
+    from pandas_td_spark.functions.td import td_time_range
+
+    df = spark.range(10).select((F.col("id") * 86400 + 1704067200).alias("time"))
+    df.createOrReplaceTempView("tr_probe")
+    a = sorted(
+        r.time
+        for r in df.where(
+            td_time_range("time", "2024-01-03", "2024-01-07")
+        ).collect()
+    )
+    b = sorted(
+        r.time
+        for r in spark.sql(
+            "select time from tr_probe "
+            "where td_time_range(time, '2024-01-03', '2024-01-07')"
+        ).collect()
+    )
+    assert a == b and len(a) == 4
+
+
+def test_metadata_surface(spark):
+    from pandas_td_spark.engine.metadata import (
+        job_group,
+        list_databases,
+        list_tables,
+        progress_snapshot,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    assert "default" in list_databases(spark).name.tolist()
+    t = list_tables(spark, pattern="docum*")
+    assert t.name.tolist() == ["documents"]
+    with job_group(spark, "meta-test", "catalog listing"):
+        assert spark.table("documents").count() > 0
+    snap = progress_snapshot(spark)
+    assert list(snap.columns)[0] == "stage_id"
