@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash64",
+    "simhash_signatures",
     "simhash_pairs",
 ]
 
@@ -269,6 +270,32 @@ def simhash64(text_col: str | Column = "text") -> Column:
     return packed
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-row 64-bit SimHash as a ``sig`` BIGINT column, computed in the
+    explode → partial-aggregate shape (same scaling argument as
+    :func:`minhash_signatures`): per exploded token, ``getbit(xxhash64(w),
+    i)`` contributes ±1 to bit-slot i; 64 ``sum`` aggregates collapse
+    map-side; the final select packs sign bits into one BIGINT."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("w")
+    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.getbit("h", F.lit(i)) * 2 - 1).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return sums.select(F.col(id_col), packed.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,7 +311,7 @@ def simhash_pairs(
     (block_idx, block_value) bounds candidates without the O(n²) cross
     join. Exact Hamming verify on candidates via bit_count(xor).
     """
-    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sig"))
+    sigs = simhash_signatures(df, id_col, text_col)
     blocks = sigs.select(
         id_col,
         "sig",

@@ -23,10 +23,10 @@ from pandas_td_spark.queries.registry import query
 def q70_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Presto ``approx_distinct(x[, e])`` analogue. HLL++ here vs Presto's
     HLL — estimates differ across engines by design, so no value oracle;
-    tests assert relative error ≤ 5% vs exact."""
+    tests assert relative error ≤ 5% vs exact (rsd 0.02 balances sketch size vs accuracy)."""
     li = spark.table("lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
