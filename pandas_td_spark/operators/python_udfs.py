@@ -1,0 +1,102 @@
+"""Python UDF surface (SURVEY.md §2.11): scalar pandas_udf, grouped-map
+``applyInPandas``, grouped-agg pandas_udf, and a Python UDTF.
+
+The reference client defined no UDFs (users relied on server-side
+Presto/Hive functions); this module supplies the engine-native extension
+points. Rules of engagement (ARCHITECTURE.md design rule 2): these exist
+for logic that genuinely needs Python (numpy/scipy, model inference) —
+anything expressible as built-in expressions stays JVM-side. All paths are
+Arrow-batched; nothing is row-at-a-time pickled.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "zscore_per_group",
+    "mad_outliers_per_group",
+    "grouped_geometric_mean",
+    "register_udtfs",
+]
+
+
+def zscore_per_group(
+    df: DataFrame, key: str, value: str, out: str = "zscore"
+) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (SNIPPETS.md [2] pattern): per-key
+    z-score of ``value``. One shuffle on the key; each group is a pandas
+    DataFrame in a python worker, Arrow both ways.
+
+    (A window expression could compute this JVM-side — this function is the
+    canonical grouped-map example, and the template for per-group logic
+    that has no expression equivalent.)
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType: StructType.add mutates the df's own schema object
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value].std(ddof=1)
+        z = (pdf[value] - pdf[value].mean()) / std if std and std > 0 else 0.0
+        return pdf.assign(**{out: z})
+
+    return df.groupBy(key).applyInPandas(_z, schema=schema)
+
+
+def mad_outliers_per_group(
+    df: DataFrame, key: str, value: str, n_mads: float = 3.0
+) -> DataFrame:
+    """Per-key robust outliers (median absolute deviation) — a genuinely
+    non-expression computation (two dependent medians per group)."""
+    out_schema = f"{key} long, n_outliers long, mad double"
+
+    def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf[value].median()
+        mad = (pdf[value] - med).abs().median()
+        thresh = n_mads * 1.4826 * mad
+        n_out = int(((pdf[value] - med).abs() > thresh).sum()) if mad > 0 else 0
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n_outliers": [n_out], "mad": [mad]}
+        )
+
+    return df.groupBy(key).applyInPandas(_mad, schema=out_schema)
+
+
+@pandas_udf("double")
+def _geomean(v: pd.Series) -> float:  # grouped-agg pandas UDF (UDAF)
+    import numpy as np
+
+    x = v.dropna()
+    return float(np.exp(np.log(x[x > 0]).mean())) if len(x) else float("nan")
+
+
+def grouped_geometric_mean(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Grouped-agg pandas_udf (the UDAF surface): geometric mean per key —
+    participates in hash aggregation like a native aggregate."""
+    return df.groupBy(key).agg(_geomean(F.col(value)).alias("geomean"))
+
+
+def register_udtfs(spark) -> None:
+    """Python UDTF (Spark 3.5+ ``@udtf``): ``split_ngrams(text, n)`` emits
+    one row per word n-gram — the table-function counterpart of
+    LATERAL VIEW explode, usable directly in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class SplitNgrams:
+        def eval(self, text: str, n: int):  # noqa: D401
+            if not text:
+                return
+            words = text.split(" ")
+            for i in range(max(len(words) - n + 1, 0)):
+                yield (" ".join(words[i : i + n]), i)
+
+    spark.udtf.register("split_ngrams", SplitNgrams)

@@ -1,0 +1,228 @@
+"""Inventory closure queries — remaining SURVEY.md §2 rows: UNION ALL
+(U1), sampling (S8), CUBE/GROUPING SETS (A8), statistical aggregates (A1:
+stddev/variance/corr), td_time_parse (F3), smart_digest (F9),
+embedding-cosine near-dup (L2 variant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_td_spark.functions.td import smart_digest, td_time_parse
+from pandas_td_spark.operators.similarity import dot_chain, dot_sql
+from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.queries.registry import query
+
+
+# ---------------------------------------------------------------------------
+# U1 — UNION ALL (bag semantics, no dedup shuffle)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_union_all",
+    oracle="""
+    SELECT c_custkey AS k, 'building' AS src FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey AS k, 'rich' AS src FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q17_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL is a zero-shuffle concatenation (vs UNION's dedup
+    exchange) — the default at scale unless dedup is semantic."""
+    c = spark.table("customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"), F.lit("building").alias("src")
+    )
+    b = c.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k"), F.lit("rich").alias("src")
+    )
+    return a.unionAll(b)
+
+
+# ---------------------------------------------------------------------------
+# S8 — sampling scan (rows-only: RNG streams are engine-specific)
+# ---------------------------------------------------------------------------
+@query("q18_sample", oracle=None)
+def q18_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TABLESAMPLE`` / ``df.sample`` with a fixed seed — deterministic
+    within Spark, not across engines (no oracle); tests bound the fraction.
+    Bernoulli sampling composes with pushdown: the scan still prunes."""
+    return (
+        spark.table("orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — CUBE + grouping_id (rollup covered by q13)
+# ---------------------------------------------------------------------------
+@query(
+    "q19_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — Catalyst expands to grouping sets, one
+    shuffle; NULL markers + gid disambiguate subtotal rows identically in
+    both engines."""
+    return (
+        spark.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — stddev / variance / corr via exact sufficient statistics
+# ---------------------------------------------------------------------------
+@query(
+    "q29_stats_agg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           ROUND((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 12)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / Pearson corr computed from exact
+    (decimal-summed) sufficient statistics — the only formulation that
+    hash-matches across engines (native stddev/corr accumulate in
+    engine-specific order; ``F.stddev``/``F.corr`` remain available and are
+    exercised rows-only in tests). Also the scale-correct shape: one
+    partial+final aggregation, constant state per group."""
+    li = spark.table("lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p).alias("syy"),
+        dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return s.select(
+        "l_returnflag",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        # rounded: the two engines disagree by 1 ulp on this
+        # composite (var/stddev match exactly); 12 dp has ~5
+        # digits of margin over ulp noise
+        F.round(corr, 12).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — td_time_parse round-trip
+# ---------------------------------------------------------------------------
+@query(
+    "q39_td_time_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(strptime(strftime(ts AT TIME ZONE 'UTC',
+                                              '%Y-%m-%d %H:%M:%S'),
+                                     '%Y-%m-%d %H:%M:%S'))) AS BIGINT)
+               AS parsed_epoch
+    FROM events
+    """,
+)
+def q39_td_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format → parse round-trip (second granularity): td_time_format then
+    td_time_parse recovers floor(epoch)."""
+    ev = spark.table("events").withColumn(
+        "time", F.unix_timestamp("ts").cast("bigint")
+    )
+    from pandas_td_spark.functions.td import td_time_format
+
+    formatted = td_time_format("time", "%Y-%m-%d %H:%M:%S")
+    return ev.select(
+        "event_id",
+        td_time_parse(formatted).cast("bigint").alias("parsed_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — smart_digest (rows-only: our digest is xxhash64-defined)
+# ---------------------------------------------------------------------------
+@query("q63_smart_digest", oracle=None)
+def q63_smart_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TD ``smart_digest`` analogue: 12-hex-char stable digest. Values
+    intentionally differ from TD's proprietary hash (documented in
+    functions/td.py); tests assert stability + collision-freedom on keys."""
+    c = spark.table("customer")
+    return c.select(
+        "c_custkey", smart_digest(F.col("c_name")).alias("digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2/L3 — embedding-cosine near-duplicate pairs (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+_PAIR_COS = dot_sql("a.embedding", "b.embedding", 64)
+_SELF_COS = dot_sql("embedding", "embedding", 64)
+
+
+@query(
+    "q64_embedding_near_dup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, sqrt({_SELF_COS}) AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ({_PAIR_COS.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')})
+             / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ({_PAIR_COS}) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q64_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (fixture max
+    ~0.51). Brute-force all-pairs here (oracle parity); the banded scale
+    path is q56's multi-table LSH with a threshold filter instead of top-k."""
+    e = spark.table("embeddings")
+    n = e.select(
+        "vec_id", "embedding", F.sqrt(dot_chain("embedding", "embedding", 64)).alias("nrm")
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_chain("emb_a", "emb_b", 64) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )

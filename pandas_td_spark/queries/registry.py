@@ -49,6 +49,7 @@ def _ensure_loaded() -> None:
     from pandas_td_spark.queries import (  # noqa: F401
         advanced,
         approx,
+        coverage,
         llm,
         relational,
         tdfuncs,

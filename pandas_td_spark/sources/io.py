@@ -202,6 +202,48 @@ def write_table(
     writer.parquet(path)
 
 
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """S7: format-generic source. The reference client spoke msgpack(.gz)
+    only (StreamingUploader); Spark's source API gives parquet/CSV/JSON/ORC
+    for free — CSV/JSON default to header/inference unless a schema is
+    passed (always pass one in production: inference is an extra full
+    scan)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "errorifexists",
+    **options,
+) -> None:
+    """S7 sink twin of :func:`read_file`."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
 _CURRENT_VIEWS: dict[int, str] = {}
 
 

@@ -178,6 +178,36 @@ def write_idempotent_parquet(
     return writer
 
 
+def running_user_totals(events: DataFrame, timeout_sec: int = 0) -> DataFrame:
+    """T7: custom stateful operator via ``applyInPandasWithState`` —
+    per-user running (count, total value) across micro-batches. State is
+    one tuple per user, updated incrementally; the state store checkpoints
+    it — the pattern for operators session_window/dropDuplicates can't
+    express. Emits one row per user per batch with the cumulative totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -82,3 +82,41 @@ def test_png_magic_detected(spark):
     )
     got = with_media_meta(df, "payload").select("media_meta.format").first()[0]
     assert got == "png"
+
+
+def test_python_udf_surfaces(spark):
+    """SURVEY §2.11: grouped-map applyInPandas, grouped-agg pandas_udf,
+    Python UDTF."""
+    import math
+
+    from pandas_td_spark.operators.python_udfs import (
+        grouped_geometric_mean,
+        mad_outliers_per_group,
+        register_udtfs,
+        zscore_per_group,
+    )
+
+    register_views(spark, SF)
+    ev = spark.table("events").select("user_id", "value")
+    z = zscore_per_group(ev, "user_id", "value")
+    stats = z.groupBy("user_id").agg(
+        F.round(F.avg("zscore"), 9).alias("mean_z"),
+        F.round(F.stddev("zscore"), 6).alias("sd_z"),
+    ).toPandas()
+    assert (stats.mean_z.abs() < 1e-6).all()
+    assert ((stats.sd_z - 1).abs() < 1e-3).all()
+
+    outl = mad_outliers_per_group(ev, "user_id", "value").toPandas()
+    assert (outl.mad > 0).all()
+
+    g = grouped_geometric_mean(ev, "user_id", "value").toPandas()
+    a = ev.groupBy("user_id").agg(F.avg("value").alias("am")).toPandas()
+    m = g.merge(a, on="user_id")
+    assert (m.geomean <= m.am + 1e-9).all()  # AM-GM
+    assert (m.geomean > 0).all()
+
+    register_udtfs(spark)
+    row = spark.sql(
+        "SELECT * FROM split_ngrams('a b c d', 2) ORDER BY pos"
+    ).collect()
+    assert [r.ngram for r in row] == ["a b", "b c", "c d"]

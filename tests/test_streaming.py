@@ -125,3 +125,36 @@ def test_idempotent_sink_overwrites_batch_partition(spark, staged):
     q2.awaitTermination()
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_stateful_running_totals(spark, staged):
+    """T7: applyInPandasWithState accumulates across micro-batches; the
+    last update per user equals the batch-mode totals."""
+    from pandas_td_spark.streaming.jobs import running_user_totals
+
+    stream = events_stream(spark, staged, max_files_per_trigger=1)
+    name = _name()
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        spark.read.parquet(staged)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert got.equals(want)
