@@ -1,0 +1,92 @@
+"""Connected components + near-dup cluster collapse (SURVEY.md §7
+"connected components without GraphFrames"; completes the L2 dedup story:
+pair lists are not deduplication until collapsed into keep/drop sets).
+
+Algorithm: iterative min-label propagation (the simplified
+large-star/small-star idea): every node repeatedly adopts the minimum
+label among itself and its neighbours; converges in O(diameter)
+iterations. Near-dup graphs have tiny components (dup clusters), so
+convergence is fast; ``max_iterations`` bounds the worst case
+(SURVEY §7 risk: "bound iterations").
+
+Scale notes: each iteration is one join + one aggregate on (node, label)
+pairs — shuffle-bounded, no driver-side graph. ``localCheckpoint``
+truncates the lineage each round so plans don't grow exponentially. The
+convergence check is a count of changed labels (one lightweight action per
+iteration).
+
+Labels are canonical (min node id in the component), so results are
+algorithm-independent — which is what lets a DuckDB recursive-CTE oracle
+verify the Spark implementation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "collapse_near_dups"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node BIGINT, component BIGINT) for every node appearing in
+    ``pairs``; component = min node id in the connected component."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def collapse_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus dedup labels: every row of ``df`` gets its component id
+    (nodes not in any pair are their own component) plus a keep flag
+    (True iff the row is the component's minimum id). Downstream:
+    ``.where("keep")`` is the deduplicated corpus."""
+    comp = connected_components(pairs)
+    out = (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .drop("node")
+    )
+    return out.withColumn("keep", F.col(id_col) == F.col("component"))

@@ -28,7 +28,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["dot_chain", "dot_sql", "cosine_topk", "bucket_array_udf", "lsh_topk"]
+__all__ = [
+    "dot_chain",
+    "dot_sql",
+    "cosine_topk",
+    "bucket_array_udf",
+    "lsh_topk",
+    "ivf_topk",
+]
 
 
 def dot_chain(a: str, b: str, dim: int) -> Column:
@@ -123,6 +130,81 @@ def bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
         return pd.Series(list(ids))
 
     return _buckets
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): k-means coarse quantizer
+    → probe the ``n_probe`` nearest cells per query → exact re-rank.
+
+    The quantizer is ``pyspark.ml`` KMeans (seeded, deterministic on fixed
+    data); assignment is JVM-side model.transform. At 100 TB the cell
+    assignment is a linear scan + broadcast of centroids, and each query
+    touches n_probe/n_clusters of the corpus — the classic IVF trade.
+    Recall vs the exact path is asserted in tests/test_llm.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.withColumn("__v", array_to_vector(F.col(vec).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vecs)
+    assigned = _with_norm(model.transform(vecs), dim, vec)
+
+    # per-query probe list: n_probe nearest centroids (tiny, driver-side)
+    import numpy as np
+
+    centers = np.vstack(model.clusterCenters())
+    qrows = (
+        assigned.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vector_to_array("__v").alias("qv"))
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r.qv)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r[id_col], int(cell)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, f"q_id long, __cell int")
+
+    q = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
+    cand = (
+        F.broadcast(probes.join(q, "q_id"))
+        .join(assigned, "__cell")
+        .where(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.col(id_col).alias("n_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("__norm").alias("c_norm"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos = dot_chain("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = cand.select("q_id", "n_id", cos.alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
 
 
 def lsh_topk(

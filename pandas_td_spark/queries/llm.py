@@ -230,3 +230,71 @@ def q58_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
         F.length("text").cast("bigint").alias("n_chars_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — collapse near-dup pairs into dedup clusters (connected components)
+# ---------------------------------------------------------------------------
+@query(
+    "q65_near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p0
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM e
+      UNION SELECT a, b FROM e
+      UNION SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def q65_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup: exact-Jaccard pairs → connected
+    components (iterative min-label propagation, operators/cluster.py) →
+    canonical min-id component labels + keep flags. Labels are
+    algorithm-independent, so a DuckDB recursive-CTE transitive closure
+    verifies the distributed implementation exactly."""
+    from pandas_td_spark.operators.cluster import collapse_near_dups
+
+    docs = spark.table("documents")
+    pairs = jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    return collapse_near_dups(docs, pairs).select("doc_id", "component", "keep")
+
+
+# ---------------------------------------------------------------------------
+# L3 scale path #2 — IVF (k-means inverted file) approximate top-k
+# ---------------------------------------------------------------------------
+@query("q66_embedding_ivf_topk", oracle=None)
+def q66_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means coarse quantizer, probe 4/16 cells, exact
+    re-rank (operators/similarity.py::ivf_topk). KMeans is data-dependent →
+    rows-only; recall vs q55 asserted in tests/test_llm.py."""
+    from pandas_td_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.table("embeddings"), _QUERY_IDS, k=5, dim=_DIM,
+        n_clusters=16, n_probe=4,
+    )

@@ -54,3 +54,36 @@ def test_hyperplane_lsh_topk_recall(spark):
     # weakly-similar corpus (mean top-5 cosine ~0.32 => theta ~71deg):
     # theoretical recall ~0.7 for b=4, L=8
     assert recall >= 0.5, f"multi-table LSH recall {recall:.2f} < 0.5"
+
+
+def test_connected_components_toy(spark):
+    from pandas_td_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8),
+    }
+
+
+def test_ivf_topk_recall(spark):
+    from pandas_td_spark.operators.similarity import ivf_topk
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    qids = list(range(10))
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ivf_topk(emb, qids, k=5, n_clusters=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
