@@ -181,15 +181,20 @@ def q56_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L3 — per-label centroid stats (decimal-exact means)
+# Scale 6 (not 12): floats are dyadic rationals, so their exact decimal
+# expansions can terminate exactly on a .5 tie at scales >= ~9, where the
+# engines' rounding modes (HALF_UP vs HALF_EVEN) diverge — observed once at
+# sf0.1/scale 12. A scale-6 tie would need a ~7-bit mantissa: impossible
+# for full-precision float inputs.
 # ---------------------------------------------------------------------------
 @query(
     "q57_label_centroids",
     oracle="""
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d1,
-           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d2,
-           CAST(SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d3,
-           CAST(SUM(CAST(CAST(embedding[4] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d4
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_d1,
+           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_d2,
+           CAST(SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_d3,
+           CAST(SUM(CAST(CAST(embedding[4] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_d4
     FROM embeddings GROUP BY label
     """,
 )
@@ -200,7 +205,7 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             (
                 F.sum(
-                    F.element_at("embedding", d).cast("double").cast("decimal(28,12)")
+                    F.element_at("embedding", d).cast("double").cast("decimal(28,6)")
                 ).cast("double")
                 / F.count("*")
             ).alias(f"mean_d{d}")

@@ -195,3 +195,64 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(_words())))
         ).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document (L4 completion)
+# ---------------------------------------------------------------------------
+@query(
+    "q46_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with sklearn-style smoothing (ln((N+1)/(df+1))+1), top-3
+    terms per doc. Plan: one explode scan feeding both TF (groupBy doc,
+    word) and DF (groupBy word); DF and the corpus count broadcast back —
+    the document side never re-shuffles on anything wider than doc_id.
+    (spark.ml HashingTF/IDF cover the feature-vector variant; this is the
+    analytic form, oracle-checkable term by term.)"""
+    d = spark.table("documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar: pinned into the plan as a literal
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf")
+            # idf rounded to 6dp: JVM ln and DuckDB ln differ in the last
+            # ulp; rounding on a coarse grid (tie risk ~2e-9 per distinct
+            # df) makes the factor — and hence ranking — engine-identical
+            * F.round(
+                F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+            )
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
