@@ -40,6 +40,10 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: edges join into EVERY iteration, and without a
+        # checkpoint the (possibly expensive) pair-generation lineage —
+        # e.g. a full Jaccard join — would re-execute per round
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("node"))

@@ -91,7 +91,7 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("m_end", F.col("m_start") + F.expr("INTERVAL 1 MONTH"))
     )
-    li = spark.table("lineitem")
+    li = spark.table("lineitem").repartition(32)  # parallelize BNLJ stream side
     from pandas_td_spark.queries._util import dsum
 
     return (
