@@ -317,13 +317,18 @@ def to_td(
         raise ValueError(f"table name must be 'database.table', got {name!r}")
     db, table = m.groups()
     frame = frame.copy()
+    if time_index is not None:
+        # reference: use the DataFrame's datetime index (level `time_index`)
+        # as the mandatory `time` column (td.py::to_td(time_index=...),
+        # UNVERIFIED)
+        level_vals = frame.index.get_level_values(time_index)
+        ts = pd.to_datetime(level_vals)
+        if ts.tz is None:
+            ts = ts.tz_localize("UTC")
+        frame["time"] = (ts.asi8 // 1_000_000_000).astype("int64")
     if index:
         frame = frame.reset_index(
             names=index_label if index_label is not None else None
-        )
-    if time_index is not None:
-        raise NotImplementedError(
-            "time_index: pass the time as a column (time_col=) instead"
         )
     spark = con.spark
     sdf = spark.createDataFrame(frame)

@@ -46,6 +46,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # managed tables (bucketing tests, compat warehouse experiments) go to
+    # /tmp, never the repo working directory
+    "spark.sql.warehouse.dir": "/tmp/pandas_td_spark_warehouse",
 }
 
 

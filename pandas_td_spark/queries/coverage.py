@@ -231,3 +231,39 @@ def q64_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation: two-phase salted aggregation (result ≡ plain groupBy)
+# ---------------------------------------------------------------------------
+@query(
+    "q67_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q67_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation (only 5 event_type groups → every reducer is a
+    hot key) through operators/skew.py::salted_agg: partials spread over 8
+    salts, then combined. Algebraic aggregates make the rewrite exact, so
+    the oracle is the plain GROUP BY."""
+    from pandas_td_spark.operators.skew import salted_agg
+
+    ev = spark.table("events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        phase1={
+            "n": F.count("*"),
+            "tv": F.sum(F.col("value").cast("decimal(28,6)")),
+        },
+        phase2={
+            "n": F.sum("n"),
+            "total_value": F.sum("tv").cast("double"),
+        },
+        n_salts=8,
+    )
+    return out.select("event_type", "n", "total_value")

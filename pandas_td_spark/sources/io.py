@@ -244,6 +244,26 @@ def write_file(
     df.write.mode(mode).options(**options).format(fmt).save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (SURVEY scale notes: "bucketing for
+    co-located joins"). Two tables bucketed (and sorted) the same way on
+    the join key sort-merge-join with NO exchange and no sort — the
+    pre-shuffle is paid once at write time, every subsequent join reuses
+    it. That's the canonical answer for a fact table joined repeatedly on
+    the same key at 100 TB. Requires ``saveAsTable`` (bucketing metadata
+    lives in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.format("parquet").saveAsTable(name)
+
+
 _CURRENT_VIEWS: dict[int, str] = {}
 
 

@@ -109,3 +109,13 @@ def test_params_and_index_col(con):
         params={"lo": 3},
     )
     assert out.index.tolist() == [3, 4]
+
+
+def test_time_index(con):
+    idx = pd.date_range("2024-01-01", periods=3, freq="D", name="ts")
+    frame = pd.DataFrame({"v": [1.0, 2.0, 3.0]}, index=idx)
+    td.to_td(frame, "testdb.t3", con, if_exists="replace", time_index=0,
+             index=False)
+    engine = td.create_engine("presto:testdb", con=con)
+    out = td.read_td("SELECT v, time FROM t3 ORDER BY time", engine)
+    assert out.time.tolist() == [1704067200, 1704153600, 1704240000]

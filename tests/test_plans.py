@@ -63,3 +63,36 @@ def test_flagship_agg_is_partial_then_final(spark):
     q = spark_queries()["q01_pricing_summary"]
     plan = physical_plan(q(spark, SF))
     assert "partial_sum" in plan and "Exchange" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed+sorted on the join key => sort-merge join with
+    neither an Exchange nor a Sort on either side (the write-once
+    pre-shuffle that co-locates repeated joins at scale)."""
+    from pandas_td_spark.plans.explain import physical_plan
+    from pandas_td_spark.sources.io import read_table, write_bucketed_table
+
+    import uuid
+
+    # unique names: the in-memory catalog resets per session but the
+    # warehouse directory under /tmp persists, and saveAsTable refuses a
+    # name whose (forgotten) location still exists
+    t1, t2 = (f"b_orders_{uuid.uuid4().hex[:8]}", f"b_lineitem_{uuid.uuid4().hex[:8]}")
+    o = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    write_bucketed_table(o, t1, ["o_orderkey"], n_buckets=8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        t2,
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t1).join(spark.table(t2), "o_orderkey")
+        plan = physical_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not re-shuffle"
