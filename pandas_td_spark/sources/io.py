@@ -22,6 +22,7 @@ Scale notes
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 from collections.abc import Sequence
 
@@ -35,6 +36,11 @@ __all__ = [
     "table_path",
     "read_table",
     "read_query",
+    "read_file",
+    "write_file",
+    "write_time_partitioned",
+    "read_time_partitioned",
+    "write_bucketed_table",
     "write_table",
     "register_views",
 ]
@@ -242,6 +248,63 @@ def write_file(
     if fmt == "csv":
         options.setdefault("header", "true")
     df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """TD table layout at scale: the reference's hourly time-bucketed
+    storage (Plazma) maps to a date-partitioned parquet table with an
+    epoch-seconds ``time`` column. Writes ``dt=YYYY-MM-DD/`` directories;
+    :func:`read_time_partitioned` turns a time range into partition
+    pruning + row-group skipping."""
+    src = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp":
+        out = df.withColumn("time", F.unix_timestamp(src).cast("bigint"))
+    else:
+        out = df.withColumn("time", src.cast("bigint"))
+    out = out.withColumn(
+        "dt", F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd")
+    )
+    out.write.mode(mode).partitionBy("dt").parquet(path)
+
+
+def read_time_partitioned(
+    spark: SparkSession,
+    path: str,
+    time_range: tuple[TimeLike, TimeLike] | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Scan a :func:`write_time_partitioned` table. The time predicate is
+    emitted twice: on the ``dt`` partition column (directory-level pruning
+    — whole days never touch disk) and on ``time`` (row-group skipping
+    within the boundary days). ``.explain`` shows both ``PartitionFilters``
+    and ``PushedFilters`` — the shape that makes a 100 TB history table
+    cost O(scanned window), not O(table)."""
+    df = spark.read.parquet(path)
+    if time_range is not None:
+        from pandas_td_spark.functions.td import to_epoch_seconds
+
+        s, e = (to_epoch_seconds(v) for v in time_range)
+        cond = F.lit(True)
+        if s is not None:
+            day = _dt.datetime.fromtimestamp(s, _dt.timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+            cond = cond & (F.col("dt") >= F.lit(day)) & (F.col("time") >= F.lit(s))
+        if e is not None:
+            # end-exclusive on time; dt is day-granular so <= end's day
+            day = _dt.datetime.fromtimestamp(e, _dt.timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+            cond = cond & (F.col("dt") <= F.lit(day)) & (F.col("time") < F.lit(e))
+        df = df.where(cond)
+    if columns:
+        df = df.select(*columns)
+    return df
 
 
 def write_bucketed_table(

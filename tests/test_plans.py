@@ -96,3 +96,38 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join must not re-shuffle"
+
+
+def test_time_partitioned_layout_prunes_partitions(spark):
+    """The TD table layout at scale: a time range hits PartitionFilters
+    (directory pruning on dt) AND PushedFilters (row-group skipping on
+    time), and results honor [start, end)."""
+    import re
+    import tempfile
+
+    from pandas_td_spark.plans.explain import physical_plan
+    from pandas_td_spark.sources.io import (
+        read_table,
+        read_time_partitioned,
+        write_time_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="tp_") + "/events"
+    ev = read_table(spark, SF, "events")
+    write_time_partitioned(ev, d, ts_col="ts")
+    df = read_time_partitioned(
+        spark, d, time_range=("2024-01-05", "2024-01-10"),
+        columns=["event_id", "time", "dt"],
+    )
+    plan = physical_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), f"no partition pruning: {plan[:400]}"
+    assert any("time" in f for f in re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    # correctness of the layout round-trip: [start, end) semantics
+    lo, hi = 1704412800, 1704844800
+    got = df.agg(F.min("time"), F.max("time")).first()
+    assert got[0] >= lo and got[1] < hi
+    n_direct = ev.where(
+        (F.unix_timestamp("ts") >= lo) & (F.unix_timestamp("ts") < hi)
+    ).count()
+    assert df.count() == n_direct
