@@ -86,9 +86,11 @@ def get_spark(
     # TD-compatible SQL function surface (td_time_range etc.) is registered
     # lazily here so ``spark.sql`` text can use them like the reference's
     # delegated engines did.
+    from pandas_td_spark.functions.presto_compat import register_presto_functions
     from pandas_td_spark.functions.td import register_td_functions
 
     register_td_functions(spark)
+    register_presto_functions(spark)
     return spark
 
 

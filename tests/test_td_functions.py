@@ -152,3 +152,27 @@ def test_metadata_surface(spark):
         assert spark.table("documents").count() > 0
     snap = progress_snapshot(spark)
     assert list(snap.columns)[0] == "stage_id"
+
+
+def test_presto_scalar_aliases(spark):
+    """A Presto-dialect query string runs unchanged (functions/presto_compat)."""
+    from pandas_td_spark.functions.presto_compat import register_presto_functions
+
+    register_presto_functions(spark)
+    row = spark.sql("""
+        SELECT strpos('hello world', 'world')          AS p,
+               codepoint('A')                          AS cp,
+               json_extract_scalar('{"k": 87}', '$.k') AS k,
+               url_extract_host('https://example.com/a?b=1') AS host,
+               to_unixtime(timestamp'2024-01-01 00:00:00')   AS ut,
+               day_of_week(timestamp'2024-01-01 00:00:00')   AS dow,
+               timestampdiff(DAY, timestamp'2024-01-01', timestamp'2024-01-08') AS dd,
+               truncate(-3.7) AS tr,
+               is_nan(nan())  AS n,
+               from_utf8(to_utf8('xyz')) AS rt
+    """).first()
+    assert (row.p, row.cp, row.k) == (7, 65, "87")
+    assert row.host == "example.com"
+    assert row.ut == 1704067200.0
+    assert row.dow == 1  # 2024-01-01 is a Monday; Presto ISO numbering
+    assert (row.dd, row.tr, row.n, row.rt) == (7, -3.0, True, "xyz")
