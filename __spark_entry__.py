@@ -14,9 +14,24 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _prepare(spark: SparkSession) -> None:
+    """Make a DRIVER-PROVIDED session usable: the driver builds its own
+    SparkSession without our factory, so the two confs the fixtures/
+    semantics depend on must be set at runtime (both are runtime-settable
+    SQL confs — verified):
+
+    * nanosAsLong — events.parquet stores TIMESTAMP(NANOS), unreadable by
+      Spark 4.x otherwise (sources/io.py normalizes the long back to µs);
+    * UTC session tz — td_time_format renders via date_format, which
+      applies the session timezone after our explicit UTC shift.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from pandas_td_spark.functions.presto_compat import register_presto_functions
     from pandas_td_spark.functions.td import register_td_functions
 
     register_td_functions(spark)
+    register_presto_functions(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
