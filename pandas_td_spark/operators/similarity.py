@@ -156,8 +156,13 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = emb.withColumn("__v", array_to_vector(F.col(vec).cast("array<double>")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(vecs)
+    # coarse quantizer: cell assignment quality saturates quickly and the
+    # probe/re-rank step corrects residual error — 8 iterations suffices
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=8,
+        featuresCol="__v", predictionCol="__cell",
+    )
+    model = km.fit(vecs.persist())
     assigned = _with_norm(model.transform(vecs), dim, vec)
 
     # per-query probe list: n_probe nearest centroids (tiny, driver-side)
