@@ -310,3 +310,42 @@ def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 — RANGE frame (value-based window, the other half of frame specs)
+# ---------------------------------------------------------------------------
+@query(
+    "q68_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS nearby_total,
+           COUNT(*) OVER (
+                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS nearby_n
+    FROM orders
+    """,
+)
+def q68_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: peers defined by ORDER BY *value* distance (here: all
+    orders within 10k price below), not row position — deterministic
+    without tie-breakers because the frame is value-closed. rangeBetween
+    requires a single numeric ORDER BY expression in both engines."""
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    o = spark.table("orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("nearby_total"),
+        F.count("*").over(w).alias("nearby_n"),
+    )

@@ -178,6 +178,45 @@ def write_idempotent_parquet(
     return writer
 
 
+def purchases_with_recent_clicks(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks within ``lookback`` before it.
+
+    Both sides are watermarked so the state store can discard click state
+    older than watermark+lookback — the bounded-state formulation of the
+    streaming as-of/attribution join (state grows with rate × horizon, not
+    with total history). Works identically in batch mode (the time-bound
+    predicate is an ordinary non-equi conjunct on the user_id equi-join).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond).select(
+        "p_id", "p_user", "p_ts", "p_value", "c_ts", "c_value"
+    )
+
+
 def running_user_totals(events: DataFrame, timeout_sec: int = 0) -> DataFrame:
     """T7: custom stateful operator via ``applyInPandasWithState`` —
     per-user running (count, total value) across micro-batches. State is

@@ -158,3 +158,34 @@ def test_stateful_running_totals(spark, staged):
         .sort_values("user_id", ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, staged):
+    """Stream-stream join (watermarked, bounded state) produces the same
+    matches as the identical batch join."""
+    from pandas_td_spark.streaming.jobs import purchases_with_recent_clicks
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "purchase"),
+            df.where(F.col("event_type") == "click"),
+        )
+
+    sp, sc = split(events_stream(spark, staged))
+    name = _name()
+    q = (
+        purchases_with_recent_clicks(sp, sc, watermark="60 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).toPandas()
+    bp, bc = split(spark.read.parquet(staged))
+    want = purchases_with_recent_clicks(bp, bc).toPandas()
+    key = ["p_id", "c_ts"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)[got.columns]
+    assert len(got) > 0 and got.equals(want)
