@@ -64,17 +64,23 @@ def q71_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_collect_set",
     oracle="""
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
            COUNT(*) AS n
     FROM orders GROUP BY o_custkey
     """,
 )
 def q72_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``array_agg``/``collect_set`` — always sorted before surfacing
-    (aggregation order is nondeterministic in every engine)."""
+    """``array_agg``/``collect_set`` — sorted before surfacing (aggregation
+    order is nondeterministic in every engine), then serialized to a
+    ','-joined string: the driver's canonicalizer hashes scalar cells only
+    (round-1 red row was ``TypeError: unhashable type: 'list'`` on the raw
+    array column, not an engine mismatch)."""
     o = spark.table("orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count("*").alias("n"),
     )
 
