@@ -320,22 +320,26 @@ def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
-                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                PARTITION BY o_custkey ORDER BY o_totalprice
                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS nearby_total,
            COUNT(*) OVER (
-                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                PARTITION BY o_custkey ORDER BY o_totalprice
                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS nearby_n
     FROM orders
     """,
 )
 def q68_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: peers defined by ORDER BY *value* distance (here: all
-    orders within 10k price below), not row position — deterministic
-    without tie-breakers because the frame is value-closed. rangeBetween
-    requires a single numeric ORDER BY expression in both engines."""
+    of a customer's orders within 10k price below), not row position —
+    deterministic without tie-breakers because the frame is value-closed.
+    rangeBetween requires a single numeric ORDER BY expression in both
+    engines. Partition key is o_custkey (|customers| scales with the data):
+    round 1 keyed this demo by o_orderstatus — 3 distinct values — which
+    sorts the whole table into 3 window partitions, a parallelism ceiling
+    no cluster size can lift (11 s of the sf0.1 bench on its own)."""
     w = (
-        W.partitionBy("o_orderstatus")
+        W.partitionBy("o_custkey")
         .orderBy("o_totalprice")
         .rangeBetween(-10000, W.currentRow)
     )
