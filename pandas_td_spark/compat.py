@@ -185,6 +185,15 @@ class QueryEngine:
                 conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             t0 = _time.time()
             df = spark.sql(sql, args=params) if params else spark.sql(sql)
+            if distributed_join:
+                # Join strategy is chosen at ACTION time, not spark.sql()
+                # time — restoring the conf before the first action would
+                # silently re-enable broadcast (round-1 advisor finding).
+                # Materializing here pins the partitioned-join plan AND
+                # mirrors the reference, where execute() runs the job to
+                # completion server-side before returning a job handle.
+                df = df.persist()
+                df.count()
             job_id = uuid.uuid4().hex[:12]
             self.con._jobs[job_id] = df
             return ResultProxy(df, job_id=job_id, started=t0)

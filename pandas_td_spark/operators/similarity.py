@@ -32,6 +32,7 @@ __all__ = [
     "dot_chain",
     "dot_sql",
     "cosine_topk",
+    "cosine_threshold_pairs",
     "bucket_array_udf",
     "lsh_topk",
     "ivf_topk",
@@ -97,6 +98,125 @@ def cosine_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def cosine_threshold_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine-threshold self-join, blocked-matmul shaped.
+
+    Provably identical output to the naive ``a × b WHERE cos >= t`` join —
+    no LSH recall gamble — but the O(n²) compare work runs as BLAS matmuls
+    instead of per-pair expression evaluation, and the bit-exact
+    :func:`dot_chain` (what the DuckDB oracle hashes against) is evaluated
+    only on the candidate pairs:
+
+    1. **Block**: hash-partition rows into ``n_blocks`` packed blocks
+       (``groupBy(id % n_blocks) → collect_list``). Size blocks so one
+       block's matrix fits comfortably in a task (64-dim float32 ⇒ ~2.5 MB
+       per 10⁴ vectors); at larger corpora raise ``n_blocks`` ∝ n.
+    2. **Candidates**: crossJoin of the ``B(B+1)/2`` block pairs (upper
+       triangle), one numpy ``A @ B.T`` per pair inside ``mapInPandas``,
+       keeping pairs with ``cos >= threshold - 1e-9``. The 1e-9 slack is a
+       guaranteed superset margin: a 64-term float64 dot product carries
+       ≤ dim·ε·Σ|aᵢbᵢ| ≈ 1e-14 relative error (ε = 2⁻⁵²), five orders
+       below the slack, for both the numpy and the chain evaluation order.
+    3. **Verify**: join the (tiny) candidate set back to the corpus and
+       re-score with the left-associative ``dot_chain`` — bit-identical to
+       the oracle SQL — filtering at the exact threshold.
+
+    Replaces round 1's full-corpus BroadcastNestedLoopJoin (the slowest
+    bench entry, 11.8 s at sf0.1). The compare count is still inherently
+    quadratic — for dense vectors at thresholds in the random-similarity
+    regime (θ ≈ 66° at t = 0.4) no exact sub-quadratic filter exists and
+    sign-LSH would need more candidates than all-pairs for recall ≈ 1
+    (p = 1-θ/π ≈ 0.63 per plane) — but the block×block shape is how exact
+    all-pairs is actually run at scale: shuffle is n·B rows (each block
+    replicated B times), tasks are independent, and parallelism is
+    B(B+1)/2 regardless of cluster size. Genuinely near-dup corpora
+    (t ≥ 0.9) should use the LSH/banded paths (:func:`lsh_topk`,
+    ``operators/dedup.py``) instead.
+    """
+    margin = 1e-9
+    packed = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec).cast("array<double>").alias("v")
+        )
+        .withColumn("__blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("__blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    left = packed.select(F.col("__blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    right = packed.select(F.col("__blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    # literal upper-triangle block-pair table → two equi-joins (no nested-
+    # loop join anywhere in the plan, even a B-row one)
+    spark = emb.sparkSession
+    pair_ids = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    block_pairs = (
+        pair_ids.join(left, "blk_a")
+        .join(right, "blk_b")
+        # the joins of B-row inputs land in very few partitions; spread the
+        # B(B+1)/2 matmul tasks across the cluster
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                A = np.vstack([r["v"] for r in rows_a])
+                B = np.vstack([r["v"] for r in rows_b])
+                cos = (A @ B.T) / np.outer(
+                    np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+                )
+                ii, jj = np.where(cos >= threshold - margin)
+                if same:  # upper triangle only: each unordered pair once
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                ia, ib = ids_a[ii], ids_b[jj]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                }
+            )
+
+    cand = block_pairs.mapInPandas(emit, "id_a long, id_b long")
+
+    n = _with_norm(emb, dim, vec)
+    a = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("emb_a"),
+        F.col("__norm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("emb_b"),
+        F.col("__norm").alias("nrm_b"),
+    )
+    cos_exact = dot_chain("emb_a", "emb_b", dim) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        F.broadcast(cand)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos_exact.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -204,33 +204,15 @@ _SELF_COS = dot_sql("embedding", "embedding", 64)
 )
 def q64_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (fixture max
-    ~0.51). Brute-force all-pairs here (oracle parity); the banded scale
-    path is q56's multi-table LSH with a threshold filter instead of top-k."""
+    ~0.51). EXACT — blocked-matmul candidates + bit-exact dot_chain verify
+    (operators/similarity.py::cosine_threshold_pairs); provably identical
+    to the all-pairs oracle with no BroadcastNestedLoopJoin in the plan.
+    Round 1 ran the naive all-pairs BNLJ here (11.8 s at sf0.1, the
+    slowest bench entry)."""
+    from pandas_td_spark.operators.similarity import cosine_threshold_pairs
+
     e = spark.table("embeddings")
-    n = e.select(
-        "vec_id", "embedding", F.sqrt(dot_chain("embedding", "embedding", 64)).alias("nrm")
-    )
-    a = n.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = dot_chain("emb_a", "emb_b", 64) / (F.col("nrm_a") * F.col("nrm_b"))
-    # repartition the stream side: the corpus is one parquet file (one input
-    # partition) and BroadcastNestedLoopJoin inherits the stream side's
-    # parallelism — without this the 2M-pair cosine evaluation is
-    # single-threaded (measured 88s -> ~7s on local[32])
-    a = a.repartition(32)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-    )
+    return cosine_threshold_pairs(e, threshold=0.4, dim=64, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------

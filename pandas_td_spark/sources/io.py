@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import weakref
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -327,7 +328,12 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(name)
 
 
-_CURRENT_VIEWS: dict[int, str] = {}
+# weak keys: a dict keyed by id(spark) can alias a NEW session that reuses
+# a garbage-collected session's id (falsely skipping registration) and
+# leaks an entry per session (round-1 advisor finding)
+_CURRENT_VIEWS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(
@@ -343,9 +349,9 @@ def register_views(
     ``force=True`` refreshes after external changes to the directory.
     """
     target = os.path.abspath(sf_dir)
-    if not force and _CURRENT_VIEWS.get(id(spark)) == target:
+    if not force and _CURRENT_VIEWS.get(spark) == target:
         return
     for name in TABLES:
         if os.path.exists(table_path(sf_dir, name)):
             _load(spark, sf_dir, name).createOrReplaceTempView(name)
-    _CURRENT_VIEWS[id(spark)] = target
+    _CURRENT_VIEWS[spark] = target

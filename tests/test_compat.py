@@ -38,6 +38,32 @@ def test_engine_url_parsing(con):
         td.create_engine("bogus", con=con)
 
 
+def test_distributed_join_forces_partitioned_join(con):
+    # round-1 advisor: the conf toggle was restored before the (lazy)
+    # DataFrame materialized, so distributed_join silently never applied.
+    # execute() now materializes inside the conf window — the pinned plan
+    # must contain no broadcast join, and the conf must be restored after.
+    _seed(con)
+    td.to_td(
+        pd.DataFrame({"y": ["a", "b", "c"], "z": [10, 20, 30]}),
+        "testdb.dim1",
+        con,
+        if_exists="fail",
+        index=False,
+    )
+    engine = td.create_engine("presto:testdb", con=con)
+    before = con.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    rp = engine.execute(
+        "SELECT t1.x, dim1.z FROM t1 JOIN dim1 ON t1.y = dim1.y",
+        distributed_join=True,
+    )
+    plan = rp.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert con.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert sorted(rp.to_dataframe().z.tolist()) == [10, 10, 20, 30]
+    rp.df.unpersist()
+
+
 def test_roundtrip_query_and_table(con):
     frame = _seed(con)
     engine = td.create_engine("presto:testdb", con=con)

@@ -41,6 +41,54 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got.equals(want)
 
 
+def test_asof_tie_breaker_is_deterministic(spark):
+    # three right rows share (key, ts); the highest seq must win — and the
+    # result must be identical across shuffles/partitionings
+    left = spark.createDataFrame([(1, 100), (1, 50)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 10, "a"), (1, 100, 30, "c"), (1, 100, 20, "b"),
+         (1, 40, 5, "z")],
+        "k long, ts long, seq long, v string",
+    )
+    for n_parts in (1, 7):
+        got = {
+            (r.ts, r.v_asof)
+            for r in asof_join(
+                left,
+                right.repartition(n_parts),
+                by="k",
+                left_on="ts",
+                value_cols=["v"],
+                tie_breakers=["seq"],
+            ).collect()
+        }
+        assert got == {(100, "c"), (50, "z")}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    import warnings
+
+    from pandas_td_spark.operators.cluster import connected_components
+
+    # a path graph 0-1-2-...-9 has diameter 9 > max_iterations=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=2)
+        assert any("did not converge" in str(x.message) for x in w)
+    # and a converging input does NOT warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {
+            (r.node, r.component)
+            for r in connected_components(pairs, max_iterations=20).collect()
+        }
+        assert not any("did not converge" in str(x.message) for x in w)
+    assert out == {(i, 0) for i in range(10)}
+
+
 def test_sessionize_session_ids_are_dense_and_ordered(spark):
     register_views(spark, SF)
     ev = spark.table("events")
