@@ -347,11 +347,42 @@ _SQL_FUNCTIONS = [
     RETURNS STRING
     RETURN lower(substring(hex(xxhash64(x)), 1, 12))
     """,
+    # F7 td_scheduled_time(): the scheduled execution time of the "job"
+    # (reference: TD_SCHEDULED_TIME, epoch seconds). Session-parameterized
+    # via a SQL session variable — set_scheduled_time() pins it (what TD's
+    # scheduler does for a scheduled run); unpinned sessions fall back to
+    # wall-clock submission time (TD's ad-hoc behavior). The function is
+    # analyzer-inlined, so a pinned value constant-folds into the plan.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION td_scheduled_time()
+    RETURNS BIGINT
+    RETURN coalesce(td_scheduled_time_epoch, unix_timestamp(now()))
+    """,
 ]
 
 
 def register_td_functions(spark: SparkSession) -> None:
     """Register the td_* surface as SQL scalar functions (inlined by the
     analyzer — no Python round-trip, pushdown preserved)."""
+    try:
+        # holds td_scheduled_time's pin; DECLARE without OR REPLACE so a
+        # re-registration (every query wrapper calls this) cannot clobber
+        # a value the user already set
+        spark.sql(
+            "DECLARE VARIABLE td_scheduled_time_epoch BIGINT DEFAULT NULL"
+        )
+    except Exception:  # VARIABLE_ALREADY_EXISTS — already declared here
+        pass
     for ddl in _SQL_FUNCTIONS:
         spark.sql(ddl)
+
+
+def set_scheduled_time(spark: SparkSession, time: TimeLike | None) -> None:
+    """Pin ``td_scheduled_time()`` for this session (``None`` unpins —
+    reverts to submission-time fallback). Accepts the same time forms as
+    the rest of the td_* surface (epoch int, ISO string, datetime)."""
+    t = to_epoch_seconds(time, "UTC")
+    spark.sql(
+        "SET VAR td_scheduled_time_epoch = "
+        + ("NULL" if t is None else str(int(t)))
+    )

@@ -131,3 +131,56 @@ def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("feature").cast("bigint").alias("feat_dim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 (large×large) — bucketized point-in-interval join, no broadcast side
+# ---------------------------------------------------------------------------
+@query(
+    "q76_interval_join_large",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    )
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           p.user_id AS purchase_user, p.t - e.t AS lag_s
+    FROM ev e JOIN ev p
+      ON p.t >= e.t AND p.t < e.t + 5
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def q76_interval_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 without a broadcastable side: every purchase within 5 s after any
+    error, via operators/interval.py::point_in_interval_join — both inputs
+    are corpus-sized event streams (~20k rows each at sf0.1, and growing
+    with the data), so the q61-style BroadcastNestedLoopJoin is not an
+    option. The plan is a shuffle equi-join on 5 s time buckets; DuckDB's
+    oracle runs the same join as a native inequality (IEJoin) join."""
+    from pandas_td_spark.operators.interval import point_in_interval_join
+
+    ev = spark.table("events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("t").alias("w_start"),
+        (F.col("t") + 5).alias("w_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("t").alias("p_t"),
+    )
+    return point_in_interval_join(
+        purchases, errors, "p_t", "w_start", "w_end", bucket_width=5
+    ).select(
+        "error_id",
+        "purchase_id",
+        "purchase_user",
+        (F.col("p_t") - F.col("w_start")).alias("lag_s"),
+    )

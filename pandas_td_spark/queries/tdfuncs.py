@@ -260,3 +260,40 @@ def q38_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("month_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F7 — td_scheduled_time(): session-pinned scheduled execution time
+# ---------------------------------------------------------------------------
+_SCHED = 1705708800  # 2024-01-20T00:00:00Z — pinned-literal oracle twin
+
+
+@query(
+    "q75_td_scheduled_time",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS time FROM events)
+    WHERE time >= {_SCHED} - 604800 AND time < {_SCHED}
+    GROUP BY event_type
+    """,
+)
+def q75_td_scheduled_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ``TD_SCHEDULED_TIME()`` as a session-parameterized SQL function
+    (reference: ``TD_SCHEDULED_TIME`` UDF, scheduled-run semantics;
+    UNVERIFIED — /root/reference is empty). ``set_scheduled_time`` pins the
+    session variable exactly as TD's scheduler pins a run's time; the
+    trailing-7-day window below is the canonical incremental-job pattern.
+    The pinned value constant-folds (analyzer-inlined function over a
+    session variable), so the time predicate still pushes down to the scan."""
+    from pandas_td_spark.functions.td import set_scheduled_time
+
+    set_scheduled_time(spark, _SCHED)
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n
+        FROM (SELECT *, unix_timestamp(ts) AS time FROM events)
+        WHERE time >= td_scheduled_time() - 604800
+          AND time <  td_scheduled_time()
+        GROUP BY event_type
+        """
+    )

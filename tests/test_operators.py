@@ -168,3 +168,50 @@ def test_python_udf_surfaces(spark):
         "SELECT * FROM split_ngrams('a b c d', 2) ORDER BY pos"
     ).collect()
     assert [r.ngram for r in row] == ["a b", "b c", "c d"]
+
+
+def test_interval_joins_match_naive_and_emit_exactly_once(spark):
+    from pandas_td_spark.operators.interval import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, 3 * i % 50) for i in range(40)], "p_id long, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, 7 * j % 45, 7 * j % 45 + 1 + (j % 12)) for j in range(30)],
+        "i_id long, s long, e long",
+    )
+    got = {
+        (r.p_id, r.i_id)
+        for r in point_in_interval_join(pts, ivs, "p", "s", "e", 4).collect()
+    }
+    want = {
+        (p.p_id, i.i_id)
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i.s <= p.p < i.e
+    }
+    assert got == want
+    # exactly-once: list length == set length
+    rows = point_in_interval_join(pts, ivs, "p", "s", "e", 4).collect()
+    assert len(rows) == len(got)
+
+    lhs = spark.createDataFrame(
+        [(j, 5 * j % 37, 5 * j % 37 + 2 + (j % 9)) for j in range(25)],
+        "l_id long, ls long, le long",
+    )
+    got2 = [
+        (r.l_id, r.i_id)
+        for r in interval_overlap_join(
+            lhs, ivs, "ls", "le", "s", "e", 4
+        ).collect()
+    ]
+    want2 = {
+        (a.l_id, b.i_id)
+        for a in lhs.collect()
+        for b in ivs.collect()
+        if a.ls < b.e and b.s < a.le
+    }
+    assert set(got2) == want2 and len(got2) == len(want2)

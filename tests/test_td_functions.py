@@ -176,3 +176,27 @@ def test_presto_scalar_aliases(spark):
     assert row.ut == 1704067200.0
     assert row.dow == 1  # 2024-01-01 is a Monday; Presto ISO numbering
     assert (row.dd, row.tr, row.n, row.rt) == (7, -3.0, True, "xyz")
+
+
+def test_td_scheduled_time_pin_unpin(spark):
+    import time as _t
+
+    from pandas_td_spark.functions.td import (
+        register_td_functions,
+        set_scheduled_time,
+    )
+
+    register_td_functions(spark)
+    set_scheduled_time(spark, 1705708800)
+    assert spark.sql("SELECT td_scheduled_time() AS t").first().t == 1705708800
+    # re-registration (every query wrapper calls it) must NOT clobber the pin
+    register_td_functions(spark)
+    assert spark.sql("SELECT td_scheduled_time() AS t").first().t == 1705708800
+    # ISO-string pin, same surface as the rest of the td_* helpers
+    set_scheduled_time(spark, "2024-01-20 00:00:00")
+    assert spark.sql("SELECT td_scheduled_time() AS t").first().t == 1705708800
+    # unpin -> ad-hoc fallback: submission wall-clock
+    set_scheduled_time(spark, None)
+    now = int(_t.time())
+    got = spark.sql("SELECT td_scheduled_time() AS t").first().t
+    assert abs(got - now) < 120
