@@ -105,7 +105,9 @@ class Connection:
             for f in sorted(os.listdir(dbdir)):
                 if f.endswith(".parquet"):
                     name = f[: -len(".parquet")]
-                    path = os.path.join(dbdir, f)
+                    from pandas_td_spark.sources.io import resolve_data_path
+
+                    path = resolve_data_path(os.path.join(dbdir, f))
                     try:
                         count = self.spark.read.parquet(path).count()
                     except Exception:
@@ -120,10 +122,12 @@ class Connection:
         dbdir = os.path.join(self.warehouse, database)
         if not os.path.isdir(dbdir):
             return
+        from pandas_td_spark.sources.io import resolve_data_path
+
         for f in os.listdir(dbdir):
             if f.endswith(".parquet"):
                 self.spark.read.parquet(
-                    os.path.join(dbdir, f)
+                    resolve_data_path(os.path.join(dbdir, f))
                 ).createOrReplaceTempView(f[: -len(".parquet")])
 
 

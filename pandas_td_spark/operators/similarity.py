@@ -285,23 +285,36 @@ def ivf_topk(
     model = km.fit(vecs.persist())
     assigned = _with_norm(model.transform(vecs), dim, vec)
 
-    # per-query probe list: n_probe nearest centroids (tiny, driver-side)
-    import numpy as np
-
-    centers = np.vstack(model.clusterCenters())
-    qrows = (
-        assigned.where(F.col(id_col).isin(query_ids))
-        .select(id_col, vector_to_array("__v").alias("qv"))
-        .collect()
-    )
-    probe_rows = []
-    for r in qrows:
-        qv = np.array(r.qv)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r[id_col], int(cell)))
+    # per-query probe list: n_probe nearest centroids. The centroid table
+    # is model state (n_clusters rows — driver-held by definition, like any
+    # broadcast model); the QUERY vectors stay executor-side: distances are
+    # a broadcast join of queries × centroids and the probe cut is a
+    # per-query window rank — no corpus/query .collect() (round-1 advisor:
+    # the old driver-side argsort pulled every query row to the driver).
     spark = emb.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"q_id long, __cell int")
+    centers_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "__cell int, __center array<double>",
+    )
+    qv = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), vector_to_array("__v").alias("__qv")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("__qv", "__center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = W.partitionBy("q_id").orderBy(F.col("__dist"), F.col("__cell"))
+    probes = (
+        qv.join(F.broadcast(centers_df))
+        .select("q_id", "__cell", sq_dist.alias("__dist"))
+        .withColumn("__prnk", F.row_number().over(wp))
+        .where(F.col("__prnk") <= n_probe)
+        .select("q_id", "__cell")
+    )
 
     q = assigned.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),

@@ -71,6 +71,88 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --------------------------------------------------------------------------
+# Atomic replace: manifest-committed versioned directories.
+#
+# Plain ``mode("overwrite")`` deletes the old data before the new write
+# finishes — a crash mid-replace loses BOTH copies (round-1 SURVEY §7
+# risk). Delta/Iceberg solve this with a transaction log; neither is
+# installed here, so we hand-roll the same core idea (a one-pointer log):
+#
+#   table.parquet/
+#     _MANIFEST            <- one line: the committed version dir name
+#     v-<n>-<uuid>/        <- immutable parquet snapshots
+#
+# Writers write a NEW version dir, then commit by atomically swapping
+# _MANIFEST (os.replace — atomic on POSIX). Readers resolve _MANIFEST
+# first; a crash at any point leaves it pointing at a complete snapshot.
+# --------------------------------------------------------------------------
+_MANIFEST = "_MANIFEST"
+
+
+def resolve_data_path(path: str) -> str:
+    """The directory actually holding committed data: the manifest's
+    version dir for manifest-managed tables, ``path`` itself otherwise."""
+    m = os.path.join(path, _MANIFEST)
+    if os.path.isfile(m):
+        with open(m) as fh:
+            version = fh.read().strip()
+        if version:
+            return os.path.join(path, version)
+    return path
+
+
+def _committed_version(path: str) -> str | None:
+    m = os.path.join(path, _MANIFEST)
+    if os.path.isfile(m):
+        with open(m) as fh:
+            v = fh.read().strip()
+        return v or None
+    return None
+
+
+def _commit_manifest(path: str, version: str) -> None:
+    """Atomically point _MANIFEST at ``version`` (write-temp + rename)."""
+    import uuid as _uuid
+
+    tmp = os.path.join(path, f".manifest.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _atomic_replace(
+    df: DataFrame, path: str, write_fn, keep_versions: int = 1
+) -> None:
+    """Write a new snapshot under ``path`` and commit it atomically.
+    ``write_fn(target_dir)`` performs the actual (errorifexists) write.
+    Old snapshots beyond ``keep_versions`` are pruned AFTER the commit —
+    in-flight readers of the immediately-previous snapshot keep working."""
+    import time as _time
+    import uuid as _uuid
+
+    prev = _committed_version(path)
+    os.makedirs(path, exist_ok=True)
+    version = f"v-{_time.time_ns():020d}-{_uuid.uuid4().hex[:8]}"
+    write_fn(os.path.join(path, version))
+    _commit_manifest(path, version)
+    # migration: a pre-manifest plain-parquet table has loose data files at
+    # the root — stale now that the manifest is authoritative
+    survivors = {version, prev} if keep_versions >= 1 else {version}
+    import shutil
+
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry == _MANIFEST or entry in survivors:
+            continue
+        if entry.startswith("v-") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif os.path.isfile(full) and not entry.startswith("."):
+            os.unlink(full)
+
+
 def _ns_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS). Spark 4.x cannot read
     those as timestamps (PARQUET_TYPE_ILLEGAL); with
@@ -94,7 +176,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing ns-timestamp columns back to
     TimestampType (µs) — lossless when sub-µs components are zero, which
     holds for the driver fixtures (verified via DuckDB ``epoch_ns % 1000``)."""
-    path = table_path(sf_dir, name)
+    path = resolve_data_path(table_path(sf_dir, name))
     df = spark.read.parquet(path)
     for c in _ns_timestamp_columns(path):
         if dict(df.dtypes).get(c) == "bigint":
@@ -127,7 +209,7 @@ def read_table(
     comparison — the shape the parquet reader pushes down to row-group
     statistics (check ``PushedFilters`` in ``.explain``).
     """
-    path = table_path(sf_dir, name)
+    path = resolve_data_path(table_path(sf_dir, name))
     raw = spark.read.parquet(path)
     ns_cols = [
         c for c in _ns_timestamp_columns(path) if dict(raw.dtypes).get(c) == "bigint"
@@ -182,8 +264,11 @@ def write_table(
     * ``time_col``: convert that column to epoch-seconds BIGINT ``time``.
     * neither given: inject ``time_value`` (explicit, deterministic — the
       reference injected wall-clock `now`, which we refuse to do silently).
-    * Plain-parquet ``replace`` is not atomic (SURVEY §7 risk) — Delta/Iceberg
-      is the production answer; local parity keeps parquet.
+    * ``replace`` is ATOMIC: the new snapshot is written to a fresh version
+      directory and committed by an atomic manifest swap (see
+      :func:`_atomic_replace`) — a crash mid-replace leaves the previous
+      snapshot committed and readable. ``append``/``fail`` operate on the
+      committed snapshot via :func:`resolve_data_path`.
     """
     if if_exists not in _IF_EXISTS_TO_MODE:
         raise ValueError(
@@ -200,13 +285,18 @@ def write_table(
                 "no `time` column: pass time_col= or an explicit time_value="
             )
         df = df.withColumn("time", F.lit(int(time_value)).cast("bigint"))
-    writer = (
-        df.write.mode(_IF_EXISTS_TO_MODE[if_exists])
-        .option("maxRecordsPerFile", max_records_per_file)
-    )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    def _write(target: str, mode: str) -> None:
+        writer = df.write.mode(mode).option(
+            "maxRecordsPerFile", max_records_per_file
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+
+    if if_exists == "replace":
+        _atomic_replace(df, path, lambda target: _write(target, "errorifexists"))
+    else:
+        _write(resolve_data_path(path), _IF_EXISTS_TO_MODE[if_exists])
 
 
 _FORMATS = ("parquet", "csv", "json", "orc")

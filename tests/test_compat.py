@@ -145,3 +145,49 @@ def test_time_index(con):
     engine = td.create_engine("presto:testdb", con=con)
     out = td.read_td("SELECT v, time FROM t3 ORDER BY time", engine)
     assert out.time.tolist() == [1704067200, 1704153600, 1704240000]
+
+
+def test_atomic_replace_crash_consistency(con, spark):
+    """A replace that dies mid-write must leave the previous snapshot
+    committed and readable (manifest swap happens only after a complete
+    snapshot write)."""
+    import os
+
+    from pandas_td_spark.sources.io import (
+        resolve_data_path,
+        write_table,
+    )
+
+    frame = _seed(con)
+    engine = td.create_engine("presto:testdb", con=con)
+    path = con.table_path("testdb", "t1")
+    # replace migrates a plain-parquet table to manifest management
+    td.to_td(frame.head(2), "testdb.t1", con, if_exists="replace", index=False)
+    assert os.path.isfile(os.path.join(path, "_MANIFEST"))
+    committed = resolve_data_path(path)
+    assert committed != path
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 2
+
+    # crash mid-write: a Python UDF that throws after the new version dir
+    # is created but before the snapshot completes
+    from pyspark.sql import functions as F
+
+    def boom(_):
+        raise RuntimeError("simulated executor failure")
+
+    bad = spark.range(5).select(
+        F.udf(boom, "string")("id").alias("x"),
+        F.lit(1).cast("bigint").alias("time"),
+    )
+    with pytest.raises(Exception):
+        write_table(bad, path, if_exists="replace")
+    # the manifest still points at the last complete snapshot
+    assert resolve_data_path(path) == committed
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 2
+
+    # a successful replace commits a NEW version and prunes stale ones
+    td.to_td(frame, "testdb.t1", con, if_exists="replace", index=False)
+    assert resolve_data_path(path) != committed
+    assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 4
+    versions = [d for d in os.listdir(path) if d.startswith("v-")]
+    assert len(versions) <= 2  # current + previous, failures pruned
