@@ -184,9 +184,12 @@ def q24_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (unpartitioned) window — single-partition sort; acceptable
-    only on small dims, flagged for 100 TB (repartition by a key first)."""
+    only on small dims. The runtime guard (plans/guards.py) warns when the
+    input's size estimate says this stopped being a dim table."""
+    from pandas_td_spark.plans.guards import warn_if_global_window_input_large
+
     w = W.orderBy("s_acctbal", "s_suppkey")
-    return spark.table("supplier").select(
+    return warn_if_global_window_input_large(spark.table("supplier")).select(
         "s_suppkey",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),

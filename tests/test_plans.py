@@ -156,3 +156,22 @@ def test_q64_candidates_have_no_nested_loop(spark):
     plan = physical_plan(q(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_window_guard_warns_on_large_input(spark):
+    import warnings
+
+    from pandas_td_spark.plans.guards import warn_if_global_window_input_large
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    sup = spark.table("supplier")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = warn_if_global_window_input_large(sup)  # dim table: quiet
+        assert out is sup
+        assert not any("ONE task" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        warn_if_global_window_input_large(sup, max_bytes=1)  # forced trip
+        assert any("ONE task" in str(x.message) for x in w)

@@ -189,3 +189,138 @@ def test_stream_stream_interval_join_matches_batch(spark, staged):
     got = got.sort_values(key, ignore_index=True)
     want = want.sort_values(key, ignore_index=True)[got.columns]
     assert len(got) > 0 and got.equals(want)
+
+
+def test_late_beyond_watermark_rows_are_dropped(spark):
+    """T5 hard case: rows arriving after the watermark passed their window
+    must be DROPPED from the aggregation (bounded state), and the drop is
+    observable in the state-operator metrics."""
+    import time as _t
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="late_")
+
+    def _file(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [pd.Timestamp(t) for t, _ in rows],
+                "user_id": [1] * len(rows),
+                "event_type": [e for _, e in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        import shutil
+
+        sdf = spark.createDataFrame(pdf)
+        tmp = tempfile.mkdtemp(prefix="late_tmp_")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        # the file source does not recurse into subdirectories — deliver a
+        # flat file whose mtime controls trigger order
+        path = os.path.join(d, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    now = _t.time()
+    # batch 0: 09:00-12:00 traffic → watermark advances to 11:50 at its end
+    _file(
+        "a",
+        [("2024-01-01 09:05:00", "click"), ("2024-01-01 12:00:00", "click")],
+        now - 100,
+    )
+    # batch 1: on-time row; watermark (11:50) now closes + evicts the
+    # 09:00-09:10 window. (A late row in THIS batch would still merge:
+    # within a batch Spark aggregates first, then evicts — the drop only
+    # protects windows evicted in EARLIER batches.)
+    _file("b", [("2024-01-01 12:01:00", "click")], now - 50)
+    # batch 2: 3-hours-late row for the already-evicted window → dropped
+    _file("c", [("2024-01-01 09:06:00", "click")], now)
+
+    agg = tumbling_counts(
+        events_stream(spark, d, max_files_per_trigger=1),
+        window="10 minutes",
+        watermark="10 minutes",
+    )
+    name = _name()
+    # append mode: only watermark-finalized windows emit, and state for
+    # them is evicted — the mode in which late data is actually dropped
+    # (complete mode retains all state forever and never drops)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+    out = spark.table(name).toPandas()
+    w9 = out[out.win_start == pd.Timestamp("2024-01-01 09:00:00")]
+    assert w9.n.tolist() == [1], "late row must not re-open the 09:00 window"
+    # the 12:0x window ends after the final watermark (11:51) — withheld,
+    # so the emitted output is exactly the finalized early window
+    assert out.win_start.max() < pd.Timestamp("2024-01-01 12:00:00")
+
+
+def test_kill_restart_checkpoint_recovery_exactly_once(spark, staged):
+    """T8 across restarts: stop a running query, restart from the same
+    checkpoint over the same+new input — every input row lands in the sink
+    exactly once (no loss, no duplication), including for batches that were
+    in flight at stop time."""
+    import shutil
+    import time as _t
+
+    src = tempfile.mkdtemp(prefix="kr_src_")
+    out = tempfile.mkdtemp(prefix="kr_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="kr_ckpt_")
+
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4
+    for f in files[:2]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+
+    # run 1: process the first two files, then "kill" as soon as progress
+    # is visible (stop() interrupts whatever is in flight)
+    q1 = write_idempotent_parquet(
+        events_stream(spark, src, max_files_per_trigger=1), out, ckpt
+    ).start()
+    deadline = _t.time() + 60
+    while not q1.recentProgress and _t.time() < deadline:
+        _t.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    # deliver two more files, restart from the SAME checkpoint
+    for f in files[2:4]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    q2 = write_idempotent_parquet(
+        events_stream(spark, src, max_files_per_trigger=1), out, ckpt
+    ).start()
+    q2.awaitTermination()
+
+    want = spark.read.parquet(
+        *[os.path.join(staged, f) for f in files[:4]]
+    ).count()
+    got = spark.read.parquet(out)
+    assert got.count() == want, "exactly-once across kill/restart"
+    assert got.select("event_id").distinct().count() == want
+
+    # second restart with no new input: a pure no-op
+    q3 = write_idempotent_parquet(
+        events_stream(spark, src, max_files_per_trigger=1), out, ckpt
+    ).start()
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == want
