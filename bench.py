@@ -33,11 +33,19 @@ def main() -> None:
     spark = get_spark(app_name="pandas_td_spark_bench")
     qs = spark_queries()
 
-    # warm-up: touch every fixture + exercise codegen once
+    # warm-up: touch every fixture + exercise codegen once. The first
+    # measured query otherwise absorbs whole-stage-codegen JIT + shuffle
+    # service spin-up (round-1 driver bench: q01 4.8 s vs 2.3 s steady
+    # state) — run it once untimed so timings reflect steady state.
     from pandas_td_spark.sources.io import register_views
 
     register_views(spark, sf_dir)
     spark.sql("select count(*) from lineitem").collect()
+    first = sorted(qs)[0]
+    try:
+        qs[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -5,7 +5,7 @@ embedding-cosine near-dup (L2 variant)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_td_spark.functions.td import smart_digest, td_time_parse
@@ -249,3 +249,66 @@ def q67_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
     )
     return out.select("event_type", "n", "total_value")
+
+
+# ---------------------------------------------------------------------------
+# S8b — DETERMINISTIC sampling (oracle-checked, reproducible at any scale)
+# ---------------------------------------------------------------------------
+@query(
+    "q77_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE substr(md5(cast(o_orderkey AS VARCHAR)), 1, 2) <= '0c'
+    """,
+)
+def q77_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-Bernoulli sample: keep rows whose key-md5 prefix falls below a
+    cut (here hex 00..0c ≈ 5.1 %). Unlike seeded ``TABLESAMPLE``/
+    ``df.sample`` (q18 — deterministic within one engine run, but tied to
+    partitioning and retries), the hash cut is a pure row property:
+    identical membership on ANY engine, partition layout, cluster size, or
+    retry — what reproducible pipeline sampling at 100 TB actually needs,
+    and it composes with scan pushdown like any predicate. md5 is verified
+    bit-identical Spark↔DuckDB on the string-cast key."""
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        spark.table("orders")
+        .where(F.substring(h, 1, 2) <= "0c")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "q78_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY md5(cast(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: per stratum, the 20 rows with the
+    smallest key-md5 — equivalent to a uniform without-replacement draw
+    per group, reproducible everywhere (same argument as q77). One window
+    shuffle keyed by the stratum; no global sort."""
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+    )

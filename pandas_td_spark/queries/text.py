@@ -256,3 +256,73 @@ def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "word", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality gate → exact dedup → deterministic
+# sample — the composed shape of a pretraining-data pipeline, fully
+# oracle-checked (every stage is engine-neutral by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "q79_corpus_curation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_SW_SQL}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS swr
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+    ), gated AS (
+      SELECT * FROM q WHERE swr >= 0.05
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    )
+    SELECT g.doc_id, g.n_tokens, g.swr
+    FROM gated g JOIN keep USING (doc_id)
+    WHERE substr(md5(cast(g.doc_id AS VARCHAR)), 1, 1) <= '7'
+    """,
+)
+def q79_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline over ``documents``:
+
+    1. quality gate (≥20 tokens, stopword ratio ≥ 0.05 — C4/Gopher-style);
+    2. exact dedup, keep lowest doc_id per normalized-text md5
+       (``operators/dedup.py::exact_dedup`` — digest groupBy, map-side
+       partials);
+    3. deterministic 50 % hash sample (q77's hash-cut — reproducible on
+       any engine/partitioning).
+
+    Every stage is a narrow shuffle or a predicate; the composition is one
+    digest aggregation + one semi-join + scan-time filters — the whole
+    pipeline stays linear in corpus size at 100 TB.
+    """
+    from pandas_td_spark.operators.dedup import exact_dedup
+
+    d = spark.table("documents")
+    w = _words()
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    gated = (
+        d.select(
+            "doc_id",
+            "text",
+            F.size(w).cast("bigint").alias("n_tokens"),
+            (
+                F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast(
+                    "double"
+                )
+                / F.size(w)
+            ).alias("swr"),
+        )
+        .where(F.col("n_tokens") >= 20)
+        .where(F.col("swr") >= 0.05)
+    )
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        deduped.where(F.substring(h, 1, 1) <= "7")
+        .select("doc_id", "n_tokens", "swr")
+    )

@@ -247,6 +247,58 @@ def running_user_totals(events: DataFrame, timeout_sec: int = 0) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T7 on the Spark 4.x ``transformWithStateInPandas`` API — the
+    successor to ``applyInPandasWithState`` (SPARK-49564): explicit typed
+    state handles (ValueState/ListState/MapState), per-state TTL, timers.
+    Same semantics as :func:`running_user_totals`, so tests can assert the
+    two APIs agree batch-for-batch; new code should prefer this API (the
+    old one is maintenance-only upstream).
+
+    Runtime requirement: the TWS Python worker speaks protobuf to the JVM
+    state server, so executing (not importing) this needs
+    ``google.protobuf`` on the Python path — absent in this test
+    container, so the equivalence test auto-skips here and the
+    ``applyInPandasWithState`` twin carries T7 coverage."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

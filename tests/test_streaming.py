@@ -324,3 +324,55 @@ def test_kill_restart_checkpoint_recovery_exactly_once(spark, staged):
     ).start()
     q3.awaitTermination()
     assert spark.read.parquet(out).count() == want
+
+
+def test_transform_with_state_matches_old_api_and_batch(spark, staged):
+    """T7 on the Spark 4.x transformWithStateInPandas API: final per-user
+    totals must equal both the batch aggregation and the
+    applyInPandasWithState implementation.
+
+    Requires ``google.protobuf``: the TWS Python worker talks to the JVM
+    state server over a protobuf channel (pyspark.sql.streaming.proto), so
+    execution — not import — dies without it. Skipped in containers that
+    ship pyspark without protobuf; ``running_user_totals`` (the
+    applyInPandasWithState twin, asserted equivalent here) covers T7 there.
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker requires protobuf",
+    )
+    from pandas_td_spark.streaming.jobs import running_user_totals_tws
+
+    stream = events_stream(spark, staged, max_files_per_trigger=1)
+    name = _name()
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        spark.read.parquet(staged)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert got.n_events.tolist() == want.n_events.tolist()
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got.total_value, want.total_value))
