@@ -144,16 +144,34 @@ def cosine_threshold_pairs(
     ``operators/dedup.py``) instead.
     """
     margin = 1e-9
+    # Pack each block as (array<long> ids, flat array<double> of row-major
+    # vectors) rather than an array of structs: Arrow then hands mapInPandas
+    # primitive numpy buffers and the worker does ONE reshape per block,
+    # instead of a pure-Python float conversion per element (measured: the
+    # struct packing spent ~10 s/74-query bench unpacking ~35 M Python
+    # floats; flat packing is near-free).
+    rows = F.array_sort(F.collect_list(F.struct("id", "v")))
     packed = (
         emb.select(
             F.col(id_col).alias("id"), F.col(vec).cast("array<double>").alias("v")
         )
         .withColumn("__blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("__blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .agg(
+            F.transform(rows, lambda r: r["id"]).alias("ids"),
+            F.flatten(F.transform(rows, lambda r: r["v"])).alias("flat"),
+        )
     )
-    left = packed.select(F.col("__blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    right = packed.select(F.col("__blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    left = packed.select(
+        F.col("__blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("flat").alias("flat_a"),
+    )
+    right = packed.select(
+        F.col("__blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("flat").alias("flat_b"),
+    )
     # literal upper-triangle block-pair table → two equi-joins (no nested-
     # loop join anywhere in the plan, even a B-row one)
     spark = emb.sparkSession
@@ -172,13 +190,17 @@ def cosine_threshold_pairs(
     def emit(batches):
         for pdf in batches:
             out_a, out_b = [], []
-            for rows_a, rows_b, same in zip(
-                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            for ids_a, ids_b, flat_a, flat_b, same in zip(
+                pdf["ids_a"],
+                pdf["ids_b"],
+                pdf["flat_a"],
+                pdf["flat_b"],
+                pdf["blk_a"] == pdf["blk_b"],
             ):
-                ids_a = np.array([r["id"] for r in rows_a], dtype=np.int64)
-                ids_b = np.array([r["id"] for r in rows_b], dtype=np.int64)
-                A = np.vstack([r["v"] for r in rows_a])
-                B = np.vstack([r["v"] for r in rows_b])
+                ids_a = np.asarray(ids_a, dtype=np.int64)
+                ids_b = np.asarray(ids_b, dtype=np.int64)
+                A = np.asarray(flat_a, dtype=np.float64).reshape(-1, dim)
+                B = np.asarray(flat_b, dtype=np.float64).reshape(-1, dim)
                 cos = (A @ B.T) / np.outer(
                     np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
                 )
@@ -252,6 +274,50 @@ def bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
     return _buckets
 
 
+def _train_ivf_quantizer(
+    emb: DataFrame,
+    id_col: str,
+    vec: str,
+    n_clusters: int,
+    seed: int,
+    max_train: int = 4096,
+    n_iter: int = 10,
+) -> "np.ndarray":
+    """Seeded Lloyd k-means on a bounded deterministic training sample.
+
+    The sample is the ``max_train`` rows with the smallest
+    ``xxhash64(id, seed)`` — a pure row property, so membership is
+    identical on any engine, partition layout, or cluster size (same
+    argument as the hash-cut sampler in queries/coverage.py::q77), and the
+    TakeOrdered fetch is O(n log k) per partition, never a full sort. The
+    sample is re-sorted by id before init so the fit is independent of
+    partition arrival order. Returns the (n_clusters × dim) centroid
+    matrix — bounded model state, like any broadcast model.
+    """
+    train = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).cast("array<double>").alias("v"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h", "id")
+        .limit(max_train)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in train["v"]])
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ centers.T)
+        a = d.argmin(1)
+        for c in range(len(centers)):
+            m = a == c
+            if m.any():
+                centers[c] = X[m].mean(0)
+    return centers
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -266,24 +332,34 @@ def ivf_topk(
     """Approximate top-k via IVF (inverted file): k-means coarse quantizer
     → probe the ``n_probe`` nearest cells per query → exact re-rank.
 
-    The quantizer is ``pyspark.ml`` KMeans (seeded, deterministic on fixed
-    data); assignment is JVM-side model.transform. At 100 TB the cell
-    assignment is a linear scan + broadcast of centroids, and each query
-    touches n_probe/n_clusters of the corpus — the classic IVF trade.
-    Recall vs the exact path is asserted in tests/test_llm.py.
+    The quantizer is seeded Lloyd k-means fit driver-side in numpy on a
+    bounded deterministic hash-sample of the corpus (how IVF quantizers
+    are actually trained at scale — FAISS samples ~max(10k, 256·k)
+    vectors regardless of corpus size; the full corpus is never
+    collected). Cell assignment is one Arrow-vectorized pandas_udf pass
+    (batched argmin against the broadcast centroid matrix). Replaces the
+    round-1 ``pyspark.ml`` KMeans fit whose job-per-Lloyd-iteration
+    overhead dominated the query (~4.4 s of q66's 8 s at sf0.1). Each
+    query touches n_probe/n_clusters of the corpus — the classic IVF
+    trade. Recall vs the exact path is asserted in tests/test_llm.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vecs = emb.withColumn("__v", array_to_vector(F.col(vec).cast("array<double>")))
-    # coarse quantizer: cell assignment quality saturates quickly and the
-    # probe/re-rank step corrects residual error — 8 iterations suffices
-    km = KMeans(
-        k=n_clusters, seed=seed, maxIter=8,
-        featuresCol="__v", predictionCol="__cell",
+    centers = _train_ivf_quantizer(
+        emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
     )
-    model = km.fit(vecs.persist())
-    assigned = _with_norm(model.transform(vecs), dim, vec)
+
+    @F.pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    # assigned feeds the probe-list, the query-vector fetch, and the
+    # candidate join; cache the one assignment pass instead of re-running
+    # the UDF scan three times (at 100 TB this is a written/cached
+    # intermediate — the IVF "index build" step).
+    assigned = _with_norm(
+        emb.withColumn("__cell", cell_of(F.col(vec))), dim, vec
+    ).persist()
 
     # per-query probe list: n_probe nearest centroids. The centroid table
     # is model state (n_clusters rows — driver-held by definition, like any
@@ -293,14 +369,12 @@ def ivf_topk(
     # the old driver-side argsort pulled every query row to the driver).
     spark = emb.sparkSession
     centers_df = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "__cell int, __center array<double>",
     )
     qv = assigned.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), vector_to_array("__v").alias("__qv")
+        F.col(id_col).alias("q_id"),
+        F.col(vec).cast("array<double>").alias("__qv"),
     )
     sq_dist = F.aggregate(
         F.zip_with("__qv", "__center", lambda a, b: (a - b) * (a - b)),
