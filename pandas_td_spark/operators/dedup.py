@@ -240,6 +240,89 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard ≥ threshold via prefix filtering — the
+    scale-shaped form of :func:`jaccard_pairs` (identical output).
+
+    Prefix-filter principle (Chaudhuri/Bayardo AllPairs/PPJoin family):
+    order every document's shingles by one GLOBAL total order; if
+    J(A,B) ≥ t, then A and B must share at least one shingle among each
+    one's first ``|X| - ceil(t·|X|) + 1`` shingles under that order. So it
+    suffices to inverted-index-join only the prefixes, then compute exact
+    Jaccard on the surviving candidates. Any consistent order is correct;
+    ordering by ascending global document frequency (rarest first) makes
+    prefixes collide least, shrinking candidates by orders of magnitude on
+    real corpora. A length filter (``t·|B| ≤ |A|``, both directions) prunes
+    further — also exactness-preserving since J(A,B) ≥ t bounds the size
+    ratio.
+
+    Plan shape at 100 TB: one agg for DF counts, one shuffle to rank
+    shingles per doc, a prefix-only self-equi-join on uniform shingle
+    keys, then an O(candidates) verify — every stage linear or
+    candidate-bounded, vs. the full posting-list self-join of
+    :func:`jaccard_pairs` (kept as the oracle-parity twin; equality is
+    asserted in tests/test_llm.py).
+    """
+    t = float(threshold)
+    sh = df.select(
+        F.col(id_col), shingle_array(text_col, shingle_n).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    # materialized once: feeds both the DF-count agg and the rank join
+    # (same rationale/limits as the localCheckpoint in jaccard_pairs)
+    ex = sh.select(
+        id_col, "__n", F.explode("__sh").alias("s")
+    ).localCheckpoint()
+    dfc = ex.groupBy("s").agg(F.count("*").alias("__df"))
+    # per-doc prefix under the (df, shingle) global order
+    pre = (
+        ex.join(dfc, "s")
+        .groupBy(id_col)
+        .agg(
+            F.any_value("__n").alias("__n"),
+            F.array_sort(F.collect_list(F.struct("__df", "s"))).alias("__ord"),
+        )
+        .withColumn(
+            "__plen",
+            (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int"),
+        )
+        .select(
+            id_col,
+            "__n",
+            F.explode(
+                F.slice(
+                    F.transform("__ord", lambda x: x["s"]),
+                    F.lit(1),
+                    F.col("__plen"),
+                )
+            ).alias("s"),
+        )
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.__n") >= F.ceil(F.lit(t) * F.col("b.__n")))
+            & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n"))),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return verify_jaccard_on_pairs(
+        cand, df, id_col, text_col, shingle_n, threshold
+    )
+
+
 def simhash64(text_col: str | Column = "text") -> Column:
     """64-bit SimHash of the whitespace token bag.
 

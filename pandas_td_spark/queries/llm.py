@@ -69,36 +69,63 @@ def q51_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d).select("doc_id", "lang", "n_chars")
 
 
+# word-trigram Jaccard >= 0.6 over documents — shared by q52 (naive
+# inverted-index twin) and q80 (prefix-filtered scale path): both must
+# hash-match the same all-pairs SQL, proving the prefix filter exact.
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+           AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+"""
+
 # ---------------------------------------------------------------------------
 # L2 — exact n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 @query(
     "q52_near_dup_pairs",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
-               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
-               AS shingles
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
-             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
-    """,
+    oracle=_JACCARD_ORACLE,
 )
 def q52_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard ≥ 0.6 — the exact (verify-path) near-dup join."""
     return jaccard_pairs(
+        spark.table("documents"), shingle_n=3, threshold=0.6
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — SAME semantics, prefix-filtered (the exact near-dup SCALE path)
+# ---------------------------------------------------------------------------
+@query(
+    "q80_near_dup_prefix",
+    oracle=_JACCARD_ORACLE,
+)
+def q80_near_dup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard ≥ 0.6 via PPJoin-style prefix filtering
+    (operators/dedup.py::jaccard_pairs_prefix): rarest-first global
+    shingle order, prefix-only inverted-index join, length filter, exact
+    verify on candidates. Hash-matching the identical all-pairs oracle as
+    q52 is the driver-level proof that the prefix filter loses nothing —
+    the exact algorithm q52 runs, re-shaped to stay candidate-bounded at
+    100 TB."""
+    from pandas_td_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
         spark.table("documents"), shingle_n=3, threshold=0.6
     )
 

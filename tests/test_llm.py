@@ -87,3 +87,24 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
+
+
+def test_prefix_jaccard_equals_naive(spark):
+    """jaccard_pairs_prefix must produce EXACTLY the naive inverted-index
+    join's output — the prefix filter is a pruning, not an approximation."""
+    from pandas_td_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    register_views(spark, SF)
+    d = spark.table("documents")
+    naive = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(d, threshold=0.6).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs_prefix(d, threshold=0.6).collect()
+    }
+    assert naive == pre and len(naive) > 0
