@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 
 def salted_agg(
@@ -51,3 +51,44 @@ def salted_agg(
     return p1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in phase2.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: result ≡ ``left.join(right, on, how)``.
+
+    The (large, skewed) probe side gets a per-row salt; the build side is
+    replicated across all ``n_salts`` salt values, so one hot key's rows
+    spread over ``n_salts`` reducers instead of hot-spotting one. Use when
+    the build side is too large to broadcast AND the probe side has hot
+    keys; AQE's skew-join rewrite covers the sort-merge case adaptively,
+    this is the explicit form (e.g. when AQE is off or the skew is known
+    up front). The build side is hinted ``shuffle_hash`` — a broadcast
+    would make the salt moot (no probe-side shuffle), and the operator
+    exists precisely for non-broadcastable builds.
+
+    Only ``inner``/``left``/``left_semi`` are allowed: replicating the
+    build side breaks unmatched-right multiplicity for right/full joins.
+    The salt is ``monotonically_increasing_id() % n_salts`` — any per-row
+    spread works; the join's OUTPUT is salt-invariant, so determinism of
+    the result does not depend on the salt assignment.
+    """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r} "
+            "(build-side replication breaks right/full-outer multiplicity)"
+        )
+    on = list(on)
+    l2 = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l2.join(r2.hint("shuffle_hash"), on + ["__salt"], how)
+    return out.drop("__salt")

@@ -312,3 +312,132 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — UNPIVOT / melt (wide → long), the inverse of q28's pivot
+# ---------------------------------------------------------------------------
+@query(
+    "q81_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, measure, val
+    FROM agg UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def q81_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``DataFrame.unpivot``, Spark's melt — an
+    Expand node, zero shuffle beyond the feeding agg) of a 3-measure
+    per-flag rollup. Exact-decimal sums per the shared dsum pattern."""
+    from pandas_td_spark.queries._util import dsum
+
+    agg = (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            dsum("l_discount").alias("sum_disc"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3b — per-label embedding centroid (vector aggregation, exploded-scalar
+# output so every cell is driver-hashable; q72 lesson)
+# ---------------------------------------------------------------------------
+@query(
+    "q82_embedding_centroid",
+    oracle="""
+    SELECT label, g.i - 1 AS pos,
+           CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(embedding[g.i]) AS centroid
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def q82_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding via posexplode → (label, dim) groupBy —
+    the shuffle is on (label × 64) keys, so centroid aggregation stays a
+    single map-side-combinable pass at any corpus size (the building
+    block for k-means / class prototypes / dataset fingerprints over an
+    embedding column). Elements go float→double→DECIMAL(28,6) so the sum
+    is order-insensitive and engine-exact (memory: scale 6 avoids
+    float-derived .5-tie divergence); mean = exact-sum / count in double."""
+    e = spark.table("embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+                / F.count("v")
+            ).alias("centroid")
+        )
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4b — approximate percentiles (KLL-style sketch; the scale twin of q71's
+# exact percentile, which needs a per-group sort)
+# ---------------------------------------------------------------------------
+@query("q83_approx_percentile", oracle=None)
+def q83_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna sketch, accuracy 10000 ⇒
+    rank error ≤ n/10000) per event_type. Sketches merge associatively —
+    a single map-side-combinable pass at any scale, vs the exact
+    percentile's per-group sort. Engine-specific sketch ⇒ no value
+    oracle; the rank-error bound is asserted in tests (the same
+    exact-vs-approx gate pattern as the LSH recall tests)."""
+    ev = spark.table("events")
+    qs = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — salted equi-join (skew mitigation for joins; result ≡ plain join)
+# ---------------------------------------------------------------------------
+@query(
+    "q84_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, dim.lang_docs
+    FROM documents d JOIN dim USING (lang)
+    """,
+)
+def q84_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on ``lang`` — a handful of distinct values, so every join key
+    is hot — through operators/skew.py::salted_join: probe rows salted
+    mod 8, build side replicated 8×, shuffle-hash join on (lang, salt).
+    The rewrite is output-invariant, so the oracle is the plain join."""
+    from pandas_td_spark.operators.skew import salted_join
+
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    return salted_join(docs, dim, on=["lang"], n_salts=8)

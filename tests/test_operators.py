@@ -215,3 +215,54 @@ def test_interval_joins_match_naive_and_emit_exactly_once(spark):
         if a.ls < b.e and b.s < a.le
     }
     assert set(got2) == want2 and len(got2) == len(want2)
+
+
+def test_salted_join_equals_plain_join_and_rejects_outer(spark):
+    import pytest
+
+    from pandas_td_spark.operators.skew import salted_join
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    got = {tuple(r) for r in salted_join(docs, dim, on=["lang"]).collect()}
+    want = {tuple(r) for r in docs.join(dim, "lang").collect()}
+    assert got == want and len(got) > 0
+    # left join: unmatched probe rows survive exactly once
+    dim_part = dim.where(F.col("lang") != dim.select(F.min("lang")).head()[0])
+    got_l = {
+        tuple(r)
+        for r in salted_join(docs, dim_part, on=["lang"], how="left").collect()
+    }
+    want_l = {tuple(r) for r in docs.join(dim_part, "lang", "left").collect()}
+    assert got_l == want_l
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(docs, dim, on=["lang"], how="full")
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """percentile_approx(accuracy=10000) ⇒ rank error ≤ n/10000: the
+    fraction of values below the approximate p-quantile must sit within
+    p ± max(1/10000, 2/n) + slack for every group and p."""
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    ev = spark.table("events")
+    approx = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"))
+        .collect()
+    )
+    for row in approx:
+        vals = [
+            r.value
+            for r in ev.where(F.col("event_type") == row.event_type)
+            .select("value")
+            .collect()
+        ]
+        n = len(vals)
+        for p, av in zip([0.5, 0.95, 0.99], row.q):
+            rank = sum(v <= av for v in vals) / n
+            tol = max(1.0 / 10000, 2.0 / n) + 0.01
+            assert abs(rank - p) <= tol, (row.event_type, p, rank)
