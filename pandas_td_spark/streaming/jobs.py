@@ -38,6 +38,7 @@ __all__ = [
     "sessionized_counts",
     "dedup_stream",
     "write_idempotent_parquet",
+    "ProgressRecorder",
 ]
 
 #: events fixture schema (FIXTURES.md) — file-source streams cannot infer.
@@ -315,3 +316,78 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+class ProgressRecorder:
+    """Per-batch streaming progress surface (M5's streaming twin).
+
+    Wraps ``StreamingQueryListener``: records one dict per finished
+    micro-batch — batch id, input rows, processing rate, per-operator
+    state rows and watermark-dropped rows — the numbers an operator
+    dashboard actually charts. Listener callbacks run on the driver's
+    listener bus (cheap accounting only; never block — a slow listener
+    backs up the bus). Use :meth:`attach` / :meth:`detach`, or the
+    context-manager form::
+
+        with ProgressRecorder(spark) as rec:
+            ... run query ...
+        rec.batches  # [{"batchId": 0, "numInputRows": 1000, ...}, ...]
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        self._spark = spark
+        self.batches: list[dict] = []
+        recorder = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                recorder.batches.append(
+                    {
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                        "durationMs": dict(p.durationMs),
+                        "stateOperators": [
+                            {
+                                "operatorName": s.operatorName,
+                                "numRowsTotal": s.numRowsTotal,
+                                "numRowsDroppedByWatermark": (
+                                    s.numRowsDroppedByWatermark
+                                ),
+                            }
+                            for s in p.stateOperators
+                        ],
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _L()
+
+    def attach(self) -> "ProgressRecorder":
+        self._spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def __enter__(self) -> "ProgressRecorder":
+        return self.attach()
+
+    def __exit__(self, *exc) -> None:
+        self.detach()
+
+    @property
+    def total_input_rows(self) -> int:
+        return sum(b["numInputRows"] for b in self.batches)

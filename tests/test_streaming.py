@@ -376,3 +376,33 @@ def test_transform_with_state_matches_old_api_and_batch(spark, staged):
     )
     assert got.n_events.tolist() == want.n_events.tolist()
     assert all(abs(a - b) < 1e-6 for a, b in zip(got.total_value, want.total_value))
+
+
+def test_progress_recorder_captures_batches_and_state(spark, staged):
+    """M5 streaming twin: per-batch progress must account for every input
+    row and expose state-operator metrics for a stateful query."""
+    from pandas_td_spark.streaming.jobs import ProgressRecorder, tumbling_counts
+
+    total = spark.read.parquet(staged).count()
+    with ProgressRecorder(spark) as rec:
+        stream = events_stream(spark, staged, max_files_per_trigger=1)
+        name = _name()
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert len(rec.batches) >= 1
+    assert rec.total_input_rows == total
+    stateful = [b for b in rec.batches if b["stateOperators"]]
+    assert stateful, "stateful aggregation must report state operators"
+    assert all(
+        s["numRowsTotal"] >= 0 and "numRowsDroppedByWatermark" in s
+        for b in stateful
+        for s in b["stateOperators"]
+    )
+    assert all("addBatch" in b["durationMs"] for b in rec.batches)
