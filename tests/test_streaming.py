@@ -396,13 +396,17 @@ def test_progress_recorder_captures_batches_and_state(spark, staged):
             .start()
         )
         q.awaitTermination()
-    assert len(rec.batches) >= 1
-    assert rec.total_input_rows == total
-    stateful = [b for b in rec.batches if b["stateOperators"]]
+        qid = str(q.id)
+    # the listener is session-global: filter to this query's progress
+    # (other tests' queries may emit events into the same window)
+    mine = [b for b in rec.batches if b["id"] == qid]
+    assert len(mine) >= 1
+    assert sum(b["numInputRows"] for b in mine) == total
+    stateful = [b for b in mine if b["stateOperators"]]
     assert stateful, "stateful aggregation must report state operators"
     assert all(
         s["numRowsTotal"] >= 0 and "numRowsDroppedByWatermark" in s
         for b in stateful
         for s in b["stateOperators"]
     )
-    assert all("addBatch" in b["durationMs"] for b in rec.batches)
+    assert all("addBatch" in b["durationMs"] for b in mine)
