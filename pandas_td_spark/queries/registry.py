@@ -87,7 +87,8 @@ _R1_UNVERIFIED = {
 # Changed in round 2 (re-verify) or newly added (first verification).
 _R2_CHANGED = {
     "q72_collect_set",       # array output serialized to string (r1 red row)
-    "q64_embedding_near_dup",  # LSH-candidate rewrite
+    "q64_embedding_near_dup",  # blocked-matmul rewrite (flat packing)
+    "q66_embedding_ivf_topk",  # sampled-numpy quantizer rewrite
 }
 # The 50 names that DID get a CORRECTNESS_r01.json row (any name absent
 # from this set and from _R1_UNVERIFIED is new this round → group 1).
