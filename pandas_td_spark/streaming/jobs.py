@@ -391,3 +391,24 @@ class ProgressRecorder:
     @property
     def total_input_rows(self) -> int:
         return sum(b["numInputRows"] for b in self.batches)
+
+    def wait_for_rows(
+        self, query_id: str, expected_rows: int, timeout: float = 30.0
+    ) -> list[dict]:
+        """Block until the recorded batches for ``query_id`` account for
+        ``expected_rows`` input rows, then return them.
+
+        The listener bus delivers progress events asynchronously —
+        ``awaitTermination`` returning does NOT mean every batch's event
+        has reached Python yet. Poll instead of asserting immediately.
+        """
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            mine = [b for b in self.batches if b["id"] == query_id]
+            if sum(b["numInputRows"] for b in mine) >= expected_rows:
+                return mine
+            if time.monotonic() >= deadline:
+                return mine
+            time.sleep(0.2)

@@ -397,9 +397,12 @@ def test_progress_recorder_captures_batches_and_state(spark, staged):
         )
         q.awaitTermination()
         qid = str(q.id)
-    # the listener is session-global: filter to this query's progress
-    # (other tests' queries may emit events into the same window)
-    mine = [b for b in rec.batches if b["id"] == qid]
+        # the listener is session-global and its bus is ASYNC: progress
+        # events can still be in flight after awaitTermination returns.
+        # Poll (while still attached) until every input row is accounted
+        # for, filtering to this query's id (other tests' queries may
+        # emit events into the same window).
+        mine = rec.wait_for_rows(qid, total)
     assert len(mine) >= 1
     assert sum(b["numInputRows"] for b in mine) == total
     stateful = [b for b in mine if b["stateOperators"]]
