@@ -1,0 +1,448 @@
+"""Corpus-curation operators for training-data pipelines (north-star
+"operations a large-scale training-data pipeline would need", extending
+SURVEY.md §2.10): repetition-based quality filters (Gopher-style), BM25
+relevance ranking, context-window chunking, PII redaction, embedding
+quantization, and benchmark-contamination detection.
+
+No reference locus (pandas-td had no such ops — /root/reference empty);
+semantics follow the public LLM-data-pipeline literature (Gopher/C4 quality
+rules, Robertson BM25, train/test-contamination n-gram overlap — see
+PAPERS.md). Every query here is exact and DuckDB-oracle-checked.
+
+Scale notes are per-query; the common discipline: token/n-gram work is
+explode → hash-aggregate (map-side partial agg collapses per-doc state
+before any shuffle), global scalars (corpus size, average doc length) are
+single-row aggregates broadcast back, and nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_td_spark.queries.registry import query
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _ngrams(words, n: int):
+    """Positional word n-grams (duplicates preserved) — empty for docs
+    shorter than ``n`` tokens. Distinct-shingle work uses
+    ``operators.dedup.shingle_array`` instead; repetition stats need the
+    multiplicities, so this variant keeps them."""
+    sz = F.size(words)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters: top-bigram fraction + duplicate-trigram
+# fraction. Plan: one scan explodes bigrams and trigrams (positional, with
+# multiplicity), each side hash-aggregates per (doc, gram) then per doc —
+# partial aggregation collapses repeats map-side, so shuffle volume is
+# O(distinct grams), and the final doc_id-keyed join is between two
+# one-row-per-doc aggregates. No Python, no skew (grams are near-uniform).
+# ---------------------------------------------------------------------------
+@query(
+    "q85_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS g
+      FROM t WHERE len(ws) >= 2
+    ), bga AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), bstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS top_bigram_frac
+      FROM bga GROUP BY 1
+    ), tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM t WHERE len(ws) >= 3
+    ), tstat AS (
+      SELECT doc_id,
+             1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS dup_trigram_frac
+      FROM tg GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac
+    FROM bstat JOIN tstat USING (doc_id)
+    """,
+)
+def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals from the Gopher filter family:
+    fraction of bigram mass taken by the most frequent bigram, and the
+    fraction of trigram occurrences that are repeats. High values flag
+    boilerplate/spam for pretraining-data removal."""
+    d = spark.table("documents")
+    w = _words()
+    bg = d.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
+    bstat = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+    tstat = (
+        d.select("doc_id", F.explode(_ngrams(w, 3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.col("g")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 (Robertson k1=1.2, b=0.75) for a literal term set — the retrieval
+# scorer behind RAG / data-selection pipelines. Plan: ONE token explode
+# feeds tf (filtered to the terms BEFORE the shuffle), df, and per-doc
+# length; corpus scalars (N pinned driver-side like q46, avgdl a broadcast
+# single-row aggregate) never re-shuffle the document side. ln() is rounded
+# to 6dp (q46's cross-engine ulp discipline); every other float op is a
+# fixed-association IEEE expression, bit-identical across engines.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "merge")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT AVG(dl) AS avgdl, (SELECT COUNT(*) FROM documents) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.term, tf.doc_id,
+         (round(ln(1.0 + ((s.n_docs - dft.df) + 0.5) / (dft.df + 0.5)), 6)
+          * (tf.tf * 2.2))
+         / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) AS bm25
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT term, doc_id, bm25, rnk FROM (
+  SELECT term, doc_id, bm25,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                 ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@query("q86_bm25", oracle=_BM25_ORACLE)
+def q86_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query term under BM25(k1=1.2, b=0.75)."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    n_docs = d.count()  # pinned literal, same discipline as q46
+    stats = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    idf_r = F.round(
+        F.log(
+            F.lit(1.0)
+            + ((F.lit(float(n_docs)) - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            (
+                (idf_r * (F.col("tf") * F.lit(2.2)))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                    )
+                )
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select("term", "doc_id", "bm25", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: 50-token windows, stride 40 (10-token overlap) —
+# the pre-tokenization step that turns documents into training sequences.
+# Plan: pure per-row expression work (sequence → explode → slice), no
+# shuffle at all; output rows ≈ tokens/stride, linear in corpus size.
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 50, 40
+
+
+@query(
+    "q87_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, ws,
+             unnest(range(0, len(ws), {_CHUNK_S})) AS st
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(st // {_CHUNK_S} AS INT) AS chunk_idx,
+           CAST(LEAST({_CHUNK_W}, len(ws) - st) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, st + 1, st + {_CHUNK_W}), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q87_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (w=50, stride=40) per document."""
+    d = spark.table("documents")
+    w = _words()
+    n = F.size(w)
+    return (
+        d.select(
+            "doc_id",
+            w.alias("ws"),
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            (F.col("st") / _CHUNK_S).cast("int").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_W), F.size("ws") - F.col("st"))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("st") + 1, F.lit(_CHUNK_W)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex masking of emails/phones with per-row match counts.
+# The corpus fixture has no PII, so the contact strings are DERIVED from
+# customer columns (not synthesized data) — the operator under test is the
+# scan-local regexp_count/regexp_replace pipeline, which at 100 TB is a
+# zero-shuffle map stage. Patterns restricted to syntax Java regex and RE2
+# interpret identically.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PHONE_RE = r"[0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "q88_pii_redact",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             c_name || ' <' || lower(replace(c_name, ' ', '.'))
+                    || '@example.com> phone '
+                    || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-'
+                    || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(c_custkey % 997 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>',
+                                         'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM c
+    """,
+)
+def q88_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with match counts over derived contact
+    strings (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default)."""
+    def _pad(mod: int, width: int):
+        return F.lpad(
+            (F.col("c_custkey") % mod).cast("string"), width, "0"
+        )
+
+    c = spark.table("customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+            F.lit("@example.com> phone "),
+            _pad(100, 2), F.lit("-"),
+            _pad(1000, 3), F.lit("-"),
+            _pad(997, 3), F.lit("-"),
+            _pad(10000, 4),
+        ).alias("contact"),
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count("contact", F.lit(_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count("contact", F.lit(_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("contact", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of embeddings (the storage/serving form of an
+# ANN corpus): per-vector scale = 127/max|x|, q_i = floor(x_i*scale + 0.5).
+# floor(x + 0.5) instead of round() because Spark (HALF_UP via BigDecimal)
+# and DuckDB (half-even on doubles) disagree on .5 ties; floor is exact and
+# engine-identical. Zero-shuffle map stage; int8 output is 4x smaller on
+# the wire, which is the point at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "q89_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             127.0 / list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               'max') AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 6) AS scale_r,
+           array_to_string(
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)),
+             ',') AS q_int8
+    FROM s
+    """,
+)
+def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization; quantized codes serialized to
+    a string so the driver can hash them."""
+    e = spark.table("embeddings")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.col("embedding").alias("emb"),
+    ).select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.array_join(
+            F.transform(
+                "emb",
+                lambda x: F.floor(x.cast("double") * F.col("scale") + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("q_int8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: which corpus documents share an 8-token
+# n-gram with a held-out benchmark set (here: doc_id < 10)? The published
+# train/test-overlap methodology (GPT-2/3 appendix style). Plan: distinct
+# 8-gram inverted index on the (tiny) benchmark side broadcasts; the corpus
+# side is one explode + broadcast-semi-equi-join + per-doc count — linear,
+# no all-pairs anything.
+# ---------------------------------------------------------------------------
+_CONTAM_N = 8
+
+
+@query(
+    "q91_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' '))
+                                   - {_CONTAM_N - 2}, 2)),
+               i -> array_to_string(
+                      (string_split(text, ' '))[i:i + {_CONTAM_N - 1}], ' ')))
+               AS shingles
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
+    ), corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM corpus c JOIN bench USING (s)
+    GROUP BY 1
+    """,
+)
+def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing ≥1 distinct 8-gram with the benchmark slice
+    (doc_id < 10), with the count of shared 8-grams."""
+    from pandas_td_spark.operators.dedup import shingle_array
+
+    d = spark.table("documents").select(
+        "doc_id", shingle_array("text", _CONTAM_N).alias("shingles")
+    )
+    bench = (
+        d.where(F.col("doc_id") < 10)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

@@ -50,6 +50,7 @@ def _ensure_loaded() -> None:
         advanced,
         approx,
         coverage,
+        curation,
         llm,
         relational,
         tdfuncs,
