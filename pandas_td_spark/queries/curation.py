@@ -393,14 +393,14 @@ def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Benchmark-contamination check: which corpus documents share an 8-token
-# n-gram with a held-out benchmark set (here: doc_id < 10)? The published
+# Benchmark-contamination check: which corpus documents share a 5-token
+# n-gram with a held-out benchmark set (here: doc_id < 25)? The published
 # train/test-overlap methodology (GPT-2/3 appendix style). Plan: distinct
-# 8-gram inverted index on the (tiny) benchmark side broadcasts; the corpus
+# n-gram inverted index on the (tiny) benchmark side broadcasts; the corpus
 # side is one explode + broadcast-semi-equi-join + per-doc count — linear,
 # no all-pairs anything.
 # ---------------------------------------------------------------------------
-_CONTAM_N = 8
+_CONTAM_N = 5
 
 
 @query(
@@ -416,9 +416,9 @@ _CONTAM_N = 8
                AS shingles
       FROM documents
     ), bench AS (
-      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 25
     ), corpus AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 25
     )
     SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
     FROM corpus c JOIN bench USING (s)
@@ -426,19 +426,19 @@ _CONTAM_N = 8
     """,
 )
 def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus docs sharing ≥1 distinct 8-gram with the benchmark slice
-    (doc_id < 10), with the count of shared 8-grams."""
+    """Corpus docs sharing ≥1 distinct 5-gram with the benchmark slice
+    (doc_id < 25), with the count of shared 5-grams."""
     from pandas_td_spark.operators.dedup import shingle_array
 
     d = spark.table("documents").select(
         "doc_id", shingle_array("text", _CONTAM_N).alias("shingles")
     )
     bench = (
-        d.where(F.col("doc_id") < 10)
+        d.where(F.col("doc_id") < 25)
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    corpus = d.where(F.col("doc_id") >= 10).select(
+    corpus = d.where(F.col("doc_id") >= 25).select(
         "doc_id", F.explode("shingles").alias("s")
     )
     return (

@@ -78,7 +78,7 @@ def test_quantize_roundtrip_error_bound(spark):
 
 def test_contamination_excludes_benchmark_and_counts_positively(spark):
     out = curation.q91_contamination(spark, SF).collect()
-    assert all(r.doc_id >= 10 for r in out)
+    assert all(r.doc_id >= 25 for r in out)
     assert all(r.n_shared_ngrams >= 1 for r in out)
 
 
