@@ -68,6 +68,19 @@ def main() -> None:
         spark.table("embeddings").select(
             dot_chain("embedding", "embedding", 64).alias("d")
         ).write.format("noop").mode("overwrite").save()
+        # (c) the Arrow struct/array serializer path used by
+        # mapInPandas-over-packed-aggregates (collect_list → Arrow list
+        # columns → python → Arrow): first use costs ~1.7 s of
+        # serializer/codegen init, also a once-per-session cost.
+        g = (
+            spark.range(10_000, numPartitions=32)
+            .withColumn("k", F.pmod("id", F.lit(8)))
+            .groupBy("k")
+            .agg(F.collect_list("id").alias("xs"))
+        )
+        g.mapInPandas(lambda it: it, "k bigint, xs array<bigint>").write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception:
         pass
 

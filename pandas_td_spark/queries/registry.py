@@ -90,6 +90,11 @@ _R2_CHANGED = {
     "q72_collect_set",       # array output serialized to string (r1 red row)
     "q64_embedding_near_dup",  # blocked-matmul rewrite (flat packing)
     "q66_embedding_ivf_topk",  # sampled-numpy quantizer rewrite
+    # shingle_array rewritten (lookahead-regex fast path) — every consumer's
+    # plan changed, so their r1 rows no longer certify the current code
+    "q52_near_dup_pairs",
+    "q53_minhash_lsh_pairs",
+    "q65_near_dup_clusters",
 }
 # The 50 names that DID get a CORRECTNESS_r01.json row (any name absent
 # from this set and from _R1_UNVERIFIED is new this round → group 1).
