@@ -44,6 +44,9 @@ __all__ = [
     "write_bucketed_table",
     "write_table",
     "register_views",
+    "resolve_data_path",
+    "table_versions",
+    "read_snapshot",
 ]
 
 #: Fixture tables (TESTDATA.md); register_views exposes all of them.
@@ -102,6 +105,57 @@ def resolve_data_path(path: str) -> str:
     return path
 
 
+def table_versions(path: str) -> list[str]:
+    """Retained snapshot versions of a manifest-managed table, oldest
+    first (names embed the commit time_ns, so lexicographic order is
+    commit order). The last entry is the committed (current) snapshot."""
+    if not os.path.isdir(path):
+        return []
+    current = _committed_version(path)
+    vs = sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith("v-") and os.path.isdir(os.path.join(path, e))
+    )
+    # a retained-but-uncommitted newer dir (crashed writer) is NOT a
+    # readable snapshot; drop anything after the committed version
+    if current in vs:
+        vs = vs[: vs.index(current) + 1]
+    return vs
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: str | int = 0
+) -> DataFrame:
+    """Time-travel read of a manifest-managed table (S5c).
+
+    ``version`` is either an explicit version-dir name from
+    :func:`table_versions`, or an integer age: ``0`` = the committed
+    snapshot, ``1`` = the one before it, … Raises ``ValueError`` when the
+    requested snapshot is not retained (pruned by ``keep_versions``).
+    Snapshots are immutable directories, so a reader holding version N is
+    unaffected by concurrent ``replace`` commits — the same isolation
+    argument as Iceberg/Delta snapshot reads, scoped to the one-pointer
+    manifest protocol used here.
+    """
+    vs = table_versions(path)
+    if isinstance(version, int):
+        if not vs:
+            raise ValueError(f"{path} is not a manifest-managed table")
+        if version < 0 or version >= len(vs):
+            raise ValueError(
+                f"snapshot {version} not retained (have {len(vs)}: 0..{len(vs) - 1})"
+            )
+        name = vs[-1 - version]
+    else:
+        if version not in vs:
+            raise ValueError(
+                f"snapshot {version!r} not retained; available: {vs}"
+            )
+        name = version
+    return spark.read.parquet(os.path.join(path, name))
+
+
 def _committed_version(path: str) -> str | None:
     m = os.path.join(path, _MANIFEST)
     if os.path.isfile(m):
@@ -133,14 +187,26 @@ def _atomic_replace(
     import time as _time
     import uuid as _uuid
 
-    prev = _committed_version(path)
     os.makedirs(path, exist_ok=True)
     version = f"v-{_time.time_ns():020d}-{_uuid.uuid4().hex[:8]}"
     write_fn(os.path.join(path, version))
     _commit_manifest(path, version)
     # migration: a pre-manifest plain-parquet table has loose data files at
-    # the root — stale now that the manifest is authoritative
-    survivors = {version, prev} if keep_versions >= 1 else {version}
+    # the root — stale now that the manifest is authoritative.
+    # Retention: the committed snapshot plus the ``keep_versions`` most
+    # recent older ones (version names embed time_ns, so the lexicographic
+    # order IS the commit order) — those stay readable via read_snapshot.
+    older = sorted(
+        (
+            e
+            for e in os.listdir(path)
+            if e.startswith("v-")
+            and e != version
+            and os.path.isdir(os.path.join(path, e))
+        ),
+        reverse=True,
+    )
+    survivors = {version, *older[: max(keep_versions, 0)]}
     import shutil
 
     for entry in os.listdir(path):
@@ -258,6 +324,7 @@ def write_table(
     time_value: int | None = None,
     max_records_per_file: int = 1_000_000,
     partition_by: Sequence[str] | None = None,
+    keep_versions: int = 1,
 ) -> None:
     """S5: bulk sink with the reference's ``if_exists`` semantics.
 
@@ -294,7 +361,12 @@ def write_table(
         writer.parquet(target)
 
     if if_exists == "replace":
-        _atomic_replace(df, path, lambda target: _write(target, "errorifexists"))
+        _atomic_replace(
+            df,
+            path,
+            lambda target: _write(target, "errorifexists"),
+            keep_versions=keep_versions,
+        )
     else:
         _write(resolve_data_path(path), _IF_EXISTS_TO_MODE[if_exists])
 

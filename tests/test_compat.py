@@ -191,3 +191,46 @@ def test_atomic_replace_crash_consistency(con, spark):
     assert td.read_td("SELECT count(*) AS n FROM t1", engine).n[0] == 4
     versions = [d for d in os.listdir(path) if d.startswith("v-")]
     assert len(versions) <= 2  # current + previous, failures pruned
+
+
+def test_snapshot_time_travel(con, spark):
+    """S5c: read_snapshot reads retained older snapshots; retention follows
+    keep_versions; pruned snapshots raise instead of silently reading."""
+    import os
+
+    from pandas_td_spark.sources.io import (
+        read_snapshot,
+        table_versions,
+        write_table,
+    )
+
+    path = con.table_path("testdb", "tt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def snap(vals, keep):
+        df = spark.createDataFrame([(v, 1) for v in vals], "x int, time bigint")
+        write_table(df, path, if_exists="replace", keep_versions=keep)
+
+    snap([1], keep=2)
+    snap([1, 2], keep=2)
+    snap([1, 2, 3], keep=2)
+    vs = table_versions(path)
+    assert len(vs) == 3  # current + 2 retained
+    # age-indexed reads
+    assert read_snapshot(spark, path, 0).count() == 3
+    assert read_snapshot(spark, path, 1).count() == 2
+    assert read_snapshot(spark, path, 2).count() == 1
+    # named read matches age read
+    assert read_snapshot(spark, path, vs[-1]).count() == 3
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, 3)
+    # tighter retention prunes the tail but keeps the current snapshot
+    snap([1, 2, 3, 4], keep=1)
+    vs2 = table_versions(path)
+    assert len(vs2) == 2
+    assert read_snapshot(spark, path, 1).count() == 3
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, 2)
+    # a non-managed path is refused
+    with pytest.raises(ValueError):
+        read_snapshot(spark, os.path.dirname(path), 0)
