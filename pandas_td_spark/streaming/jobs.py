@@ -179,6 +179,41 @@ def write_idempotent_parquet(
     return writer
 
 
+def enriched_events(
+    events: DataFrame, users: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """T9: stream-static enrichment — join the event stream against a
+    static dimension (re-broadcast per micro-batch by Spark, so a dim
+    refresh between batches is picked up automatically; no state store is
+    involved, unlike stream-stream joins). Left join keeps events whose
+    user is missing from the dim — the dropping variant would silently
+    lose data on late dim updates. Per-segment windowed revenue after the
+    join exercises the planner's ability to keep the broadcast below the
+    stateful aggregation.
+    """
+    dim = F.broadcast(users.select("user_id", "segment"))
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", "10 minutes"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "segment",
+            "n",
+            "revenue",
+        )
+    )
+
+
 def purchases_with_recent_clicks(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -413,3 +413,33 @@ def test_progress_recorder_captures_batches_and_state(spark, staged):
         for s in b["stateOperators"]
     )
     assert all("addBatch" in b["durationMs"] for b in mine)
+
+
+def test_stream_static_enrichment_matches_batch(spark, staged):
+    """T9: stream-static broadcast join + windowed agg equals the batch
+    plan; users absent from the dim land in segment 'unknown'."""
+    from pandas_td_spark.streaming.jobs import enriched_events
+
+    users = spark.range(0, 8).select(  # covers only part of user_id space
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg_"), (F.col("id") % 3).cast("string")).alias(
+            "segment"
+        ),
+    )
+    name = _name()
+    q = (
+        enriched_events(events_stream(spark, staged), users)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).toPandas()
+    want = enriched_events(spark.read.parquet(staged), users).toPandas()
+    key = ["win_start", "segment"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)[got.columns]
+    assert len(got) > 0 and got.equals(want)
+    assert (got.segment == "unknown").any()  # left join kept unmatched users
