@@ -441,3 +441,69 @@ def q84_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").select("doc_id", "lang", "n_chars")
     dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
     return salted_join(docs, dim, on=["lang"], n_salts=8)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: dense calendar spine + forward fill — the shape of
+# TD's scheduled-rollup dashboards (and any metric store). Plan: one small
+# aggregate, a generated calendar (sequence → explode, no data shuffle),
+# a broadcastable left join, and a single ordered window over the (tiny,
+# one-row-per-day) spine — NOT over the raw fact table. At 100 TB the
+# fact-side aggregate is the only data-sized stage.
+# ---------------------------------------------------------------------------
+@query(
+    "q93_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+      GROUP BY 1
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(
+               CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+               CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT CAST(c.day AS VARCHAR) AS day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+             ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_known_revenue
+    FROM cal c LEFT JOIN daily d USING (day)
+    """,
+)
+def q93_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily urgent-large-order metrics on a dense calendar: absent days
+    appear with zero counts and the last known revenue forward-filled."""
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    cal = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        cal.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.last("revenue", ignorenulls=True)
+            .over(w)
+            .alias("last_known_revenue"),
+        )
+    )

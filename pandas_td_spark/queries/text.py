@@ -326,3 +326,131 @@ def q79_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.where(F.substring(h, 1, 1) <= "7")
         .select("doc_id", "n_tokens", "swr")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (north-star "token counting: whitespace + a
+# BPE-ish regex"): a GPT-2-style pretokenizer pattern restricted to syntax
+# Java regex and RE2 interpret identically (no lookarounds, ASCII classes).
+# One regexp_extract_all scan per row, zero shuffle.
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+_BPE_SQL = _BPE_PAT.replace("'", "''")  # escaped for the SQL string literal
+
+
+@query(
+    "q90_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_BPE_SQL}') AS toks,
+             string_split(text, ' ') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe,
+           CAST(len(ws) AS BIGINT) AS n_whitespace,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$')))
+                AS BIGINT) AS n_numeric,
+           CAST(len(toks) AS DOUBLE) / len(ws) AS bpe_per_word
+    FROM t
+    """,
+)
+def q90_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under a BPE-style pretokenizer regex vs whitespace
+    split — the sequence-length estimator used when budgeting training
+    corpora in tokens rather than bytes."""
+    d = spark.table("documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    ws = _words()
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe"),
+        F.size(ws).cast("bigint").alias("n_whitespace"),
+        F.size(F.filter(toks, lambda x: x.rlike("^ ?[A-Za-z]+$")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(toks, lambda x: x.rlike("^ ?[0-9]+$")))
+        .cast("bigint")
+        .alias("n_numeric"),
+        (F.size(toks).cast("double") / F.size(ws)).alias("bpe_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+# positional k-gram hashes → min over each sliding window of w hashes →
+# distinct minima are the document's fingerprints. Guarantees every match
+# of length ≥ w+k-1 shares a fingerprint. Hashes are md5-prefix STRINGS —
+# identical in Spark and DuckDB, so the whole op is oracle-checkable
+# (xxhash64 has no DuckDB twin). Plan: explode k-grams with position, one
+# doc-partitioned window min (ROWS frame), distinct, per-doc re-agg.
+# ---------------------------------------------------------------------------
+_WIN_K, _WIN_W = 3, 4
+
+
+@query(
+    "q92_winnowing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(ws[i:i + {_WIN_K - 1}], ' ')), 1, 8)
+               AS h
+      FROM t, unnest(range(1, greatest(len(ws) - {_WIN_K - 2}, 2))) AS u(i)
+    ), wmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           string_agg(DISTINCT fp, ',' ORDER BY fp) AS fingerprints
+    FROM wmin GROUP BY doc_id
+    """,
+)
+def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=3-gram md5 hashes, window w=4),
+    emitted as a sorted comma-joined string per doc."""
+    from pyspark.sql import Window as W
+
+    d = spark.table("documents")
+    ws = _words()
+    grams = F.when(
+        F.size(ws) >= _WIN_K,
+        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
+    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
+    g = d.select(
+        "doc_id",
+        F.size(ws).alias("__n"),
+        ws.alias("__ws"),
+        F.explode(grams).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)), " "
+                )
+            ),
+            1,
+            8,
+        ).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    return (
+        g.select("doc_id", F.min("h").over(win).alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("fp").alias("n_fingerprints"),
+            F.array_join(
+                F.array_sort(F.collect_set("fp")), ","
+            ).alias("fingerprints"),
+        )
+    )
