@@ -446,3 +446,72 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mixture sampling: per-source Bernoulli rates (the "mixture
+# weights" knob of a pretraining pipeline — upsample wiki, downsample web).
+# Membership is a hash cut on the row key (q77's argument: identical on any
+# engine/partitioning/retry, composes with pushdown); the per-source rate
+# picks the cut. rate=1.0 uses the sentinel cut 'g' (> every hex digit), so
+# full-rate sources skip nothing. Plan: scan + map-side CASE + one
+# aggregation — no shuffle wider than the source key.
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_cut(rate: float) -> str:
+    return "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN '{_mix_cut(r)}'" for s, r in _MIX_RATES.items()
+    )
+    + f" ELSE '{_mix_cut(_MIX_DEFAULT)}' END"
+)
+
+
+@query(
+    "q94_mixture_sample",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 4)
+                       < {_MIX_CASE}
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
+    FROM cuts GROUP BY source
+    """,
+)
+def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling summary: deterministic hash-cut
+    membership at source-specific rates, reported as realized rates."""
+    cut = None
+    for s, r in _MIX_RATES.items():
+        branch = cut.when if cut is not None else F.when
+        cut = branch(F.col("source") == s, F.lit(_mix_cut(r)))
+    cut = cut.otherwise(F.lit(_mix_cut(_MIX_DEFAULT)))
+    kept = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < cut,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        spark.table("documents")
+        .select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count("*")).alias(
+                "realized_rate"
+            ),
+        )
+    )
