@@ -2,7 +2,8 @@
 "operations a large-scale training-data pipeline would need", extending
 SURVEY.md §2.10): repetition-based quality filters (Gopher-style), BM25
 relevance ranking, context-window chunking, PII redaction, embedding
-quantization, and benchmark-contamination detection.
+quantization, benchmark-contamination detection, dataset-mixture
+sampling, and unigram-LM quality scoring.
 
 No reference locus (pandas-td had no such ops — /root/reference empty);
 semantics follow the public LLM-data-pipeline literature (Gopher/C4 quality
@@ -513,5 +514,55 @@ def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("kept").cast("double") / F.count("*")).alias(
                 "realized_rate"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity proxy: score each document by its average
+# negative log-likelihood under the corpus's own unigram distribution —
+# the cheap stand-in for the KenLM-style LM quality filters used on web
+# corpora (high NLL = rare-token soup / junk; very low NLL = repetitive
+# boilerplate). Plan: ONE token explode feeds both the (broadcast-sized)
+# unigram table and the per-doc scoring join; per-token ln() values are
+# rounded to 6dp (q46 discipline) and summed as DECIMAL so the per-doc
+# mean is order-independent and engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q95_unigram_nll",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(-round(ln(f.c / (SELECT COUNT(*) FROM tok)), 6)
+                  AS DECIMAL(28,6)) AS nll
+      FROM tok t JOIN freq f USING (w)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus
+    unigram LM (natural log, 6dp-rounded per token)."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = tok.count()  # pinned literal (q46/q86 discipline)
+    nll = (
+        -F.round(F.log(F.col("c") / F.lit(float(total))), 6)
+    ).cast("decimal(28,6)")
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"),
         )
     )
