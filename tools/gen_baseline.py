@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Regenerate the current round's measured section of BASELINE.md.
+
+Runs bench.py (Spark side, single-shot after warm-up — the driver's
+methodology) and a DuckDB comparator (median of 3 per oracle query), then
+rewrites everything below the marker line in BASELINE.md. Totals and the
+per-query table stay directly comparable across rounds.
+
+Usage: PYTHONPATH=. python tools/gen_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+import time
+
+MARKER = "<!-- gen_baseline:table -->"
+
+
+def duckdb_times(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    from pandas_td_spark.sources.io import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    out: dict[str, float] = {}
+    for name, sql in E.oracle_sql().items():
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            runs.append(time.time() - t0)
+        out[name] = statistics.median(runs)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    bench = json.loads(
+        subprocess.run(
+            [sys.executable, "bench.py"],
+            env={
+                **__import__("os").environ,
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "PYTHONPATH": ".",
+            },
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip().splitlines()[-1]
+    )
+    dd = duckdb_times(sf_dir)
+    spark_total = sum(bench["queries"].values())
+    dd_total = sum(dd.values())
+    lines = [
+        MARKER,
+        "",
+        f"Totals: **Spark {spark_total:.1f} s over "
+        f"{len(bench['queries'])} queries**; **DuckDB {dd_total:.2f} s** "
+        f"over the {len(dd)} oracle-expressible queries "
+        "(median of 3; Spark single-shot after shared warm-up — the "
+        "driver's methodology).",
+        "",
+        "| query | spark_sec | duckdb_sec |",
+        "|---|---|---|",
+    ]
+    for name in sorted(bench["queries"]):
+        s = round(bench["queries"][name], 3)
+        d = round(dd[name], 3) if name in dd else ""
+        lines.append(f"| {name} | {s} | {d} |")
+    text = open("BASELINE.md").read()
+    head = text.split(MARKER)[0].rstrip()
+    with open("BASELINE.md", "w") as fh:
+        fh.write(head + "\n\n" + "\n".join(lines) + "\n")
+    print(
+        f"BASELINE.md updated: spark {spark_total:.1f}s / "
+        f"{len(bench['queries'])} q, duckdb {dd_total:.2f}s / {len(dd)} q"
+    )
+
+
+if __name__ == "__main__":
+    main()
