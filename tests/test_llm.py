@@ -108,3 +108,42 @@ def test_prefix_jaccard_equals_naive(spark):
         for r in jaccard_pairs_prefix(d, threshold=0.6).collect()
     }
     assert naive == pre and len(naive) > 0
+
+
+def test_shingle_fast_path_equals_positional_definition(spark):
+    """The lookahead-regex shingle fast path must agree with the
+    positional transform+slice definition on ALL inputs, including the
+    empty-token shapes that route to the fallback branch (hypothesis over
+    a token alphabet that generates doubled/leading/trailing separators)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from pandas_td_spark.operators.dedup import shingle_array
+
+    texts = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=24
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts=texts)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        for n in (2, 3):
+            words = F.split(F.col("text"), " ")
+            ref = F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            )
+            bad = (
+                df.select(shingle_array("text", n).alias("got"), ref.alias("want"))
+                .where(F.col("got") != F.col("want"))
+                .count()
+            )
+            assert bad == 0
+
+    check()

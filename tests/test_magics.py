@@ -84,3 +84,29 @@ def test_magics_in_live_ipython(spark):
     # dry-run prints substituted SQL, executes nothing
     out = shell.run_cell_magic("td_sql", "-n", "SELECT x FROM m1 WHERE time > {lo}")
     assert out is None
+
+
+def test_schema_evolution_merge_on_read(spark):
+    """S7b: appended files may carry NEW columns; ``mergeSchema`` surfaces
+    the union schema with NULLs for pre-evolution rows (the parquet
+    schema-evolution contract; at scale set this per-read, not globally —
+    footer merging costs O(files))."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pandas_td_spark.sources.io import read_file
+
+    d = tempfile.mkdtemp(prefix="evolve_") + "/t"
+    spark.range(3).select(F.col("id"), F.lit("a").alias("x")).write.parquet(d)
+    (
+        spark.range(3, 5)
+        .select(F.col("id"), F.lit("b").alias("x"), F.lit(1.5).alias("score"))
+        .write.mode("append").parquet(d)
+    )
+    # default read may or may not see `score` (file order); merged read MUST
+    merged = read_file(spark, d, mergeSchema="true")
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[0] is None and rows[4] == 1.5
+    assert merged.where(F.col("score").isNotNull()).count() == 2
