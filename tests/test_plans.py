@@ -175,3 +175,37 @@ def test_global_window_guard_warns_on_large_input(spark):
         warnings.simplefilter("always")
         warn_if_global_window_input_large(sup, max_bytes=1)  # forced trip
         assert any("ONE task" in str(x.message) for x in w)
+
+
+def test_curation_suite_plan_shapes(spark):
+    """Plan discipline for the curation suite: the contamination join must
+    broadcast the (tiny) benchmark side, chunking must be a zero-exchange
+    per-row pipeline, mixture sampling one aggregation exchange, and the
+    gap-fill window must run over the generated day spine — none of them
+    may nested-loop or cartesian anything."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    qs = spark_queries()
+    plans = {
+        n: physical_plan(qs[n](spark, SF))
+        for n in (
+            "q91_contamination",
+            "q87_doc_chunks",
+            "q94_mixture_sample",
+            "q93_gap_fill",
+            "q95_unigram_nll",
+        )
+    }
+    for n, p in plans.items():
+        assert "CartesianProduct" not in p, n
+        assert "BroadcastNestedLoopJoin" not in p, n
+    assert "BroadcastHashJoin" in plans["q91_contamination"]
+    # chunking: pure per-row expression work — no exchange at all
+    assert "Exchange" not in plans["q87_doc_chunks"]
+    # mixture sample: exactly the one aggregation shuffle
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plans["q94_mixture_sample"])) == 1
+    # gap-fill: the unigram/doc-side join broadcasts the daily aggregate
+    assert "BroadcastHashJoin" in plans["q93_gap_fill"]
+    assert "BroadcastHashJoin" in plans["q95_unigram_nll"]
