@@ -420,10 +420,7 @@ def simhash_pairs(
     (block_idx, block_value) bounds candidates without the O(n²) cross
     join. Exact Hamming verify on candidates via bit_count(xor).
     """
-    # materialized once: the 64-aggregate signature computation feeds both
-    # sides of the banded self-join below and would otherwise run twice
-    # (same rationale/limits as the other localCheckpoints in this module)
-    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    sigs = simhash_signatures(df, id_col, text_col)
     blocks = sigs.select(
         id_col,
         "sig",
