@@ -175,9 +175,6 @@ def cosine_threshold_pairs(
             F.transform(rows, lambda r: r["id"]).alias("ids"),
             F.flatten(F.transform(rows, lambda r: r["v"])).alias("flat"),
         )
-        # materialized once: packed feeds BOTH sides of the block-pair
-        # join; without it the pack shuffle+aggregate runs twice
-        .localCheckpoint()
     )
     left = packed.select(
         F.col("__blk").alias("blk_a"),
