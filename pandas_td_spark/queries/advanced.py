@@ -184,3 +184,127 @@ def q76_interval_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_user",
         (F.col("p_t") - F.col("w_start")).alias("lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — the TD-ecosystem bread-and-butter event query: how many
+# users progress view → click → purchase IN ORDER. Each stage is one
+# filtered aggregate + an equi-join on user_id against the previous stage's
+# first-reach time (strictly increasing), so the whole funnel is K hash
+# joins on the user key — no windows over the full event stream, no
+# cross-stage shuffle wider than user_id. Counts (not timestamps) are the
+# output, so nanos-vs-micros timestamp precision differences between
+# engines cannot leak into the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "q96_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ), stages AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    )
+    SELECT stage_idx, stage, n_users,
+           CAST(n_users AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS conv_from_start
+    FROM stages
+    """,
+)
+def q96_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users reaching each stage with
+    strictly-later timestamps, plus conversion from the first stage."""
+    e = spark.table("events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = v.count(), c.count(), p.count()
+    rows = [
+        (1, "view", n1),
+        (2, "view>click", n2),
+        (3, "view>click>purchase", n3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_users bigint"
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.lit(float(n1))).alias(
+            "conv_from_start"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-active week, counted per later
+# week. Week ids are epoch-seconds // 604800 computed identically in both
+# engines (integer arithmetic; nanos fractions cannot flip a boundary —
+# see docstring). Plan: one distinct (user, week) aggregate, a per-user
+# min, and a user-keyed join — the only shuffles are on user_id and the
+# (cohort, offset) group key.
+# ---------------------------------------------------------------------------
+@query(
+    "q97_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY 1
+    )
+    SELECT c.cwk AS cohort_week, uw.wk - c.cwk AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q97_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention counts: (first-active week, week offset) →
+    active users. ``uw`` is already distinct per (user, week), so the final
+    COUNT(*) is a distinct-user count without a second dedup shuffle."""
+    e = spark.table("events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.col("cwk").alias("cohort_week"),
+            (F.col("wk") - F.col("cwk")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
