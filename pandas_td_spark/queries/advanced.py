@@ -308,3 +308,159 @@ def q97_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout — variant from a deterministic user-id hash cut
+# (the assignment every TD-style experiment pipeline uses: stable across
+# engines/retries, no stored assignment table), conversion = user purchased
+# after first seeing a view. Two-proportion z statistic rounded 6dp (the
+# sqrt/ln ulp discipline); all counts exact BIGINTs.
+# ---------------------------------------------------------------------------
+@query(
+    "q98_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(cast(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), first_view AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), conv AS (
+      SELECT a.user_id, a.variant,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+                 AND e.ts > fv.t0) THEN 1 ELSE 0 END AS converted
+      FROM assign a JOIN first_view fv USING (user_id)
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+    FROM conv GROUP BY variant
+    """,
+)
+def q98_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant conversion for a hash-assigned A/B split: users whose
+    first view is followed by a purchase. The EXISTS probe is a left-semi
+    join on (user, time) — no event-stream blowup."""
+    e = spark.table("events")
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+    )
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    converted_users = (
+        fv.join(purchases, "user_id")
+        .where(F.col("pts") > F.col("t0"))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    conv = (
+        assign.join(fv, "user_id")
+        .join(converted_users.select("user_id", "converted"), "user_id", "left")
+        .select("variant", F.coalesce("converted", F.lit(0)).alias("converted"))
+    )
+    return conv.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conv_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis — the top event-type trigrams users actually walk (ordered
+# by time, ties broken by event_id so both engines see the same sequence).
+# Plan: one window lead() pass partitioned by user + a count aggregate —
+# the standard journey-mining shape; never collects whole user histories.
+# ---------------------------------------------------------------------------
+@query(
+    "q99_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q99_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten most common event-type trigram paths across user timelines."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning (A-family depth): fixed-width buckets over a numeric
+# column with explicit integer bin ids — one scan + one aggregation, the
+# shape any profiling/EDA layer emits. Bin edges are exact integer
+# arithmetic (floor of value/width), so engine float formatting can't
+# shift a row across bins.
+# ---------------------------------------------------------------------------
+@query(
+    "q100_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25k-wide price histogram over orders with per-bin exact-decimal
+    totals."""
+    from pandas_td_spark.queries._util import dsum
+
+    o = spark.table("orders")
+    b = F.floor(F.col("o_totalprice") / 25000)
+    return o.groupBy(
+        b.cast("bigint").alias("bin"),
+        (b * 25000).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+    )
