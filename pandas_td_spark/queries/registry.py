@@ -122,11 +122,16 @@ def _driver_order(items: dict[str, Query]) -> list[str]:
         q = items[name]
         if name in _R1_UNVERIFIED:
             return 0
-        if name in _R2_CHANGED or name not in _R1_RECORDED:
+        # never-driver-checked (brand-new) outranks re-verification of
+        # changed-but-previously-green code: if the ~50-row budget cuts
+        # inside the priority groups, first-time verification wins
+        if name not in _R1_RECORDED:
             return 1
+        if name in _R2_CHANGED:
+            return 2
         if q.oracle is None:
-            return 3
-        return 2
+            return 4
+        return 3
 
     return sorted(items, key=lambda n: (group(n), n))
 
