@@ -33,9 +33,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    driver_side_threshold: int = 200_000,
 ) -> DataFrame:
     """(node BIGINT, component BIGINT) for every node appearing in
-    ``pairs``; component = min node id in the connected component."""
+    ``pairs``; component = min node id in the connected component.
+
+    Near-dup edge sets are tiny relative to the corpus (bounded by the
+    candidate-pair count), so when the deduped edge list has at most
+    ``driver_side_threshold`` rows it is collected and solved with a
+    driver-side union-find: exact same min-id labels, one job instead of
+    ~2 Spark jobs per propagation round. Larger graphs fall through to the
+    distributed min-label propagation loop (the path that scales); pass
+    ``driver_side_threshold=0`` to force it.
+    """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -45,6 +55,31 @@ def connected_components(
         # e.g. a full Jaccard join — would re-execute per round
         .localCheckpoint()
     )
+    n_edges = edges.count()  # free: the checkpoint just materialized them
+    if n_edges <= driver_side_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.toLocalIterator():
+            a, b = r.a, r.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict[int, int] = {}
+        for node in parent:
+            root = find(node)
+            comp[root] = min(comp.get(root, node), node)
+        rows = [(node, comp[find(node)]) for node in sorted(parent)]
+        return edges.sparkSession.createDataFrame(
+            rows, "node bigint, component bigint"
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -74,19 +74,29 @@ def test_connected_components_warns_when_not_converged(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
+    # force the distributed propagation path (the driver-side union-find
+    # is exact and cannot fail to converge)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(pairs, max_iterations=2)
+        connected_components(pairs, max_iterations=2, driver_side_threshold=0)
         assert any("did not converge" in str(x.message) for x in w)
     # and a converging input does NOT warn
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = {
             (r.node, r.component)
-            for r in connected_components(pairs, max_iterations=20).collect()
+            for r in connected_components(
+                pairs, max_iterations=20, driver_side_threshold=0
+            ).collect()
         }
         assert not any("did not converge" in str(x.message) for x in w)
     assert out == {(i, 0) for i in range(10)}
+    # the driver-side path yields the identical labels
+    small = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert small == out
 
 
 def test_sessionize_session_ids_are_dense_and_ordered(spark):
