@@ -168,6 +168,16 @@ def _col(time: Union[str, Column]) -> Column:
     return F.col(time) if isinstance(time, str) else time
 
 
+def is_timestamp_dtype(dtype: Union[str, None]) -> bool:
+    """True for every Spark timestamp flavor — ``timestamp`` (TZ-aware) AND
+    ``timestamp_ntz``. Parquet TIMESTAMP(µs) without isAdjustedToUTC reads
+    as NTZ in Spark 4.x, so a literal ``== "timestamp"`` guard silently
+    misses it; under this engine's fixed UTC session timezone
+    (engine/session.py) the two are interchangeable for epoch math —
+    ``unix_timestamp`` accepts both and yields the same epoch seconds."""
+    return bool(dtype) and dtype.startswith("timestamp")
+
+
 # --------------------------------------------------------------------------
 # F1  td_time_range(time, start, end[, tz]) — [start, end), NULL = unbounded
 # --------------------------------------------------------------------------

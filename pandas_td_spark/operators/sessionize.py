@@ -45,7 +45,9 @@ def with_session_id(
     order = [ts_col, *order_cols]
     w = W.partitionBy(*keys).orderBy(*order)
     t: Column = F.col(ts_col)
-    if dict(df.dtypes).get(ts_col) == "timestamp":
+    from pandas_td_spark.functions.td import is_timestamp_dtype
+
+    if is_timestamp_dtype(dict(df.dtypes).get(ts_col)):
         t = F.unix_timestamp(t)
     prev = F.lag(t).over(w)
     new_sess = F.when(

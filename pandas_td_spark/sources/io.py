@@ -30,7 +30,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandas_td_spark.functions.td import TimeLike, td_time_range
+from pandas_td_spark.functions.td import (
+    TimeLike,
+    is_timestamp_dtype,
+    td_time_range,
+)
 
 __all__ = [
     "TABLES",
@@ -296,9 +300,20 @@ def read_table(
                 cond = cond & (t < F.lit(e * 1_000_000_000))
             df = df.where(cond)
         else:
-            if dict(df.dtypes).get(time_col) == "timestamp":
-                t = F.unix_timestamp(t)
-            df = df.where(td_time_range(t, s, e))
+            dtype = dict(df.dtypes).get(time_col)
+            if is_timestamp_dtype(dtype):
+                # compare the column bare against a constant-folded literal
+                # of the SAME timestamp flavor (ntz or tz) — wrapping the
+                # column in unix_timestamp() would block parquet pushdown.
+                # Session tz is UTC, so ntz wall-clock == UTC instant.
+                cond = F.lit(True)
+                if s is not None:
+                    cond = cond & (t >= F.timestamp_seconds(F.lit(s)).cast(dtype))
+                if e is not None:
+                    cond = cond & (t < F.timestamp_seconds(F.lit(e)).cast(dtype))
+                df = df.where(cond)
+            else:
+                df = df.where(td_time_range(t, s, e))
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
@@ -343,7 +358,7 @@ def write_table(
         )
     if time_col is not None:
         src = F.col(time_col)
-        if dict(df.dtypes).get(time_col) == "timestamp":
+        if is_timestamp_dtype(dict(df.dtypes).get(time_col)):
             src = F.unix_timestamp(src)
         df = df.withColumn("time", src.cast("bigint"))
     elif "time" not in df.columns:
@@ -425,7 +440,7 @@ def write_time_partitioned(
     :func:`read_time_partitioned` turns a time range into partition
     pruning + row-group skipping."""
     src = F.col(ts_col)
-    if dict(df.dtypes).get(ts_col) == "timestamp":
+    if is_timestamp_dtype(dict(df.dtypes).get(ts_col)):
         out = df.withColumn("time", F.unix_timestamp(src).cast("bigint"))
     else:
         out = df.withColumn("time", src.cast("bigint"))

@@ -117,6 +117,76 @@ def test_sessionize_session_ids_are_dense_and_ordered(spark):
     assert (one.session_id == expect_bump).all()
 
 
+def test_timestamp_unit_invariance(spark, tmp_path):
+    """Fixture regenerations have flipped events.ts between parquet
+    TIMESTAMP(NANOS) (read as bigint ns), TIMESTAMP(µs) adjusted-to-UTC
+    (read as timestamp) and TIMESTAMP(µs) NTZ (read as timestamp_ntz).
+    Sessionize and read_table(time_range=) must produce identical results
+    on all three storage flavors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_td_spark.sources.io import read_table
+
+    base = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [0, 0, 0, 0, 1, 1, 1, 1],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-05 00:00:00", "2024-01-05 00:10:00",
+                    "2024-01-05 01:10:00", "2024-01-09 23:59:59",
+                    "2024-01-04 23:59:59", "2024-01-05 00:00:00",
+                    "2024-01-07 12:00:00", "2024-01-10 00:00:00",
+                ]
+            ),
+        }
+    )
+    flavors = {}
+    for name, arr in {
+        "us_ntz": pa.array(base.ts, type=pa.timestamp("us")),
+        "us_utc": pa.array(base.ts, type=pa.timestamp("us", tz="UTC")),
+        "ns_ntz": pa.array(base.ts, type=pa.timestamp("ns")),
+    }.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(base.event_id, type=pa.int64()),
+                "user_id": pa.array(base.user_id, type=pa.int64()),
+                "ts": arr,
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        flavors[name] = str(tmp_path / name)
+
+    def run(sf_dir):
+        scanned = read_table(
+            spark, sf_dir, "events",
+            time_range=("2024-01-05", "2024-01-10"), time_col="ts",
+        )
+        sess = with_session_id(
+            read_table(spark, sf_dir, "events"),
+            key="user_id", ts_col="ts", timeout_sec=1800,
+            order_cols=["event_id"],
+        )
+        return (
+            sorted(r.event_id for r in scanned.collect()),
+            sorted(
+                (r.event_id, r.session_id) for r in sess.collect()
+            ),
+        )
+
+    results = {name: run(d) for name, d in flavors.items()}
+    expect_scan = [0, 1, 2, 3, 5, 6]  # [2024-01-05, 2024-01-10)
+    expect_sess = [
+        (0, 0), (1, 0), (2, 1), (3, 2), (4, 0), (5, 0), (6, 1), (7, 2)
+    ]
+    for name, (scan, sess) in results.items():
+        assert scan == expect_scan, f"{name}: scan {scan}"
+        assert sess == expect_sess, f"{name}: sessions {sess}"
+
+
 def test_multimodal_meta_and_stub_determinism(spark):
     register_views(spark, SF)
     d = spark.table("documents").limit(20).select(
