@@ -84,14 +84,28 @@ def main() -> None:
     except Exception:
         pass
 
+    # min-of-N for the heavy tail: single-shot timings on a contended
+    # sandbox have shown 3-7x swings round-to-round on identical code
+    # (BENCH_r02 vs r03). BASELINE.md's measurement plan is min-of-4 for
+    # queries >1 s; cheap queries stay single-shot (their absolute noise is
+    # bounded by the ~0.2-1 s local-mode fixed overhead).
+    retry_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "1.0"))
+    extra_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")) - 1
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(qs):
-        t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            t = run_once(name)
+            if t > retry_threshold and extra_runs > 0:
+                t = min([t] + [run_once(name) for _ in range(extra_runs)])
+            timings[name] = round(t, 3)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
@@ -106,6 +120,16 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    # Durable copy: the driver's stdout capture has truncated the (long)
+    # JSON line before (BENCH_r03 kept only the tail — 61 of 94 queries).
+    # BENCH_LATEST.json in the repo root preserves the full per-query map.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -89,8 +89,17 @@ def load_ipython_extension(ipython) -> None:  # pragma: no cover — notebook
         def _run(self, line, cell):
             args = parse_magic_args(line)
             engine = self.engine
+            con = self.con
+            if args.connection:
+                # reference magics' ``-c var``: use a Connection object from
+                # the user namespace (isolated warehouse/session)
+                con = self.shell.user_ns[args.connection]
             if args.engine_url:
-                engine = td.create_engine(args.engine_url, con=self.con)
+                engine = td.create_engine(args.engine_url, con=con)
+            elif args.connection:
+                engine = td.create_engine(
+                    f"{engine.type}:{engine.database}", con=con
+                )
             sql = substitute_vars(cell, self.shell.user_ns)
             if args.dry_run:
                 print(sql)

@@ -74,34 +74,26 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-containment join against a generated dimension. The month
-    side is tiny → broadcast nested loop is the right plan; for two large
-    interval sets, bucketize both sides to turn it into an equi-join
-    (documented limitation, SURVEY §2.3 J9)."""
-    months = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    F.lit("1995-01-01").cast("timestamp"),
-                    F.lit("2001-12-01").cast("timestamp"),
-                    F.expr("INTERVAL 1 MONTH"),
-                )
-            ).alias("m_start")
-        )
-        .withColumn("m_end", F.col("m_start") + F.expr("INTERVAL 1 MONTH"))
-    )
-    li = spark.table("lineitem").repartition(32)  # parallelize BNLJ stream side
+    """Point-in-interval bucketing against a GENERATED, NON-OVERLAPPING,
+    UNIFORM dimension (calendar months). Because each point lands in
+    exactly one bucket, the interval join is algebraically a
+    ``date_trunc('month', ...)`` group-by: zero join, one partial-agg
+    shuffle — the plan that survives a 100× scale-up (the former
+    broadcast-nested-loop plan multiplied the scan cost by the 84-month
+    dimension). Genuinely overlapping or irregular interval dims keep the
+    real join: small dim → ``operators/interval.py::interval_join`` (BNLJ),
+    large×large → q76's bucketized equi-join."""
     from pandas_td_spark.queries._util import dsum
 
+    li = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2002-01-01").cast("timestamp"))
+    )
     return (
-        li.join(
-            F.broadcast(months),
-            (F.col("l_shipdate") >= F.col("m_start"))
-            & (F.col("l_shipdate") < F.col("m_end")),
-        )
-        .groupBy(
-            F.unix_timestamp("m_start").cast("bigint").alias("month_epoch")
+        li.groupBy(
+            F.unix_timestamp(F.date_trunc("month", "l_shipdate"))
+            .cast("bigint")
+            .alias("month_epoch")
         )
         .agg(F.count("*").alias("n_lines"), dsum("l_quantity").alias("qty"))
     )

@@ -191,6 +191,9 @@ _SELF_COS = dot_sql("embedding", "embedding", 64)
 
 @query(
     "q64_embedding_near_dup",
+    scale_note=(
+        'intentionally quadratic (exact cosine >= t, blocked matmul); at 100 TB default to the LSH-bucketed near-dup path (q56_embedding_lsh_topk buckets / q53_minhash_lsh_pairs analogue) for t >= 0.9'
+    ),
     oracle=f"""
     WITH n AS (
       SELECT vec_id, embedding, sqrt({_SELF_COS}) AS nrm FROM embeddings

@@ -100,6 +100,11 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
 @query(
     "q52_near_dup_pairs",
     oracle=_JACCARD_ORACLE,
+    scale_note=(
+        "intentionally quadratic (exact all-pairs verify path); at 100 TB "
+        "default to q53_minhash_lsh_pairs (banded LSH) or "
+        "q80_near_dup_prefix (candidate-bounded PPJoin)"
+    ),
 )
 def q52_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard ≥ 0.6 — the exact (verify-path) near-dup join."""
@@ -114,6 +119,12 @@ def q52_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q80_near_dup_prefix",
     oracle=_JACCARD_ORACLE,
+    scale_note=(
+        "exact semantics, candidate-bounded via prefix filter — the exact "
+        "near-dup SCALE path; still superlinear on pathological corpora "
+        "(all-identical docs); q53_minhash_lsh_pairs is the approximate "
+        "fallback"
+    ),
 )
 def q80_near_dup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard ≥ 0.6 via PPJoin-style prefix filtering
@@ -163,6 +174,9 @@ _QC_SQL = dot_sql("q_vec", "c_vec", _DIM)
 
 @query(
     "q55_embedding_topk",
+    scale_note=(
+        'exact brute-force top-k (broadcast query side x full corpus scan); at 100 TB default to q56_embedding_lsh_topk (bucketed LSH) or q66_embedding_ivf_topk (IVF)'
+    ),
     oracle=f"""
     WITH n AS (
       SELECT vec_id, embedding, sqrt({_N_SQL}) AS nrm FROM embeddings

@@ -26,19 +26,31 @@ class Query:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
+    #: Operator-selection guidance at scale: set on queries whose exact
+    #: algorithm is intentionally quadratic (or otherwise scale-bounded) and
+    #: that have a sub-quadratic twin a 100 TB operator should reach for by
+    #: default. Surfaced in PLANS.md.
+    scale_note: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    scale_note: str | None = None,
+):
     """Decorator: register a named query. The wrapped function receives
     ``(spark, sf_dir)`` with all fixture views already registered."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name, fn, oracle, doc or (fn.__doc__ or ""), scale_note
+        )
         return fn
 
     return deco

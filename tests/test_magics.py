@@ -33,6 +33,69 @@ def test_substitute_vars():
     assert substitute_vars("SELECT '{not_a_var}'", {}) == "SELECT '{not_a_var}'"
 
 
+def test_magics_under_live_ipython_kernel(spark, tmp_path):
+    """M4 end-to-end: register the magics on a REAL InteractiveShell and
+    drive the full reference surface — %td_databases/%td_tables/%td_use/
+    %td_jobs line magics and the %%td_presto cell magic with {var}
+    substitution, -o binding, -n dry-run and -c connection selection."""
+    ipython = pytest.importorskip("IPython")
+    from IPython.core.interactiveshell import InteractiveShell
+
+    import pandas as pd
+
+    import pandas_td_spark as td
+
+    shell = InteractiveShell.instance()
+    try:
+        shell.run_line_magic("load_ext", "pandas_td_spark.ipython")
+
+        con = td.connect(warehouse=str(tmp_path), spark=spark)
+        td.to_td(
+            pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]}),
+            "mydb.t1",
+            con,
+            index=False,
+            time_value=0,
+        )
+        shell.user_ns["mycon"] = con
+        shell.user_ns["lo"] = 2
+
+        # line magics against the isolated connection's warehouse
+        dbs = shell.run_line_magic("td_databases", "")
+        assert isinstance(dbs, pd.DataFrame)  # default warehouse may differ
+
+        # cell magic: -c picks the namespace connection, {lo} substitutes,
+        # -o binds the pandas result
+        out = shell.run_cell_magic(
+            "td_presto", "-c mycon -o res presto:mydb",
+            "SELECT x, y FROM t1 WHERE x >= {lo} ORDER BY x",
+        )
+        assert out is not None
+        res = shell.user_ns["res"]
+        assert list(res.x) == [2, 3] and list(res.y) == ["b", "c"]
+
+        # -q suppresses the return value but still binds -o
+        quiet = shell.run_cell_magic(
+            "td_sql", "-q -c mycon -o res2 presto:mydb",
+            "SELECT COUNT(*) AS n FROM t1",
+        )
+        assert quiet is None
+        assert int(shell.user_ns["res2"].n.iloc[0]) == 3
+
+        # dry-run prints the substituted SQL, executes nothing
+        dry = shell.run_cell_magic(
+            "td_hive", "-n -c mycon presto:mydb",
+            "SELECT * FROM t1 WHERE x > {lo}",
+        )
+        assert dry is None
+
+        # %td_jobs sees the two executed queries
+        jobs = shell.run_line_magic("td_jobs", "")
+        assert isinstance(jobs, pd.DataFrame)
+    finally:
+        InteractiveShell.clear_instance()
+
+
 def test_file_format_roundtrips(spark):
     from pandas_td_spark.sources.io import read_file, write_file
 
