@@ -566,3 +566,84 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/val/test split: the assignment unit is the GROUP
+# (here `source`), not the document, so near-duplicate documents that share
+# a provenance group can never straddle the split boundary — the
+# train/test-contamination rule every pretraining pipeline needs. The
+# assignment is a pure hash of the group key (md5-hex prefix, the q77
+# engine-portable idiom): deterministic across engines, retries and
+# cluster sizes, no shuffle beyond the final stats aggregation, and the
+# ~80/10/10 ratio holds in expectation for any group cardinality.
+# At 100 TB: one narrow projection + one partial-agg shuffle on 3 keys.
+# ---------------------------------------------------------------------------
+_SPLIT_CASE_SQL = """
+    CASE WHEN substr(md5(source), 1, 2) <= 'cb' THEN 'train'
+         WHEN substr(md5(source), 1, 2) <= 'e5' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "q101_split_assign",
+    oracle=f"""
+    SELECT {_SPLIT_CASE_SQL} AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q101_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-hash split assignment (train ≤ 0xcb/0xff ≈ 79.7%, val ≤ 0xe5
+    ≈ 10.2%, else test) + per-split corpus stats."""
+    d = spark.table("documents")
+    split = (
+        F.when(F.substring(F.md5("source"), 1, 2) <= "cb", "train")
+        .when(F.substring(F.md5("source"), 1, 2) <= "e5", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Presto approx_most_frequent parity: distributed SpaceSaving top-k tokens
+# (operators/frequent.py). capacity=8192 far exceeds the fixture vocabulary,
+# so the synopsis is lossless here and the plain GROUP BY oracle certifies
+# the full pipeline (mapInPandas synopsis → merge → top-k) bit-for-bit;
+# at 100 TB the same plan holds bounded memory by evicting cold tokens.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_approx_most_frequent",
+    oracle="""
+    SELECT w AS value, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY est_count DESC, value ASC
+    LIMIT 15
+    """,
+    scale_note=(
+        "synopsis is exact only while per-partition distinct values fit "
+        "capacity; beyond that counts undercount within the SpaceSaving "
+        "bound (documented in operators/frequent.py)"
+    ),
+)
+def q102_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 tokens by SpaceSaving estimated count (deterministic
+    count-desc/value-asc tie-break)."""
+    from pandas_td_spark.operators.frequent import approx_most_frequent
+
+    d = spark.table("documents")
+    tokens = d.select(F.explode(_words()).alias("w"))
+    return approx_most_frequent(tokens, "w", k=15, capacity=8192)

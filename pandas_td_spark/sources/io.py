@@ -43,6 +43,7 @@ __all__ = [
     "read_query",
     "read_file",
     "write_file",
+    "write_sorted",
     "write_time_partitioned",
     "read_time_partitioned",
     "write_bucketed_table",
@@ -426,6 +427,28 @@ def write_file(
     if fmt == "csv":
         options.setdefault("header", "true")
     df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    by: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "errorifexists",
+) -> None:
+    """Globally-ordered export: range-repartition on the sort keys (one
+    sampling pass picks balanced split points), then sort within each
+    partition — file N's keys all precede file N+1's, and each file is
+    internally sorted. This is THE scalable substitute for a global
+    ``orderBy`` collect: no single reducer ever sees the full dataset, and
+    downstream parquet readers get min/max row-group statistics that make
+    key-range predicates prune to a handful of files. At 100 TB the cost
+    is one shuffle — the same as any aggregation — instead of a
+    driver-side sort that cannot exist."""
+    parts = df.repartitionByRange(*by) if num_files is None else (
+        df.repartitionByRange(num_files, *by)
+    )
+    parts.sortWithinPartitions(*by).write.mode(mode).parquet(path)
 
 
 def write_time_partitioned(

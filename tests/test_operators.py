@@ -187,6 +187,25 @@ def test_timestamp_unit_invariance(spark, tmp_path):
         assert sess == expect_sess, f"{name}: sessions {sess}"
 
 
+def test_approx_most_frequent_spacesaving_bound(spark):
+    """With capacity far below the distinct-value count, SpaceSaving must
+    still rank true heavy hitters correctly: hot values whose counts
+    exceed the per-partition eviction bound survive truncation exactly."""
+    from pandas_td_spark.operators.frequent import approx_most_frequent
+
+    # 10 hot values (1000 each) drowned in 20k singletons, 8 partitions
+    hot = spark.range(10_000).selectExpr("concat('hot', id % 10) AS v")
+    cold = spark.range(20_000).selectExpr("concat('cold', id) AS v")
+    df = hot.union(cold).repartition(8)
+    got = approx_most_frequent(df, "v", k=10, capacity=100).collect()
+    assert {r.value for r in got} == {f"hot{i}" for i in range(10)}
+    assert all(r.est_count == 1000 for r in got), [
+        (r.value, r.est_count) for r in got
+    ]
+    # deterministic tie-break: count desc then value asc
+    assert [r.value for r in got] == sorted(f"hot{i}" for i in range(10))
+
+
 def test_multimodal_meta_and_stub_determinism(spark):
     register_views(spark, SF)
     d = spark.table("documents").limit(20).select(

@@ -209,3 +209,39 @@ def test_curation_suite_plan_shapes(spark):
     # gap-fill: the unigram/doc-side join broadcasts the daily aggregate
     assert "BroadcastHashJoin" in plans["q93_gap_fill"]
     assert "BroadcastHashJoin" in plans["q95_unigram_nll"]
+
+
+def test_write_sorted_range_partitions_and_orders(spark, tmp_path):
+    """write_sorted: RangePartitioning exchange (sampled split points, no
+    single-reducer sort), files are key-disjoint and internally sorted,
+    and a key predicate on the output prunes via row-group min/max."""
+    import os
+
+    from pandas_td_spark.sources.io import write_sorted
+
+    df = spark.range(100_000).selectExpr(
+        "pmod(hash(id), 1000000) AS k", "id AS payload"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, by=["k"], num_files=8)
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(os.path.join(out, f), columns=["k"])
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks), f"{f} not internally sorted"
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "files overlap in key range"
+
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    pf = pushed_filters(back.where(F.col("k") == 42))
+    assert any("k" in f for f in pf)
