@@ -174,6 +174,35 @@ def test_presto_scalar_aliases(spark):
     assert (row.p, row.cp, row.k) == (7, 65, "87")
     assert row.host == "example.com"
     assert row.ut == 1704067200.0
+    row2 = spark.sql("""
+        SELECT levenshtein_distance('kitten', 'sitting')        AS lev,
+               split_to_map('a=1;b=2', ';', '=')['b']            AS m,
+               to_hex(to_utf8('A'))                              AS hx,
+               from_utf8(from_hex('41'))                         AS unhx,
+               from_utf8(from_base64(to_base64(to_utf8('xyz')))) AS b64,
+               url_extract_protocol('https://h:8080/p?a=1#f')    AS proto,
+               url_extract_port('https://h:8080/p?a=1#f')        AS port,
+               url_extract_fragment('https://h:8080/p?a=1#f')    AS frag,
+               url_extract_parameter('https://h/p?a=1&b=2', 'b') AS param,
+               millisecond(timestamp'2024-01-01 00:00:00.123')   AS ms,
+               to_iso8601(timestamp'2024-01-01 00:00:00')        AS iso,
+               from_iso8601_date('2024-03-05')                   AS d,
+               bitwise_and(12, 10)                               AS ba,
+               bitwise_xor(12, 10)                               AS bx,
+               is_finite(1.5)                                    AS fin,
+               is_infinite(infinity())                           AS inf,
+               round(cosine_distance(array(1.0d, 0.0d), array(0.0d, 1.0d)), 9) AS cd
+    """).first()
+    assert row2.lev == 3 and row2.m == "2"
+    assert (row2.hx, row2.unhx, row2.b64) == ("41", "A", "xyz")
+    assert (row2.proto, row2.port, row2.frag, row2.param) == (
+        "https", 8080, "f", "2"
+    )
+    assert row2.ms == 123 and row2.iso.startswith("2024-01-01T00:00:00.000")
+    assert str(row2.d) == "2024-03-05"
+    assert (row2.ba, row2.bx) == (8, 6)
+    assert row2.fin and row2.inf
+    assert row2.cd == 1.0
     assert row.dow == 1  # 2024-01-01 is a Monday; Presto ISO numbering
     assert (row.dd, row.tr, row.n, row.rt) == (7, -3.0, True, "xyz")
 
