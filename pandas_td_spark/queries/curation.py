@@ -647,3 +647,141 @@ def q102_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     tokens = d.select(F.explode(_words()).alias("w"))
     return approx_most_frequent(tokens, "w", k=15, capacity=8192)
+
+
+# ---------------------------------------------------------------------------
+# Pretraining sequence packing (concatenate-then-chunk): documents are
+# concatenated in a deterministic order and sliced into fixed token
+# windows; each doc records its token span and the chunk range it lands
+# in. Packing is PER SOURCE (partitionBy source) — the sharded form every
+# real pipeline uses, because a single global running sum would serialize
+# into one task. At 100 TB: one shuffle on source, one sorted window pass
+# per shard, constant state. Skewed sources are the risk; mitigate by
+# sub-sharding the hot source key upstream (operators/skew.py).
+# ---------------------------------------------------------------------------
+_PACK_C = 256  # tokens per packed context window
+
+
+@query(
+    "q103_sequence_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), run AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens,
+           cum - n_tokens AS start_offset,
+           CAST(floor((cum - n_tokens) / {_PACK_C}) AS BIGINT) AS first_chunk,
+           CAST(floor((cum - 1) / {_PACK_C}) AS BIGINT) AS last_chunk
+    FROM run
+    """,
+)
+def q103_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-span assignment for concatenate-then-chunk packing
+    (C={_PACK_C}): per-source running token offsets and the
+    first/last chunk index each document occupies."""
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(_words()).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tok.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / _PACK_C).cast("bigint").alias("first_chunk"),
+        F.floor((F.col("cum") - 1) / _PACK_C).cast("bigint").alias("last_chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing: per-language head/middle/tail thirds by
+# unigram-LM NLL (lower = closer to the LM = "head"). Reuses q95's exact
+# decimal NLL so the scores are engine-identical; the bucket boundary is
+# percent_rank (deterministic under ties). One extra window shuffle on
+# lang over the one-row-per-doc aggregate — negligible at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q104_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(-round(ln(f.c / (SELECT COUNT(*) FROM tok)), 6)
+                  AS DECIMAL(28,6)) AS nll
+      FROM tok t JOIN freq f USING (w)
+    ), per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(s.nll) AS DOUBLE) / COUNT(*) AS avg_nll
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY d.doc_id, d.lang
+    ), ranked AS (
+      SELECT doc_id, lang, avg_nll,
+             percent_rank() OVER (PARTITION BY lang ORDER BY avg_nll) AS pr
+      FROM per_doc
+    )
+    SELECT lang,
+           CASE WHEN pr < 1.0/3 THEN 'head'
+                WHEN pr < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 10) AS mean_nll
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q104_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail language-model quality buckets per language with
+    per-bucket doc counts and mean NLL."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = tok.count()  # pinned literal (q95 discipline)
+    nll = (
+        -F.round(F.log(F.col("c") / F.lit(float(total))), 6)
+    ).cast("decimal(28,6)")
+    per_doc = (
+        tok.join(F.broadcast(freq), "w")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg((F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("avg_nll"))
+    bucket = (
+        F.when(pr < 1.0 / 3, "head")
+        .when(pr < 2.0 / 3, "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.select("lang", "avg_nll", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # decimal-summed then 10dp-rounded: double summation order
+            # differs across engines by 1 ulp (q29 discipline)
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                10,
+            ).alias("mean_nll"),
+        )
+    )
