@@ -413,3 +413,63 @@ def q16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_name").like("%re%")
         & F.col("p_retailprice").isNotNull()
     ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 depth — TPC-H Q5-shape: 6-table join with a co-location predicate
+# (customer and supplier must share a nation). Harder than q02's star: the
+# c_nationkey = s_nationkey condition correlates two dimension paths, so
+# the optimizer must keep both nationkeys alive until the late equality.
+# 100 TB plan: lineitem ⋈ orders is the single genuine shuffle; supplier/
+# customer/nation/region broadcast; the co-location predicate evaluates
+# inside the broadcast joins — no extra exchange. (TPC-H Q5 semantics,
+# public spec.)
+# ---------------------------------------------------------------------------
+@query(
+    "q105_local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders fulfilled by a supplier in the customer's own
+    nation (TPC-H Q5 analogue), per nation in ASIA, 1995-1996."""
+    li, o = spark.table("lineitem"), spark.table("orders")
+    c, s = spark.table("customer"), spark.table("supplier")
+    n, r = spark.table("nation"), spark.table("region")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

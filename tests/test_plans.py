@@ -245,3 +245,17 @@ def test_write_sorted_range_partitions_and_orders(spark, tmp_path):
     assert back.count() == 100_000
     pf = pushed_filters(back.where(F.col("k") == 42))
     assert any("k" in f for f in pf)
+
+
+def test_deep_join_no_nested_loop(spark):
+    """q105's 6-table join with the co-location predicate must resolve to
+    hash joins only — the correlated c_nationkey = s_nationkey condition
+    must ride an equi-join, never degrade to BNLJ/cartesian."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    p = physical_plan(
+        spark_queries()["q105_local_supplier_revenue"](spark, SF)
+    )
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
