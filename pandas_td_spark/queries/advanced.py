@@ -102,12 +102,25 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L5 — multimodal metadata + stub featurization (rows-only: stub decode)
 # ---------------------------------------------------------------------------
-@query("q62_multimodal_features", oracle=None)
+@query(
+    "q62_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'unknown' AS format,
+           CAST(16 AS BIGINT) AS feat_dim
+    FROM documents
+    """,
+)
 def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: text→bytes payload (stand-in for image/audio
     blobs), JVM-side metadata struct, then Arrow-batched mapInPandas
     featurization (STUB decoder — deterministic fake; real codecs plug into
-    the same signature). Returns (doc_id, n_bytes, format, feature dim)."""
+    the same signature). Returns (doc_id, n_bytes, format, feature dim).
+    The feature VALUES are stub-specific so they stay out of the output,
+    but the metadata and shape columns are fully deterministic — the
+    oracle certifies the whole Spark plumbing (binary encode, metadata
+    struct, Arrow boundary, per-row feature shape) exactly."""
     d = spark.table("documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

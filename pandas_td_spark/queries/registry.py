@@ -99,6 +99,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK = {
     "q55_embedding_topk",
     "q56_embedding_lsh_topk",
     "q61_range_join",
+    "q62_multimodal_features",  # round 4: gained a full oracle (was rows-only)
 }
 
 
