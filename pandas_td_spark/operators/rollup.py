@@ -1,0 +1,73 @@
+"""Incremental distinct-count rollups over mergeable HLL sketches
+(hypertable-rollup pattern; reference: TD's time-bucketed storage +
+Presto ``approx_set``/``merge`` workflow, SURVEY.md §2.1/§2.5 — loci
+UNVERIFIED, /root/reference empty).
+
+The 100 TB pattern: a daily job collapses raw events into one row per
+(day, key) carrying an HLL *sketch* (DataSketches binary, Spark 3.5+
+``hll_sketch_agg``) instead of a distinct-user set. Any coarser window
+(week, month, arbitrary range) is then a cheap ``hll_union_agg`` over a
+few hundred sketch rows — no rescan of the raw table, and the merge is
+associative/commutative so backfills and late partitions just re-merge.
+Storage per row is KBs (lgK=12 default ≈ 2-3 KB) regardless of
+cardinality.
+
+Error contract: exact while the sketch retains raw values, ~1.6%/sqrt(2^
+lgConfigK) RSE beyond (public DataSketches bound). Tests pin ≤2% vs exact
+at fixture scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_sketch_rollup", "merge_rollup"]
+
+
+def build_sketch_rollup(
+    df: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    distinct_col: str,
+    bucket: str = "day",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One row per (time bucket, *keys): HLL sketch of ``distinct_col``
+    plus an exact row count. ``time_col`` is a TIMESTAMP (any flavor) or
+    epoch-seconds BIGINT."""
+    from pandas_td_spark.functions.td import is_timestamp_dtype
+
+    t = F.col(time_col)
+    if not is_timestamp_dtype(dict(df.dtypes).get(time_col)):
+        t = F.timestamp_seconds(t)
+    return (
+        df.groupBy(
+            F.date_trunc(bucket, t).alias("bucket_start"), *keys
+        ).agg(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_config_k)).alias(
+                "sketch"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def merge_rollup(
+    rollup: DataFrame,
+    keys: Sequence[str],
+    bucket: str | None = None,
+) -> DataFrame:
+    """Re-aggregate a sketch rollup to coarser granularity: per *keys*
+    within ``bucket`` of ``bucket_start`` (or all-time when None),
+    yielding the merged distinct estimate + summed row count."""
+    grp = list(keys)
+    if bucket is not None:
+        grp = [F.date_trunc(bucket, "bucket_start").alias("bucket_start"), *grp]
+    return rollup.groupBy(*grp).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("n_distinct_est"),
+        F.sum("n_rows").alias("n_rows"),
+    )

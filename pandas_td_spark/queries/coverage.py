@@ -510,3 +510,38 @@ def q93_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_known_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental sketch rollup (hypertable pattern): daily HLL sketches of
+# distinct users per event_type, re-merged to monthly estimates WITHOUT
+# rescanning raw events. rows-only: the sketch binary + estimator are
+# DataSketches-specific (no DuckDB twin); the ≤2%-vs-exact and
+# merge-associativity properties are pinned in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q106_sketch_rollup",
+    oracle=None,
+    scale_note=(
+        "daily sketch table is O(days x keys) KB-sized rows; monthly "
+        "re-aggregation merges sketches instead of rescanning raw events — "
+        "the incremental-rollup shape for 100 TB dashboards"
+    ),
+)
+def q106_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct-user estimates per event_type via daily HLL
+    sketch rollup + union merge."""
+    from pandas_td_spark.operators.rollup import build_sketch_rollup, merge_rollup
+
+    ev = spark.table("events")
+    daily = build_sketch_rollup(
+        ev, time_col="ts", keys=["event_type"], distinct_col="user_id",
+        bucket="day",
+    )
+    monthly = merge_rollup(daily, keys=["event_type"], bucket="month")
+    return monthly.select(
+        F.unix_timestamp("bucket_start").cast("bigint").alias("month_epoch"),
+        "event_type",
+        F.col("n_distinct_est").cast("bigint").alias("n_distinct_users"),
+        "n_rows",
+    )

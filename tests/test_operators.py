@@ -206,6 +206,47 @@ def test_approx_most_frequent_spacesaving_bound(spark):
     assert [r.value for r in got] == sorted(f"hot{i}" for i in range(10))
 
 
+def test_sketch_rollup_accuracy_and_merge(spark):
+    """HLL rollup: daily-sketch → merged estimate within 2% of exact
+    distinct count, and merging the daily sketches equals sketching the
+    raw data directly (associativity — the property that makes incremental
+    rollups correct under backfills)."""
+    from pandas_td_spark.operators.rollup import build_sketch_rollup, merge_rollup
+
+    register_views(spark, SF)
+    ev = spark.table("events")
+    daily = build_sketch_rollup(
+        ev, time_col="ts", keys=["event_type"], distinct_col="user_id",
+        bucket="day",
+    )
+    alltime = {
+        (r.event_type): r.n_distinct_est
+        for r in merge_rollup(daily, keys=["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(alltime) == set(exact)
+    for k, est in alltime.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.02, (k, est, exact[k])
+
+    # associativity: direct sketch of raw data gives the same estimates
+    direct = {
+        r.event_type: r.n_distinct_est
+        for r in merge_rollup(
+            build_sketch_rollup(
+                ev, time_col="ts", keys=["event_type"],
+                distinct_col="user_id", bucket="year",
+            ),
+            keys=["event_type"],
+        ).collect()
+    }
+    assert direct == alltime
+
+
 def test_multimodal_meta_and_stub_determinism(spark):
     register_views(spark, SF)
     d = spark.table("documents").limit(20).select(
