@@ -24,7 +24,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_sketch_rollup", "merge_rollup"]
+__all__ = [
+    "build_sketch_rollup",
+    "merge_rollup",
+    "build_quantile_rollup",
+    "merge_quantile_rollup",
+]
 
 
 def build_sketch_rollup(
@@ -71,3 +76,56 @@ def merge_rollup(
         .alias("n_distinct_est"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def build_quantile_rollup(
+    df: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    bucket: str = "day",
+    k: int = 800,
+) -> DataFrame:
+    """KLL twin of :func:`build_sketch_rollup`: one row per (bucket, keys)
+    carrying a mergeable KLL quantile sketch of ``value_col`` (DOUBLE).
+    ``k`` trades size for rank accuracy (~1.7%/k=200 normalized rank
+    error, public DataSketches bound; k=800 ≈ 0.4%)."""
+    from pandas_td_spark.functions.td import is_timestamp_dtype
+
+    t = F.col(time_col)
+    if not is_timestamp_dtype(dict(df.dtypes).get(time_col)):
+        t = F.timestamp_seconds(t)
+    return (
+        df.groupBy(F.date_trunc(bucket, t).alias("bucket_start"), *keys)
+        .agg(
+            F.expr(
+                f"kll_sketch_agg_double(cast(`{value_col}` as double), {k})"
+            ).alias("qsketch"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def merge_quantile_rollup(
+    rollup: DataFrame,
+    keys: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    bucket: str | None = None,
+) -> DataFrame:
+    """Merge KLL sketch rows to coarser granularity and read off
+    quantile estimates — percentile dashboards with no raw rescan."""
+    grp = list(keys)
+    if bucket is not None:
+        grp = [F.date_trunc(bucket, "bucket_start").alias("bucket_start"), *grp]
+    merged = rollup.groupBy(*grp).agg(
+        F.expr("kll_merge_agg_double(qsketch)").alias("qsketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(qsketch, {q}d)").alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    names = [c for c in merged.columns if c not in ("qsketch", "n_rows")]
+    return merged.select(*names, *cols, "n_rows")

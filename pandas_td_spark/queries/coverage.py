@@ -545,3 +545,41 @@ def q106_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_est").cast("bigint").alias("n_distinct_users"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile rollup twin of q106: daily mergeable quantile sketches of
+# event value, re-merged to monthly p50/p95/p99 — percentile dashboards
+# with no raw rescan. rows-only (DataSketches-specific); rank-error vs
+# exact percentiles pinned in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q107_quantile_rollup",
+    oracle=None,
+    scale_note=(
+        "mergeable-percentile twin of q106: O(days x keys) sketch rows, "
+        "coarser windows merge sketches — exact percentile (q71) rescans"
+    ),
+)
+def q107_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p95/p99 of event value per event_type from daily KLL
+    sketches."""
+    from pandas_td_spark.operators.rollup import (
+        build_quantile_rollup,
+        merge_quantile_rollup,
+    )
+
+    ev = spark.table("events")
+    daily = build_quantile_rollup(
+        ev, time_col="ts", keys=["event_type"], value_col="value",
+        bucket="day",
+    )
+    monthly = merge_quantile_rollup(daily, keys=["event_type"], bucket="month")
+    return monthly.select(
+        F.unix_timestamp("bucket_start").cast("bigint").alias("month_epoch"),
+        "event_type",
+        "p50",
+        "p95",
+        "p99",
+        "n_rows",
+    )

@@ -406,3 +406,36 @@ def test_approx_percentile_rank_error_bound(spark):
             rank = sum(v <= av for v in vals) / n
             tol = max(1.0 / 10000, 2.0 / n) + 0.01
             assert abs(rank - p) <= tol, (row.event_type, p, rank)
+
+
+def test_quantile_rollup_rank_error(spark):
+    """Merged KLL quantiles must sit within 1% rank error of the exact
+    percentiles (k=800 ≈ 0.4% published bound, margin for merge)."""
+    from pandas_td_spark.operators.rollup import (
+        build_quantile_rollup,
+        merge_quantile_rollup,
+    )
+
+    register_views(spark, SF)
+    ev = spark.table("events")
+    daily = build_quantile_rollup(
+        ev, time_col="ts", keys=["event_type"], value_col="value",
+        bucket="day",
+    )
+    merged = merge_quantile_rollup(daily, keys=["event_type"]).collect()
+    vals = {
+        r.event_type: sorted(x.value for x in rows)
+        for r in merged
+        for rows in [
+            ev.where(F.col("event_type") == r.event_type)
+            .select("value")
+            .collect()
+        ]
+    }
+    for r in merged:
+        v = vals[r.event_type]
+        n = len(v)
+        for q, est in [(0.5, r.p50), (0.95, r.p95), (0.99, r.p99)]:
+            lo = v[max(0, int((q - 0.01) * n) - 1)]
+            hi = v[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= est <= hi, (r.event_type, q, est, lo, hi)
