@@ -259,3 +259,74 @@ def test_deep_join_no_nested_loop(spark):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton-clustered layout: a narrow range predicate on EITHER column
+    must let parquet row-group min/max stats skip most files — the
+    multi-dimensional locality a single-key sort can't give."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pandas_td_spark.operators.zorder import write_zordered
+
+    # two independent uniform dims
+    df = spark.range(200_000).selectExpr(
+        "pmod(hash(id), 10000) AS x", "pmod(hash(id * 7 + 3), 10000) AS y"
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, cols=["x", "y"], num_files=16)
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 16
+
+    def skippable(col, lo, hi):
+        skip = 0
+        for f in files:
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            overlaps = False
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= hi and st.max >= lo:
+                    overlaps = True
+            if not overlaps:
+                skip += 1
+        return skip
+
+    # a 5%-wide range on EACH dimension skips a solid fraction of the 16
+    # files on statistics alone (range-sampled splits don't align exactly
+    # with z-strips, so demand ≥ 1/3 per dim, not the geometric ideal) …
+    assert skippable("x", 4000, 4500) >= 6
+    assert skippable("y", 4000, 4500) >= 6
+
+    # … which a single-key sort cannot do: sorted by x alone, every file
+    # spans ~the full y range and zero y-files are skippable.
+    from pandas_td_spark.sources.io import write_sorted
+
+    xs = str(tmp_path / "xsort")
+    write_sorted(df, xs, by=["x"], num_files=16)
+
+    def skippable_in(d, col, lo, hi):
+        skip = 0
+        for f in (f for f in os.listdir(d) if f.endswith(".parquet")):
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.names.index(col)
+            overlaps = any(
+                md.row_group(rg).column(idx).statistics.min <= hi
+                and md.row_group(rg).column(idx).statistics.max >= lo
+                for rg in range(md.num_row_groups)
+            )
+            if not overlaps:
+                skip += 1
+        return skip
+
+    assert skippable_in(xs, "y", 4000, 4500) == 0
+    assert skippable_in(xs, "x", 4000, 4500) >= 12
+
+    # correctness: nothing lost
+    back = spark.read.parquet(out)
+    assert back.count() == 200_000
+    assert back.where((F.col("x") >= 4000) & (F.col("x") <= 4500)).count() == \
+        df.where((F.col("x") >= 4000) & (F.col("x") <= 4500)).count()
