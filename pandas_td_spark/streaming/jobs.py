@@ -283,19 +283,11 @@ def running_user_totals(events: DataFrame, timeout_sec: int = 0) -> DataFrame:
     )
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """T7 on the Spark 4.x ``transformWithStateInPandas`` API — the
-    successor to ``applyInPandasWithState`` (SPARK-49564): explicit typed
-    state handles (ValueState/ListState/MapState), per-state TTL, timers.
-    Same semantics as :func:`running_user_totals`, so tests can assert the
-    two APIs agree batch-for-batch; new code should prefer this API (the
-    old one is maintenance-only upstream).
-
-    Runtime requirement: the TWS Python worker speaks protobuf to the JVM
-    state server, so executing (not importing) this needs
-    ``google.protobuf`` on the Python path — absent in this test
-    container, so the equivalence test auto-skips here and the
-    ``applyInPandasWithState`` twin carries T7 coverage."""
+def make_running_totals_processor():
+    """Build the T7b ``StatefulProcessor`` (module-level factory so tests
+    can drive its init/handleInputRows logic directly against a stub state
+    handle — the processor contract is plain Python; only the worker's
+    protobuf channel to the JVM state server needs ``google.protobuf``)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -327,8 +319,26 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _RunningTotals()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T7 on the Spark 4.x ``transformWithStateInPandas`` API — the
+    successor to ``applyInPandasWithState`` (SPARK-49564): explicit typed
+    state handles (ValueState/ListState/MapState), per-state TTL, timers.
+    Same semantics as :func:`running_user_totals`, so tests can assert the
+    two APIs agree batch-for-batch; new code should prefer this API (the
+    old one is maintenance-only upstream).
+
+    Runtime requirement: the TWS Python worker speaks protobuf to the JVM
+    state server, so executing (not importing) this end-to-end needs
+    ``google.protobuf`` on the Python path — absent in this test
+    container, so the full-pipeline equivalence test auto-skips here;
+    the processor LOGIC is still executed by tests via
+    :func:`make_running_totals_processor` + a stub state handle, and the
+    ``applyInPandasWithState`` twin carries end-to-end T7 coverage."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_RunningTotals(),
+        statefulProcessor=make_running_totals_processor(),
         outputStructType="user_id long, n_events long, total_value double",
         outputMode="Update",
         timeMode="None",

@@ -443,3 +443,75 @@ def test_stream_static_enrichment_matches_batch(spark, staged):
     want = want.sort_values(key, ignore_index=True)[got.columns]
     assert len(got) > 0 and got.equals(want)
     assert (got.segment == "unknown").any()  # left join kept unmatched users
+
+
+def test_tws_processor_logic_with_stub_state(spark):
+    """T7b logic WITHOUT the protobuf channel: drive the StatefulProcessor
+    contract (init → per-batch handleInputRows → close) against a stub
+    ValueState and assert the running totals match the batch aggregation
+    over the same event partitions — the exact state transitions the TWS
+    worker would execute, minus the wire protocol."""
+    import pandas as pd
+
+    from pandas_td_spark.sources.io import register_views
+    from pandas_td_spark.streaming.jobs import make_running_totals_processor
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttl_duration_ms=None):
+            return self.states.setdefault(name, StubValueState())
+
+    register_views(spark, "/root/testdata/sf0.001")
+    ev = (
+        spark.table("events")
+        .select("user_id", "value", "event_id")
+        .where(F.col("user_id") < 20)
+        .toPandas()
+    )
+    # three microbatches, arbitrary split
+    batches = [g for _, g in ev.groupby(ev.event_id % 3)]
+
+    proc = make_running_totals_processor()
+    handle = StubHandle()
+    proc.init(handle)
+    last = {}
+    for b in batches:
+        for uid, rows in b.groupby("user_id"):
+            # per-key state isolation: swap the key's state in
+            proc._totals = handle.states.setdefault(
+                ("totals", uid), StubValueState()
+            )
+            (out,) = list(proc.handleInputRows((uid,), iter([rows]), None))
+            last[uid] = (
+                int(out.n_events.iloc[0]),
+                float(out.total_value.iloc[0]),
+            )
+    proc.close()
+
+    want = {
+        int(r.user_id): (int(r.n), float(r.t))
+        for r in spark.table("events")
+        .where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(last) == set(want)
+    for uid in want:
+        assert last[uid][0] == want[uid][0]
+        assert abs(last[uid][1] - want[uid][1]) < 1e-6
