@@ -43,6 +43,7 @@ __all__ = [
     "read_query",
     "read_file",
     "write_file",
+    "merge_upsert",
     "write_sorted",
     "write_time_partitioned",
     "read_time_partitioned",
@@ -427,6 +428,58 @@ def write_file(
     if fmt == "csv":
         options.setdefault("header", "true")
     df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    keep_versions: int = 1,
+) -> None:
+    """MERGE INTO semantics on a manifest-managed table (S5d): rows in
+    ``updates`` replace target rows with matching ``keys``; unmatched
+    update rows insert; target rows without a match survive unchanged.
+    When ``delete_col`` names a boolean column, update rows with it true
+    DELETE their key instead (the column is dropped from storage) — the
+    CDC apply shape.
+
+    Atomicity rides :func:`_atomic_replace`: the merged result is written
+    as a fresh snapshot and committed by the one-pointer manifest swap, so
+    a crash mid-merge leaves the previous snapshot intact and readable.
+
+    Plan shape at scale: one left-anti join (target minus touched keys)
+    unioned with the surviving updates — the anti join shuffles on the
+    merge keys, the same cost class as any keyed join; nothing driver-side.
+    A first merge against a non-existent path is just an insert."""
+    keys = list(keys)
+    survivors = updates
+    if delete_col is not None:
+        survivors = updates.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    target_path = resolve_data_path(path)
+    base_exists = os.path.isdir(target_path) and any(
+        not e.startswith(".") and e != _MANIFEST
+        for e in os.listdir(target_path)
+    )
+    if base_exists:
+        target = spark.read.parquet(target_path)
+        touched = updates.select(*keys).distinct()
+        kept = target.join(touched, on=keys, how="left_anti")
+        merged = kept.unionByName(survivors)
+    else:
+        merged = survivors
+    # the new snapshot scans the OLD committed snapshot while writing the
+    # new version dir — safe: the write targets a fresh directory and the
+    # manifest flips only after success
+    _atomic_replace(
+        merged,
+        path,
+        lambda t: merged.write.mode("errorifexists").parquet(t),
+        keep_versions=keep_versions,
+    )
 
 
 def write_sorted(

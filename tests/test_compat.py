@@ -234,3 +234,57 @@ def test_snapshot_time_travel(con, spark):
     # a non-managed path is refused
     with pytest.raises(ValueError):
         read_snapshot(spark, os.path.dirname(path), 0)
+
+
+def test_merge_upsert_semantics_and_atomicity(spark, tmp_path):
+    """S5d MERGE INTO: update-in-place, insert-new, delete-flagged, keep
+    untouched — and a crashed merge leaves the previous snapshot committed."""
+    from pandas_td_spark.sources.io import (
+        merge_upsert,
+        read_snapshot,
+        resolve_data_path,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    merge_upsert(spark, base, path, keys=["id"])  # first merge = insert
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(resolve_data_path(path)).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, False), (4, "d", 40.0, False), (3, None, 0.0, True)],
+        "id long, name string, v double, is_delete boolean",
+    )
+    merge_upsert(
+        spark, updates, path, keys=["id"], delete_col="is_delete",
+        keep_versions=2,
+    )
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(resolve_data_path(path)).collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted; is_delete not stored
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 4: ("d", 40.0)}
+    assert "is_delete" not in spark.read.parquet(resolve_data_path(path)).columns
+    # previous snapshot still readable (time travel across the merge)
+    prev = {r.id for r in read_snapshot(spark, path, 1).collect()}
+    assert prev == {1, 2, 3}
+
+    # crash mid-merge: writer dies before the manifest flip → committed
+    # snapshot unchanged
+    import os
+
+    committed_before = resolve_data_path(path)
+    try:
+        merge_upsert(
+            spark,
+            spark.createDataFrame([(9, None, 1.0)], "id long, name string, v double")
+            .withColumn("v", F.col("v") / F.lit(0) + F.raise_error(F.lit("boom"))),
+            path,
+            keys=["id"],
+        )
+    except Exception:
+        pass
+    assert resolve_data_path(path) == committed_before
+    got2 = {r.id for r in spark.read.parquet(resolve_data_path(path)).collect()}
+    assert got2 == {1, 2, 4}

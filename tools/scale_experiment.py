@@ -1,0 +1,64 @@
+"""10x scaling experiment: replicate sf0.1 fact tables with shifted keys,
+time headline queries at 1x and 10x, report the growth ratio."""
+import json, os, shutil, time
+
+from pyspark.sql import functions as F
+
+from pandas_td_spark.engine.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+BIG = "/tmp/sf1x10"
+spark = get_spark(app_name="scale_exp")
+
+if not os.path.isdir(BIG):
+    os.makedirs(BIG, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in ("lineitem", "orders", "events"):
+            # replicate 10x with key-space shifts that preserve join
+            # relationships (orderkey shifted consistently in both tables)
+            copies = []
+            for i in range(10):
+                c = src
+                if t == "lineitem":
+                    c = c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+                elif t == "orders":
+                    c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+                elif t == "events":
+                    c = c.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{BIG}/{t}.parquet")
+        else:
+            shutil.copytree(f"{BASE}/{t}.parquet", f"{BIG}/{t}.parquet",
+                            dirs_exist_ok=True) if os.path.isdir(f"{BASE}/{t}.parquet") else shutil.copy(f"{BASE}/{t}.parquet", f"{BIG}/{t}.parquet")
+
+from pandas_td_spark.queries.registry import spark_queries
+from pandas_td_spark.sources.io import register_views
+
+qs = spark_queries()
+HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
+        "q105_local_supplier_revenue", "q26_sessionize", "q50_dedup_exact_groups"]
+
+def run(sf_dir, name):
+    register_views(spark, sf_dir, force=True)
+    t0 = time.time()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+# warm up both dirs
+for d in (BASE, BIG):
+    register_views(spark, d, force=True)
+    spark.sql("select count(*) from lineitem").collect()
+
+out = {}
+for name in HEAD:
+    t1 = min(run(BASE, name) for _ in range(3))
+    t10 = min(run(BIG, name) for _ in range(3))
+    out[name] = {"t_1x": round(t1, 3), "t_10x": round(t10, 3),
+                 "ratio": round(t10 / t1, 2)}
+    print(name, out[name], flush=True)
+print(json.dumps(out))
