@@ -34,6 +34,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "events_stream",
     "tumbling_counts",
+    "distinct_user_rollup",
     "sliding_counts",
     "sessionized_counts",
     "dedup_stream",
@@ -92,6 +93,35 @@ def tumbling_counts(
             "event_type",
             "n",
             "total_value",
+        )
+    )
+
+
+def distinct_user_rollup(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T2+A3 composed: per-window distinct users per event_type via the
+    mergeable HLL sketch aggregate — the STREAMING half of the
+    operators/rollup.py hypertable pattern. State per (window, key) is one
+    KB-scale sketch regardless of user cardinality (an exact
+    countDistinct would hold the full user set in state); closed windows
+    can land in a sketch table that ``merge_rollup`` re-aggregates to any
+    coarser granularity without touching raw events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .alias("n_distinct_users"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_distinct_users",
+            "n",
         )
     )
 

@@ -515,3 +515,34 @@ def test_tws_processor_logic_with_stub_state(spark):
     for uid in want:
         assert last[uid][0] == want[uid][0]
         assert abs(last[uid][1] - want[uid][1]) < 1e-6
+
+
+def test_distinct_user_rollup_matches_batch(spark, staged):
+    """Streaming HLL rollup == running the same sketch aggregate in batch
+    (sketches are deterministic), and within 2% of exact distinct counts."""
+    from pandas_td_spark.streaming.jobs import distinct_user_rollup
+
+    stream = events_stream(spark, staged, max_files_per_trigger=1)
+    got = run_to_memory(
+        distinct_user_rollup(stream, window="1 day", watermark="60 days"),
+        _name(),
+        spark,
+    ).toPandas()
+    batch = spark.read.parquet(staged)
+    want = distinct_user_rollup(batch, window="1 day").toPandas()
+    key = ["win_start", "event_type"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert got.equals(want[got.columns])
+
+    exact = (
+        batch.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "exact"
+        )
+        .toPandas()
+        .sort_values(key, ignore_index=True)
+    )
+    rel = (got.n_distinct_users - exact.exact).abs() / exact.exact
+    assert (rel <= 0.02).all()
