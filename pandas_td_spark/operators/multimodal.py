@@ -104,3 +104,62 @@ def featurize_binary(
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
     return pruned.mapInPandas(_batches, schema=schema)
+
+
+def stub_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB frame sampler (no video codecs in this container): slices the
+    payload into ``n_frames`` deterministic byte windows shaped like
+    decoded frames. A PyAV/ffmpeg-backed callable with the same
+    ``(bytes, n) -> list[bytes]`` signature drops in for production."""
+    if not payload:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step:(i + 1) * step] for i in range(n_frames)][
+        : max(1, min(n_frames, len(payload)))
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Explode each media payload into ``(id, frame_idx, frame_payload,
+    frame_bytes)`` rows — the frame-sampling stage of a video pipeline.
+
+    Shape notes (the part that is REAL here, codec aside): column pruning
+    before the Python boundary, Arrow-batched ``mapInPandas`` with a
+    1-to-many yield (one input row → n frame rows, batch-local — no
+    driver involvement, no shuffle), and BinaryType frames that downstream
+    ``featurize_binary``/``with_media_meta`` consume unchanged. At 100 TB
+    the stage is embarrassingly parallel; output row count is bounded by
+    ``n_frames`` per input row."""
+    fn = extract_fn or stub_frame_extractor
+    pruned = df.select(F.col(id_col), F.col(payload))
+    schema = (
+        f"{id_col} long, frame_idx int, frame_payload binary, "
+        "frame_bytes long"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                for j, fr in enumerate(fn(bytes(b), n_frames)):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                    "frame_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return pruned.mapInPandas(_batches, schema=schema)

@@ -439,3 +439,36 @@ def test_quantile_rollup_rank_error(spark):
             lo = v[max(0, int((q - 0.01) * n) - 1)]
             hi = v[min(n - 1, int((q + 0.01) * n))]
             assert lo <= est <= hi, (r.event_type, q, est, lo, hi)
+
+
+def test_frame_sampling_plumbing(spark):
+    """Frame sampling: 1-to-many mapInPandas explode with deterministic
+    stub frames — stable across runs/partitionings, frames re-enter the
+    binary pipeline (featurize) unchanged."""
+    from pandas_td_spark.operators.multimodal import sample_frames
+
+    register_views(spark, SF)
+    d = spark.table("documents").limit(30).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    f1 = sample_frames(d, n_frames=4).toPandas().sort_values(
+        ["doc_id", "frame_idx"], ignore_index=True
+    )
+    f2 = sample_frames(d.repartition(7), n_frames=4).toPandas().sort_values(
+        ["doc_id", "frame_idx"], ignore_index=True
+    )
+    assert f1.equals(f2)  # partitioning-independent
+    assert set(f1.frame_idx) == {0, 1, 2, 3}
+    assert (f1.frame_bytes == f1.frame_payload.map(len)).all()
+    # frames feed the downstream binary featurizer unchanged
+    frames = sample_frames(d, n_frames=2).withColumnRenamed(
+        "frame_payload", "payload"
+    )
+    frames = frames.withColumn(
+        "frame_id", F.col("doc_id") * 10 + F.col("frame_idx")
+    )
+    feats = featurize_binary(
+        frames, payload="payload", id_col="frame_id", out_dim=8
+    )
+    assert feats.count() == 60
+    assert feats.select(F.size("feature")).distinct().first()[0] == 8
