@@ -785,3 +785,153 @@ def q104_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher quality-rule verdict (Rae et al. 2021, public thresholds,
+# restricted to rules applicable to the single-line fixture text): word
+# count in [50, 100k], mean word length in [3, 10], top {2,3,4}-gram mass
+# fractions <= {0.20, 0.18, 0.16}, duplicate 5-gram occurrence fraction
+# <= 0.15, >= 80% alphabetic words, >= 2 stopwords. One boolean per rule
+# plus the conjunction — the actual removal gate, where q85 reports raw
+# signals. Plan: the word array is computed once; each n-gram statistic is
+# explode → per-(doc, gram) partial agg → per-doc agg (map-side combine
+# collapses repeats before every shuffle); the five statistic branches
+# join back on doc_id, all one-row-per-doc.
+# ---------------------------------------------------------------------------
+_GOPHER_STOP = "('the','be','to','of','and','that','have','with')"
+
+
+def _topfrac_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS frac
+    FROM (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {n - 2}),
+                                     i -> {parts})) AS g
+        FROM t WHERE len(ws) >= {n}
+      ) GROUP BY 1, 2
+    ) GROUP BY 1
+    """
+
+
+@query(
+    "q108_gopher_verdict",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws)
+               AS mean_word_len,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS DOUBLE) / len(ws) AS alpha_word_frac,
+             CAST(len(list_filter(ws, w -> lower(w) IN {_GOPHER_STOP}))
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    ), tf2 AS ({_topfrac_sql(2)}), tf3 AS ({_topfrac_sql(3)}),
+       tf4 AS ({_topfrac_sql(4)}),
+    dup5 AS (
+      SELECT doc_id,
+             1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS frac
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM t WHERE len(ws) >= 5
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id,
+           b.n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           b.mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+           COALESCE(tf2.frac, 0) <= 0.20 AS ok_top_bigram,
+           COALESCE(tf3.frac, 0) <= 0.18 AS ok_top_trigram,
+           COALESCE(tf4.frac, 0) <= 0.16 AS ok_top_fourgram,
+           COALESCE(dup5.frac, 0) <= 0.15 AS ok_dup_fivegram,
+           b.alpha_word_frac >= 0.80 AS ok_alpha_words,
+           b.n_stopwords >= 2 AS ok_stopwords,
+           (b.n_words BETWEEN 50 AND 100000)
+             AND (b.mean_word_len BETWEEN 3 AND 10)
+             AND COALESCE(tf2.frac, 0) <= 0.20
+             AND COALESCE(tf3.frac, 0) <= 0.18
+             AND COALESCE(tf4.frac, 0) <= 0.16
+             AND COALESCE(dup5.frac, 0) <= 0.15
+             AND b.alpha_word_frac >= 0.80
+             AND b.n_stopwords >= 2 AS keep
+    FROM base b
+    LEFT JOIN tf2 USING (doc_id) LEFT JOIN tf3 USING (doc_id)
+    LEFT JOIN tf4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+    """,
+)
+def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule booleans + the conjunction keep flag."""
+    d = spark.table("documents")
+    w = _words()
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    base = d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        (
+            F.length(F.array_join(w, "")).cast("double") / F.size(w)
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+            / F.size(w)
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.filter(w, lambda x: F.lower(x).isin(stop))
+        ).cast("bigint").alias("n_stopwords"),
+    )
+
+    def topfrac(n: int, out: str):
+        return (
+            d.select("doc_id", F.explode(_ngrams(w, n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                    out
+                )
+            )
+        )
+
+    dup5 = (
+        d.select("doc_id", F.explode(_ngrams(w, 5)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.count_distinct("g").cast("double") / F.count("*")
+            ).alias("f5")
+        )
+    )
+    j = (
+        base.join(topfrac(2, "f2"), "doc_id", "left")
+        .join(topfrac(3, "f3"), "doc_id", "left")
+        .join(topfrac(4, "f4"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .fillna(0.0, subset=["f2", "f3", "f4", "f5"])
+    )
+    rules = {
+        "ok_word_count": F.col("n_words").between(50, 100000),
+        "ok_mean_word_len": F.col("mean_word_len").between(3, 10),
+        "ok_top_bigram": F.col("f2") <= 0.20,
+        "ok_top_trigram": F.col("f3") <= 0.18,
+        "ok_top_fourgram": F.col("f4") <= 0.16,
+        "ok_dup_fivegram": F.col("f5") <= 0.15,
+        "ok_alpha_words": F.col("alpha_word_frac") >= 0.80,
+        "ok_stopwords": F.col("n_stopwords") >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        "doc_id",
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
