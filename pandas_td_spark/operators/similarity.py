@@ -498,3 +498,80 @@ def lsh_topk(
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_clusters: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster embeddings with a
+    seeded k-means coarse quantizer, then search for near-duplicate pairs
+    ONLY within each cluster — the compare cost drops from O(n²) to
+    Σ_c O(n_c²), and each cluster's work is one independent task.
+
+    The recall trade is explicit and the paper's: a pair split across two
+    cells is missed (test_llm pins recall vs the exact q64 path on the
+    fixture). Precision is exact: candidates re-score with the
+    left-associative :func:`dot_chain` evaluation order at the exact
+    threshold, so every emitted pair is a true pair.
+
+    At 100 TB: the quantizer trains on a bounded hash-sample (same
+    machinery as IVF), assignment is one vectorized pass, and within-cell
+    comparisons shard across the cluster — raise ``n_clusters`` ∝ n to
+    bound per-cell quadratic work, exactly how the paper deployed it.
+    """
+    centers = _train_ivf_quantizer(
+        emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
+    )
+
+    @F.pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec), cell_of(F.col(vec)).alias("__cell")
+    )
+
+    def within_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        A = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec]]
+        )
+        nrm = np.sqrt((A * A).sum(1))
+        S = (A @ A.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # 1e-9 slack superset, exact re-filter below (q64 discipline)
+        m = S[iu, ju] >= threshold - 1e-9
+        a, b = ids[iu[m]], ids[ju[m]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": S[iu, ju][m]}
+        )
+
+    cand = assigned.groupBy("__cell").applyInPandas(
+        within_cell, schema="id_a long, id_b long, cosine double"
+    )
+    # exact re-score with the oracle-bit-identical chain
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("__va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("__vb")
+    )
+    nrm_a = F.sqrt(dot_chain("__va", "__va", dim))
+    nrm_b = F.sqrt(dot_chain("__vb", "__vb", dim))
+    cos = dot_chain("__va", "__vb", dim) / (nrm_a * nrm_b)
+    return (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -344,3 +344,30 @@ def q66_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings"), _QUERY_IDS, k=5, dim=_DIM,
         n_clusters=16, n_probe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — SemDeDup: cluster-then-compare semantic near-dup (rows-only: the
+# k-means cell structure has no SQL twin; precision is exact by re-score,
+# recall vs the exact q64 path is pinned in tests/test_llm.py)
+# ---------------------------------------------------------------------------
+@query(
+    "q109_semdedup_pairs",
+    oracle=None,
+    scale_note=(
+        "within-cluster quadratic only: raise n_clusters with corpus size "
+        "to bound per-cell work; exact-recall alternative is q64 "
+        "(globally quadratic)"
+    ),
+)
+def q109_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos >= 0.4, q64's threshold) found
+    within k-means cells only — the SemDeDup compare plan. The fixture's
+    planted near-dups sit at cos 0.4-0.6 (weaker than the paper's 0.95+
+    regime), so recall vs q64 is partial by design and pinned in
+    tests/test_llm.py; precision is exact."""
+    from pandas_td_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(
+        spark.table("embeddings"), threshold=0.4, n_clusters=8
+    ).orderBy("id_a", "id_b")

@@ -147,3 +147,28 @@ def test_shingle_fast_path_equals_positional_definition(spark):
             assert bad == 0
 
     check()
+
+
+def test_semdedup_precision_exact_and_recall_bounded(spark):
+    """SemDeDup: every emitted pair is a true exact-threshold pair
+    (precision 1.0 — candidates re-score with the exact chain), and
+    within-cell recall vs the globally-quadratic q64 path stays above the
+    pinned fixture bound (deterministic: seeded quantizer, fixed data)."""
+    from pandas_td_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        semdedup_pairs,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_threshold_pairs(emb, 0.4).collect()
+    }
+    sd = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(emb, 0.4, n_clusters=4).collect()
+    }
+    assert sd <= exact  # precision: no false pairs, ever
+    if exact:
+        assert len(sd & exact) / len(exact) >= 0.5
