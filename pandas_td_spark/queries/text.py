@@ -454,3 +454,82 @@ def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprints"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-overlap near-dup via shared winnowing fingerprints (the
+# scalable stand-in for suffix-array substring dedup, Lee et al. 2022 /
+# MOSS): two documents sharing >= 3 selected fingerprints share real
+# k-gram substrings with winnowing's positional guarantee. Plan: the q92
+# fingerprint set explodes to (fp, doc) postings; the self-join is on the
+# fingerprint key (uniform md5 space — no skew), group-counted, filtered.
+# Shuffle volume is O(postings); per-fingerprint posting lists are short
+# for natural text, so the join stays candidate-bounded — the same
+# inverted-index shape as q52, one level up (selected substrings instead
+# of all shingles).
+# ---------------------------------------------------------------------------
+@query(
+    "q110_substring_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(ws[i:i + {_WIN_K - 1}], ' ')), 1, 8)
+               AS h
+      FROM t, unnest(range(1, greatest(len(ws) - {_WIN_K - 2}, 2))) AS u(i)
+    ), wmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS fp
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wmin
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q110_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 3 winnowing fingerprints, with the
+    shared-fingerprint count."""
+    from pyspark.sql import Window as W
+
+    d = spark.table("documents")
+    ws = _words()
+    grams = F.when(
+        F.size(ws) >= _WIN_K,
+        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
+    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
+    g = d.select(
+        "doc_id", ws.alias("__ws"), F.explode(grams).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)), " "
+                )
+            ),
+            1,
+            8,
+        ).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fps = (
+        g.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
