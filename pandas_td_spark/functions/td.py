@@ -368,6 +368,54 @@ _SQL_FUNCTIONS = [
     RETURNS BIGINT
     RETURN coalesce(td_scheduled_time_epoch, unix_timestamp(now()))
     """,
+    # TD_URL_DECODE: percent-decoding (reference: TD UDF of the same name,
+    # public docs; Spark 3.4+ url_decode is the exact semantics).
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION td_url_decode(s STRING)
+    RETURNS STRING
+    RETURN url_decode(s)
+    """,
+    # TD_PARSE_AGENT(ua)['category'/'name'/'os']: user-agent classification
+    # (reference: TD_PARSE_AGENT UDF, public docs — full impl wraps the
+    # woothee ruleset; this is the regex core for the major families,
+    # analyzer-inlined so it stays JVM-side). Order matters: Edge/OPR ship
+    # a Chrome token, bots ship anything.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION td_parse_agent(ua STRING)
+    RETURNS MAP<STRING, STRING>
+    RETURN map(
+      'category',
+      CASE
+        WHEN ua IS NULL THEN 'unknown'
+        WHEN ua RLIKE '(?i)(bot|crawler|spider|slurp|curl|wget|python-requests)'
+          THEN 'crawler'
+        WHEN ua RLIKE '(?i)(mobile|android|iphone|ipad)' THEN 'smartphone'
+        ELSE 'pc'
+      END,
+      'name',
+      CASE
+        WHEN ua IS NULL THEN 'unknown'
+        WHEN ua RLIKE '(?i)(bot|crawler|spider|slurp|curl|wget|python-requests)'
+          THEN 'bot'
+        WHEN ua LIKE '%Edg%' THEN 'Edge'
+        WHEN ua LIKE '%OPR%' OR ua LIKE '%Opera%' THEN 'Opera'
+        WHEN ua LIKE '%Firefox%' THEN 'Firefox'
+        WHEN ua LIKE '%Chrome%' THEN 'Chrome'
+        WHEN ua LIKE '%Safari%' THEN 'Safari'
+        ELSE 'unknown'
+      END,
+      'os',
+      CASE
+        WHEN ua IS NULL THEN 'unknown'
+        WHEN ua RLIKE '(?i)android' THEN 'Android'
+        WHEN ua RLIKE '(?i)(iphone|ipad|ios)' THEN 'iOS'
+        WHEN ua LIKE '%Windows%' THEN 'Windows'
+        WHEN ua RLIKE '(?i)mac os x' THEN 'macOS'
+        WHEN ua RLIKE '(?i)linux' THEN 'Linux'
+        ELSE 'unknown'
+      END
+    )
+    """,
 ]
 
 

@@ -229,3 +229,30 @@ def test_td_scheduled_time_pin_unpin(spark):
     now = int(_t.time())
     got = spark.sql("SELECT td_scheduled_time() AS t").first().t
     assert abs(got - now) < 120
+
+
+def test_td_url_decode_and_parse_agent(spark):
+    from pandas_td_spark.functions.td import register_td_functions
+
+    register_td_functions(spark)
+    row = spark.sql("""
+        SELECT td_url_decode('a%20b%2Fc%3Dd') AS dec,
+               td_parse_agent('Mozilla/5.0 (Windows NT 10.0; Win64; x64) '
+                 || 'AppleWebKit/537.36 (KHTML, like Gecko) '
+                 || 'Chrome/120.0.0.0 Safari/537.36') AS chrome,
+               td_parse_agent('Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like '
+                 || 'Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) '
+                 || 'Version/17.0 Mobile/15E148 Safari/604.1') AS iphone,
+               td_parse_agent('Googlebot/2.1 (+http://www.google.com/bot.html)')
+                 AS bot,
+               td_parse_agent(NULL) AS nothing
+    """).first()
+    assert row.dec == "a b/c=d"
+    assert (row.chrome["category"], row.chrome["name"], row.chrome["os"]) == (
+        "pc", "Chrome", "Windows"
+    )
+    assert (row.iphone["category"], row.iphone["name"], row.iphone["os"]) == (
+        "smartphone", "Safari", "iOS"
+    )
+    assert row.bot["category"] == "crawler" and row.bot["name"] == "bot"
+    assert row.nothing["category"] == "unknown"
