@@ -93,6 +93,13 @@ def load_ipython_extension(ipython) -> None:  # pragma: no cover — notebook
             if args.connection:
                 # reference magics' ``-c var``: use a Connection object from
                 # the user namespace (isolated warehouse/session)
+                if args.connection not in self.shell.user_ns:
+                    from IPython.core.error import UsageError
+
+                    raise UsageError(
+                        f"-c: name {args.connection!r} is not defined in "
+                        "the notebook namespace"
+                    )
                 con = self.shell.user_ns[args.connection]
             if args.engine_url:
                 engine = td.create_engine(args.engine_url, con=con)

@@ -123,7 +123,7 @@ def merge_quantile_rollup(
     )
     cols = [
         F.expr(f"kll_sketch_get_quantile_double(qsketch, {q}d)").alias(
-            f"p{int(q * 100)}"
+            f"p{round(q * 100)}"
         )
         for q in quantiles
     ]

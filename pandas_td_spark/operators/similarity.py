@@ -288,6 +288,21 @@ def bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
     return _buckets
 
 
+def _cell_assigner(centers):
+    """Pandas UDF assigning each vector to its nearest centroid. Shared by
+    IVF and SemDeDup so the assignment rule (argmin of ||x||^2-2x.c —
+    the ||c||^2 term is constant per candidate set and drops out of the
+    argmin) can never silently diverge between the two."""
+
+    @F.pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return cell_of
+
+
 def _train_ivf_quantizer(
     emb: DataFrame,
     id_col: str,
@@ -361,11 +376,7 @@ def ivf_topk(
         emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
     )
 
-    @F.pandas_udf("int")
-    def cell_of(col: pd.Series) -> pd.Series:
-        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
-        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
-        return pd.Series(d.argmin(1).astype(np.int32))
+    cell_of = _cell_assigner(centers)
 
     # assigned feeds the probe-list, the query-vector fetch, and the
     # candidate join; cache the one assignment pass instead of re-running
@@ -529,11 +540,7 @@ def semdedup_pairs(
         emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
     )
 
-    @F.pandas_udf("int")
-    def cell_of(col: pd.Series) -> pd.Series:
-        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
-        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
-        return pd.Series(d.argmin(1).astype(np.int32))
+    cell_of = _cell_assigner(centers)
 
     assigned = emb.select(
         F.col(id_col), F.col(vec), cell_of(F.col(vec)).alias("__cell")

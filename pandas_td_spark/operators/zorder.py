@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered"]
+__all__ = ["with_zorder_key", "zorder_key", "write_zordered"]
 
 
 def _bucket_rank(col: str, boundaries: list[float]) -> Column:
@@ -48,32 +48,53 @@ def _bucket_rank(col: str, boundaries: list[float]) -> Column:
     return F.least(rank, F.lit(n - 1))
 
 
-def zorder_key(
-    df: DataFrame, cols: Sequence[str], bits_per_col: int = 12
-) -> Column:
-    """Morton interleave of quantile-rank bits of ``cols`` (2-3 columns
-    recommended; locality dilutes with dimensionality)."""
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 12,
+    out_col: str = "__z",
+) -> DataFrame:
+    """Append the Morton key of quantile-rank bits of ``cols`` (2-4
+    columns; locality dilutes with dimensionality).
+
+    All column quantiles come from ONE ``approxQuantile`` pass (the
+    multi-column overload), and each column's rank — an O(n_buckets)
+    aggregate fold — is materialized once in a temp column before the bit
+    interleave references it ``bits_per_col`` times (no reliance on
+    codegen CSE to dedupe the fold)."""
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder wants 2-4 columns")
     n_buckets = 1 << bits_per_col
     quantiles = [i / n_buckets for i in range(1, n_buckets)]
-    ranks = []
-    for c in cols:
-        cuts = df.stat.approxQuantile(c, quantiles, 0.001)
+    all_cuts = df.stat.approxQuantile(list(cols), quantiles, 0.001)
+    rank_cols = []
+    for j, (c, cuts) in enumerate(zip(cols, all_cuts)):
         # dedupe (heavy ties collapse cut points; rank range just shrinks)
-        cuts = sorted(set(cuts))
-        ranks.append(_bucket_rank(c, cuts))
+        rc = f"{out_col}_r{j}"
+        df = df.withColumn(rc, _bucket_rank(c, sorted(set(cuts))))
+        rank_cols.append(rc)
     d = len(cols)
     z = F.lit(0).cast("bigint")
     for bit in range(bits_per_col):
-        for j, r in enumerate(ranks):
+        for j, rc in enumerate(rank_cols):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(r.cast("bigint"), bit).bitwiseAND(F.lit(1)),
+                    F.shiftright(F.col(rc).cast("bigint"), bit).bitwiseAND(
+                        F.lit(1)
+                    ),
                     bit * d + j,
                 )
             )
-    return z
+    return df.withColumn(out_col, z).drop(*rank_cols)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits_per_col: int = 12
+) -> Column:
+    """Column form of :func:`with_zorder_key` (computes ranks inline —
+    prefer the DataFrame form, which materializes each rank once)."""
+    keyed = with_zorder_key(df, cols, bits_per_col=bits_per_col)
+    return keyed["__z"]
 
 
 def write_zordered(
@@ -86,9 +107,8 @@ def write_zordered(
 ) -> None:
     """Write ``df`` as ``num_files`` Morton-clustered parquet files;
     predicates on ANY of ``cols`` prune via row-group statistics."""
-    z = zorder_key(df, cols, bits_per_col=bits_per_col)
     (
-        df.withColumn("__z", z)
+        with_zorder_key(df, cols, bits_per_col=bits_per_col)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -684,8 +684,8 @@ _PACK_C = 256  # tokens per packed context window
 )
 def q103_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-span assignment for concatenate-then-chunk packing
-    (C={_PACK_C}): per-source running token offsets and the
-    first/last chunk index each document occupies."""
+    (C=256 tokens, ``_PACK_C``): per-source running token offsets and
+    the first/last chunk index each document occupies."""
     d = spark.table("documents")
     tok = d.select(
         "doc_id",

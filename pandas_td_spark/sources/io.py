@@ -452,8 +452,28 @@ def merge_upsert(
     Plan shape at scale: one left-anti join (target minus touched keys)
     unioned with the surviving updates — the anti join shuffles on the
     merge keys, the same cost class as any keyed join; nothing driver-side.
-    A first merge against a non-existent path is just an insert."""
+    A first merge against a non-existent path is just an insert.
+
+    ``updates`` must be unique on ``keys`` — like SQL MERGE's
+    multiple-match error. Two CDC rows for one key in a batch would
+    otherwise both insert (silent duplication); the check is one cheap
+    aggregation on the (small) update side. Pre-collapse with keep-last
+    (e.g. a max_by over a version column) before calling when duplicates
+    are expected."""
     keys = list(keys)
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        dup_key = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"updates are not unique on {keys}: e.g. {dup_key} appears "
+            "multiple times; collapse to one row per key first"
+        )
     survivors = updates
     if delete_col is not None:
         survivors = updates.where(

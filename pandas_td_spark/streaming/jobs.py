@@ -106,22 +106,26 @@ def distinct_user_rollup(
     mergeable HLL sketch aggregate — the STREAMING half of the
     operators/rollup.py hypertable pattern. State per (window, key) is one
     KB-scale sketch regardless of user cardinality (an exact
-    countDistinct would hold the full user set in state); closed windows
-    can land in a sketch table that ``merge_rollup`` re-aggregates to any
-    coarser granularity without touching raw events."""
+    countDistinct would hold the full user set in state). The output
+    carries BOTH the read-off estimate and the raw sketch binary under
+    the rollup-table contract (``bucket_start``/``sketch``/``n_rows``),
+    so closed windows land directly in a table that
+    ``operators.rollup.merge_rollup`` re-aggregates to any coarser
+    granularity without touching raw events."""
+    sk = F.hll_sketch_agg("user_id")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
-            .alias("n_distinct_users"),
-            F.count("*").alias("n"),
+            sk.alias("sketch"),
+            F.count("*").alias("n_rows"),
         )
         .select(
-            F.col("window.start").alias("win_start"),
+            F.col("window.start").alias("bucket_start"),
             "event_type",
-            "n_distinct_users",
-            "n",
+            F.hll_sketch_estimate("sketch").alias("n_distinct_users"),
+            "sketch",
+            "n_rows",
         )
     )
 

@@ -270,6 +270,18 @@ def test_merge_upsert_semantics_and_atomicity(spark, tmp_path):
     prev = {r.id for r in read_snapshot(spark, path, 1).collect()}
     assert prev == {1, 2, 3}
 
+    # duplicate keys in one update batch are rejected (MERGE semantics),
+    # not silently double-inserted
+    with pytest.raises(ValueError, match="not unique"):
+        merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [(7, "x", 1.0), (7, "y", 2.0)], "id long, name string, v double"
+            ),
+            path,
+            keys=["id"],
+        )
+
     # crash mid-merge: writer dies before the manifest flip → committed
     # snapshot unchanged
     import os

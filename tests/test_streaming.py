@@ -518,19 +518,22 @@ def test_tws_processor_logic_with_stub_state(spark):
 
 
 def test_distinct_user_rollup_matches_batch(spark, staged):
-    """Streaming HLL rollup == running the same sketch aggregate in batch
-    (sketches are deterministic), and within 2% of exact distinct counts."""
+    """Streaming HLL rollup estimates == the batch twin's, within 2% of
+    exact distinct counts, and the emitted sketch column composes with
+    operators.rollup.merge_rollup (the hypertable contract)."""
+    from pandas_td_spark.operators.rollup import merge_rollup
     from pandas_td_spark.streaming.jobs import distinct_user_rollup
 
     stream = events_stream(spark, staged, max_files_per_trigger=1)
-    got = run_to_memory(
+    stream_out = run_to_memory(
         distinct_user_rollup(stream, window="1 day", watermark="60 days"),
         _name(),
         spark,
-    ).toPandas()
+    )
+    got = stream_out.drop("sketch").toPandas()
     batch = spark.read.parquet(staged)
-    want = distinct_user_rollup(batch, window="1 day").toPandas()
-    key = ["win_start", "event_type"]
+    want = distinct_user_rollup(batch, window="1 day").drop("sketch").toPandas()
+    key = ["bucket_start", "event_type"]
     got = got.sort_values(key, ignore_index=True)
     want = want.sort_values(key, ignore_index=True)
     assert got.equals(want[got.columns])
@@ -539,10 +542,26 @@ def test_distinct_user_rollup_matches_batch(spark, staged):
         batch.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.countDistinct("user_id").alias("exact"))
         .select(
-            F.col("window.start").alias("win_start"), "event_type", "exact"
+            F.col("window.start").alias("bucket_start"), "event_type", "exact"
         )
         .toPandas()
         .sort_values(key, ignore_index=True)
     )
     rel = (got.n_distinct_users - exact.exact).abs() / exact.exact
     assert (rel <= 0.02).all()
+
+    # composition: the streamed daily sketch rows re-merge to all-time
+    # per-key estimates equal to sketching the raw table directly
+    merged = {
+        r.event_type: r.n_distinct_est
+        for r in merge_rollup(stream_out, keys=["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("n")
+        )
+        .collect()
+    }
+    assert merged == direct

@@ -15,7 +15,7 @@ if not os.path.isdir(BIG):
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
-        if t in ("lineitem", "orders", "events"):
+        if t in ("lineitem", "orders", "events", "documents"):
             # replicate 10x with key-space shifts that preserve join
             # relationships (orderkey shifted consistently in both tables)
             copies = []
@@ -27,6 +27,10 @@ if not os.path.isdir(BIG):
                     c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
                 elif t == "events":
                     c = c.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+                elif t == "documents":
+                    # shift doc_id; texts repeat, which is fine for timing
+                    # scan/hash/group work (group count stays 1x, rows 10x)
+                    c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
