@@ -49,6 +49,8 @@ __all__ = [
     "td_interval",
     "td_sessionize_expr",
     "smart_digest",
+    "td_first",
+    "td_last",
     "to_epoch_seconds",
     "register_td_functions",
 ]
@@ -306,6 +308,24 @@ def td_sessionize_expr(
 def smart_digest(col: Union[str, Column]) -> Column:
     c = _col(col)
     return F.lower(F.substring(F.hex(F.xxhash64(c)), 1, 12))
+
+
+# --------------------------------------------------------------------------
+# TD_FIRST / TD_LAST — value of one column at the min/max of another
+# (reference: TD UDAFs TD_FIRST(col, cmp) / TD_LAST(col, cmp), public TD
+# docs; SURVEY §2.8). Spark's min_by/max_by are the exact semantics and
+# stay JVM-side with map-side partial aggregation. Ties on ``cmp`` are
+# nondeterministic in both TD and Spark; pass a composite key (e.g.
+# time * K + id) when determinism matters.
+# --------------------------------------------------------------------------
+def td_first(value: Union[str, Column], cmp: Union[str, Column]) -> Column:
+    """Aggregate: ``value`` at the smallest ``cmp`` in the group."""
+    return F.min_by(_col(value), _col(cmp))
+
+
+def td_last(value: Union[str, Column], cmp: Union[str, Column]) -> Column:
+    """Aggregate: ``value`` at the largest ``cmp`` in the group."""
+    return F.max_by(_col(value), _col(cmp))
 
 
 # --------------------------------------------------------------------------

@@ -469,3 +469,72 @@ def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IP-to-country enrichment — TD_IP_TO_COUNTRY as a prefix-bucketed range
+# lookup (operators/lookup.py; reference: TD_IP_TO_COUNTRY UDF, public TD
+# docs). The GeoIP data is proprietary, so the ranges dim is a synthetic
+# 7-range partition of IPv4 space with a deliberate hole (the NULL/unknown
+# contract); IPs derive from user_id by Knuth multiplicative hash, built as
+# dotted-quad STRINGS so the Spark path exercises ip_to_int parsing. The
+# oracle does the same arithmetic and a plain range join — DuckDB is fine
+# with that at fixture scale; the Spark plan is the one that must avoid
+# BNLJ (it hash-joins on the /8 bucket: see test_plans).
+# ---------------------------------------------------------------------------
+_IP_RANGES = [
+    (0, 0x20FFFFFF, "US"),
+    (0x21000000, 0x3FFFFFFF, "JP"),
+    (0x40000000, 0x5ABCDEFF, "DE"),
+    (0x5ABCDF00, 0x7FFFFFFF, "FR"),
+    (0x80000000, 0x9FFFFFFF, "BR"),
+    (0xA0000000, 0xC0FFFFFF, "IN"),
+    # hole: 0xC1000000-0xDEADBEEF maps to no country (NULL)
+    (0xDEADBEF0, 0xFFFFFFFF, "AU"),
+]
+_IP_RANGES_SQL = ", ".join(f"({lo}, {hi}, '{c}')" for lo, hi, c in _IP_RANGES)
+
+
+@query(
+    "q112_ip_to_country",
+    oracle=f"""
+    WITH ranges(lo, hi, country) AS (VALUES {_IP_RANGES_SQL}),
+    fact AS (
+      SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip_int
+      FROM events
+    )
+    SELECT r.country,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM fact f LEFT JOIN ranges r ON f.ip_int BETWEEN r.lo AND r.hi
+    GROUP BY r.country
+    """,
+)
+def q112_ip_to_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style enrichment: dotted-quad parse + broadcast-hash range
+    lookup on the /8 prefix, grouped into per-country event/user counts."""
+    from pandas_td_spark.operators.lookup import ip_to_int, range_lookup
+
+    e = spark.table("events")
+    ip = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296))
+    facts = e.select(
+        "user_id",
+        F.concat_ws(
+            ".",
+            F.shiftright(ip, 24).bitwiseAND(255),
+            F.shiftright(ip, 16).bitwiseAND(255),
+            F.shiftright(ip, 8).bitwiseAND(255),
+            ip.bitwiseAND(255),
+        ).alias("ip_str"),
+    ).withColumn("ip_int", ip_to_int("ip_str"))
+    ranges = spark.createDataFrame(
+        _IP_RANGES, "lo bigint, hi bigint, country string"
+    )
+    hit = range_lookup(
+        facts, "ip_int", ranges, lo_col="lo", hi_col="hi",
+        payload=("country",), shift=24,
+    )
+    return hit.groupBy("country").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

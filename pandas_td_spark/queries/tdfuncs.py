@@ -297,3 +297,115 @@ def q75_td_scheduled_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TD_FIRST / TD_LAST — first/last-touch attribution, the canonical use of
+# these UDAFs (reference: TD_FIRST/TD_LAST, public TD docs; SURVEY §2.8).
+# min_by/max_by keep the whole aggregate JVM-side with map-side partials —
+# one shuffle on user_id, payload is one (value, key) pair per group, not
+# the event list. The comparator is a composite epoch*10^7 + event_id so
+# ties are impossible and both engines pick identical rows (min_by ties are
+# nondeterministic in both engines otherwise).
+# ---------------------------------------------------------------------------
+@query(
+    "q111_first_last_touch",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 10000000
+                               + event_id) AS first_touch,
+           arg_max(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 10000000
+                               + event_id) AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q111_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user via TD_FIRST/TD_LAST (min_by/max_by
+    over a tie-free composite time key)."""
+    from pandas_td_spark.functions.td import td_first, td_last
+
+    e = spark.table("events")
+    key = (
+        F.unix_timestamp("ts").cast("bigint") * F.lit(10000000)
+        + F.col("event_id")
+    )
+    return e.groupBy("user_id").agg(
+        td_first(F.col("event_type"), key).alias("first_touch"),
+        td_last(F.col("event_type"), key).alias("last_touch"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TD_CURRENCY_CONV — daily-rate FX conversion as a broadcast equi-join on
+# (currency, day) (reference: TD_CURRENCY_CONV(time, currency, amount),
+# public TD docs; SURVEY §2.8). The rates dim is synthesized
+# deterministically in BOTH engines (4 currencies x each event day, rate =
+# 1 + currency_idx*0.25 + (day % 7)*0.01 — exact in binary? no: 0.25 is,
+# 0.01 isn't, so the rate is rounded to 6dp via the decimal cast and the
+# product is summed with the dsum discipline). At 100 TB the rates side is
+# a few thousand rows x currencies — always a broadcast; the fact side
+# never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q113_currency_conv",
+    oracle="""
+    WITH fx AS (
+      SELECT d.day AS rate_day, c.cur AS currency,
+             CAST(1.0 + c.idx * 0.25 + (d.day % 7) * 0.01
+                  AS DECIMAL(18,6)) AS rate
+      FROM (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events) d
+      CROSS JOIN (VALUES ('USD', 0), ('EUR', 1), ('JPY', 2), ('GBP', 3))
+           AS c(cur, idx)
+    ), fact AS (
+      SELECT ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CASE user_id % 4 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                              WHEN 2 THEN 'JPY' ELSE 'GBP' END AS currency
+      FROM events
+    )
+    SELECT f.currency,
+           CAST(SUM(CAST(f.value * CAST(fx.rate AS DOUBLE)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_usd,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM fact f JOIN fx ON f.day = fx.rate_day AND f.currency = fx.currency
+    GROUP BY f.currency
+    """,
+)
+def q113_currency_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FX-convert event values with a deterministic synthetic daily-rates
+    dim via operators.lookup.rate_convert, then sum per currency."""
+    from pandas_td_spark.operators.lookup import rate_convert
+
+    e = spark.table("events").select(
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("time"),
+        F.element_at(
+            F.array(F.lit("USD"), F.lit("EUR"), F.lit("JPY"), F.lit("GBP")),
+            (F.col("user_id") % 4 + 1).cast("int"),
+        ).alias("currency"),
+    )
+    days = e.select(
+        (F.col("time") / 86400).cast("bigint").alias("day")
+    ).distinct()
+    curs = spark.createDataFrame(
+        [("USD", 0), ("EUR", 1), ("JPY", 2), ("GBP", 3)], "cur string, idx int"
+    )
+    rates = days.crossJoin(F.broadcast(curs)).select(
+        (F.col("day") * 86400).alias("rate_day"),
+        F.col("cur").alias("currency"),
+        (
+            F.lit(1.0) + F.col("idx") * F.lit(0.25)
+            + (F.col("day") % 7) * F.lit(0.01)
+        ).cast("decimal(18,6)").cast("double").alias("rate"),
+    )
+    converted = rate_convert(
+        e, rates, time_col="time", currency_col="currency",
+        amount_col="value", out_col="amount_usd",
+    )
+    return converted.groupBy("currency").agg(
+        dsum("amount_usd").alias("sum_usd"),
+        F.count("*").alias("n"),
+    )

@@ -356,3 +356,64 @@ def q68_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearby_total"),
         F.count("*").over(w).alias("nearby_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection — per-user trailing-window mean/std
+# (ROWS 20 PRECEDING..1 PRECEDING so the current row never contaminates its
+# own baseline), flag |z| > 2. One window shuffle on user_id; moments come
+# from decimal-exact sum/sumsq so both engines compute bit-identical
+# doubles (the _util.py discipline applied to variance). The composite
+# epoch*10^7+event_id order key makes frames tie-free.
+# ---------------------------------------------------------------------------
+@query(
+    "q114_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER fr AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER fr AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER fr
+                  AS DOUBLE) AS s2
+      FROM events
+      WINDOW fr AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           round((value - s / n)
+                 / sqrt((s2 - s * s / n) / (n - 1)), 6) AS z
+    FROM w
+    WHERE n >= 5 AND (s2 - s * s / n) / (n - 1) > 0
+      AND abs((value - s / n)
+              / sqrt((s2 - s * s / n) / (n - 1))) > 2
+    """,
+)
+def q114_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score outliers per user: decimal-exact moments,
+    baseline excludes the current row, |z| > 2."""
+    e = spark.table("events")
+    key = (
+        F.unix_timestamp("ts").cast("bigint") * F.lit(10000000)
+        + F.col("event_id")
+    )
+    fr = (
+        W.partitionBy("user_id").orderBy(key).rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    w = e.select(
+        "user_id", "event_id", "value",
+        F.count("value").over(fr).alias("n"),
+        F.sum(v.cast("decimal(28,6)")).over(fr).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(28,6)")).over(fr).cast("double")
+        .alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (v - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        w.where((F.col("n") >= 5) & (var > 0) & (F.abs(z) > 2))
+        .select("user_id", "event_id", "value", F.round(z, 6).alias("z"))
+    )

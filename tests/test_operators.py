@@ -489,3 +489,69 @@ def test_resize_binary_contract(spark):
     assert r.sort_values("doc_id", ignore_index=True).equals(
         r2.sort_values("doc_id", ignore_index=True)
     )
+
+
+def test_range_lookup_contracts(spark):
+    """Prefix-bucketed range lookup: exact hit/miss semantics, cardinality
+    preservation, malformed-IP NULLs, and bucket-spanning ranges."""
+    from pandas_td_spark.operators.lookup import ip_to_int, range_lookup
+
+    rows = spark.createDataFrame(
+        [
+            (1, "0.0.0.1"),        # first range, lo edge
+            (2, "15.255.255.255"), # inside A
+            (3, "16.0.0.0"),       # B's lo edge (spans many /8 buckets)
+            (4, "200.1.2.3"),      # hole -> NULL
+            (5, "255.255.255.255"),# C's hi edge
+            (6, "999.1.2.3"),      # malformed -> NULL ip -> NULL country
+            (7, "1.2.3"),          # malformed (3 octets)
+        ],
+        "id bigint, ip string",
+    ).withColumn("ip_int", ip_to_int("ip"))
+    ranges = spark.createDataFrame(
+        [
+            (1, 0x0FFFFFFF, "A"),
+            (0x10000000, 0x7FFFFFFF, "B"),
+            # hole 0x80000000-0xCFFFFFFF
+            (0xD0000000, 0xFFFFFFFF, "C"),
+        ],
+        "lo bigint, hi bigint, country string",
+    )
+    out = range_lookup(
+        rows, "ip_int", ranges, payload=("country",), shift=24
+    ).toPandas().set_index("id")
+    assert out.loc[1].country == "A"
+    assert out.loc[2].country == "A"
+    assert out.loc[3].country == "B"
+    assert pd.isna(out.loc[4].country)
+    assert out.loc[5].country == "C"
+    assert pd.isna(out.loc[6].country) and pd.isna(out.loc[6].ip_int)
+    assert pd.isna(out.loc[7].country) and pd.isna(out.loc[7].ip_int)
+    assert len(out) == 7  # left join preserves fact cardinality
+
+
+def test_rate_convert_matches_manual_join(spark):
+    from pandas_td_spark.operators.lookup import rate_convert
+
+    facts = spark.createDataFrame(
+        [
+            (1, 86400 * 10 + 5, "EUR", 100.0),
+            (2, 86400 * 10 + 99999 % 86400, "USD", 50.0),
+            (3, 86400 * 11, "EUR", 10.0),
+            (4, 86400 * 10, "CHF", 10.0),  # unlisted currency -> NULL
+        ],
+        "id bigint, time bigint, currency string, amount double",
+    )
+    rates = spark.createDataFrame(
+        [
+            (86400 * 10, "EUR", 1.1),
+            (86400 * 10, "USD", 1.0),
+            (86400 * 11, "EUR", 1.2),
+        ],
+        "rate_day bigint, currency string, rate double",
+    )
+    out = rate_convert(facts, rates).toPandas().set_index("id")
+    assert out.loc[1].amount_usd == 100.0 * 1.1
+    assert out.loc[2].amount_usd == 50.0
+    assert out.loc[3].amount_usd == 10.0 * 1.2
+    assert pd.isna(out.loc[4].amount_usd)

@@ -330,3 +330,16 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     assert back.count() == 200_000
     assert back.where((F.col("x") >= 4000) & (F.col("x") <= 4500)).count() == \
         df.where((F.col("x") >= 4000) & (F.col("x") <= 4500)).count()
+
+
+def test_range_lookup_is_broadcast_hash_not_nested_loop(spark):
+    """q112 (TD_IP_TO_COUNTRY): the ranges dim must reach the fact side as
+    a broadcast HASH join on the /8 bucket — a BroadcastNestedLoopJoin here
+    multiplies the 100 TB scan by the GeoIP table size (~400k ranges)."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    q = spark_queries()["q112_ip_to_country"]
+    plan = physical_plan(q(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
