@@ -29,7 +29,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_most_frequent"]
+__all__ = [
+    "approx_most_frequent",
+    "count_min_build",
+    "count_min_estimate",
+    "count_min_merge",
+]
 
 
 def approx_most_frequent(
@@ -75,4 +80,88 @@ def approx_most_frequent(
     )
     return (
         merged.orderBy(F.desc(out_count), F.asc(out_value)).limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the OTHER classical
+# frequency synopsis (reference: Presto/TD expose SpaceSaving via
+# approx_most_frequent; CMS is its mergeable point-query dual, SURVEY.md
+# §2.10 sketch family). Estimates are exact-or-OVER (never under), with
+# err <= e/width * N at confidence 1 - (1/2)^depth.
+#
+# Spark-first formulation: the sketch is a LONG-FORM DataFrame of
+# (pos, count) — one row per touched counter — built with nothing but
+# explode + groupBy. No Python in the loop: positions come from d
+# independent xxhash64(value, seed=i) % width expressions (JVM, codegen).
+# The synopsis bound is enforced by Catalyst itself: partial (map-side)
+# aggregation collapses each partition to <= depth*width rows before the
+# shuffle, so the exchange carries O(partitions * depth * width) rows no
+# matter how many input rows — the same bounded-shuffle property a hand-
+# rolled accumulator would give, with whole-stage codegen for free.
+# Merging sketches (daily rollup -> monthly) is union + groupBy-sum, an
+# associative/commutative merge like operators/rollup.py's HLL pattern.
+# ---------------------------------------------------------------------------
+def _cms_positions(c: Column, depth: int, width: int) -> Column:
+    """Array of `depth` flat counter positions (row i's slot offset by
+    i*width), from independent seeded xxhash64 draws."""
+    return F.array(
+        *[
+            (F.pmod(F.xxhash64(c, F.lit(i)), F.lit(width)) + i * width).cast(
+                "int"
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    col: str | Column,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """Count-Min sketch of ``col`` frequencies as (pos INT, count BIGINT).
+
+    NULLs are skipped (SQL aggregate convention). The result has at most
+    ``depth * width`` rows and merges with other sketches of the same
+    (depth, width) via :func:`count_min_merge`."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(_cms_positions(c, depth, width)).alias("pos"))
+        .groupBy("pos")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): element-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("pos").agg(F.sum("count").alias("count"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str | Column,
+    depth: int = 5,
+    width: int = 8192,
+    out_count: str = "est_count",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``values``: the estimate is
+    the MIN over the ``depth`` counters the value hashes to (an untouched
+    counter reads 0). ``values`` keeps all its columns; one broadcast hash
+    join on pos — the sketch is at most depth*width rows by construction,
+    always broadcastable."""
+    c = F.col(col) if isinstance(col, str) else col
+    probed = values.withColumn(
+        "__pos", F.explode(_cms_positions(c.cast("string"), depth, width))
+    ).join(F.broadcast(sketch), F.col("__pos") == sketch["pos"], "left")
+    return (
+        probed.groupBy(*[values[x] for x in values.columns])
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias(out_count))
     )

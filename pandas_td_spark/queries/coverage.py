@@ -583,3 +583,34 @@ def q107_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99",
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point queries — the mergeable frequency synopsis
+# (operators/frequent.py; Cormode & Muthukrishnan 2005). CMS only ever
+# OVERcounts, and an overcount requires a value to collide with heavier
+# traffic in ALL `depth` rows; with 5 distinct event types in an
+# 8192-slot row that cannot happen, so the estimates are deterministically
+# exact here and a plain GROUP BY is a faithful oracle (same certification
+# pattern as q102's SpaceSaving). The accuracy/merge properties at high
+# cardinality are pinned by tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q115_cms_event_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q115_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Count-Min sketch over event_type, then point-query every
+    distinct type — shuffle bounded at depth*width rows per partition."""
+    from pandas_td_spark.operators.frequent import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    e = spark.table("events")
+    sk = count_min_build(e, "event_type", depth=5, width=8192)
+    vals = e.select("event_type").distinct()
+    return count_min_estimate(sk, vals, "event_type", depth=5, width=8192)

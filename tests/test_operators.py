@@ -555,3 +555,45 @@ def test_rate_convert_matches_manual_join(spark):
     assert out.loc[2].amount_usd == 50.0
     assert out.loc[3].amount_usd == 10.0 * 1.2
     assert pd.isna(out.loc[4].amount_usd)
+
+
+def test_count_min_sketch_bounds_and_merge(spark):
+    """CMS contract: never underestimates; overestimate bounded by
+    2N/width at >=1-2^-depth confidence (checked deterministically well
+    inside the bound); merging half-sketches == whole-data sketch."""
+    from pandas_td_spark.operators.frequent import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    register_views(spark, SF)
+    e = spark.table("events")
+    depth, width = 4, 512  # deliberately narrow -> real collisions
+    sk = count_min_build(e, "user_id", depth=depth, width=width)
+    # sketch is bounded regardless of input size
+    assert sk.count() <= depth * width
+    vals = e.select("user_id").distinct()
+    est = count_min_estimate(sk, vals, "user_id", depth=depth, width=width)
+    exact = e.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    j = est.join(exact, "user_id").toPandas()
+    n = e.count()
+    assert (j.est_count >= j.true_n).all()  # one-sided error
+    assert (j.est_count - j.true_n).max() <= 2 * n / width
+    # mergeability: two half sketches merge to the whole-data answer
+    h1 = count_min_build(
+        e.where(F.col("event_id") % 2 == 0), "user_id", depth, width
+    )
+    h2 = count_min_build(
+        e.where(F.col("event_id") % 2 == 1), "user_id", depth, width
+    )
+    m = count_min_merge(h1, h2)
+    est_m = count_min_estimate(
+        m, vals, "user_id", depth=depth, width=width
+    ).withColumnRenamed("est_count", "est_merged")
+    assert (
+        est.join(est_m, "user_id")
+        .where(F.col("est_count") != F.col("est_merged"))
+        .count()
+        == 0
+    )
