@@ -35,6 +35,7 @@ __all__ = [
     "bucket_array_udf",
     "lsh_topk",
     "ivf_topk",
+    "pq_topk",
 ]
 
 
@@ -581,4 +582,179 @@ def semdedup_pairs(
         .join(b, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN path.
+# Complements IVF (which prunes WHICH vectors to score): PQ compresses HOW
+# each comparison is made — m byte codes + a per-query lookup table replace
+# the full dim-float dot product, so a 100 TB corpus of 64-dim floats
+# (256 B/vec) scans as 8 B/vec codes with table lookups, a 32x scan-byte
+# reduction before any pruning.
+# ---------------------------------------------------------------------------
+def _train_pq_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    seed: int,
+    max_train: int = 4096,
+    n_iter: int = 10,
+):
+    """Seeded per-subspace Lloyd k-means on the same bounded deterministic
+    hash-sample discipline as _train_ivf_quantizer (FAISS-style bounded
+    training; the corpus is never collected). Vectors are L2-normalized
+    before fitting so ADC inner products approximate cosine. Returns
+    (m, ksub, dim//m) codebooks."""
+    dsub = dim // m
+    train = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).cast("array<double>").alias("v"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h", "id")
+        .limit(max_train)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in train["v"]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        centers = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(n_iter):
+            d = (S * S).sum(1)[:, None] - 2.0 * (S @ centers.T) + (
+                centers * centers
+            ).sum(1)[None, :]
+            a = d.argmin(1)
+            for c in range(len(centers)):
+                mask = a == c
+                if mask.any():
+                    centers[c] = S[mask].mean(0)
+        books[j, : len(centers)] = centers
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    m: int = 16,
+    ksub: int = 32,
+    refine: int = 0,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance computation.
+
+    Corpus pass 1 (index build): one Arrow-vectorized pandas_udf encodes
+    each normalized vector as ``m`` subspace codes against the broadcast
+    codebooks. Search: each query builds its (m x ksub) inner-product
+    lookup table executor-side (no query collect), tables broadcast with
+    the queries, and the ADC score is computed entirely JVM-side with
+    higher-order functions — ``aggregate(zip_with(codes, lut, (c, row) ->
+    row[c+1]))`` — so the scan stays in whole-stage codegen, reading only
+    the m-byte codes, never the raw vectors. ``refine > 0`` exactly
+    re-ranks the top-``refine`` ADC candidates per query (the standard
+    PQ+refine pipeline; the exact pass touches refine rows per query, not
+    the corpus)."""
+    books = _train_pq_codebooks(
+        emb, id_col=id_col, vec=vec, dim=dim, m=m, ksub=ksub, seed=seed
+    )
+    dsub = dim // m
+
+    @F.pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            C = books[j]
+            d = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[
+                None, :
+            ]
+            codes[:, j] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf("array<array<double>>")
+    def lut_of(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            # lut[j][c] = <q_subj, books[j][c]> — ADC inner product
+            out.append(
+                [
+                    list(q[j * dsub : (j + 1) * dsub] @ books[j].T)
+                    for j in range(m)
+                ]
+            )
+        return pd.Series(out)
+
+    coded = emb.select(
+        F.col(id_col), F.col(vec), encode(F.col(vec)).alias("__codes")
+    )
+    q = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"), lut_of(F.col(vec)).alias("__lut")
+        )
+    )
+    cand = coded.join(F.broadcast(q)).where(F.col("q_id") != F.col(id_col))
+    adc = F.aggregate(
+        F.zip_with(
+            "__codes", "__lut", lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("n_id"),
+        F.col(vec).alias("__nv"),
+        adc.alias("score_pq"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score_pq").desc(), F.col("n_id"))
+    if not refine:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= k)
+            .select("q_id", "n_id", "score_pq", "rnk")
+        )
+    shortlist = (
+        scored.withColumn("__arnk", F.row_number().over(w))
+        .where(F.col("__arnk") <= refine)
+    )
+    qv = _with_norm(
+        emb.where(F.col(id_col).isin(query_ids)), dim, vec
+    ).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    exact = shortlist.join(F.broadcast(qv), "q_id")
+    nnorm = F.sqrt(
+        F.aggregate(
+            F.transform("__nv", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot_chain("__qv", "__nv", dim) / (F.col("__qn") * nnorm)
+    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        exact.select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
     )

@@ -371,3 +371,23 @@ def q109_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(
         spark.table("embeddings"), threshold=0.4, n_clusters=8
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# L3 compressed-domain path — product quantization + exact refine
+# (rows-only: the codebooks are data-dependent k-means state)
+# ---------------------------------------------------------------------------
+@query("q116_embedding_pq_topk", oracle=None)
+def q116_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (Jégou et al. 2011): 16x8-bit codes per 64-dim vector, ADC
+    scoring fully JVM-side via zip_with/aggregate lookups, exact re-rank
+    of the top-50 shortlist (operators/similarity.py::pq_topk). Recall vs
+    q55 asserted in tests/test_llm.py; the scan reads m-byte codes, not
+    vectors — the 100 TB byte-reduction path when even IVF's probed cells
+    are too big to score raw."""
+    from pandas_td_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        spark.table("embeddings"), _QUERY_IDS, k=5, dim=_DIM,
+        m=16, ksub=32, refine=50,
+    )

@@ -172,3 +172,28 @@ def test_semdedup_precision_exact_and_recall_bounded(spark):
     assert sd <= exact  # precision: no false pairs, ever
     if exact:
         assert len(sd & exact) / len(exact) >= 0.5
+
+
+def test_pq_topk_recall(spark):
+    """PQ+refine vs the exact path: the ADC shortlist (50 per query) must
+    recover enough of the true top-5 that refined results match well; the
+    refined scores are exact cosines, so any overlap is score-identical."""
+    from pandas_td_spark.operators.similarity import cosine_topk, pq_topk
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.q_id, r.n_id) for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    refined = pq_topk(emb, qids, k=5, m=16, ksub=32, refine=50)
+    approx = {(r.q_id, r.n_id) for r in refined.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ+refine recall {recall:.2f} < 0.7"
+    # ADC-only (no refine) still finds a plurality — the compressed-domain
+    # ordering is meaningful on its own
+    adc = {
+        (r.q_id, r.n_id)
+        for r in pq_topk(emb, qids, k=5, m=16, ksub=32).collect()
+    }
+    assert len(exact & adc) / len(exact) >= 0.3
