@@ -1,0 +1,150 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023, public paper; PAPERS.md corpus-curation family, SURVEY.md §2.10 L4+).
+
+Select raw-corpus documents that "look like" a small target corpus by
+importance weighting in a hashed n-gram feature space:
+
+1. featurize every document as counts over ``n_buckets`` hashed word
+   uni+bigram buckets (the paper's hashed n-gram generative model);
+2. fit smoothed categorical distributions p (target) and q (raw source)
+   over buckets — two broadcast-sized tables, each at most ``n_buckets``
+   rows no matter the corpus size;
+3. score each document with its importance log-weight
+   ``sum_b count_b * ln(p_b / q_b)``;
+4. resample without replacement via the Gumbel top-k trick
+   (log-weight + Gumbel noise), with the noise derived from a seeded
+   ``xxhash64`` of the doc id so selection is deterministic and
+   partitioning-independent.
+
+Spark shape: ONE token explode feeds both distribution fits and the
+scoring join; the p/q ratio table is broadcast; the only wide shuffles are
+groupBy(bucket) (bounded at n_buckets groups) and groupBy(doc_id) for the
+per-doc sum — exactly the shape of the unigram-NLL scorer
+(queries/curation.py::q95). Everything stays JVM-side (xxhash64, explode,
+broadcast hash join); no Python UDFs. At 100 TB: the feature space is
+fixed-size model state, documents stream through one scan, and the final
+top-k is a TakeOrdered — no quadratic stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_weights", "dsir_select"]
+
+
+def _bucketed_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, seed: int
+) -> DataFrame:
+    """(id, bucket) rows: one per word unigram AND word bigram occurrence,
+    hashed into ``n_buckets``. Tokenization = lowercase whitespace split
+    (the BPE/quality operators' convention)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nb = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, nb),
+            F.slice(toks, 2, nb),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "id",
+        F.pmod(F.xxhash64("g", F.lit(seed)), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def _bucket_logprob(grams: DataFrame, n_buckets: int, alpha: float) -> DataFrame:
+    """Smoothed categorical log-distribution over buckets:
+    ln((count_b + alpha) / (N + alpha*n_buckets)). Untouched buckets get
+    the floor mass via a dense sequence spine, so the returned table always
+    has exactly ``n_buckets`` rows (broadcastable by construction)."""
+    counts = grams.groupBy("bucket").agg(F.count("*").alias("n"))
+    spine = grams.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    dense = spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    total = dense.agg(F.sum("n")).first()[0] or 0
+    denom = float(total) + alpha * n_buckets
+    return dense.select(
+        "bucket",
+        F.log((F.col("n") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    seed: int = 23,
+) -> DataFrame:
+    """Per-document importance log-weights: raw docs scored by how much
+    more likely their hashed-n-gram profile is under ``target``'s
+    distribution than under ``raw``'s own. Returns (id_col, log_weight);
+    documents with no tokens score 0."""
+    raw_grams = _bucketed_ngrams(raw, text_col, id_col, n_buckets, seed)
+    tgt_grams = _bucketed_ngrams(target, text_col, id_col, n_buckets, seed)
+    p = _bucket_logprob(tgt_grams, n_buckets, alpha)
+    q = _bucket_logprob(raw_grams, n_buckets, alpha)
+    ratio = p.join(q.withColumnRenamed("logp", "logq"), "bucket").select(
+        "bucket",
+        F.round(F.col("logp") - F.col("logq"), 9).alias("llr"),
+    )
+    scored = (
+        raw_grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("llr").cast("decimal(28,9)")).cast("double").alias(
+            "log_weight"
+        ))
+    )
+    ids = raw.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    seed: int = 23,
+) -> DataFrame:
+    """Gumbel top-``k`` importance resample (without replacement): rank by
+    ``log_weight + Gumbel(seeded hash of id)`` and keep the top k. The
+    noise makes selection a sample from the softmax of the weights rather
+    than a hard argmax (the paper's resampling step), yet fully
+    deterministic: u derives from xxhash64(id, seed) — a pure row
+    property, stable under any partitioning."""
+    w = dsir_weights(
+        raw, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, alpha=alpha, seed=seed,
+    )
+    # u in (0,1): (hash mod M + 1) / (M + 2) keeps both endpoints open
+    m = 1 << 40
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(m)) + 1
+    ) / F.lit(float(m + 2))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -935,3 +935,22 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. NeurIPS 2023) — select raw docs
+# that look like a target domain via hashed-n-gram importance weights
+# (operators/dsir.py). Bucket hashing is xxhash64 → not oracle-expressible;
+# enrichment/determinism properties pinned in tests/test_curation.py.
+# ---------------------------------------------------------------------------
+@query("q117_dsir_select", oracle=None)
+def q117_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-150 Gumbel importance resample of documents toward an
+    English-subset target distribution: one token explode, two
+    1024-bucket broadcast distribution tables, TakeOrdered final —
+    no quadratic stage at any corpus size."""
+    from pandas_td_spark.operators.dsir import dsir_select
+
+    d = spark.table("documents")
+    target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return dsir_select(d, target, k=150)

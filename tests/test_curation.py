@@ -102,3 +102,36 @@ def test_pii_redaction_masks_everything(spark):
         F.min("n_emails").alias("e"), F.min("n_phones").alias("p")
     ).first()
     assert counts.e >= 1 and counts.p >= 1
+
+
+def test_dsir_enriches_target_and_is_deterministic(spark):
+    """DSIR contract: (a) target-domain docs score higher on average,
+    (b) the resampled set is enriched in the target domain vs base rate,
+    (c) selection is identical across partitionings (hash-derived noise)."""
+    from pandas_td_spark.operators.dsir import dsir_select, dsir_weights
+
+    register_views(spark, SF)
+    d = spark.table("documents")
+    target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    w = dsir_weights(d, target).join(d.select("doc_id", "lang"), "doc_id")
+    avg = {
+        r.lang: r.avg_w
+        for r in w.groupBy("lang").agg(F.avg("log_weight").alias("avg_w")).collect()
+    }
+    assert avg["en"] == max(avg.values())
+    n = d.count()
+    base_en = d.where(F.col("lang") == "en").count() / n
+    k = max(50, n // 7)
+    sel = dsir_select(d, target, k=k).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    sel_en = sel.where(F.col("lang") == "en").count() / k
+    assert sel_en > base_en + 0.05, (sel_en, base_en)
+    ids1 = sorted(r.doc_id for r in sel.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in dsir_select(d.repartition(7), target, k=k)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
