@@ -1,0 +1,127 @@
+"""Distributed Lloyd k-means over an embedding column (SURVEY.md §2.10 L3
+model-fitting family; complements the bounded-sample quantizer training in
+operators/similarity.py — this is the FULL-CORPUS iterative fit for when
+the sample isn't representative or the assignment itself is the product).
+
+Each Lloyd iteration is one Spark job with strictly bounded state:
+
+* **assign** — one Arrow-vectorized pandas_udf pass, batched argmin
+  against the broadcast (k x dim) centroid matrix (shared rule with
+  similarity._cell_assigner's ||x||^2 - 2x.c trick);
+* **update** — ``posexplode(vec)`` then ``groupBy(cluster, pos)`` sums:
+  map-side partial aggregation collapses every partition to at most
+  ``k*dim`` rows before the shuffle, and only the (k x dim) sum/count
+  table reaches the driver — model state, not data.
+
+Determinism: the update sums run in DECIMAL (exact, associative — the
+queries/_util.py discipline), so centroids are bit-identical regardless of
+partitioning or merge order, which makes the whole fit reproducible on any
+cluster layout. Init is the k smallest ``xxhash64(id, seed)`` rows (pure
+row property, same argument as the hash-cut sampler).
+
+At 100 TB: n_iter scans of the corpus (each pruned to the vector column),
+shuffle O(partitions * k * dim) per iteration, driver O(k * dim). The
+corpus is never collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+
+def _assigner(centers: np.ndarray):
+    @F.pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return cell_of
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    n_iter: int = 10,
+    dim: int = 64,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Full-corpus distributed Lloyd fit; returns the (k x dim) centroid
+    matrix. Empty clusters keep their previous centroid (standard Lloyd
+    degeneracy handling)."""
+    init = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).cast("array<double>").alias("v"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h", "id")
+        .limit(k)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    centers = np.vstack([np.asarray(v, dtype=np.float64) for v in init["v"]])
+    src = emb.select(F.col(vec).cast("array<double>").alias("v"))
+    for _ in range(n_iter):
+        assigned = src.withColumn("__cell", _assigner(centers)(F.col("v")))
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("__cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = centers.copy()
+        counts = np.zeros(len(centers), dtype=np.int64)
+        sums = np.zeros_like(centers)
+        for r in stats:
+            sums[r["__cell"], r["pos"]] = float(r["s"])
+            counts[r["__cell"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if np.allclose(new, centers, rtol=0, atol=0):
+            centers = new
+            break
+        centers = new
+    return centers
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centers: np.ndarray,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Final assignment pass: (id, cluster, sq_dist) per input row."""
+
+    @F.pandas_udf("struct<c: int, d: double>")
+    def cell_dist(col: pd.Series) -> pd.DataFrame:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        d = (
+            (A * A).sum(1)[:, None]
+            - 2.0 * (A @ centers.T)
+            + (centers * centers).sum(1)[None, :]
+        )
+        a = d.argmin(1)
+        return pd.DataFrame(
+            {"c": a.astype(np.int32), "d": d[np.arange(len(A)), a]}
+        )
+
+    out = emb.withColumn("__cd", cell_dist(F.col(vec).cast("array<double>")))
+    return out.select(
+        F.col(id_col),
+        F.col("__cd.c").alias(out_col),
+        F.col("__cd.d").alias("sq_dist"),
+    )

@@ -538,3 +538,36 @@ def q112_ip_to_country(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph — the iterative-fixpoint
+# operator (operators/pagerank.py). Edges: per-user consecutive event
+# transitions (lag over a tie-free composite key), weight = transition
+# count. Rows-only: a fixed-iteration fixpoint needs recursion with
+# aggregation, which DuckDB's recursive CTEs don't express; equivalence to
+# a numpy reference on a 200-node random graph is pinned in
+# tests/test_operators.py (max |err| < 1e-12).
+# ---------------------------------------------------------------------------
+@query("q119_pagerank_transitions", oracle=None)
+def q119_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank of event types in the user-journey transition
+    graph: decimal-exact contribution sums make the fixpoint deterministic."""
+    from pandas_td_spark.operators.pagerank import pagerank
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    key = (
+        F.unix_timestamp("ts").cast("bigint") * F.lit(10000000)
+        + F.col("event_id")
+    )
+    w = W.partitionBy("user_id").orderBy("k")
+    trans = (
+        e.select("user_id", F.col("event_type").alias("dst"), key.alias("k"))
+        .withColumn("src", F.lag("dst").over(w))
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    pr = pagerank(trans, damping=0.85, n_iter=15, weight="weight")
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

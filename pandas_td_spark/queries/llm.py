@@ -391,3 +391,30 @@ def q116_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings"), _QUERY_IDS, k=5, dim=_DIM,
         m=16, ksub=32, refine=50,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus distributed k-means (rows-only: iterative fit; bit-exact
+# determinism + convergence pinned in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+@query("q118_kmeans_clusters", oracle=None)
+def q118_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd fit over the embedding corpus (operators/
+    kmeans.py): per-iteration shuffle bounded at k*dim rows per partition
+    via posexplode partial aggregation, decimal-exact centroid updates
+    (bit-identical under any partitioning), driver holds only the (k x dim)
+    model. Output: per-cluster size and mean squared distance."""
+    from pandas_td_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from pandas_td_spark.queries._util import davg
+
+    emb = spark.table("embeddings")
+    centers = kmeans_fit(emb, k=8, n_iter=5)
+    a = kmeans_assign(emb, centers)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(davg("sq_dist"), 6).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

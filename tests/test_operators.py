@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from pandas_td_spark.operators.asof import asof_join
@@ -597,3 +598,55 @@ def test_count_min_sketch_bounds_and_merge(spark):
         .count()
         == 0
     )
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    import numpy as np
+
+    from pandas_td_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    c = kmeans_fit(emb, k=4, n_iter=4)
+    c2 = kmeans_fit(emb.repartition(7), k=4, n_iter=4)
+    assert np.array_equal(c, c2)  # decimal-exact updates -> bit-identical
+    a = kmeans_assign(emb, c)
+    n = emb.count()
+    assert a.count() == n
+    assert a.select("cluster").distinct().count() <= 4
+    c1 = kmeans_fit(emb, k=4, n_iter=1)
+    i1 = kmeans_assign(emb, c1).agg(F.sum("sq_dist")).first()[0]
+    i4 = a.agg(F.sum("sq_dist")).first()[0]
+    assert i4 <= i1  # Lloyd never increases inertia
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from pandas_td_spark.operators.pagerank import pagerank
+
+    rng = np.random.default_rng(5)
+    n_nodes, m = 200, 1500
+    src = rng.integers(0, n_nodes, m)
+    dst = rng.integers(0, n_nodes, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(src, dst)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=20).collect()}
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    W = np.zeros((N, N))
+    for a, b in zip(src, dst):
+        W[idx[b], idx[a]] += 1.0
+    ow = W.sum(0)
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(20):
+        dangling = r[ow == 0].sum()
+        contrib = W @ np.where(ow > 0, r / np.maximum(ow, 1), 0.0)
+        r = (1 - d) / N + d * (contrib + dangling / N)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert max(abs(got[v] - r[idx[v]]) for v in nodes) < 1e-12
