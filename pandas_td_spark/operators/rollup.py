@@ -129,3 +129,44 @@ def merge_quantile_rollup(
     ]
     names = [c for c in merged.columns if c not in ("qsketch", "n_rows")]
     return merged.select(*names, *cols, "n_rows")
+
+
+def segment_overlap(
+    rollup: DataFrame,
+    seg_col: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Pairwise distinct-value overlap between segments by
+    inclusion-exclusion over HLL sketches: |A∩B| ≈ est(A) + est(B) -
+    est(A∪B). Input is any :func:`build_sketch_rollup` output (or a
+    pre-merged one); sketches are first merged per segment, then every
+    unordered segment pair is evaluated with the binary ``hll_union`` —
+    a broadcast self-join over S segment rows (S² pairs of KB-sized
+    sketches, never the raw data; the audience-overlap matrix a TD-style
+    segmentation dashboard shows). Error compounds to ~3x the single-
+    sketch RSE after subtraction; intersections much smaller than either
+    side disappear into noise — use the exact path for those
+    (tests pin ≤5% on the fixture's overlap sizes)."""
+    seg = rollup.groupBy(F.col(seg_col).alias("seg")).agg(
+        F.hll_union_agg(sketch_col).alias("sk")
+    )
+    a = seg.select(
+        F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")
+    )
+    b = seg.select(
+        F.col("seg").alias("seg_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(
+        F.expr("hll_union(sk_a, sk_b, true)")
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        est_a.alias("n_a"),
+        est_b.alias("n_b"),
+        est_u.alias("n_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0)).alias("n_overlap_est"),
+    )

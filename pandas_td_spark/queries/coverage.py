@@ -614,3 +614,27 @@ def q115_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = count_min_build(e, "event_type", depth=5, width=8192)
     vals = e.select("event_type").distinct()
     return count_min_estimate(sk, vals, "event_type", depth=5, width=8192)
+
+
+# ---------------------------------------------------------------------------
+# Segment-overlap matrix from mergeable HLL sketches (rows-only: sketch
+# binary; ≤5% accuracy vs exact pinned in tests/test_operators.py). Reads
+# the SAME daily rollup q106 maintains — overlap costs S² sketch unions,
+# not a rescan.
+# ---------------------------------------------------------------------------
+@query("q120_segment_overlap", oracle=None)
+def q120_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event-type segments via
+    inclusion-exclusion over the daily HLL rollup."""
+    from pandas_td_spark.operators.rollup import (
+        build_sketch_rollup,
+        segment_overlap,
+    )
+
+    ev = spark.table("events")
+    daily = build_sketch_rollup(
+        ev, time_col="ts", keys=["event_type"], distinct_col="user_id",
+        bucket="day",
+    )
+    out = segment_overlap(daily, "event_type")
+    return out.orderBy("seg_a", "seg_b")

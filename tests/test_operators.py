@@ -650,3 +650,30 @@ def test_pagerank_matches_numpy_reference(spark):
         r = (1 - d) / N + d * (contrib + dangling / N)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert max(abs(got[v] - r[idx[v]]) for v in nodes) < 1e-12
+
+
+def test_segment_overlap_accuracy(spark):
+    """HLL inclusion-exclusion overlap vs exact distinct intersections:
+    within 5% relative error on the fixture's segment sizes."""
+    from pandas_td_spark.operators.rollup import (
+        build_sketch_rollup,
+        segment_overlap,
+    )
+
+    register_views(spark, SF)
+    ev = spark.table("events")
+    daily = build_sketch_rollup(
+        ev, time_col="ts", keys=["event_type"], distinct_col="user_id",
+        bucket="day",
+    )
+    got = segment_overlap(daily, "event_type").toPandas()
+    users = ev.select("event_type", "user_id").distinct().toPandas()
+    by_seg = {
+        s: set(g.user_id) for s, g in users.groupby("event_type")
+    }
+    assert len(got) == len(by_seg) * (len(by_seg) - 1) // 2
+    for r in got.itertuples():
+        exact = len(by_seg[r.seg_a] & by_seg[r.seg_b])
+        assert abs(r.n_overlap_est - exact) <= max(0.05 * exact, 2), (
+            r.seg_a, r.seg_b, r.n_overlap_est, exact
+        )
