@@ -571,3 +571,146 @@ def q119_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(trans, damping=0.85, n_iter=15, weight="weight")
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics — per-node triangle counts over the part co-purchase
+# graph (operators/graph.py: degree-oriented wedge enumeration). The
+# oracle is the naive id-ordered triple join: triangle identity is
+# orientation-independent, so the load-balanced plan must reproduce it
+# exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q121_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM t)
+    GROUP BY node
+    """,
+    scale_note=(
+        "wedge volume is sum C(outdeg,2); the low→high degree orientation "
+        "bounds outdeg at O(sqrt(m)) so no reducer owns a celebrity node"
+    ),
+)
+def q121_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-purchased in the same order form an undirected graph;
+    count each part's triangle participation (a co-purchase affinity
+    signal) with the skew-proof oriented-wedge plan."""
+    from pandas_td_spark.operators.graph import triangle_counts, undirected_edges
+
+    li = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+    ).select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+    return triangle_counts(undirected_edges(pairs, "pa", "pb"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series downsampling — hourly OHLC bars per event type. min_by /
+# max_by over a (ts, event_id) struct picks the open/close rows in one
+# pass (no self-join, no window); ties are impossible because event_id is
+# unique. The oracle picks the same rows with row_number windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q122_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type,
+           CAST(floor(epoch(h)) AS BIGINT) AS bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 6) AS volume
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q122_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into hourly open/high/low/close bars —
+    one shuffle on (event_type, hour), all state inside the hash
+    aggregate; the classic market-data rollup at log-retention scale."""
+    e = spark.table("events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("bar_hour"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("double"), 6).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — daily new vs cumulative distinct users WITHOUT a
+# count-distinct-over-window (which would keep per-user state in every
+# frame). Each user collapses to a first-seen day (one narrow shuffle);
+# the running sum then runs over the tiny day-grain spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q123_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ), new_users AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    ), spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY s.day) AS BIGINT) AS cum_users
+    FROM spine s LEFT JOIN new_users n ON s.day = n.day
+    """,
+)
+def q123_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-distinct-user counts via the
+    first-seen-day reduction. The single-partition window is safe: after
+    aggregation the data is day-grain (30 rows here, ~36.5k rows for a
+    century of days) no matter how many events feed it."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    new_users = first_seen.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    spine = e.select(F.to_date("ts").alias("day")).distinct()
+    joined = spine.join(new_users, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))

@@ -638,3 +638,61 @@ def q120_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = segment_overlap(daily, "event_type")
     return out.orderBy("seg_a", "seg_b")
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics — per-group winsorization at exact p05/p95. Two-pass
+# plan: tiny exact-percentile aggregate per group (sort-based, bounded by
+# group count), broadcast back, clip + aggregate. The exact percentile is
+# the scale bound (global sort per group); the approx_percentile twin
+# (q83) is the 100 TB default.
+# ---------------------------------------------------------------------------
+@query(
+    "q125_winsorize",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(any_value(s.p05), 6) AS p05,
+           ROUND(any_value(s.p95), 6) AS p95,
+           ROUND(AVG(least(greatest(e.value, s.p05), s.p95)), 6)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < s.p05 OR e.value > s.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+    scale_note=(
+        "exact per-group percentile sorts each group; at 100 TB swap the "
+        "stats CTE for approx_percentile (q83) — the clip pass is identical"
+    ),
+)
+def q125_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: exact p05/p95 fences, clipped
+    mean, and outlier counts — broadcast the per-group fences, never
+    re-sort the fact table."""
+    e = spark.table("events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    out_of_range = (F.col("value") < F.col("p05")) | (
+        F.col("value") > F.col("p95")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.sum(out_of_range.cast("bigint")).alias("n_clipped"),
+            F.count("*").alias("n_total"),
+        )
+    )

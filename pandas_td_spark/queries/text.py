@@ -533,3 +533,71 @@ def q110_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy string matching — edit-distance pairs over the DISTINCT
+# name vocabulary. The entity-resolution pattern: dedupe to the
+# vocabulary first (names repeat across rows), block on the head noun +
+# a length band, verify with exact levenshtein. The blocking predicate
+# is part of the query's CONTRACT (both engines apply it), so the result
+# is exact-by-definition; recall beyond the block is the documented
+# trade (public pattern: Christen, "Data Matching", blocking ch. 4).
+# ---------------------------------------------------------------------------
+@query(
+    "q124_edit_distance_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+      AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    scale_note=(
+        "quadratic only within a (noun, length-band) block over the "
+        "DISTINCT vocabulary — row count never enters the pair space"
+    ),
+)
+def q124_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names (typo candidates): distinct-vocabulary
+    reduction, token-blocked self-join, JVM-side levenshtein verify."""
+    names = (
+        spark.table("part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn(
+            "noun", F.element_at(F.split("p_name", " "), -1)
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name"))
+                    - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            ),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )

@@ -677,3 +677,52 @@ def test_segment_overlap_accuracy(spark):
         assert abs(r.n_overlap_est - exact) <= max(0.05 * exact, 2), (
             r.seg_a, r.seg_b, r.n_overlap_est, exact
         )
+
+
+def test_triangle_counts_known_graphs(spark):
+    from pandas_td_spark.operators.graph import (
+        triangle_counts,
+        undirected_edges,
+    )
+
+    # K4: every node sits in C(3,2) = 3 triangles.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # Star on node 100 (a "celebrity"): zero triangles — and with the
+    # degree orientation the hub emits zero wedges.
+    star = [(100, 200 + i) for i in range(20)]
+    # Duplicate/reversed/self-loop noise must be normalized away.
+    noisy = k4 + star + [(1, 0), (2, 2), (3, 1)]
+    df = spark.createDataFrame(noisy, "x bigint, y bigint")
+    edges = undirected_edges(df, "x", "y")
+    assert edges.count() == len(k4) + len(star)
+    got = {
+        r.node: r.n_triangles for r in triangle_counts(edges).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from pandas_td_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2)
+         if rng.random() < 0.2}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
