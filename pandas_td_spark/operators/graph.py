@@ -54,7 +54,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     ``edges`` must be distinct undirected pairs (``undirected_edges``
     output). Returns ``(node, n_triangles)`` for every node in at least
     one triangle; each triangle contributes 1 to each of its three nodes.
+
+    The edge list is referenced by degree counting, orientation, wedge
+    generation, AND closure verification — without a lineage cut Spark
+    recomputes the (possibly expensive) upstream edge derivation once per
+    reference. ``localCheckpoint`` materializes it exactly once on the
+    executors (same pattern as operators/cluster.py).
     """
+    edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))
@@ -66,6 +73,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     rank = (F.col("deg").cast("bigint") * F.lit(1 << _ID_BITS)) + F.col(
         "node"
     )
+    # The rank table is node-cardinality — usually far smaller than the
+    # edge list, but |V| can itself be huge (10^8-node graphs), so the
+    # broadcast decision is left to AQE's runtime size check rather than
+    # forced here.
     ranked = deg.select("node", rank.alias("rank"))
     e = (
         edges.join(ranked.withColumnRenamed("node", "u"), "u")
@@ -75,6 +86,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # Orient low-rank → high-rank; keep the destination's rank so wedge
     # generation can order the two spokes without another join.
+    # Referenced three times below (both wedge spokes + closure probe).
     oriented = e.select(
         F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
         .otherwise(F.col("v"))
@@ -83,7 +95,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .otherwise(F.col("u"))
         .alias("dst"),
         F.greatest("rank_u", "rank_v").alias("dst_rank"),
-    )
+    ).localCheckpoint()
     l = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("dst_rank").alias("rx")
     )

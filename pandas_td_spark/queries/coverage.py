@@ -696,3 +696,49 @@ def q125_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via NTILE — decile fences of the order-price
+# distribution. The global NTILE needs a total order: fine here (it runs
+# over orders, already the small end of the schema), and the scale path
+# for fact-table grain is approx_percentile fences (q83) or the
+# range-partitioned sort used by the sorted export.
+# ---------------------------------------------------------------------------
+@query(
+    "q129_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           ROUND(AVG(o_totalprice), 6) AS mean_price
+    FROM b GROUP BY bucket
+    """,
+    scale_note=(
+        "global ntile = total sort; at fact-table grain derive fences "
+        "from approx_percentile (q83) and bucket with a broadcast join"
+    ),
+)
+def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile buckets of order value with per-bucket count/range/mean —
+    equal-population bins, the planner-statistics histogram shape."""
+    o = spark.table("orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        )
+    )

@@ -954,3 +954,108 @@ def q117_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
     return dsir_select(d, target, k=150)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assignment — the deterministic corpus shuffle every
+# pretraining pipeline needs: a seeded content hash picks the shard AND
+# the within-shard order, so re-running the pipeline (or adding machines)
+# reproduces byte-identical shards. No global sort: each shard orders
+# independently inside its own hash partition.
+# ---------------------------------------------------------------------------
+_SHARD_SEED = "shard-seed-42:"
+_N_SHARDS = 8
+
+
+@query(
+    "q127_corpus_shard",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(
+                md5('{_SHARD_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15)
+             )::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM hashed
+    """,
+)
+def q127_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded md5 shard + position assignment: one shuffle on the shard
+    id, per-shard sort bounded by shard size (corpus/n_shards)."""
+    d = spark.table("documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(_N_SHARDS)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Memorization risk — per-document n-gram novelty: what fraction of a
+# doc's word 8-grams also occur in at least one OTHER document. The
+# corpus-wide document-frequency join is the workhorse (explode → df
+# count → join back); at 100 TB hash the shingle to 64 bits before the
+# shuffle so the exchange moves fixed-width keys, and the explode output
+# never materializes the text twice.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 6, 1)),
+               i -> array_to_string((string_split(text, ' '))[i:i+7], ' '))))
+             AS s
+      FROM documents
+    ), df AS (
+      SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(AVG(CASE WHEN df.n_docs > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS dup_frac
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct word 8-grams shared with another
+    doc — the pretraining dedup/memorization diagnostic."""
+    d = spark.table("documents")
+    words = F.split("text", " ")
+    shingles = F.when(
+        F.size(words) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 7),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("n_docs") > 1).cast("double")), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -473,3 +473,44 @@ def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 shape). The user
+# writes "lineitems below 20% of that part's average quantity"; the
+# engine's plan is the decorrelation Catalyst itself would pick: compute
+# the per-part aggregate once, join it back, filter. The oracle keeps the
+# LITERAL correlated subquery so the test pins semantics, not plan shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q47_correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS small_lot_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+)
+def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-lot orders per part (TPC-H Q17 pattern): per-part average
+    joined back on the grouping key — one partial-agg shuffle plus a
+    co-partitioned join, no per-row subquery execution."""
+    li = spark.table("lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small_lots"),
+            dsum("l_extendedprice").alias("small_lot_revenue"),
+        )
+    )

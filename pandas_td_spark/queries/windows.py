@@ -417,3 +417,55 @@ def q114_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.where((F.col("n") >= 5) & (var > 0) & (F.abs(z) > 2))
         .select("user_id", "event_id", "value", F.round(z, 6).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Running peak / maximum drawdown per user over the cumulative value
+# series — the risk-analytics window composition (cumsum → running max →
+# max gap), all three windows sharing ONE partition spec so Spark sorts
+# each user partition exactly once.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_max_drawdown",
+    oracle="""
+    WITH cumulative AS (
+      SELECT user_id, ts, event_id,
+             SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS cum
+      FROM events
+    ), series AS (
+      SELECT user_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS peak
+      FROM cumulative
+    )
+    SELECT user_id,
+           ROUND(MAX(peak - cum), 6) AS max_drawdown,
+           ROUND(MAX(peak), 6) AS peak_value
+    FROM series GROUP BY user_id
+    """,
+)
+def q126_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of each user's cumulative value stream: three stacked
+    windows over the same (user, time) ordering collapse to a single
+    sort within one shuffle."""
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("value").over(w)
+    peak = F.max(cum).over(w)
+    return (
+        e.select(
+            "user_id",
+            cum.alias("cum"),
+            peak.alias("peak"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("cum")), 6).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak"), 6).alias("peak_value"),
+        )
+    )
