@@ -742,3 +742,126 @@ def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-grade column profiling — the describe-your-table surface
+# (nulls, exact distincts, min/max per column) in ONE pass over the
+# data: a single aggregate computes every per-column metric, then a
+# stack() unpivot turns it long. At 100 TB swap the exact distincts for
+# approx_count_distinct — same plan shape, no second scan either way.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "q130_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+    scale_note=(
+        "exact multi-column COUNT(DISTINCT) expands the row once per "
+        "column; at 100 TB use approx_count_distinct in the same single "
+        "aggregate"
+    ),
+)
+def q130_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``documents`` (rows, nulls, exact distincts,
+    min/max) from one aggregate + stack unpivot — no per-column scans."""
+    d = spark.table("documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, nn, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis-Spirakis A-ES keys
+# (key = ln(u)/w, u a seeded content-hash uniform) so the "random"
+# choice is a pure function of (seed, doc_id): reproducible across
+# engines, runs, and cluster sizes. Keys are rounded before ranking so
+# last-ulp libm differences can never flip the cross-engine order.
+# ---------------------------------------------------------------------------
+_WS_SEED = "ws-7:"
+_WS_K = 50
+
+
+@query(
+    "q131_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(ln((('0x' || substring(
+                      md5('{_WS_SEED}' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    )::BIGINT + 1) / 1152921504606846977.0)
+                   / n_chars, 9) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS sample_key
+    FROM (
+      SELECT doc_id, n_chars, k,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {_WS_K}
+    """,
+)
+def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw {_WS_K} docs with probability proportional to length —
+    deterministic A-ES keys, TakeOrdered top-k (no global sort)."""
+    d = spark.table("documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(1152921504606846977.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    keyed = d.select("doc_id", "n_chars", key.alias("k"))
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _WS_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
+    )

@@ -726,3 +726,17 @@ def test_triangle_counts_matches_naive_on_random_graph(spark):
     df = spark.createDataFrame(edges, "u bigint, v bigint")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+def test_weighted_sample_is_length_biased(spark):
+    from pandas_td_spark.queries.registry import all_queries
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    q = all_queries()["q131_weighted_sample"]
+    sample = q.fn(spark, SF).toPandas()
+    corpus = spark.table("documents").toPandas()
+    assert len(sample) == 50
+    # Probability ∝ n_chars ⇒ the sample mean length must exceed the
+    # corpus mean decisively (docs vary ~10×; a uniform draw would not).
+    assert sample.n_chars.mean() > 1.15 * corpus.n_chars.mean()
