@@ -714,3 +714,191 @@ def q123_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn(
         "cum_users", F.sum("new_users").over(w).cast("bigint")
     ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+# ---------------------------------------------------------------------------
+# Exact trailing-window distinct — 7-day rolling distinct users per day.
+# A count-distinct-over-range-frame would keep the whole user set in
+# every frame; instead each (user, active-day) pair votes into the 7
+# forward days it covers (bounded ×7 fan-out), then one distinct +
+# count. The sketch twin for 100 TB is the HLL rollup (q106/q120).
+# ---------------------------------------------------------------------------
+@query(
+    "q132_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), spine AS (SELECT DISTINCT day FROM ud),
+    votes AS (
+      SELECT DISTINCT ud.user_id, s.day
+      FROM ud JOIN spine s
+        ON s.day >= ud.day AND s.day < ud.day + INTERVAL 7 DAY
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active_7d
+    FROM votes GROUP BY day
+    """,
+    scale_note=(
+        "exact path fans each user-day out x7; beyond that window width "
+        "or at fact grain use the mergeable HLL rollup (q106)"
+    ),
+)
+def q132_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in the trailing 7 days, exactly, per day — bounded
+    fan-out explode instead of distinct-over-window state."""
+    e = spark.table("events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    votes = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    spine = ud.select("day").distinct()
+    return (
+        votes.join(spine, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_active_7d"))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — collapse each user's consecutive same-type event
+# runs into intervals (the SCD2 / CDC-compaction shape): change-flag via
+# lag, island id via running sum, one aggregate per island. Two window
+# passes over ONE (user, time) sort, then a hash aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_event_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id, event_type,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id, event_type
+    """,
+)
+def q133_event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-type runs per user as (start, end, count)
+    intervals — the gaps-and-islands idiom behind SCD2 builds and CDC
+    compaction."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(is_new).over(run).cast("bigint").alias("island_id"),
+    )
+    return flagged.groupBy("user_id", "island_id", "event_type").agg(
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("end_epoch"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor-in-time join (bidirectional, tolerance-bounded) — the
+# sensor-alignment generalization of the backward-only as-of join (J10):
+# nearest purchase within ±60 s of each error, same user. Exact via
+# tolerance-bucketed equi-join (each probe checks 3 buckets), winner by
+# min (|dt|, ts, id) — no BNLJ, no window over the cross product.
+# ---------------------------------------------------------------------------
+@query(
+    "q134_nearest_event",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), cand AS (
+      SELECT e.event_id AS error_id, e.t AS error_t,
+             p.event_id AS purchase_id, abs(p.t - e.t) AS dt,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(p.t - e.t), p.t, p.event_id) AS rn
+      FROM ev e JOIN ev p
+        ON e.user_id = p.user_id AND p.t BETWEEN e.t - 60 AND e.t + 60
+      WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    )
+    SELECT error_id, error_t, purchase_id, CAST(dt AS BIGINT) AS dt
+    FROM cand WHERE rn = 1
+    """,
+)
+def q134_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase within ±60 s per error event: bucketed candidate
+    join + min_by winner selection."""
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    width = 60
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("error_t"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("p_t"),
+    )
+    # Probe bucket b(t) and its two neighbors: any point within ±width is
+    # in one of the three — equi-join on (user, bucket), exact filter.
+    probe = errors.withColumn(
+        "b",
+        F.explode(
+            F.array(
+                (F.col("error_t") / width).cast("bigint") - 1,
+                (F.col("error_t") / width).cast("bigint"),
+                (F.col("error_t") / width).cast("bigint") + 1,
+            )
+        ),
+    )
+    build = purchases.withColumn(
+        "b", (F.col("p_t") / width).cast("bigint")
+    )
+    cand = probe.join(build, ["u", "b"]).where(
+        F.abs(F.col("p_t") - F.col("error_t")) <= width
+    )
+    winner_key = F.struct(
+        F.abs(F.col("p_t") - F.col("error_t")).alias("dt"),
+        F.col("p_t"),
+        F.col("purchase_id"),
+    )
+    return (
+        cand.groupBy("error_id")
+        .agg(
+            F.first("error_t").alias("error_t"),
+            F.min_by("purchase_id", winner_key).alias("purchase_id"),
+            F.min(F.abs(F.col("p_t") - F.col("error_t")))
+            .cast("bigint")
+            .alias("dt"),
+        )
+    )

@@ -514,3 +514,104 @@ def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("small_lot_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg parity). Spark has no
+# ordered collect: sort structs inside the aggregate (array_sort on the
+# collected list), which keeps the ordering guarantee inside the
+# aggregation — immune to shuffle reordering — instead of relying on a
+# pre-sort the optimizer may drop.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_listagg",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q48_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-joined, alphabetically ordered nation list per region —
+    the LISTAGG surface with an in-aggregate ordering guarantee."""
+    n = spark.table("nation")
+    r = spark.table("region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — top-10-customer share per nation: aggregate →
+# window rank over the AGGREGATED grain (customer rollup, tiny next to
+# the fact table) → second aggregate. The fact table is touched once.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, r,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY r DESC, o_custkey) AS rn
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN r ELSE 0 END) / SUM(r)
+                      AS DOUBLE), 6) AS top10_share
+    FROM ranked JOIN nation n ON ranked.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q49_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is each nation's order revenue in its top-10
+    customers — rank runs on the customer rollup, never the fact rows."""
+    o = spark.table("orders")
+    c = spark.table("customer")
+    nat = spark.table("nation")
+    from pyspark.sql import Window as W
+
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("r")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("r").desc(), F.col("o_custkey")
+    )
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("r").cast("double").alias("total_revenue"),
+            F.round(
+                (
+                    F.sum(F.when(F.col("rn") <= 10, F.col("r")).otherwise(0))
+                    / F.sum("r")
+                ).cast("double"),
+                6,
+            ).alias("top10_share"),
+        )
+    )

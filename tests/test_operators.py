@@ -634,7 +634,15 @@ def test_pagerank_matches_numpy_reference(spark):
     edges = spark.createDataFrame(
         [(int(a), int(b)) for a, b in zip(src, dst)], "src bigint, dst bigint"
     )
+    # Both execution paths must match the reference: the driver fast
+    # path (default gate) and the distributed fixpoint (gate disabled).
     got = {r.node: r.rank for r in pagerank(edges, n_iter=20).collect()}
+    got_dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iter=20, small_graph_threshold=0
+        ).collect()
+    }
     nodes = sorted(set(src) | set(dst))
     idx = {v: i for i, v in enumerate(nodes)}
     N = len(nodes)
@@ -650,6 +658,7 @@ def test_pagerank_matches_numpy_reference(spark):
         r = (1 - d) / N + d * (contrib + dangling / N)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert max(abs(got[v] - r[idx[v]]) for v in nodes) < 1e-12
+    assert max(abs(got_dist[v] - r[idx[v]]) for v in nodes) < 1e-12
 
 
 def test_segment_overlap_accuracy(spark):
