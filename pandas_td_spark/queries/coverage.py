@@ -865,3 +865,87 @@ def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _WS_K)
         .select("doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 driver certification — the three Python execution surfaces
+# (grouped-map applyInPandas, grouped-agg pandas_udf, UDTF) as
+# oracle-checked queries. Each computes something SQL CAN express so
+# DuckDB can certify the Arrow boundary end-to-end; the operators
+# themselves (operators/python_udfs.py) exist for logic SQL cannot.
+# ---------------------------------------------------------------------------
+@query(
+    "q135_grouped_map_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             AVG(value) OVER (PARTITION BY event_type) AS m,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sd
+      FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND((value - m) / sd, 6) AS z
+    FROM s
+    """,
+)
+def q135_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-scores through the grouped-map ``applyInPandas`` path —
+    Arrow out, pandas compute, Arrow back — certified exactly against
+    the pure-SQL window formulation."""
+    from pandas_td_spark.operators.python_udfs import zscore_per_group
+
+    e = spark.table("events").select("event_id", "event_type", "value")
+    z = zscore_per_group(e, "event_type", "value", out="z")
+    return z.select("event_id", "event_type", F.round("z", 6).alias("z"))
+
+
+@query(
+    "q136_pandas_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(exp(AVG(CASE WHEN l_quantity > 0 THEN ln(l_quantity) END)),
+                 6) AS geomean,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q136_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of lineitem quantity per return flag via the
+    grouped-agg pandas_udf (UDAF) surface — participates in hash
+    aggregation like a native aggregate."""
+    from pandas_td_spark.operators.python_udfs import grouped_geometric_mean
+
+    li = spark.table("lineitem")
+    g = grouped_geometric_mean(li, "l_returnflag", "l_quantity")
+    n = li.groupBy("l_returnflag").agg(F.count("*").alias("n_lines"))
+    return g.join(n, "l_returnflag").select(
+        "l_returnflag",
+        F.round("geomean", 6).alias("geomean"),
+        "n_lines",
+    )
+
+
+@query(
+    "q137_udtf_ngrams",
+    oracle="""
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS ngram
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q137_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word trigram expansion through the Python UDTF surface (LATERAL
+    correlated table function) — the user-extensible counterpart of
+    LATERAL VIEW explode."""
+    from pandas_td_spark.operators.python_udfs import register_udtfs
+
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.ngram
+        FROM documents d, LATERAL split_ngrams(d.text, 3) t
+        WHERE d.doc_id < 50
+        """
+    )
