@@ -949,3 +949,260 @@ def q137_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup — aggregate every part to the ROOT of its
+# parent chain (parent(p) = p div 10; real pipelines: BOM trees, org
+# charts, category taxonomies). The distributed plan is POINTER
+# DOUBLING: each iteration i jumps 2^i ancestors (anc ← anc(anc)), so a
+# depth-D hierarchy needs ceil(log2 D) self-joins — not D. The oracle
+# walks the chain with a recursive CTE, one level per recursion.
+# ---------------------------------------------------------------------------
+@query(
+    "q138_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE walk(node, anc) AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey < 10 THEN p_partkey
+                  ELSE p_partkey // 10 END
+      FROM part
+      UNION ALL
+      SELECT node, anc // 10 FROM walk WHERE anc >= 10
+    )
+    SELECT w.anc AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_price
+    FROM walk w JOIN part p ON w.node = p.p_partkey
+    WHERE w.anc < 10
+    GROUP BY w.anc
+    """,
+    scale_note=(
+        "pointer doubling: log2(depth) shuffles instead of depth; each "
+        "round is one self-equi-join on the ancestor key"
+    ),
+)
+def q138_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll part prices up to hierarchy roots with log-depth pointer
+    doubling."""
+    p = spark.table("part")
+    anc = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            F.col("p_partkey") < 10, F.col("p_partkey")
+        ).otherwise(F.expr("p_partkey DIV 10")).alias("anc"),
+    )
+    # anc(node) reaches 2^i levels after i rounds; 6 rounds cover depth
+    # 64 — far beyond any realistic key-derived hierarchy.
+    for _ in range(6):
+        nxt = anc.select(
+            F.col("node").alias("j_node"), F.col("anc").alias("j_anc")
+        )
+        anc = (
+            anc.join(nxt, anc["anc"] == nxt["j_node"])
+            .select("node", F.col("j_anc").alias("anc"))
+        )
+    rolled = anc.join(
+        p.select(F.col("p_partkey").alias("node"), "p_retailprice"), "node"
+    )
+    return rolled.groupBy(F.col("anc").alias("root")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outlier counts (median absolute deviation) through
+# the applyInPandas operator — two dependent medians per group have no
+# single-pass expression form; the oracle recomputes them with DuckDB's
+# median aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS m FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, abs(e.value - med.m) AS d
+      FROM events e JOIN med USING (user_id)
+    ), mad AS (
+      SELECT user_id, median(d) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(CASE WHEN mad.mad > 0 THEN
+             SUM(CASE WHEN abs(e.value - med.m) > 3.0 * 1.4826 * mad.mad
+                      THEN 1 ELSE 0 END) ELSE 0 END AS BIGINT) AS n_outliers,
+           ROUND(mad.mad, 6) AS mad
+    FROM events e
+    JOIN med ON e.user_id = med.user_id
+    JOIN mad ON e.user_id = mad.user_id
+    GROUP BY e.user_id, med.m, mad.mad
+    """,
+)
+def q139_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MAD outlier counts via grouped-map applyInPandas
+    (operators/python_udfs.py::mad_outliers_per_group)."""
+    from pandas_td_spark.operators.python_udfs import mad_outliers_per_group
+
+    e = spark.table("events").select("user_id", "value")
+    out = mad_outliers_per_group(e, "user_id", "value", n_mads=3.0)
+    return out.select(
+        "user_id", "n_outliers", F.round("mad", 6).alias("mad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics — the measurement that tells you whether a key needs
+# salting BEFORE the job dies: per-key cardinality profile reduced to
+# decile counts + Gini concentration. Runs entirely on the key rollup
+# (|distinct keys| rows), never the fact grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS rn,
+             COUNT(*) OVER () AS k, SUM(n) OVER () AS total
+      FROM per_key
+    )
+    SELECT CAST(any_value(k) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) * any_value(k) / any_value(total),
+                 6) AS max_over_mean,
+           ROUND((2.0 * SUM(CAST(rn AS DOUBLE) * n)
+                  / (any_value(k) * any_value(total)))
+                 - (CAST(any_value(k) AS DOUBLE) + 1) / any_value(k),
+                 6) AS gini
+    FROM ranked
+    """,
+)
+def q140_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profile (max/mean ratio + Gini) for the
+    user_id grouping key — the salting decision input, computed on the
+    key rollup only."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = W.orderBy("n", "user_id")
+    ranked = per_key.select(
+        "n", F.row_number().over(w).cast("double").alias("rn")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 6
+        ).alias("max_over_mean"),
+        F.round(
+            (2.0 * F.sum(F.col("rn") * F.col("n")))
+            / (F.count("*") * F.sum("n"))
+            - (F.count("*").cast("double") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — is event type independent of day of
+# week? Observed vs expected counts from two marginal rollups joined
+# back; the statistic is one more aggregate. All contingency math runs
+# at cell grain (|types| × 7 rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q141_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_total,
+             SUM(o) OVER (PARTITION BY dow) AS col_total,
+             SUM(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(pow(o - CAST(row_total AS DOUBLE) * col_total / grand,
+                         2)
+                     / (CAST(row_total AS DOUBLE) * col_total / grand)),
+                 6) AS chi2
+    FROM margins
+    """,
+)
+def q141_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for event_type × day-of-week independence —
+    contingency margins via windows over the tiny cell rollup."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_total"),
+        F.sum("o").over(W.partitionBy("dow")).alias("col_total"),
+        F.sum("o").over(W.partitionBy()).alias("grand"),
+    )
+    expected = (
+        F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    )
+    return margins.agg(
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(F.pow(F.col("o") - expected, 2) / expected), 6
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — each reading holds until the next one,
+# so its weight is the gap to the successor (last reading weight 0):
+# one lead() window + one aggregate, the sensor/price averaging that
+# plain AVG gets wrong under irregular sampling.
+# ---------------------------------------------------------------------------
+@query(
+    "q142_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap,
+           ROUND(AVG(value), 6) AS naive_avg,
+           CAST(COUNT(*) AS BIGINT) AS n_held
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q142_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value vs the naive mean — hold
+    weights from one lead() pass."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts").cast("bigint")
+    seq = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    hold = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * hold) / F.sum(hold), 6).alias(
+            "twap"
+        ),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+        F.count("*").alias("n_held"),
+    )
