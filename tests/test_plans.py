@@ -343,3 +343,42 @@ def test_range_lookup_is_broadcast_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_new_join_queries_have_no_nested_loop(spark):
+    """Round-4 additions that join at scale must stay equi-join shaped:
+    triangle wedges (q121), nearest-in-time buckets (q134), pointer
+    doubling (q138), decorrelated subquery (q47) — a nested loop in any
+    of them is the plan that dies at 100 TB."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    for name in (
+        "q121_triangle_count",
+        "q134_nearest_event",
+        "q138_hierarchy_rollup",
+        "q47_correlated_subquery",
+    ):
+        plan = physical_plan(spark_queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_edit_distance_block_join_is_hash(spark):
+    """q124's blocking predicate includes an equality (noun) — the
+    planner must use it as the hash key and keep the band/levenshtein
+    parts as join-filters, not degrade to a nested loop."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    plan = physical_plan(spark_queries()["q124_edit_distance_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
+def test_winsorize_fences_are_broadcast(spark):
+    """q125 joins per-group fences back onto the fact table — the fence
+    side is group-cardinality and must broadcast."""
+    q = spark_queries()["q125_winsorize"]
+    assert has_broadcast_hash_join(q(spark, SF))

@@ -45,7 +45,15 @@ from pandas_td_spark.sources.io import register_views
 
 qs = spark_queries()
 HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
-        "q105_local_supplier_revenue", "q26_sessionize", "q50_dedup_exact_groups"]
+        "q105_local_supplier_revenue", "q26_sessionize", "q50_dedup_exact_groups",
+        # round-4 additions: the ops whose scaling behavior is least
+        # obvious from the plan alone
+        "q121_triangle_count",      # pair extraction 10x; distinct graph constant (partkeys unshifted)
+        "q128_ngram_novelty",       # shingle instances 10x, df-join output 10x
+        "q133_event_islands",       # window sort 10x rows
+        "q134_nearest_event",       # bucket join both sides 10x
+        "q132_rolling_distinct",    # day-fanout explode 10x
+        "q142_twap"]                # lead() window 10x
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
