@@ -1206,3 +1206,199 @@ def q142_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("naive_avg"),
         F.count("*").alias("n_held"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the cumulative-weight formulation (sort within
+# group, first value whose running weight crosses half the total). No
+# weighted-percentile builtin exists in either engine; both sides
+# compute the identical definition, so the check is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q143_weighted_median",
+    oracle="""
+    WITH cw AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cum,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median,
+           ROUND(any_value(total), 6) AS total_weight
+    FROM cw WHERE cum >= total / 2.0
+    GROUP BY l_returnflag
+    """,
+)
+def q143_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag via the
+    cumulative-weight crossing point — one window sort per group, one
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    li = spark.table("lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("l_returnflag")
+    cw = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("cum"),
+        F.sum("l_quantity").over(wt).alias("total"),
+    )
+    return (
+        cw.where(F.col("cum") >= F.col("total") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.round(F.first("total"), 6).alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode — most frequent value with a pinned tie-break
+# (highest count, then smallest value). Spark's builtin mode() leaves
+# ties implementation-defined; the count-rollup + max_by(struct)
+# formulation makes the answer a function of the data.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity ASC) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_quantity,
+           CAST(n AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q144_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order quantity per return flag — count rollup then
+    max_by over a (count, -value) struct: no second shuffle, ties
+    broken by the smaller value."""
+    li = spark.table("lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    key = F.struct(F.col("n"), (-F.col("l_quantity")).alias("neg"))
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", key).alias("mode_quantity"),
+        F.max(key).getField("n").alias("n_occurrences"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period reporting — monthly revenue per nation with MoM %
+# change and 3-month moving average: the rollup-then-window pattern
+# (windows run at month grain, the fact table is aggregated exactly
+# once).
+# ---------------------------------------------------------------------------
+@query(
+    "q145_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_nationkey,
+             CAST(floor(epoch(date_trunc('month', o.o_orderdate)))
+                  AS BIGINT) AS month_epoch,
+             SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, m.month_epoch,
+           CAST(m.rev AS DOUBLE) AS revenue,
+           ROUND(CAST((m.rev - lag(m.rev) OVER w) / lag(m.rev) OVER w
+                 AS DOUBLE), 6) AS mom_pct,
+           ROUND(CAST(AVG(m.rev) OVER (w ROWS BETWEEN 2 PRECEDING AND
+                                       CURRENT ROW) AS DOUBLE), 6)
+             AS rev_3mo_avg
+    FROM monthly m JOIN nation n ON m.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY m.c_nationkey ORDER BY m.month_epoch)
+    """,
+)
+def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per nation with month-over-month growth and a
+    3-month moving average — fact table aggregated once, windows at
+    month grain."""
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_nationkey",
+            F.unix_timestamp(F.date_trunc("month", "o_orderdate"))
+            .cast("bigint")
+            .alias("month_epoch"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy("month_epoch")
+    w3 = w.rowsBetween(-2, W.currentRow)
+    prev = F.lag("rev").over(w)
+    return (
+        monthly.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "month_epoch",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                ((F.col("rev") - prev) / prev).cast("double"), 6
+            ).alias("mom_pct"),
+            F.round(F.avg("rev").over(w3).cast("double"), 6).alias(
+                "rev_3mo_avg"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay LTV — recency-weighted user value with a FIXED
+# as-of instant (determinism: never now()): one scan, one aggregate;
+# the decay is a scan-side expression, not state.
+# ---------------------------------------------------------------------------
+_LTV_ASOF = 1706745600  # 2024-02-01T00:00:00Z
+_LTV_TAU = 604800.0  # 7-day time constant
+
+
+@query(
+    "q146_decay_ltv",
+    oracle=f"""
+    SELECT user_id,
+           ROUND(SUM(value * exp(-(({_LTV_ASOF} - floor(epoch(ts)))
+                                  / {_LTV_TAU}))), 6) AS decayed_value,
+           ROUND(SUM(value), 6) AS raw_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts < CAST('2024-02-01' AS TIMESTAMP)
+    GROUP BY user_id
+    """,
+)
+def q146_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user value (7-day e-folding, fixed as-of) next to
+    the undecayed sum — the engagement-scoring aggregate."""
+    e = spark.table("events").where(
+        F.col("ts") < F.lit("2024-02-01").cast("timestamp")
+    )
+    t = F.unix_timestamp("ts").cast("bigint")
+    decay = F.exp(-((F.lit(_LTV_ASOF) - t) / F.lit(_LTV_TAU)))
+    return e.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * decay), 6).alias("decayed_value"),
+        F.round(F.sum("value"), 6).alias("raw_value"),
+        F.count("*").alias("n_events"),
+    )
