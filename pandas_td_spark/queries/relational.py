@@ -615,3 +615,49 @@ def q49_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics parity — null-safe equality, COALESCE/NULLIF chains,
+# null-aware counts, and NULL ordering inside aggregation keys. These
+# are where engines silently disagree; the oracle pins Spark's <=> to
+# IS NOT DISTINCT FROM, and NULL grouping keys to their own group.
+# ---------------------------------------------------------------------------
+@query(
+    "q59_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS maybe_status,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS maybe_prio
+      FROM orders
+    )
+    SELECT maybe_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(maybe_prio) AS BIGINT) AS n_prio_nonnull,
+           CAST(SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+           COALESCE(MIN(maybe_prio), 'none') AS min_prio
+    FROM t GROUP BY maybe_status
+    """,
+)
+def q59_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF-derived keys grouped WITH a NULL group, null-aware COUNT,
+    null-safe equality (<=>), and COALESCE defaults — the null-handling
+    contract, pinned cross-engine."""
+    o = spark.table("orders")
+    t = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("maybe_prio"),
+    )
+    return t.groupBy("maybe_status").agg(
+        F.count("*").alias("n_rows"),
+        F.count("maybe_prio").alias("n_prio_nonnull"),
+        F.sum(
+            F.col("maybe_prio").eqNullSafe(F.lit(None)).cast("bigint")
+        ).alias("n_null_safe_null"),
+        F.coalesce(F.min("maybe_prio"), F.lit("none")).alias("min_prio"),
+    )

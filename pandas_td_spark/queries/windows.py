@@ -469,3 +469,113 @@ def q126_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("peak"), 6).alias("peak_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session METRICS — the composition on top of sessionize (q26 counts
+# sessions; this aggregates at session grain first): per-user session
+# count, mean duration, mean events/session. Same single (user, time)
+# shuffle; the extra grain is a hash aggregate on (user, session_id).
+# ---------------------------------------------------------------------------
+@query(
+    "q147_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sid,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s,
+             COUNT(*) AS n_ev
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(dur_s), 6) AS avg_duration_s,
+           ROUND(AVG(CAST(n_ev AS DOUBLE)), 6) AS avg_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q147_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session metrics off the sessionize operator output:
+    session-grain aggregate, then user-grain rollup."""
+    from pandas_td_spark.operators.sessionize import with_session_id
+
+    ev = spark.table("events")
+    sess = with_session_id(
+        ev, key="user_id", ts_col="ts", timeout_sec=1800,
+        order_cols=["event_id"],
+    )
+    t = F.unix_timestamp("ts").cast("bigint")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        (F.max(t) - F.min(t)).alias("dur_s"),
+        F.count("*").alias("n_ev"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("dur_s"), 6).alias("avg_duration_s"),
+        F.round(F.avg(F.col("n_ev").cast("double")), 6).alias("avg_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — time from each user's FIRST view to FIRST purchase
+# (only users who converted after viewing): two filtered min aggregates
+# in one pass, then percentile fences over the per-user latencies.
+# ---------------------------------------------------------------------------
+@query(
+    "q148_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT t_buy - t_view AS latency_s FROM firsts
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(AVG(latency_s), 6) AS mean_latency_s,
+           ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+           ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s
+    FROM lat
+    """,
+)
+def q148_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view→first-purchase latency distribution — filtered min
+    aggregates in one scan, exact percentiles over the per-user grain."""
+    e = spark.table("events")
+    t = F.unix_timestamp("ts").cast("bigint")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_buy"),
+    )
+    lat = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("latency_s"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("latency_s"), 6).alias("mean_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias(
+            "p90_latency_s"
+        ),
+    )
