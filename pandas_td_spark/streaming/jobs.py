@@ -491,3 +491,40 @@ class ProgressRecorder:
             if time.monotonic() >= deadline:
                 return mine
             time.sleep(0.2)
+
+
+def ohlc_bars_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of q122_ohlc_bars: tumbling open/high/low/close
+    bars per event type. ``min_by``/``max_by`` over the (ts, event_id)
+    struct run inside the windowed hash aggregate, so per-(window, key)
+    state is four scalars + the winner structs — constant, watermark-
+    bounded; closed bars emit once and the sink appends them to the
+    same table the batch rollup produces."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)"))
+                    .cast("double"), 6).alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

@@ -565,3 +565,36 @@ def test_distinct_user_rollup_matches_batch(spark, staged):
         .collect()
     }
     assert merged == direct
+
+
+def test_streaming_ohlc_bars_match_batch(spark, staged):
+    from pandas_td_spark.streaming.jobs import ohlc_bars_stream
+
+    stream = events_stream(spark, staged, max_files_per_trigger=1)
+    got = run_to_memory(ohlc_bars_stream(stream), _name(), spark).toPandas()
+    batch = spark.read.parquet(staged)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    want = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("bar_start"),
+            "event_type",
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+        .toPandas()
+    )
+    k = ["bar_start", "event_type"]
+    got = got.sort_values(k, ignore_index=True)
+    want = want.sort_values(k, ignore_index=True)
+    assert got.equals(want[got.columns])
