@@ -100,3 +100,38 @@ def register_udtfs(spark) -> None:
                 yield (" ".join(words[i : i + n]), i)
 
     spark.udtf.register("split_ngrams", SplitNgrams)
+
+
+def capped_running_balance(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    delta: str,
+    lo: float,
+    hi: float,
+    out: str = "balance",
+) -> DataFrame:
+    """Per-key running balance clamped to [lo, hi] AFTER EVERY STEP —
+    inventory/credit/quota semantics. The clamp makes the recurrence
+    non-associative, so no window/aggregate can express it: this is the
+    canonical applyInPandas use case (genuinely sequential per-key
+    logic). Each group walks once in insertion order; the batch cost is
+    one shuffle + a linear pass per key. For unbounded per-key streams
+    the same recurrence runs under transformWithState
+    (streaming/jobs.py::make_running_totals_processor is the template).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        bal, acc = [], 0.0
+        for d in pdf[delta]:
+            acc = min(max(acc + float(d), lo), hi)
+            bal.append(acc)
+        return pdf.assign(**{out: bal})
+
+    return df.groupBy(key).applyInPandas(_walk, schema=schema)

@@ -1402,3 +1402,59 @@ def q146_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("raw_value"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance — clamp after every step makes the recurrence
+# NON-ASSOCIATIVE: no window frame or aggregate can compute it, which
+# is exactly when applyInPandas earns its place (sequential per-key
+# walk, one shuffle). The oracle walks the same recurrence row-by-row
+# with a recursive CTE.
+# ---------------------------------------------------------------------------
+_BAL_CAP = 1000.0
+
+
+@query(
+    "q149_capped_balance",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN value
+                  ELSE -value END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk(user_id, event_id, rn, bal) AS (
+      SELECT user_id, event_id, rn,
+             greatest(least(delta, {_BAL_CAP}), 0.0)
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             greatest(least(w.bal + s.delta, {_BAL_CAP}), 0.0)
+      FROM walk w JOIN seq s
+        ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(bal, 6) AS balance
+    FROM walk
+    """,
+)
+def q149_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user credit balance: views/clicks add value, other events
+    spend it, clamped to [0, 1000] at every step — the sequential
+    stateful scan through applyInPandas."""
+    from pandas_td_spark.operators.python_udfs import capped_running_balance
+
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("value")
+        ).otherwise(-F.col("value")).alias("delta"),
+    )
+    walked = capped_running_balance(
+        e, "user_id", ["ts", "event_id"], "delta", lo=0.0, hi=_BAL_CAP
+    )
+    return walked.select(
+        "user_id", "event_id", F.round("balance", 6).alias("balance")
+    )

@@ -749,3 +749,17 @@ def test_weighted_sample_is_length_biased(spark):
     # Probability ∝ n_chars ⇒ the sample mean length must exceed the
     # corpus mean decisively (docs vary ~10×; a uniform draw would not).
     assert sample.n_chars.mean() > 1.15 * corpus.n_chars.mean()
+
+
+def test_graph_and_pagerank_edge_cases(spark):
+    from pandas_td_spark.operators.graph import triangle_counts, undirected_edges
+    from pandas_td_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "x bigint, y bigint")
+    assert triangle_counts(undirected_edges(empty, "x", "y")).count() == 0
+    assert pagerank(empty.selectExpr("x as src", "y as dst")).count() == 0
+    # single edge: two nodes, no triangles; ranks sum to 1
+    one = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    assert triangle_counts(undirected_edges(one, "src", "dst")).count() == 0
+    ranks = pagerank(one, n_iter=5).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
