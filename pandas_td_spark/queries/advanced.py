@@ -902,3 +902,51 @@ def q134_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — the exact, oracle-checked half of the
+# journey-graph pipeline (q119's PageRank consumes these edges): per
+# (src, dst) event-type transition counts and row-normalized
+# probabilities from one lag() pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events
+    ), counts AS (
+      SELECT src, dst, COUNT(*) AS n FROM seq
+      WHERE src IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM counts
+    """,
+)
+def q150_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts + probabilities per user journey —
+    one (user, time) window pass, then cell-grain aggregation; the
+    normalization window runs on |types|² rows."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wn = W.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        F.col("n").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wn), 6
+        ).alias("p"),
+    )

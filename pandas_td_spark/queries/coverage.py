@@ -1458,3 +1458,50 @@ def q149_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walked.select(
         "user_id", "event_id", F.round("balance", 6).alias("balance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector column analytics — norms, means, argmax position over the
+# embedding array, all as JVM array expressions (no UDF, no explode):
+# the cheap per-vector profile every embedding pipeline needs before
+# the expensive similarity passes. Float32 inputs are cast to double
+# BEFORE any arithmetic so both engines accumulate identically.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_vector_stats",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(e) AS INT) AS dim,
+           ROUND(sqrt(list_aggregate(list_transform(e, x -> x * x),
+                                     'sum')), 6) AS l2_norm,
+           ROUND(list_aggregate(e, 'sum') / len(e), 6) AS mean_val,
+           CAST(list_indexof(e, list_aggregate(e, 'max')) AS INT)
+             AS argmax_pos
+    FROM v
+    """,
+)
+def q151_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm, mean, and (1-based, first-occurrence) argmax
+    over the embedding column — pure array expressions inside
+    whole-stage codegen."""
+    em = spark.table("embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(e, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    return em.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.array_position(e, F.array_max(e)).cast("int").alias("argmax_pos"),
+    )
