@@ -1505,3 +1505,80 @@ def q151_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / F.size("embedding"), 6).alias("mean_val"),
         F.array_position(e, F.array_max(e)).cast("int").alias("argmax_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality verification (Deequ / expectations pattern) — row rules
+# in ONE aggregate over ONE scan, uniqueness on the key rollup,
+# referential integrity as a broadcast left-anti join; all rules land
+# in one long-format result.
+# ---------------------------------------------------------------------------
+@query(
+    "q152_data_quality",
+    oracle="""
+    WITH row_rules AS (
+      SELECT 'totalprice_positive' AS rule,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_in_range',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                            AND o_orderdate < TIMESTAMP '2030-01-01'
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'status_known',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique',
+             CAST(SUM(c) AS BIGINT),
+             CAST(SUM(c - 1) AS BIGINT)
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'custkey_in_customer',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+    )
+    SELECT rule, n_rows, n_violations,
+           ROUND(1.0 - CAST(n_violations AS DOUBLE) / n_rows, 6)
+             AS pass_frac
+    FROM row_rules
+    """,
+)
+def q152_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-rule verification suite over orders: three row rules in one
+    scan, key uniqueness on the rollup, customer referential integrity
+    via broadcast anti-join."""
+    from pandas_td_spark.operators.quality import (
+        check_referential,
+        check_rules,
+        check_unique,
+    )
+
+    o = spark.table("orders")
+    rows = check_rules(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_in_range": (
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2030-01-01").cast("timestamp"))
+            ),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    uniq = check_unique(o, ["o_orderkey"], "orderkey_unique")
+    ri = check_referential(
+        o, "o_custkey", spark.table("customer"), "c_custkey",
+        "custkey_in_customer",
+    )
+    return rows.unionByName(uniq).unionByName(ri)

@@ -763,3 +763,31 @@ def test_graph_and_pagerank_edge_cases(spark):
     assert triangle_counts(undirected_edges(one, "src", "dst")).count() == 0
     ranks = pagerank(one, n_iter=5).collect()
     assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+
+
+def test_quality_checks_detect_synthetic_violations(spark):
+    from pandas_td_spark.operators.quality import (
+        check_referential,
+        check_rules,
+        check_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (2, None), (3, 7.0)],
+        "k bigint, v double",
+    )
+    rules = check_rules(
+        df, {"v_positive": F.col("v") > 0, "k_small": F.col("k") < 3}
+    ).toPandas().set_index("rule")
+    # NULL comparison result counts as a violation (unknown != pass).
+    assert rules.loc["v_positive"].n_violations == 2
+    assert rules.loc["k_small"].n_violations == 1
+    assert rules.loc["v_positive"].n_rows == 4
+
+    uniq = check_unique(df, ["k"], "k_unique").toPandas().iloc[0]
+    assert uniq.n_violations == 1 and uniq.n_rows == 4
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    ri = check_referential(df, "k", parent, "pk", "k_in_parent")
+    r = ri.toPandas().iloc[0]
+    assert r.n_violations == 1 and r.n_rows == 4
