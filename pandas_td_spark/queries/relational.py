@@ -661,3 +661,160 @@ def q59_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_null_safe_null"),
         F.coalesce(F.min("maybe_prio"), F.lit("none")).alias("min_prio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth — yearly revenue per nation, YoY % via lag at
+# YEAR grain (the q145 MoM pattern one level up; rollup once, window
+# over ~n_nations × 7 rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q153_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT c.c_nationkey, year(o.o_orderdate) AS yr,
+             SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, CAST(y.yr AS INT) AS yr,
+           CAST(y.rev AS DOUBLE) AS revenue,
+           CAST(y.n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST((y.rev - lag(y.rev) OVER w) / lag(y.rev) OVER w
+                      AS DOUBLE), 6) AS yoy_pct
+    FROM yearly y JOIN nation n ON y.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY y.c_nationkey ORDER BY y.yr)
+    """,
+)
+def q153_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue and YoY growth per nation — aggregate once,
+    window at year grain."""
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    yearly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return (
+        yearly.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("yr").cast("int").alias("yr"),
+            F.col("rev").cast("double").alias("revenue"),
+            "n_orders",
+            F.round(((F.col("rev") - prev) / prev).cast("double"), 6)
+            .alias("yoy_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order lifecycle — the order-grain denormalization: line counts, value
+# totals, ship-window span, and order→first-ship latency. One lineitem
+# rollup co-keyed with orders; the join is 1:1 after aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q154_order_lifecycle",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS line_value,
+             MIN(l_shipdate) AS first_ship,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           l.n_lines,
+           l.line_value,
+           CAST(date_diff('day', o.o_orderdate, l.first_ship) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(date_diff('day', l.first_ship, l.last_ship) AS BIGINT)
+             AS ship_span_days
+    FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q154_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order fulfillment profile: lineitem rollup then a 1:1 join
+    back to orders — the canonical fact-to-entity denormalization."""
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    lines = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("line_value"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return (
+        o.join(lines, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "n_lines",
+            "line_value",
+            F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_first_ship"),
+            F.datediff(F.to_date("last_ship"), F.to_date("first_ship"))
+            .cast("bigint")
+            .alias("ship_span_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index — day-of-week revenue share vs uniform expectation:
+# the rollup-vs-global-window composition at 7-row grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q155_seasonality_index",
+    oracle="""
+    WITH dow AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(rev AS DOUBLE) * 7.0
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS seasonality
+    FROM dow
+    """,
+)
+def q155_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue concentration (1.0 = uniform) — global
+    window runs over exactly 7 rollup rows."""
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders")
+    dow = o.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    return dow.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            F.col("rev").cast("double")
+            * 7.0
+            / F.sum("rev").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("seasonality"),
+    )
