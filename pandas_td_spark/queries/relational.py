@@ -818,3 +818,240 @@ def q155_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintiles per customer,
+# composed into a segment label. All three ntile windows run at
+# customer grain (post-rollup); the fixed as-of instant keeps recency
+# deterministic.
+# ---------------------------------------------------------------------------
+_RFM_ASOF = "2002-01-01"
+
+
+@query(
+    "q156_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '{_RFM_ASOF} 00:00:00') AS recency_d,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_d, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(5) OVER (ORDER BY recency_d ASC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(monetary), 6) AS avg_monetary,
+           ROUND(AVG(CAST(recency_d AS DOUBLE)), 6) AS avg_recency_d
+    FROM scored GROUP BY 1
+    """,
+)
+def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM quintile segments (r*100+f*10+m) with per-segment
+    size and value — three global ntiles at customer grain."""
+    from pyspark.sql import Window as W
+
+    o = spark.table("orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_d"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("mon"),
+    )
+    scored = cust.select(
+        F.col("recency_d"),
+        F.col("mon").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_d").asc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("mon").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+            F.round(F.avg(F.col("recency_d").cast("double")), 6).alias(
+                "avg_recency_d"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — split each purchase's value EQUALLY across
+# the user's clicks in the preceding 7 days (linear attribution). The
+# candidate join is day-bucketed (probe 8 buckets), never a BNLJ; the
+# per-purchase click count comes from one window at candidate grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q157_linear_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), cand AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             p.value AS pval,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+      FROM ev p JOIN ev c
+        ON p.user_id = c.user_id
+        AND c.t <= p.t AND c.t > p.t - 604800
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           ROUND(SUM(pval / n_touch), 6) AS attributed_value
+    FROM cand GROUP BY click_id
+    """,
+)
+def q157_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) attribution of purchase value to preceding
+    clicks within 7 days — day-bucketed candidate join + one window at
+    candidate grain."""
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    day = 86400
+    window_s = 604800
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("value").alias("pval"),
+        F.col("t").alias("p_t"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("c_t"),
+        (F.col("t") / day).cast("bigint").alias("b"),
+    )
+    # probe the purchase's day bucket and the 7 preceding
+    probe = purchases.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                (F.col("p_t") / day).cast("bigint") - 7,
+                (F.col("p_t") / day).cast("bigint"),
+            )
+        ),
+    )
+    cand = probe.join(clicks, ["u", "b"]).where(
+        (F.col("c_t") <= F.col("p_t"))
+        & (F.col("c_t") > F.col("p_t") - window_s)
+    )
+    n_touch = F.count("*").over(W.partitionBy("purchase_id"))
+    return (
+        cand.select(
+            "click_id", "purchase_id", "pval", n_touch.alias("n_touch")
+        )
+        .groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_purchases_touched"),
+            F.round(F.sum(F.col("pval") / F.col("n_touch")), 6).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift — association metrics over co-ordered part pairs:
+# support / confidence / lift from the q121 edge pipeline plus two
+# marginal rollups (broadcast back). The pair space is bounded by the
+# co-order join, never |parts|².
+# ---------------------------------------------------------------------------
+@query(
+    "q158_basket_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM li),
+    item AS (SELECT p, COUNT(*) AS n_p FROM li GROUP BY p),
+    pair AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_both,
+           ROUND(CAST(n_ab AS DOUBLE) / n_orders.n, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / ia.n_p, 6) AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * n_orders.n
+                 / (CAST(ia.n_p AS DOUBLE) * ib.n_p), 6) AS lift
+    FROM pair
+    JOIN item ia ON pair.pa = ia.p
+    JOIN item ib ON pair.pb = ib.p
+    CROSS JOIN n_orders
+    WHERE n_ab >= 3
+    """,
+)
+def q158_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-ordered parts (min co-count 3):
+    support, confidence, lift — pair counts from the co-order join,
+    marginals broadcast back."""
+    li = (
+        spark.table("lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = li.select("o").distinct().count()
+    item = li.groupBy("p").agg(F.count("*").alias("n_p"))
+    pair = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_pa"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_pb"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").alias("n_both"),
+            F.round(F.col("n_ab").cast("double") / n_orders, 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_pa"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * n_orders
+                / (F.col("n_pa").cast("double") * F.col("n_pb")),
+                6,
+            ).alias("lift"),
+        )
+    )
