@@ -418,3 +418,73 @@ def q118_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — survivorship policy: keep the BEST doc per near-dup cluster
+# (longest text, then lowest id), not the arbitrary min-id. The cluster
+# labels come from the same exact-Jaccard + connected-components
+# pipeline as q65; the survivor pick is one window at cluster grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q159_cluster_survivor",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p0
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM e
+      UNION SELECT a, b FROM e
+      UNION SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, CAST(n_chars AS BIGINT) AS n_chars,
+           doc_id = first_value(doc_id) OVER (
+             PARTITION BY component
+             ORDER BY n_chars DESC, doc_id ASC) AS survivor
+    FROM labeled
+    """,
+)
+def q159_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: component labels from the distributed CC
+    pipeline, survivor = (longest, lowest-id) per cluster via one
+    cluster-grain window."""
+    from pandas_td_spark.operators.cluster import collapse_near_dups
+    from pyspark.sql import Window as W
+
+    docs = spark.table("documents")
+    pairs = jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    labeled = collapse_near_dups(docs, pairs).select(
+        "doc_id", "component"
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("survivor"),
+    )
