@@ -1055,3 +1055,202 @@ def q158_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority: top unshipped orders by revenue
+# for one segment. Filter both sides before the join, aggregate at
+# order grain, TakeOrdered for the top 10.
+# ---------------------------------------------------------------------------
+@query(
+    "q160_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q160_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: revenue of unshipped BUILDING-segment orders — both
+    fact filters applied pre-join, top-10 via TakeOrderedAndProject."""
+    from pandas_td_spark.queries._util import dsum
+
+    c = spark.table("customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.table("orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = spark.table("lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate")
+            .cast("bigint")
+            .alias("orderdate_epoch"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority checking: orders with at least one
+# late line (EXISTS → left-semi join), counted per priority.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q161_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: priorities of H1-1996 orders having a line shipped
+    after the order date — EXISTS compiled to a left-semi join with the
+    non-equi predicate as a join condition."""
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = spark.table("lineitem")
+    matched = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item report: customers ranked by revenue
+# lost to returns in a quarter.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_returned_items",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS lost_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q162_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top customers by returned revenue in 1997Q1 — return
+    flag pushed to the lineitem scan, nation broadcast, top-20 via
+    TakeOrdered."""
+    from pandas_td_spark.queries._util import dsum
+
+    c = spark.table("customer")
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = spark.table("lineitem").where(F.col("l_returnflag") == "R")
+    n = spark.table("nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("lost_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promotion effect: share of revenue from one part
+# type family in a month; conditional aggregation over one join.
+# ---------------------------------------------------------------------------
+@query(
+    "q163_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q163_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-type revenue share for one ship month —
+    month filter on the scan, part dim broadcast, conditional decimal
+    sums."""
+    l = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = spark.table("part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = l.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(
+                    F.col("p_type").like("PROMO%"),
+                    rev.cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            ).cast("double")
+            / F.sum(rev.cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
