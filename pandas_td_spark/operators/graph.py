@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["undirected_edges", "triangle_counts"]
+__all__ = [
+    "undirected_edges",
+    "triangle_counts",
+    "bfs_levels",
+    "kcore_peel",
+]
 
 #: Node-id width used to pack (degree, node) into one orderable BIGINT
 #: rank. Node ids must fit in 32 bits; degree dominates the ordering and
@@ -115,4 +120,70 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def bfs_levels(
+    edges: DataFrame, source, max_depth: int = 4
+) -> DataFrame:
+    """Single-source BFS levels by frontier expansion: each round is one
+    equi-join (frontier × adjacency) + one anti-join against the visited
+    set — the standard distributed BFS (no per-node state, no driver
+    traversal). ``edges`` as from ``undirected_edges``. Returns
+    ``(node, level)`` for nodes within ``max_depth`` hops.
+
+    Each round's frontier is lineage-cut with localCheckpoint: without it
+    round k replays rounds 1..k-1 (quadratic blowup in plan depth).
+    """
+    spark = edges.sparkSession
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    levels = spark.createDataFrame(
+        [(source, 0)], "node bigint, level int"
+    )
+    frontier = levels.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(
+            nxt.withColumn("level", F.lit(depth))
+        ).localCheckpoint()
+        frontier = nxt
+    return levels
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop nodes with
+    degree < k, restrict edges to survivors". A FIXED round count makes
+    the result a deterministic function of the graph that an oracle can
+    unroll; full k-core = iterate to fixpoint (monotone, ≤ |V| rounds).
+    Returns surviving ``(node, deg)`` after the last round.
+    """
+    e = edges
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select("v"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
     )

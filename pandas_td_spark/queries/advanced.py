@@ -950,3 +950,136 @@ def q150_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wn), 6
         ).alias("p"),
     )
+
+
+_COPURCHASE_EDGES_SQL = """
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession):
+    from pandas_td_spark.operators.graph import undirected_edges
+
+    li = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+    ).select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+    return undirected_edges(pairs, "pa", "pb")
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS — frontier-expansion shortest hop counts from part 1
+# over the co-purchase graph. The oracle's recursive CTE uses UNION
+# (distinct) so its work table is bounded by |V|×depth states, then
+# MIN(d) recovers the BFS level.
+# ---------------------------------------------------------------------------
+@query(
+    "q164_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_EDGES_SQL},
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    walk(node, d) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION
+      SELECT bi.v, w.d + 1 FROM walk w JOIN bi ON bi.u = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS level
+    FROM walk GROUP BY node
+    """,
+    scale_note=(
+        "each BFS round is one frontier equi-join + anti-join; rounds = "
+        "graph diameter, frontiers lineage-cut per round"
+    ),
+)
+def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from part 1 through shared orders (≤3 hops) — the
+    distributed frontier BFS primitive."""
+    from pandas_td_spark.operators.graph import bfs_levels
+
+    return bfs_levels(_copurchase_edges(spark), source=1, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution — the graph-shape profile (completes the
+# analytics set: degrees → skew/salting input, triangles → clustering,
+# BFS → reachability, k-core → density).
+# ---------------------------------------------------------------------------
+@query(
+    "q165_degree_histogram",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg
+    """,
+)
+def q165_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase degree distribution: per-node degree rollup, then a
+    count per degree value."""
+    e = _copurchase_edges(spark).localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.groupBy(F.col("deg").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling — three rounds of "drop degree<k, restrict
+# edges to survivors". The fixed round count is the CONTRACT (full
+# k-core iterates to fixpoint); the oracle unrolls the same three
+# rounds stage by stage.
+# ---------------------------------------------------------------------------
+_KCORE_K = 12
+
+
+@query(
+    "q166_kcore",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    d1 AS (SELECT node, COUNT(*) AS dg FROM
+           (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           GROUP BY node),
+    k1 AS (SELECT node FROM d1 WHERE dg >= {_KCORE_K}),
+    e1 AS (SELECT u, v FROM e
+           WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
+    d2 AS (SELECT node, COUNT(*) AS dg FROM
+           (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+           GROUP BY node),
+    k2 AS (SELECT node FROM d2 WHERE dg >= {_KCORE_K}),
+    e2 AS (SELECT u, v FROM e1
+           WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
+    d3 AS (SELECT node, COUNT(*) AS dg FROM
+           (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+           GROUP BY node),
+    k3 AS (SELECT node FROM d3 WHERE dg >= {_KCORE_K}),
+    e3 AS (SELECT u, v FROM e2
+           WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+    GROUP BY node
+    """,
+)
+def q166_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense core of the co-purchase graph after three k≥12 peeling
+    rounds — iterative degree-filtered edge restriction."""
+    from pandas_td_spark.operators.graph import kcore_peel
+
+    return kcore_peel(_copurchase_edges(spark), k=_KCORE_K, rounds=3)
