@@ -136,6 +136,9 @@ def bfs_levels(
     round k replays rounds 1..k-1 (quadratic blowup in plan depth).
     """
     spark = edges.sparkSession
+    # One materialization of the (possibly expensive) edge derivation —
+    # the adjacency is probed every round.
+    edges = edges.localCheckpoint()
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -167,7 +170,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     unroll; full k-core = iterate to fixpoint (monotone, ≤ |V| rounds).
     Returns surviving ``(node, deg)`` after the last round.
     """
-    e = edges
+    e = edges.localCheckpoint()
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
