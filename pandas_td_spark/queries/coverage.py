@@ -1582,3 +1582,105 @@ def q152_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_in_customer",
     )
     return rows.unionByName(uniq).unionByName(ri)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — THE scalable bootstrap (resample weights drawn
+# per (row, replica) instead of resampling rows, so it runs as one
+# scan × B conditional weights; public: Chamandy et al., Google 2012,
+# "Estimating Uncertainty for Massive Data Streams"). Weights come
+# from seeded md5 uniforms through fixed Poisson(1) CDF thresholds, so
+# both engines draw the SAME bootstrap — the whole procedure is
+# deterministic and exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+_BOOT_B = 16
+_BOOT_SEED = "boot-11:"
+# Poisson(1) CDF thresholds for counts 0..5 (≥6 beyond the last).
+_POIS_CDF = (
+    0.367879441, 0.735758882, 0.919698603,
+    0.980988044, 0.996319497, 0.999389527,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "q167_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             ({_pois_case_sql(f"(('0x' || substring(md5('{_BOOT_SEED}' || b.b || ':' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)")})
+               AS w,
+             l_quantity
+      FROM lineitem CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ), means AS (
+      SELECT b,
+             CAST(SUM(CAST(w * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               / SUM(w) AS m
+      FROM reps GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           ROUND(AVG(m), 6) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+    scale_note=(
+        "B conditional weights on one scan — never B resampled copies; "
+        "the explode is the per-replica bookkeeping, weights are O(1)"
+    ),
+)
+def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean lineitem quantity from 16 deterministic
+    Poisson(1) replicas — one scan, weights from seeded hash uniforms."""
+    li = spark.table("lineitem").select(
+        "l_quantity",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    reps = li.select(
+        "l_quantity",
+        "rid",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_BOOT_SEED),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("rid").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(1152921504606846976.0)
+    w = F.lit(6)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    (F.col("w") * F.col("l_quantity")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    return means.agg(
+        F.count("*").alias("n_replicas"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
