@@ -1254,3 +1254,33 @@ def q163_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNION BY NAME with missing columns — schema-evolution-tolerant
+# concatenation (Spark allowMissingColumns=True ≡ DuckDB
+# UNION ALL BY NAME): absent columns become NULL, order-insensitive.
+# ---------------------------------------------------------------------------
+@query(
+    "q169_union_by_name",
+    oracle="""
+    SELECT c_custkey AS k, c_mktsegment AS segment, NULL AS balance
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL BY NAME
+    SELECT c_acctbal AS balance, c_custkey AS k, NULL AS segment
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def q169_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name-aligned union across differently-shaped inputs — the
+    schema-evolution append path (missing columns null-filled)."""
+    c = spark.table("customer")
+    a = c.where(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    b = c.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_custkey").alias("k"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -579,3 +579,45 @@ def q148_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frame — trailing 1-hour sums per user. Spark
+# expresses the time frame as rangeBetween over epoch seconds; the
+# oracle uses the native RANGE BETWEEN INTERVAL form. Peer rows (equal
+# timestamps) are included by both — the semantics RANGE exists for.
+# ---------------------------------------------------------------------------
+@query(
+    "q168_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS hour_sum,
+           CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hour_n
+    FROM events
+    """,
+)
+def q168_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour value sum/count per user via a RANGE frame keyed on
+    epoch seconds — sliding time windows without self-joins."""
+    e = spark.table("events")
+    t = F.unix_timestamp("ts").cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(t)
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+        F.count("*").over(w).cast("bigint").alias("hour_n"),
+    )
