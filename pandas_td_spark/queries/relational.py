@@ -1284,3 +1284,568 @@ def q169_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping: revenue flowing between a nation
+# pair in both directions, by ship year. Two independent dim chains
+# (supplier-side, customer-side nation) hang off the same fact scan;
+# both are broadcast, so the only shuffle is the final rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q170_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q170_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+    supplier/nation and customer/nation chains broadcast onto one
+    lineitem scan; the disjunctive pair predicate lands post-join where
+    both nation names are in scope."""
+    l = spark.table("lineitem")
+    s = spark.table("supplier")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: fraction of one region's
+# import revenue supplied by one nation, per order year. The share is
+# a ratio of two conditional decimal sums over the same joined scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q171_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'REGION_0'
+    GROUP BY EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q171_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of REGION_0 customers' import revenue
+    by order year — numerator as a conditional decimal sum, denominator
+    the unconditional sum, one pass."""
+    l = spark.table("lineitem")
+    s = spark.table("supplier")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region").where(F.col("r_name") == "REGION_0")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", rev
+                    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product-type profit: revenue from one part family
+# attributed to the supplier's nation, by ship year. (The fixture has
+# no partsupp, so profit is the discounted revenue rather than
+# revenue minus supplycost — same join/agg topology.)
+# ---------------------------------------------------------------------------
+@query(
+    "q172_parttype_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS amount,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q172_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (no-partsupp adaptation): widget-family revenue by
+    supplier nation x ship year. The selective part filter is applied
+    before its broadcast join so only matching partkeys replicate."""
+    l = spark.table("lineitem")
+    p = spark.table("part").where(F.col("p_name").like("%widget%"))
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("amount"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+# so zero-order customers survive into the histogram, then a second
+# aggregation at the count grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_custorder_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q173_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: per-customer non-urgent order counts (left outer join
+    keeps zero-order customers, COUNT(col) skips the null side), then
+    the distribution of those counts. Second rollup is at count grain —
+    tiny shuffle."""
+    c = spark.table("customer")
+    o = spark.table("orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s): revenue per supplier for one ship
+# quarter, keep every supplier tying the maximum. The max is attached
+# via a broadcast of the 1-row global aggregate, not a sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q174_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, r.suppkey, r.total_revenue
+    FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q174_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in 1997Q1. The scalar
+    max comes from a cross-joined 1-row aggregate (broadcast), so no
+    global sort and ties are kept. Decimal sums make the equality
+    engine-exact."""
+    l = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = spark.table("supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_name", "suppkey", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: orders whose total quantity
+# exceeds a threshold (HAVING on the order rollup), joined back to
+# customer detail.
+# ---------------------------------------------------------------------------
+@query(
+    "q175_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(t.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    ) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q175_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders with > 250 total quantity. The HAVING rollup
+    runs first and is highly selective (~1% of orders), so IT is the
+    broadcast side of both enrichment joins — the big tables are never
+    shuffled. l_quantity is integral-valued, so its plain double SUM is
+    exact (no decimal detour needed)."""
+    l = spark.table("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    return (
+        o.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate")
+            .cast("bigint")
+            .alias("orderdate_epoch"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive brand/size/quantity predicates: an
+# OR-of-ANDs spanning both join sides. Catalyst extracts the common
+# p_partkey equi-key; the residual disjunction evaluates post-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q176_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q176_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of brand/size/quantity clause
+    triples. The part side is pre-filtered to the union of brands
+    (derivable single-side implication of the disjunction) before the
+    broadcast, shrinking the build side ~10x."""
+    l = spark.table("lineitem")
+    p = spark.table("part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    joined = l.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    clause = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return joined.where(clause).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — dormant high-balance customers: above-average
+# balance AND no recent orders. Scalar subquery broadcast + left-anti
+# join against the recent-order keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q177_dormant_customers",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q177_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (phone-prefix replaced by nationkey): customers above
+    the positive-balance average with no orders since 2000, rolled up
+    per nation. The average is a broadcast 1-row aggregate; NOT EXISTS
+    compiles to a left-anti join on the pre-filtered recent orders. The
+    threshold average is computed as exact decimal-sum / count in BOTH
+    engines so the > comparison can never flip on a last-ulp AVG
+    difference."""
+    c = spark.table("customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = spark.table("orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — sole returning supplier: in orders served by >= 2
+# suppliers, suppliers who returned lines while no co-supplier did.
+# Exists AND not-exists over the same fact, both as join-reductions on
+# a shared deduplicated (order, supplier) edge list.
+# ---------------------------------------------------------------------------
+@query(
+    "q178_sole_returner",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), returned AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ), multi AS (
+      SELECT l_orderkey FROM edges GROUP BY l_orderkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM returned r
+    JOIN multi m ON r.l_orderkey = m.l_orderkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM returned r2
+      WHERE r2.l_orderkey = r.l_orderkey
+        AND r2.l_suppkey <> r.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def q178_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (returnflag standing in for receipt>commit lateness):
+    per supplier, count of multi-supplier orders where they were the
+    ONLY supplier with a returned line. The inequality-correlated NOT
+    EXISTS becomes: orders with exactly one distinct returning supplier
+    (a count at order grain) — turning the anti self-join into one
+    aggregate, the decorrelation a 100x fact table needs."""
+    l = spark.table("lineitem")
+    edges = l.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        edges.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_supp"))
+        .where(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    sole = (
+        returned.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_ret"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .where(F.col("n_ret") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = spark.table("supplier")
+    return (
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — cheapest qualifying supplier: for each size-10
+# part, the supplier(s) with MIN acctbal among those who ever shipped
+# it. (lineitem stands in for partsupp as the part-supplier edge.)
+# Correlated MIN decorrelated into a grouped aggregate joined back.
+# ---------------------------------------------------------------------------
+@query(
+    "q179_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal, s.s_name
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size = 10
+    )
+    SELECT ps.l_partkey AS partkey, ps.s_name,
+           CAST(ps.s_acctbal AS DOUBLE) AS acctbal
+    FROM ps
+    WHERE ps.s_acctbal = (
+      SELECT MIN(ps2.s_acctbal) FROM ps ps2
+      WHERE ps2.l_partkey = ps.l_partkey
+    )
+    """,
+)
+def q179_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (lineitem as the part-supplier edge): per size-10 part,
+    supplier(s) with minimum account balance. The correlated scalar MIN
+    is decorrelated to one per-part aggregate joined back on (part,
+    acctbal) — ties kept, matching the subquery semantics. All dims
+    broadcast; the distinct edge list is the only shuffle."""
+    l = spark.table("lineitem")
+    p = spark.table("part").where(F.col("p_size") == 10)
+    s = spark.table("supplier")
+    ps = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name")
+        .distinct()
+    )
+    mins = ps.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            F.broadcast(mins),
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+        )
+    )
