@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "DEFAULT_CONFS"]
+__all__ = ["get_spark", "stop_spark", "spread", "DEFAULT_CONFS"]
 
 DEFAULT_CONFS: dict[str, str] = {
     # -- optimizer / execution ------------------------------------------------
@@ -98,3 +98,21 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def spread(df, partitions: int | None = None):
+    """Round-robin a (narrow) DataFrame across the cluster before
+    row-multiplying or per-row-expensive work.
+
+    Compact fixture tables arrive as a single parquet row group = ONE
+    input split, so an explode/hash/shingle stage directly over the scan
+    runs on one core no matter how many executors exist. Repartitioning
+    the narrow pre-explosion rows costs one small shuffle and buys full
+    parallelism for the expensive stage (measured 4-13x on the shingle
+    and bootstrap-replica paths at sf0.1). On a real multi-split table
+    the extra shuffle is wasted only if the scan already has enough
+    splits — callers apply this ONLY where per-row downstream work, not
+    scan size, dominates; there it is noise at any scale.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

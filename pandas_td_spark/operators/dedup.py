@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pandas_td_spark.engine.session import spread
+
 __all__ = [
     "normalized_text",
     "exact_dedup",
@@ -108,7 +110,7 @@ def minhash_signatures(
     measured 70× slower here: the signature subtree got re-evaluated per
     band and fell out of whole-stage codegen.)
     """
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col), F.explode(shingle_array(text_col, shingle_n)).alias("s")
     )
     aggs = [
@@ -173,7 +175,7 @@ def verify_jaccard_on_pairs(
     """Exact Jaccard computed ONLY on candidate pairs (two hash joins to
     fetch shingle sets + array_intersect per pair) — O(candidates), unlike
     the full inverted-index join in :func:`jaccard_pairs`."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("__id"),
         shingle_array(text_col, shingle_n).alias("__sh"),
     )
@@ -220,7 +222,7 @@ def jaccard_pairs(
     ``persist(DISK_ONLY)`` or write an intermediate table instead.
     """
     sh = (
-        df.select(
+        spread(df).select(
             F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
         )
         .select(
@@ -285,7 +287,7 @@ def jaccard_pairs_prefix(
     asserted in tests/test_llm.py).
     """
     t = float(threshold)
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), shingle_array(text_col, shingle_n).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     # materialized once: feeds both the DF-count agg and the rank join
@@ -387,7 +389,7 @@ def simhash_signatures(
     :func:`minhash_signatures`): per exploded token, ``getbit(xxhash64(w),
     i)`` contributes ±1 to bit-slot i; 64 ``sum`` aggregates collapse
     map-side; the final select packs sign bits into one BIGINT."""
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("w")
     ).select(F.col(id_col), F.xxhash64("w").alias("h"))
     sums = ex.groupBy(id_col).agg(

@@ -36,6 +36,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "pq_topk",
+    "mmr_rerank",
 ]
 
 
@@ -757,4 +758,74 @@ def pq_topk(
         .withColumn("rnk", F.row_number().over(w2).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98):
+    from each query's exact top-``pool`` cosine candidates, greedily pick
+    ``k`` maximizing ``lam*rel - (1-lam)*max_sim_to_already_selected``.
+
+    The relevance pass is :func:`cosine_topk` (broadcast queries × one
+    corpus scan). The greedy step is inherently sequential but only over
+    the per-query candidate pool: each group is ``pool`` rows, so the
+    ``applyInPandas`` tasks are O(pool²·dim) numpy work, embarrassingly
+    parallel across queries — the candidate generation, not the re-rank,
+    is the 100 TB cost. Ties break on lowest n_id (argmax keeps the first
+    maximum), making the output deterministic.
+    """
+    cand = cosine_topk(emb, query_ids, k=pool, dim=dim, id_col=id_col, vec=vec)
+    vecs = emb.select(
+        F.col(id_col).alias("n_id"), F.col(vec).alias("c_vec")
+    )
+    joined = cand.join(vecs, "n_id").select(
+        "q_id", "n_id", "cosine", "c_vec"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        m = np.stack(pdf["c_vec"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        sims = unit @ unit.T
+        rel = pdf["cosine"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        out_rows = []
+        for step in range(min(k, n)):
+            if selected:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = lam * rel
+            score[selected] = -np.inf
+            pick = int(np.argmax(score))
+            out_rows.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    int(pdf["n_id"].iloc[pick]),
+                    float(score[pick]),
+                    step + 1,
+                )
+            )
+            selected.append(pick)
+            max_sim = np.maximum(max_sim, sims[pick])
+        return pd.DataFrame(
+            out_rows, columns=["q_id", "n_id", "mmr", "sel_rank"]
+        )
+
+    return joined.groupBy("q_id").applyInPandas(
+        rerank, "q_id long, n_id long, mmr double, sel_rank long"
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pandas_td_spark.functions.td import smart_digest, td_time_parse
 from pandas_td_spark.operators.similarity import dot_chain, dot_sql
 from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.engine.session import spread
 from pandas_td_spark.queries.registry import query
 
 
@@ -112,7 +113,7 @@ def q29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific order; ``F.stddev``/``F.corr`` remain available and are
     exercised rows-only in tests). Also the scale-correct shape: one
     partial+final aggregation, constant state per group."""
-    li = spark.table("lineitem")
+    li = spread(spark.table("lineitem"))
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1642,6 +1643,12 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
     )
+    # The x16 replica explode multiplies per-row hash work; a compact
+    # parquet fixture arrives as ONE input split, which would serialize
+    # all of it on one core. Spread the (narrow, pre-explode) rows across
+    # the cluster first — at real scale the scan has many splits and this
+    # round-robin shuffle of 2 small columns is noise.
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     reps = li.select(
         "l_quantity",
         "rid",
@@ -1663,11 +1670,17 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("double") / F.lit(1152921504606846976.0)
+    # Materialize u as its own projection BEFORE the CASE chain: the chain
+    # references it 6 times, and building the WHENs directly on the md5
+    # expression object would inline 6 md5+conv evaluations per (row,
+    # replica) — measured 6x the runtime. As a named non-cheap column
+    # referenced >1x, CollapseProject keeps it a single evaluation.
     w = F.lit(6)
     for i in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
     means = (
-        reps.withColumn("w", w)
+        reps.withColumn("u", u)
+        .withColumn("w", w)
         .groupBy("b")
         .agg(
             (

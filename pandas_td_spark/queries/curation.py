@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pandas_td_spark.engine.session import spread
 from pandas_td_spark.queries.registry import query
 
 
@@ -88,7 +89,7 @@ def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of bigram mass taken by the most frequent bigram, and the
     fraction of trigram occurrences that are repeats. High values flag
     boilerplate/spam for pretraining-data removal."""
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     w = _words()
     bg = d.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
     bstat = (
@@ -431,7 +432,7 @@ def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 25), with the count of shared 5-grams."""
     from pandas_td_spark.operators.dedup import shingle_array
 
-    d = spark.table("documents").select(
+    d = spread(spark.table("documents")).select(
         "doc_id", shingle_array("text", _CONTAM_N).alias("shingles")
     )
     bench = (
@@ -550,7 +551,7 @@ def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under the corpus
     unigram LM (natural log, 6dp-rounded per token)."""
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
     freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
     total = tok.count()  # pinned literal (q46/q86 discipline)
@@ -869,7 +870,7 @@ def _topfrac_sql(n: int) -> str:
 )
 def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule booleans + the conjunction keep flag."""
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     w = _words()
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
     base = d.select(
@@ -1036,7 +1037,7 @@ def q127_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraction of each doc's distinct word 8-grams shared with another
     doc — the pretraining dedup/memorization diagnostic."""
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     words = F.split("text", " ")
     shingles = F.when(
         F.size(words) >= 8,
@@ -1057,5 +1058,203 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg((F.col("n_docs") > 1).cast("double")), 6
             ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrievers (L3f) — the standard hybrid-
+# search combiner: BM25 and TF-IDF each rank the corpus for the same
+# term set; RRF(doc) = sum over lists of 1/(60 + rank). One token
+# explode feeds BOTH scorers (tf, df, dl are shared aggregates); the
+# fused list needs only a (term, doc) outer join of two tiny top-20
+# frames — at 100 TB the corpus is touched once regardless of how many
+# retrievers are fused.
+# ---------------------------------------------------------------------------
+_RRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT AVG(dl) AS avgdl, (SELECT COUNT(*) FROM documents) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT term, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY
+           (round(ln(1.0 + ((s.n_docs - dft.df) + 0.5) / (dft.df + 0.5)), 6)
+            * (tf.tf * 2.2))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) DESC,
+           doc_id) AS BIGINT) AS r_bm25
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+), tfidf AS (
+  SELECT term, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY
+           tf.tf * round(ln(s.n_docs / dft.df), 6) DESC,
+           doc_id) AS BIGINT) AS r_tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+), fused AS (
+  SELECT COALESCE(b.term, t.term) AS term,
+         COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + b.r_bm25), 0.0)
+           + COALESCE(1.0 / (60 + t.r_tfidf), 0.0) AS rrf
+  FROM (SELECT * FROM bm25 WHERE r_bm25 <= 20) b
+  FULL OUTER JOIN (SELECT * FROM tfidf WHERE r_tfidf <= 20) t
+    ON b.term = t.term AND b.doc_id = t.doc_id
+)
+SELECT term, doc_id, ROUND(rrf, 6) AS rrf, rnk FROM (
+  SELECT term, doc_id, rrf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                 ORDER BY rrf DESC, doc_id) AS BIGINT)
+           AS rnk
+  FROM fused
+) WHERE rnk <= 10
+"""
+
+
+@query("q180_rrf_fusion", oracle=_RRF_ORACLE)
+def q180_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 and TF-IDF rankings per query term fused
+    with reciprocal-rank fusion (k=60), top-10 per term. Ranks (not
+    scores) cross the fusion boundary, so the two scorers' float scales
+    never mix — only the shared 6dp-rounded ln() needs cross-engine
+    care."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    n_docs = d.count()
+    stats = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    idf_bm25 = F.round(
+        F.log(
+            F.lit(1.0)
+            + ((F.lit(float(n_docs)) - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    bm25_score = (idf_bm25 * (F.col("tf") * F.lit(2.2))) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    tfidf_score = F.col("tf") * F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            bm25_score.alias("s_bm25"),
+            tfidf_score.alias("s_tfidf"),
+        )
+    )
+    wb = Window.partitionBy("term").orderBy(F.col("s_bm25").desc(), "doc_id")
+    wt = Window.partitionBy("term").orderBy(F.col("s_tfidf").desc(), "doc_id")
+    ranked = scored.select(
+        "term",
+        "doc_id",
+        F.row_number().over(wb).cast("bigint").alias("r_bm25"),
+        F.row_number().over(wt).cast("bigint").alias("r_tfidf"),
+    )
+    top_b = ranked.where(F.col("r_bm25") <= 20).select(
+        "term", "doc_id", "r_bm25"
+    )
+    top_t = ranked.where(F.col("r_tfidf") <= 20).select(
+        "term", "doc_id", "r_tfidf"
+    )
+    fused = top_b.join(top_t, ["term", "doc_id"], "full_outer").select(
+        "term",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_tfidf")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("term").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn(
+            "rnk", F.row_number().over(wf).cast("bigint")
+        )
+        .where(F.col("rnk") <= 10)
+        .select("term", "doc_id", F.round("rrf", 6).alias("rrf"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy (L4k) — Shannon entropy of each document's
+# word-frequency distribution, the classic gibberish/boilerplate
+# detector (low entropy = repeated tokens, high = diverse vocabulary).
+# Per-term contributions p*ln(p) are rounded to 12dp and summed in
+# DECIMAL so the sum is order-insensitive; ln() itself rounds to 6dp
+# per the cross-engine ulp discipline.
+# ---------------------------------------------------------------------------
+@query(
+    "q181_word_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM wc GROUP BY 1
+    )
+    SELECT wc.doc_id,
+           CAST(tot.n AS BIGINT) AS n_words,
+           tot.n_distinct,
+           ROUND(-CAST(SUM(CAST(round((wc.c / tot.n)
+                     * round(ln(wc.c / tot.n), 6), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM wc JOIN tot USING (doc_id)
+    GROUP BY wc.doc_id, tot.n, tot.n_distinct
+    """,
+)
+def q181_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) over the word distribution,
+    plus word/type counts. One explode, two hash aggregates (word grain
+    then doc grain) — no windows, no self-joins."""
+    d = spark.table("documents")
+    wc = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n")
+    contrib = F.round(p * F.round(F.log(p), 6), 12).cast("decimal(28,12)")
+    return (
+        wc.join(tot, "doc_id")
+        .groupBy(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            "n_distinct",
+        )
+        .agg(
+            F.round(-F.sum(contrib).cast("double"), 6).alias("entropy")
         )
     )

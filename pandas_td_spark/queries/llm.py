@@ -488,3 +488,26 @@ def q159_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3g — MMR diversified re-rank (rows-only: greedy sequential selection
+# has no SQL equivalent; correctness pinned against a pure-numpy
+# reference in tests/test_llm.py)
+# ---------------------------------------------------------------------------
+@query(
+    "q182_mmr_rerank",
+    oracle=None,
+    scale_note=(
+        "greedy step is O(pool^2*dim) numpy per query group; candidate "
+        "generation (cosine_topk / lsh_topk) dominates at scale"
+    ),
+)
+def q182_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 per query via maximal marginal relevance
+    (lambda=0.7) over the exact top-20 cosine pool."""
+    from pandas_td_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        spark.table("embeddings"), _QUERY_IDS, k=5, pool=20, dim=_DIM
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_td_spark.engine.session import spread
 from pandas_td_spark.queries.registry import query
 
 #: tiny embedded stopword list (shared by Spark + oracle SQL)
@@ -419,7 +420,7 @@ def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a sorted comma-joined string per doc."""
     from pyspark.sql import Window as W
 
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     ws = _words()
     grams = F.when(
         F.size(ws) >= _WIN_K,
@@ -499,7 +500,7 @@ def q110_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-fingerprint count."""
     from pyspark.sql import Window as W
 
-    d = spark.table("documents")
+    d = spread(spark.table("documents"))
     ws = _words()
     grams = F.when(
         F.size(ws) >= _WIN_K,

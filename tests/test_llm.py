@@ -197,3 +197,47 @@ def test_pq_topk_recall(spark):
         for r in pq_topk(emb, qids, k=5, m=16, ksub=32).collect()
     }
     assert len(exact & adc) / len(exact) >= 0.3
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from pandas_td_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    k, pool, lam, qids = 5, 20, 0.7, [0, 1, 2]
+    got = {
+        (r.q_id, r.sel_rank): (r.n_id, r.mmr)
+        for r in mmr_rerank(emb, qids, k=k, pool=pool, lam=lam).collect()
+    }
+    # reference: greedy MMR in numpy over the same exact top-pool
+    cand = cosine_topk(emb, qids, k=pool).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for q in qids:
+        rows = sorted(
+            [r for r in cand if r.q_id == q], key=lambda r: r.n_id
+        )
+        ids = [r.n_id for r in rows]
+        rel = np.array([r.cosine for r in rows])
+        m = np.stack([vecs[i] for i in ids])
+        unit = m / np.linalg.norm(m, axis=1)[:, None]
+        sims = unit @ unit.T
+        selected: list[int] = []
+        max_sim = np.full(len(ids), -np.inf)
+        for step in range(k):
+            score = (
+                lam * rel
+                if not selected
+                else lam * rel - (1 - lam) * max_sim
+            )
+            score[selected] = -np.inf
+            pick = int(np.argmax(score))
+            n_id, mmr = got[(q, step + 1)]
+            assert n_id == ids[pick], (q, step, n_id, ids[pick])
+            assert abs(mmr - score[pick]) < 1e-9
+            selected.append(pick)
+            max_sim = np.maximum(max_sim, sims[pick])
