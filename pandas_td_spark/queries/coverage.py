@@ -1697,3 +1697,121 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (A24) — per-group slope/intercept of
+# extendedprice on quantity from exact sufficient statistics (decimal
+# sums), the map-side-combinable formulation: one partial+final
+# aggregate, constant state per group — never a per-group data pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q183_grouped_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares fit price ~ quantity. Slope and
+    intercept derive from five exact decimal-summed statistics, so both
+    engines divide identical doubles — REGR_SLOPE/REGR_INTERCEPT parity
+    without their engine-specific accumulation order."""
+    li = spark.table("lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    d = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        d(q).alias("sx"),
+        d(p).alias("sy"),
+        d(q * q).alias("sxx"),
+        d(q * p).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categoricals (A25) — event_type ×
+# day-of-week, the feature-dependence measure feeding pruning/selection
+# decisions. Same engine-reconciliation tricks as q141 (dow values
+# never reach the output; only the equivalence classes matter) and
+# q181 (per-cell contributions 12dp-rounded and decimal-summed; ln
+# rounded 6dp).
+# ---------------------------------------------------------------------------
+@query(
+    "q184_mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_total,
+             SUM(o) OVER (PARTITION BY dow) AS col_total,
+             SUM(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(round((o / grand)
+                 * round(ln((o * grand) / (row_total * col_total)), 6), 12)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+    FROM margins
+    """,
+)
+def q184_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(event_type; day-of-week) in nats over the contingency cells —
+    margins via windows on the tiny cell rollup, exactly like q141."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("double").alias("o"))
+    margins = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_total"),
+        F.sum("o").over(W.partitionBy("dow")).alias("col_total"),
+        F.sum("o").over(W.partitionBy()).alias("grand"),
+    )
+    contrib = F.round(
+        (F.col("o") / F.col("grand"))
+        * F.round(
+            F.log(
+                (F.col("o") * F.col("grand"))
+                / (F.col("row_total") * F.col("col_total"))
+            ),
+            6,
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    return margins.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum(contrib).cast("double"), 6).alias("mi_nats"),
+    )

@@ -511,3 +511,65 @@ def q182_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         spark.table("embeddings"), _QUERY_IDS, k=5, pool=20, dim=_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# L3h — Johnson-Lindenstrauss random projection (64 → 8 dims). The ±1
+# projection matrix is derived driver-side from md5, so it is a shared
+# deterministic CONSTANT: the Spark plan folds each output dim into one
+# zip_with/aggregate chain over literal signs, and the oracle expands
+# the numerically-identical left-assoc chain as SQL text. Pure JVM
+# expression work — no UDF, no shuffle, embarrassingly row-parallel.
+# ---------------------------------------------------------------------------
+_JL_K = 8
+
+
+def _jl_signs(j: int, dim: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"jl-7:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _jl_proj_sql(j: int, dim: int) -> str:
+    signs = _jl_signs(j, dim)
+    chain = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * ({signs[i]}))"
+        for i in range(dim)
+    )
+    return f"({chain}) * {1.0 / _JL_K ** 0.5}"
+
+
+@query(
+    "q185_random_projection",
+    oracle=(
+        "SELECT vec_id, "
+        + ", ".join(
+            f"{_jl_proj_sql(j, _DIM)} AS p{j}" for j in range(_JL_K)
+        )
+        + " FROM embeddings"
+    ),
+)
+def q185_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sketch of every embedding: 8 signed-sum projections scaled by
+    1/sqrt(k) — the cheap dimensionality reduction in front of
+    clustering / ANN when the full vector is overkill."""
+    emb = spark.table("embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(_JL_K):
+        signs = F.array(*[F.lit(s) for s in _jl_signs(j, _DIM)])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                signs,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) * F.lit(1.0 / _JL_K ** 0.5)
+        cols.append(proj.alias(f"p{j}"))
+    return emb.select(*cols)

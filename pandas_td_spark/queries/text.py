@@ -602,3 +602,81 @@ def q124_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (L4l) — per-doc average negative
+# log-likelihood under an add-one-smoothed corpus bigram LM, the
+# next-step-up from q95's unigram KenLM proxy. One bigram explode
+# feeds the count model AND the scoring pass; context counts and V are
+# corpus aggregates joined back. ln() rounds 6dp, per-bigram terms are
+# decimal-summed (q181 discipline) so the per-doc mean is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q186_bigram_nll",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, array_length(w))) AS i FROM t
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+      FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           -CAST(SUM(CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS nll
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NLL under the corpus LM with add-one
+    smoothing — low = fluent/templated text, high = novel or noisy.
+    The per-doc mean ships UNROUNDED: both engines divide the same
+    exact decimal sum by the same count, so the doubles are
+    bit-identical — while rounding an arbitrary quotient double is
+    where engine ROUND semantics diverge (observed once at sf0.1)."""
+    d = spread(spark.table("documents"))
+    words = F.split("text", " ")
+    n = F.size(words)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c12")
+    )
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    v = float(
+        d.select(F.explode(words).alias("w")).select("w").distinct().count()
+    )
+    term = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(v))), 6
+    ).cast("decimal(28,6)")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.sum(term).cast("double") / F.count("*")).alias("nll"),
+        )
+    )
