@@ -1083,3 +1083,67 @@ def q166_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.graph import kcore_peel
 
     return kcore_peel(_copurchase_edges(spark), k=_KCORE_K, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (W16, MATCH_RECOGNIZE stand-in) — encode
+# each user's event stream as an initial-letter string in time order,
+# then count regex pattern hits. The encode is one ordered
+# array_sort(collect_list) aggregate (ordering survives shuffle inside
+# the array, never as a global sort); the regex runs per user row.
+# ---------------------------------------------------------------------------
+@query(
+    "q187_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(length(s) - length(replace(s, 'vp', ''))
+                AS BIGINT) / 2 AS n_vp,
+           CAST(array_length(regexp_extract_all(s, 'v[ce]*p'))
+                AS BIGINT) AS n_vxp
+    FROM seq
+    """,
+)
+def q187_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral patterns: direct view->purchase ('vp') and
+    view->purchase with clicks/errors between ('v[ce]*p'), counted on
+    the time-ordered initial-letter encoding. Non-overlapping regex
+    semantics agree between Java regex and RE2 for this alternation-free
+    pattern; the 'vp' count is replace-based so both engines count
+    overlap-free occurrences identically."""
+    e = spark.table("events")
+    enc = e.select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("rec"),
+    )
+    seq = (
+        enc.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("recs"))
+        .select(
+            "user_id",
+            F.concat_ws(
+                "", F.transform("recs", lambda r: r["c"])
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        (
+            (
+                F.length("s") - F.length(F.replace(F.col("s"), F.lit("vp")))
+            ).cast("bigint")
+            / 2
+        ).alias("n_vp"),
+        F.regexp_count("s", F.lit("v[ce]*p")).cast("bigint").alias("n_vxp"),
+    )

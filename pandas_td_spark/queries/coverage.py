@@ -1815,3 +1815,192 @@ def q184_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cells"),
         F.round(F.sum(contrib).cast("double"), 6).alias("mi_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence decile binning (A29) — the credit-scoring /
+# feature-engineering encoder: global price deciles (deterministic
+# ntile over a tie-broken total order), per-bin event/non-event split
+# (returnflag='R' as the label), WOE = ln(bad share / good share) and
+# the IV contribution. Marginals come from one 1-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q188_woe_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem
+    ), cells AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bad) AS DOUBLE) AS n_bad,
+             CAST(COUNT(*) - SUM(bad) AS DOUBLE) AS n_good
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM cells
+    )
+    SELECT bin, n,
+           round(ln((n_bad / tb) / (n_good / tg)), 6) AS woe,
+           round(((n_bad / tb) - (n_good / tg))
+                 * round(ln((n_bad / tb) / (n_good / tg)), 6), 6) AS iv_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q188_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV over price deciles with returns as the event class. The
+    global ntile needs one total sort — acceptable at dim/feature grain;
+    the approx_percentile fence swap (q125 note) is the fact-grain
+    path."""
+    from pyspark.sql import Window as W
+
+    li = spark.table("lineitem")
+    binned = li.select(
+        F.ntile(10)
+        .over(
+            W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        )
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("bad").cast("double").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).cast("double").alias("n_good"),
+    )
+    tot = cells.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    bad_share = F.col("n_bad") / F.col("tb")
+    good_share = F.col("n_good") / F.col("tg")
+    woe = F.round(F.log(bad_share / good_share), 6)
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            woe.alias("woe"),
+            F.round((bad_share - good_share) * woe, 6).alias("iv_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic (A30) — drift detection
+# between the 'view' and 'purchase' value distributions: the max ECDF
+# gap over the pooled support, computed with two running-count windows
+# over the per-value rollup (never over raw rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q189_ks_statistic",
+    oracle="""
+    WITH cells AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY value
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells
+    ), ecdf AS (
+      SELECT SUM(c1) OVER (ORDER BY value) / n1 AS f1,
+             SUM(c2) OVER (ORDER BY value) / n2 AS f2
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n1,
+           CAST((SELECT n2 FROM tot) AS BIGINT) AS n2,
+           MAX(ABS(f1 - f2)) AS ks
+    FROM ecdf
+    """,
+)
+def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance between two event-type value distributions. ECDF
+    steps only change at observed values, so the windows run over the
+    distinct-value rollup; the max-abs-gap ships unrounded (identical
+    doubles both engines — q186 rationale)."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cells = e.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("double").alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("c2"),
+    )
+    tot = cells.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = cells.join(F.broadcast(tot)).select(
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    return ecdf.agg(
+        F.first("n1").cast("bigint").alias("n1"),
+        F.first("n2").cast("bigint").alias("n2"),
+        F.max(F.abs(F.col("f1") - F.col("f2"))).alias("ks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (M9) — fraud/data-quality screen on order
+# totals: observed leading-digit shares vs Benford expectation with a
+# chi-square distance. The digit comes from the CENTS INTEGER's string
+# form (float-to-string and log10-ulp both diverge across engines;
+# integer-to-string cannot).
+# ---------------------------------------------------------------------------
+@query(
+    "q190_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT d, CAST(COUNT(*) AS DOUBLE) AS o FROM digits GROUP BY d
+    ), tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT d,
+           CAST(o AS BIGINT) AS n_orders,
+           round(o / n, 6) AS observed,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS expected,
+           round(pow(o / n - round(ln(1.0 + 1.0 / d) / ln(10.0), 6), 2)
+                 / round(ln(1.0 + 1.0 / d) / ln(10.0), 6), 6) AS chi_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q190_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law."""
+    o = spark.table("orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("double").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6
+    )
+    share = F.col("o") / F.col("n")
+    return obs.join(F.broadcast(tot)).select(
+        "d",
+        F.col("o").cast("bigint").alias("n_orders"),
+        F.round(share, 6).alias("observed"),
+        expected.alias("expected"),
+        F.round(F.pow(share - expected, 2) / expected, 6).alias("chi_term"),
+    )
