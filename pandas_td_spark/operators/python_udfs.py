@@ -135,3 +135,36 @@ def capped_running_balance(
         return pdf.assign(**{out: bal})
 
     return df.groupBy(key).applyInPandas(_walk, schema=schema)
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    x: str,
+    alpha: float,
+    out: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average
+    ``y_i = alpha*x_i + (1-alpha)*y_{i-1}`` (y_0 = x_0) — the smoothing
+    recurrence whose closed form is numerically explosive, so like
+    :func:`capped_running_balance` it runs as a genuinely sequential
+    per-key walk under applyInPandas. One shuffle, a linear pass per
+    key; same recurrence slots into transformWithState for streams.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        vals, acc = [], None
+        for v in pdf[x]:
+            v = float(v)
+            acc = v if acc is None else alpha * v + (1.0 - alpha) * acc
+            vals.append(acc)
+        return pdf.assign(**{out: vals})
+
+    return df.groupBy(key).applyInPandas(_walk, schema=schema)

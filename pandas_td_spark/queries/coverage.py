@@ -2004,3 +2004,136 @@ def q190_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         F.round(F.pow(share - expected, 2) / expected, 6).alias("chi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (2.11f, second non-associative scan) — the classic
+# telemetry smoother y_i = a*x_i + (1-a)*y_{i-1}. Closed-form window
+# tricks ((1-a)^-i scaling) overflow double range on real streams, so
+# this is the applyInPandas sequential-walk family (q149's sibling);
+# the oracle walks the identical recurrence as a recursive CTE.
+# alpha is 0.5 ON PURPOSE: both weights are then exact powers of two,
+# so each step's products are EXACT and the single add rounds
+# identically everywhere — an 0.3/0.7 variant diverged by 1 ulp at
+# sf0.1 when the oracle engine contracted the multiply-add into an FMA.
+# The output ships UNROUNDED for the same reason: the dyadic states land
+# exactly on 6dp rounding boundaries, where engine ROUND semantics
+# diverge — while the raw doubles are bit-identical.
+# ---------------------------------------------------------------------------
+_EWMA_A = 0.5
+
+
+@query(
+    "q191_ewma",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk(user_id, event_id, rn, y) AS (
+      SELECT user_id, event_id, rn, value FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             {_EWMA_A} * s.value + {1.0 - _EWMA_A} * w.y
+      FROM walk w JOIN seq s
+        ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, y AS smoothed
+    FROM walk
+    """,
+)
+def q191_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.5) of event values in time order."""
+    from pandas_td_spark.operators.python_udfs import ewma
+
+    e = spark.table("events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ewma(e, "user_id", ["ts", "event_id"], "value", _EWMA_A).select(
+        "user_id", "event_id", F.col("ewma").alias("smoothed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (A31) — time from a user's first event to
+# first purchase, right-censored at their last observed event. All
+# risk-set math happens at the distinct-duration grain (a handful of
+# rows) after one user-grain aggregate; the survival curve ships as
+# LOG-survival (cumulative decimal sum of 6dp-rounded ln terms) —
+# exp() is the one op whose ulp behavior the engines don't share.
+# ---------------------------------------------------------------------------
+@query(
+    "q192_kaplan_meier",
+    oracle="""
+    WITH durs AS (
+      SELECT user_id,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    IS NOT NULL
+                  THEN date_diff('day', MIN(ts),
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                  ELSE date_diff('day', MIN(ts), MAX(ts)) END AS dur,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT dur, CAST(COUNT(*) AS DOUBLE) AS c,
+             CAST(SUM(ev) AS DOUBLE) AS d
+      FROM durs GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             SUM(c) OVER (ORDER BY dur DESC) AS at_risk
+      FROM cells
+    ), km AS (
+      SELECT dur, d, at_risk,
+             CAST(SUM(CAST(round(ln(1.0 - d / at_risk), 6)
+                     AS DECIMAL(28,6))) OVER (ORDER BY dur) AS DOUBLE)
+               AS log_surv
+      FROM risk WHERE d > 0 AND d < at_risk
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           log_surv
+    FROM km
+    """,
+)
+def q192_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM estimator of signup->purchase conversion time with right
+    censoring; log-survival per event day."""
+    from pyspark.sql import Window as W
+
+    e = spark.table("events")
+    pts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    durs = e.groupBy("user_id").agg(
+        F.when(
+            pts.isNotNull(), F.datediff(pts, F.min("ts"))
+        )
+        .otherwise(F.datediff(F.max("ts"), F.min("ts")))
+        .alias("dur"),
+        F.when(pts.isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cells = durs.groupBy("dur").agg(
+        F.count("*").cast("double").alias("c"),
+        F.sum("ev").cast("double").alias("d"),
+    )
+    w_desc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = cells.select(
+        "dur", "d", F.sum("c").over(w_desc).alias("at_risk")
+    ).where((F.col("d") > 0) & (F.col("d") < F.col("at_risk")))
+    term = F.round(
+        F.log(F.lit(1.0) - F.col("d") / F.col("at_risk")), 6
+    ).cast("decimal(28,6)")
+    w_asc = W.orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return risk.select(
+        F.col("dur").cast("bigint").alias("dur_days"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.sum(term).over(w_asc).cast("double").alias("log_surv"),
+    )
