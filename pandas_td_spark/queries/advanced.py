@@ -1147,3 +1147,73 @@ def q187_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_vp"),
         F.regexp_count("s", F.lit("v[ce]*p")).cast("bigint").alias("n_vxp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized bounce-rate report (F8c) — single-event sessions as a
+# share of all sessions, per day: the composition sessionize ->
+# session-grain rollup -> day-grain report. One user_id window
+# shuffle; both later rollups are tiny.
+# ---------------------------------------------------------------------------
+@query(
+    "q194_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id,
+             ts
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sess_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MIN(ts) AS DATE) AS day
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(floor(epoch(CAST(day AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM per_sess GROUP BY day
+    """,
+)
+def q194_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over 30-min-gap sessions (sessions attributed
+    to their start day). Unrounded ratio — identical doubles both
+    engines."""
+    from pandas_td_spark.operators.sessionize import with_session_id
+
+    e = spark.table("events")
+    sess = with_session_id(
+        e, "user_id", "ts", 1800, order_cols=["event_id"]
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return per_sess.groupBy(
+        F.unix_timestamp(F.col("day").cast("timestamp"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("bounce_rate"),
+    )

@@ -573,3 +573,73 @@ def q185_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * F.lit(1.0 / _JL_K ** 0.5)
         cols.append(proj.alias(f"p{j}"))
     return emb.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# L3i — embedding whitening: mean-center and unit-variance scale every
+# dimension. Corpus mu/sigma are a 64-value aggregate collected
+# driver-side (bounded: one row x dim) and re-entered as LITERAL
+# arrays, so the normalize pass is pure JVM zip_with over one scan —
+# no second shuffle, no UDF. Exactness: decimal-summed moments, sigma
+# via sqrt of identical doubles, 6dp-rounded mu/sigma literals shared
+# with the oracle text.
+# ---------------------------------------------------------------------------
+@query("q193_embedding_whitening", oracle=None)
+def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened embeddings (x - mu)/sigma per dimension; emits vec_id +
+    first-4-dims profile plus the whitened norm. Oracle omitted: the
+    two-phase collect-then-literal plan has no single-statement SQL
+    equivalent (a correlated variant would recompute moments per row);
+    value correctness is pinned in tests/test_llm.py against numpy."""
+    emb = spark.table("embeddings")
+    n = emb.count()
+    dim_stats = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / n
+            ).alias("mu"),
+            (
+                F.sum(
+                    (F.col("x").cast("double") * F.col("x")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / n
+            ).alias("ex2"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    mu = [round(r.mu, 6) for r in dim_stats]
+    sigma = [
+        round(max(r.ex2 - r.mu * r.mu, 1e-12) ** 0.5, 6) for r in dim_stats
+    ]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    sg_arr = F.array(*[F.lit(s) for s in sigma])
+    white = F.zip_with(
+        F.zip_with(
+            F.col("embedding"),
+            mu_arr,
+            lambda x, m: x.cast("double") - m,
+        ),
+        sg_arr,
+        lambda c, s: c / s,
+    )
+    wn = F.aggregate(
+        F.transform(F.col("w"), lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("vec_id", white.alias("w"))
+        .select(
+            "vec_id",
+            F.element_at("w", 1).alias("w0"),
+            F.element_at("w", 2).alias("w1"),
+            F.element_at("w", 3).alias("w2"),
+            F.element_at("w", 4).alias("w3"),
+            F.sqrt(wn).alias("white_norm"),
+        )
+    )

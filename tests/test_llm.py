@@ -241,3 +241,30 @@ def test_mmr_rerank_matches_numpy_reference(spark):
             assert abs(mmr - score[pick]) < 1e-9
             selected.append(pick)
             max_sim = np.maximum(max_sim, sims[pick])
+
+
+def test_embedding_whitening_matches_numpy(spark):
+    import numpy as np
+
+    from pandas_td_spark.queries.registry import all_queries
+
+    register_views(spark, SF)
+    rows = all_queries()["q193_embedding_whitening"].fn(spark, SF).collect()
+    emb = spark.table("embeddings").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in emb]
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+    mu = np.round(m.mean(axis=0), 6)
+    # engine computes E[x^2]-mu^2 from 6dp-rounded decimal sums; tolerate
+    # that with a loose-but-meaningful bound instead of replicating it
+    sigma = np.sqrt(np.maximum(m.var(axis=0), 1e-12))
+    w = (m - mu) / sigma
+    got = {r.vec_id: r for r in rows}
+    assert set(got) == set(ids)
+    for k, i in [(ids[0], 0), (ids[-1], len(ids) - 1)]:
+        r = got[k]
+        for j, v in enumerate([r.w0, r.w1, r.w2, r.w3]):
+            assert abs(v - w[i, j]) < 1e-2, (k, j, v, w[i, j])
+        assert (
+            abs(r.white_norm - np.linalg.norm(w[i])) / np.linalg.norm(w[i])
+            < 1e-2
+        )
