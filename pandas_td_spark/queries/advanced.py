@@ -1217,3 +1217,343 @@ def q194_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the Mann-Whitney rank statistic (A32) — label quality of a
+# score column without any ML library. Pre-aggregating to the distinct-
+# score grain (<=50 quantity values) makes the rank math exact integer
+# arithmetic: avg rank of a tie group = cum_less + (ties+1)/2, carried
+# doubled to stay in BIGINT. One groupBy shuffle at score grain, then a
+# tiny per-group window — at 100 TB the heavy input collapses to
+# |groups|x|distinct scores| rows before any window runs.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_roc_auc",
+    oracle="""
+    WITH g AS (
+      SELECT l_linestatus AS ls, CAST(l_quantity AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT ls, s, cnt, pos,
+             COALESCE(SUM(cnt) OVER (PARTITION BY ls ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM g
+    )
+    SELECT ls AS l_linestatus,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * cum_less + cnt + 1))
+                - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+             / (2.0 * SUM(pos) * (SUM(cnt) - SUM(pos))) AS auc
+    FROM r GROUP BY ls
+    """,
+)
+def q195_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of quantity as a predictor of return-flag R, per linestatus.
+    Exact (ties use average ranks); unrounded double from identical
+    BIGINT operands in both engines."""
+    from pyspark.sql import Window
+
+    g = (
+        spark.table("lineitem")
+        .groupBy(
+            F.col("l_linestatus").alias("ls"),
+            F.col("l_quantity").cast("bigint").alias("s"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint").alias("pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("ls")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    return r.groupBy(F.col("ls").alias("l_linestatus")).agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        (
+            (
+                F.sum(
+                    F.col("pos")
+                    * (F.lit(2) * F.col("cum_less") + F.col("cnt") + 1)
+                )
+                - F.sum("pos") * (F.sum("pos") + 1)
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("pos")
+                * (F.sum("cnt") - F.sum("pos"))
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (A33) — the model-monitoring drift score
+# between a reference and a current scoring population, over fixed
+# quantity bins. Both distributions come out of ONE scan/groupBy at bin
+# grain (conditional counts), so at 100 TB this is a single partial-agg
+# shuffle to 10 rows. ln() is engine-divergent by 1 ulp -> round(ln,6)
+# at the point of use, then decimal-sum the 12dp-rounded terms
+# (q46/q181 discipline).
+# ---------------------------------------------------------------------------
+@query(
+    "q196_psi",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '1995-06-15'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-06-15'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT bin, n_ref, n_cur,
+             CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p_ref,
+             CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur
+      FROM b
+    ), term AS (
+      SELECT bin, n_ref, n_cur, p_ref, p_cur,
+             (p_ref - p_cur) * round(ln(p_ref / p_cur), 6) AS psi_term
+      FROM t
+    )
+    SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+           CAST(SUM(CAST(round(psi_term, 12) AS DECIMAL(28,12))) OVER ()
+                AS DOUBLE) AS psi_total
+    FROM term
+    """,
+)
+def q196_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between pre- and post-1995-06-15 quantity distributions over
+    ten fixed bins; per-bin terms plus the broadcast total."""
+    from pyspark.sql import Window
+
+    b = (
+        spark.table("lineitem")
+        .groupBy(
+            F.floor((F.col("l_quantity") - 1) / 5)
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.lit("1995-06-15").cast("timestamp"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_ref"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") >= F.lit("1995-06-15").cast("timestamp"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref").cast("double") / F.sum("n_ref").over(wall)).alias(
+            "p_ref"
+        ),
+        (F.col("n_cur").cast("double") / F.sum("n_cur").over(wall)).alias(
+            "p_cur"
+        ),
+    ).withColumn(
+        "psi_term",
+        (F.col("p_ref") - F.col("p_cur"))
+        * F.round(F.log(F.col("p_ref") / F.col("p_cur")), 6),
+    )
+    return t.withColumn(
+        "psi_total",
+        F.sum(
+            F.round(F.col("psi_term"), 12).cast("decimal(28,12)")
+        ).over(wall).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor / Jaccard scores (G6) — the
+# classic recommender primitive over the co-purchase graph. Candidate
+# pairs are restricted to the 100 highest-degree hubs (the realistic
+# "score the head entities" pattern): their adjacency slice is tiny, so
+# every join below the edge scan is a broadcast and the wedge self-join
+# is bounded by sum_n (hubs adjacent to n choose 2) <= |adj| * 100.
+# At 100 TB the full-graph variant swaps the hub filter for LSH/minhash
+# candidate generation (q53's discipline); the scoring algebra is
+# unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "q197_link_prediction",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    adj AS (
+      SELECT u AS x, v AS n FROM e UNION ALL SELECT v AS x, u AS n FROM e
+    ), deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x
+    ), top AS (
+      SELECT x, d FROM deg ORDER BY d DESC, x LIMIT 100
+    ), cadj AS (
+      SELECT a.x, a.n FROM adj a JOIN top t ON a.x = t.x
+    ), pairs AS (
+      SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM cadj a JOIN cadj b ON a.n = b.n AND a.x < b.x
+      GROUP BY 1, 2
+    )
+    SELECT p.u, p.v, p.common, tu.d AS deg_u, tv.d AS deg_v,
+           CAST(p.common AS DOUBLE) / (tu.d + tv.d - p.common) AS jaccard,
+           CASE WHEN ex.u IS NOT NULL THEN 1 ELSE 0 END AS is_edge
+    FROM pairs p
+    JOIN top tu ON p.u = tu.x
+    JOIN top tv ON p.v = tv.x
+    LEFT JOIN e ex ON ex.u = p.u AND ex.v = p.v
+    """,
+)
+def q197_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link scores between the 100 highest-degree parts of the
+    co-purchase graph, with an is_edge flag separating reconstruction
+    from genuinely predicted links."""
+    e = _copurchase_edges(spark).localCheckpoint()
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    top = deg.orderBy(F.desc("d"), "x").limit(100)
+    cadj = adj.join(F.broadcast(top.select("x")), "x")
+    pairs = (
+        cadj.alias("a")
+        .join(
+            cadj.alias("b"),
+            (F.col("a.n") == F.col("b.n")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    tu = F.broadcast(top.select(F.col("x").alias("u"), F.col("d").alias("deg_u")))
+    tv = F.broadcast(top.select(F.col("x").alias("v"), F.col("d").alias("deg_v")))
+    ex = e.select("u", "v", F.lit(1).alias("_e"))
+    return (
+        pairs.join(tu, "u")
+        .join(tv, "v")
+        .join(ex, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common"))
+            ).alias("jaccard"),
+            F.when(F.col("_e").isNotNull(), 1).otherwise(0).alias("is_edge"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (A34) — lag-1..3 Pearson r of the daily
+# revenue series. The heavy input collapses to day grain in one
+# partial-agg shuffle; working at CENTS grain makes every series value
+# and every moment an exact integer (decimal(38,0) in Spark, HUGEINT in
+# DuckDB), so the ACF's numerator/denominator are identical integers in
+# both engines and the unrounded double quotient hash-matches. Rounding
+# the double products instead is NOT safe: DuckDB's scaled-double
+# round() is lossy at 1e19 magnitudes while Spark's BigDecimal round is
+# exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q198_autocorrelation",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), lagged AS (
+      SELECT lag, x, y FROM (
+        SELECT rev AS x, LEAD(rev, 1) OVER (ORDER BY d) AS y, 1 AS lag
+          FROM day
+        UNION ALL
+        SELECT rev, LEAD(rev, 2) OVER (ORDER BY d), 2 FROM day
+        UNION ALL
+        SELECT rev, LEAD(rev, 3) OVER (ORDER BY d), 3 FROM day
+      ) WHERE y IS NOT NULL
+    ), m AS (
+      SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM m
+    """,
+)
+def q198_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..3) of daily gross revenue in cents; exact integer moments,
+    ties to the EWMA/KS family of drift diagnostics."""
+    from pyspark.sql import Window
+
+    day = (
+        spark.table("lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    w = Window.orderBy("d")
+    parts = [
+        day.select(
+            F.col("rev").alias("x"),
+            F.lead("rev", k).over(w).alias("y"),
+            F.lit(k).alias("lag"),
+        )
+        for k in (1, 2, 3)
+    ]
+    lagged = parts[0].unionAll(parts[1]).unionAll(parts[2]).where(
+        F.col("y").isNotNull()
+    )
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
+    m = lagged.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("acf"),
+    )

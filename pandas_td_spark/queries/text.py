@@ -680,3 +680,69 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum(term).cast("double") / F.count("*")).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (L4m) — top-3 highest-scoring terms per
+# document, the classic summarize/tag primitive. One explode feeds BOTH
+# the tf aggregate and (via a second tiny rollup) the document
+# frequencies; the df side is broadcast back. idf uses the
+# round(ln, 6) engine-reconciliation; tf x idf is then a deterministic
+# bigint x double product, and the per-doc top-3 is a bounded window.
+# At 100 TB the word explode is the dominant cost and is spread()
+# across cores pre-shuffle; df is |vocab| rows — always broadcastable.
+# ---------------------------------------------------------------------------
+@query(
+    "q199_tfidf_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             tf.tf * round(ln(n.n_docs / df.df), 6) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ties broken lexically)."""
+    from pyspark.sql import Window
+
+    d = spread(spark.table("documents"))
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = float(spark.table("documents").count())
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        (
+            F.col("tf")
+            * F.round(F.log(F.lit(n_docs) / F.col("df")), 6)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "score", "rnk")
+    )

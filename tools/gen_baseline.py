@@ -20,12 +20,18 @@ import time
 MARKER = "<!-- gen_baseline:table -->"
 
 
+DUCKDB_BUDGET_S = 120.0  # per-query watchdog: interrupt + skip beyond this
+
+
 def duckdb_times(sf_dir: str) -> dict[str, float]:
+    import threading
+
     import duckdb
 
     import __spark_entry__ as E
 
     con = duckdb.connect()
+    con.execute("SET memory_limit='24GB'")
     from pandas_td_spark.sources.io import TABLES
 
     for t in TABLES:
@@ -37,10 +43,23 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
     for name, sql in E.oracle_sql().items():
         runs = []
         for _ in range(3):
+            timer = threading.Timer(DUCKDB_BUDGET_S, con.interrupt)
+            timer.start()
             t0 = time.time()
-            con.execute(sql).fetchall()
-            runs.append(time.time() - t0)
-        out[name] = statistics.median(runs)
+            try:
+                con.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+            except duckdb.Error as ex:
+                print(
+                    f"  duckdb skip {name}: {type(ex).__name__} "
+                    f"after {time.time() - t0:.0f}s",
+                    file=sys.stderr,
+                )
+                break
+            finally:
+                timer.cancel()
+        if runs:
+            out[name] = statistics.median(runs)
     return out
 
 
