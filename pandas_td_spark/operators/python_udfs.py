@@ -168,3 +168,36 @@ def ewma(
         return pdf.assign(**{out: vals})
 
     return df.groupBy(key).applyInPandas(_walk, schema=schema)
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    x: str,
+    target: str,
+    out: str = "cusum",
+) -> DataFrame:
+    """Per-key one-sided upper CUSUM ``s_i = max(0, s_{i-1} + (x_i -
+    target))`` (s_0 = 0 before the first observation) — the classic
+    change-point/drift detector. Like :func:`ewma` the recurrence is
+    non-associative, so it runs as a sequential per-key walk under
+    applyInPandas: one shuffle on ``key``, then a linear pass. With
+    integer inputs (cents-grain metrics) every state is an exact
+    integer, so the result is engine-reproducible bit-for-bit.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, LongType())]
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        vals, acc = [], 0
+        for v, t in zip(pdf[x], pdf[target]):
+            acc = max(0, acc + int(v) - int(t))
+            vals.append(acc)
+        return pdf.assign(**{out: vals})
+
+    return df.groupBy(key).applyInPandas(_walk, schema=schema)

@@ -1557,3 +1557,208 @@ def q198_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         (num / (F.sqrt(vx) * F.sqrt(vy))).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (A35) — median of pairwise slopes of the daily
+# revenue series, per year. Pairs are generated at DAY grain (the heavy
+# input already collapsed by one partial agg), so the quadratic blowup
+# is |days|^2 within a year (~66k pairs) — bounded by the grouping
+# contract, never by input size; at 100 TB you keep the day grain and
+# the cost is unchanged. The LOWER median is an exact rank selection
+# (no two-element interpolation, whose (a+b)/2 vs a+(b-a)*0.5 forms
+# diverge by ulps between engines); slopes are quotients of exact
+# cents/day integers, so every selected double is identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q201_theil_sen",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(floor(epoch(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)))
+                  // 86400 AS BIGINT) AS di,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.yr,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.di - a.di) AS slope
+      FROM day a JOIN day b ON a.yr = b.yr AND a.di < b.di
+    ), ranked AS (
+      SELECT yr, slope,
+             row_number() OVER (PARTITION BY yr ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY yr) AS n
+      FROM slopes
+    )
+    SELECT yr, CAST(n AS BIGINT) AS n_pairs, slope AS theil_sen_slope
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q201_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year Theil-Sen slope (cents/day) of daily revenue: lower
+    median over all pairwise day slopes."""
+    from pyspark.sql import Window
+
+    day = (
+        spark.table("lineitem")
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            F.floor(
+                F.unix_timestamp(F.to_date("l_shipdate").cast("timestamp"))
+                / 86400
+            ).cast("bigint").alias("di"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    a, b = day.alias("a"), day.alias("b")
+    slopes = a.join(
+        b, (F.col("a.yr") == F.col("b.yr")) & (F.col("a.di") < F.col("b.di"))
+    ).select(
+        F.col("a.yr").alias("yr"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.di") - F.col("a.di"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("yr")
+    ranked = slopes.select(
+        "yr",
+        "slope",
+        F.row_number().over(w.orderBy("slope")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        "yr",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("theil_sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (A36) — parts bucketed by cumulative
+# revenue share (A <= 70% < B <= 90% < C), the inventory-analytics
+# staple. Classification thresholds are evaluated as INTEGER
+# cross-multiplications (cum*10 <= total*7) on exact cents, so no
+# ratio double ever decides a class. Part grain after one partial agg;
+# the running sum is a single range-partitionable window.
+# ---------------------------------------------------------------------------
+@query(
+    "q202_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l_partkey, rev,
+             SUM(CAST(rev AS HUGEINT))
+               OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(CAST(rev AS HUGEINT)) OVER () AS total
+      FROM p
+    ), cls AS (
+      SELECT l_partkey, rev,
+             CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                  WHEN cum * 10 <= total * 9 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS class_rev_cents,
+           CAST(MIN(rev) AS BIGINT) AS min_part_rev_cents
+    FROM cls GROUP BY abc
+    """,
+)
+def q202_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classes of parts by cumulative revenue-cents share with
+    integer threshold math (ties broken by partkey)."""
+    from pyspark.sql import Window
+
+    p = (
+        spark.table("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    revd = F.col("rev").cast("decimal(38,0)")
+    c = p.select(
+        "l_partkey",
+        "rev",
+        F.sum(revd)
+        .over(Window.orderBy(F.desc("rev"), "l_partkey"))
+        .alias("cum"),
+        F.sum(revd).over(Window.partitionBy()).alias("total"),
+    )
+    cls = c.select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(revd).cast("bigint").alias("class_rev_cents"),
+        F.min("rev").cast("bigint").alias("min_part_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (M10) — the privacy/governance gate a training-data
+# pipeline runs before shipping user-derived tables: group sizes over a
+# quasi-identifier tuple (nation, market segment, account-balance
+# band), then the share of customers whose equivalence class is
+# smaller than k. One groupBy at QI grain, a second tiny rollup —
+# both partial-aggregated; no row ever leaves the cluster.
+# ---------------------------------------------------------------------------
+@query(
+    "q203_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_below_k5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS DOUBLE) / SUM(class_size) AS share_below_k5
+    FROM qi
+    """,
+)
+def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of (nation, segment, balance band): minimum class
+    size and the population share in classes smaller than k=5."""
+    qi = (
+        spark.table("customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(F.count("*").alias("class_size"))
+    )
+    below = F.sum(
+        F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+    )
+    return qi.agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        below.cast("bigint").alias("n_below_k5"),
+        (below.cast("double") / F.sum("class_size")).alias("share_below_k5"),
+    )

@@ -2137,3 +2137,68 @@ def q192_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_events"),
         F.sum(term).over(w_asc).cast("double").alias("log_surv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (2.11g) — one-sided upper CUSUM of daily
+# revenue against the per-flag mean, the drift detector paired with
+# q191's EWMA. Cents-grain integers end to end: the walk's states are
+# exact BIGINTs, so the applyInPandas scan and the oracle's recursive
+# CTE agree bit-for-bit. One day-grain partial agg, a 3-row broadcast
+# of targets, then the per-key sequential walk (parallel across keys).
+# ---------------------------------------------------------------------------
+@query(
+    "q200_cusum",
+    oracle="""
+    WITH RECURSIVE day AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), tgt AS (
+      SELECT rf, CAST(SUM(rev) // COUNT(*) AS BIGINT) AS t
+      FROM day GROUP BY rf
+    ), seq AS (
+      SELECT day.rf, day.d, day.rev, tgt.t,
+             row_number() OVER (PARTITION BY day.rf ORDER BY day.d) AS rn
+      FROM day JOIN tgt USING (rf)
+    ), walk(rf, d, rn, s) AS (
+      SELECT rf, d, rn, GREATEST(0, rev - t) FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.rf, q.d, q.rn, GREATEST(0, w.s + q.rev - q.t)
+      FROM walk w JOIN seq q ON q.rf = w.rf AND q.rn = w.rn + 1
+    )
+    SELECT rf AS l_returnflag,
+           CAST(floor(epoch(CAST(d AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+           CAST(s AS BIGINT) AS cusum_cents
+    FROM walk
+    """,
+)
+def q200_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag CUSUM of daily revenue cents vs the flag's mean
+    day (floor division keeps the target integral)."""
+    from pandas_td_spark.operators.python_udfs import cusum
+
+    day = (
+        spark.table("lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    tgt = day.groupBy("rf").agg(
+        F.floor(F.sum("rev") / F.count("*")).cast("bigint").alias("t")
+    )
+    seq = day.join(F.broadcast(tgt), "rf")
+    return cusum(seq, "rf", ["d"], "rev", "t", out="s").select(
+        F.col("rf").alias("l_returnflag"),
+        F.unix_timestamp(F.col("d").cast("timestamp"))
+        .cast("bigint")
+        .alias("day_epoch"),
+        F.col("s").alias("cusum_cents"),
+    )

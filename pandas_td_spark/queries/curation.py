@@ -1258,3 +1258,81 @@ def q181_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(contrib).cast("double"), 6).alias("entropy")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (L4o) — re-express each
+# source's document-length distribution on the GLOBAL length
+# distribution (the cross-corpus calibration step before mixing
+# heterogeneous sources). Rank mapping is pure integer arithmetic:
+# source rank r of n_src maps to global rank ((r-1)*(N-1))//(n_src-1)+1
+# — no interpolation doubles anywhere. The global rank is a single
+# total-order window here; at 100 TB it becomes a range-partitioned
+# sort (the q143 sorted-export discipline) with identical semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_quantile_normalization",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ), g AS (
+      SELECT n_chars AS norm_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS nt FROM documents),
+    mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CASE WHEN s.n_src = 1 THEN (n.nt + 1) // 2
+                  ELSE ((s.r - 1) * (n.nt - 1)) // (s.n_src - 1) + 1
+             END AS gi
+      FROM s CROSS JOIN n
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           CAST(g.norm_chars AS BIGINT) AS norm_chars
+    FROM mapped m JOIN g ON g.gr = m.gi
+    """,
+)
+def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document lengths quantile-normalized onto the global
+    length distribution (integer rank mapping, deterministic ties)."""
+    from pyspark.sql import Window
+
+    d = spark.table("documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    g = d.select(
+        F.col("n_chars").alias("norm_chars"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("gr"),
+    )
+    nt = d.count()
+    mapped = s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("n_src") == 1, F.lit((nt + 1) // 2)
+        ).otherwise(
+            F.floor(
+                ((F.col("r") - 1) * F.lit(nt - 1)) / (F.col("n_src") - 1)
+            ) + 1
+        ).alias("gi"),
+    )
+    return mapped.join(g, mapped.gi == g.gr).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("norm_chars").cast("bigint").alias("norm_chars"),
+    )

@@ -746,3 +746,95 @@ def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "word", "tf", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation extraction (L4n) — the top-20 most-associated
+# adjacent word pairs in the corpus (min count 5), the phrase-mining
+# primitive behind tokenizer/vocab induction. All probabilities come
+# from one bigram explode: PMI = ln(c12*N / (c1*c2)) with the argument
+# formed as exact-bigint products cast to double (all < 2^53), and
+# ln round(,6)-reconciled. Lexical tiebreak makes the top-20 stable.
+# ---------------------------------------------------------------------------
+@query(
+    "q204_pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT w, unnest(range(1, array_length(w))) AS i FROM t
+    ), bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+    ), c2 AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.c12,
+             round(ln(CAST(c12.c12 * n.nb AS DOUBLE)
+                      / CAST(c1.c1 * c2.c2 AS DOUBLE)), 6) AS pmi
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+      WHERE c12.c12 >= 5
+    )
+    SELECT w1, w2, c12 AS n_pair, pmi, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI (count >= 5)."""
+    from pyspark.sql import Window
+
+    d = spread(spark.table("documents"))
+    words = F.split("text", " ")
+    n = F.size(words)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    nb = bg.count()
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.lit(nb)).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("pmi"), "w1", "w2")
+            ),
+        )
+        .where(F.col("rnk") <= 20)
+        .select("w1", "w2", F.col("c12").alias("n_pair"), "pmi", "rnk")
+    )

@@ -32,6 +32,9 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
 
     con = duckdb.connect()
     con.execute("SET memory_limit='24GB'")
+    # an interrupted spill-heavy query (q166 at sf0.1 spilled 80 GB)
+    # must not fill the disk before the watchdog fires
+    con.execute("SET max_temp_directory_size='8GB'")
     from pandas_td_spark.sources.io import TABLES
 
     for t in TABLES:
