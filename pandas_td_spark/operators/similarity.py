@@ -84,29 +84,41 @@ def cosine_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    anti_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for each query id (self excluded).
 
     The query side is a literal-filtered broadcast (tiny); the corpus scan
     is a single pass; ranking is a window over q_id — shuffle bounded by
     |queries| × |corpus| candidate rows, the brute-force baseline.
+
+    ``anti_col``: when set, neighbours sharing the anchor's value in this
+    column are excluded — the hard-negative-mining constraint (top-k most
+    similar items with a DIFFERENT label/source/cluster).
     """
     n = _with_norm(emb, dim, vec)
+    extra_q = [F.col(anti_col).alias("q_grp")] if anti_col else []
+    extra_c = [F.col(anti_col).alias("c_grp")] if anti_col else []
     q = n.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec).alias("q_vec"),
         F.col("__norm").alias("q_norm"),
+        *extra_q,
     )
     c = n.select(
         F.col(id_col).alias("n_id"),
         F.col(vec).alias("c_vec"),
         F.col("__norm").alias("c_norm"),
+        *extra_c,
     )
     cos = dot_chain("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    pred = F.col("q_id") != F.col("n_id")
+    if anti_col:
+        pred = pred & (F.col("q_grp") != F.col("c_grp"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
-        .where(F.col("q_id") != F.col("n_id"))
+        .where(pred)
         .select("q_id", "n_id", cos.alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))

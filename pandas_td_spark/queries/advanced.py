@@ -1762,3 +1762,77 @@ def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         below.cast("bigint").alias("n_below_k5"),
         (below.cast("double") / F.sum("class_size")).alias("share_below_k5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration (A37) — allocate each order's total
+# (cents) across its line items proportionally to quantity so the
+# allocations SUM EXACTLY to the total: base = floor(T*q/Q), then the
+# leftover cents go to the largest fractional remainders (T*q mod Q,
+# ties by line number). Pure integer arithmetic end to end — the
+# financial-allocation op no float plan gets right. One order-grain
+# window pass; no extra shuffle beyond the order partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q208_proration",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(l.l_quantity AS BIGINT) AS q,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS t
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), qsum AS (
+      SELECT l_orderkey, l_linenumber, q, t,
+             SUM(q) OVER (PARTITION BY l_orderkey) AS qt
+      FROM li
+    ), w AS (
+      SELECT l_orderkey, l_linenumber, q, t, qt,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY (t * q) % qt DESC, l_linenumber) AS rr
+      FROM qsum
+    ), base AS (
+      SELECT l_orderkey, l_linenumber,
+             (t * q) // qt AS b, t, qt, rr,
+             SUM((t * q) // qt) OVER (PARTITION BY l_orderkey) AS sb
+      FROM w
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(b + CASE WHEN rr <= t - sb THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM base
+    """,
+)
+def q208_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder allocation of order totals over line
+    items by quantity; per-order allocations sum to the order total."""
+    from pyspark.sql import Window
+
+    li = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    li = li.withColumn("qt", F.sum("q").over(wo))
+    rem = (F.col("t") * F.col("q")) % F.col("qt")
+    li = li.withColumn(
+        "rr",
+        F.row_number().over(wo.orderBy(rem.desc(), "l_linenumber")),
+    ).withColumn("b", F.floor((F.col("t") * F.col("q")) / F.col("qt")))
+    li = li.withColumn("sb", F.sum("b").over(wo))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("b")
+            + F.when(F.col("rr") <= F.col("t") - F.col("sb"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc_cents"),
+    )

@@ -643,3 +643,54 @@ def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(wn).alias("white_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j — hard-negative mining: per anchor, the top-3 most-similar
+# vectors with a DIFFERENT label (the contrastive-training pair
+# generator). Same broadcast-anchor x corpus-scan shape as q55 with the
+# label-inequality pushed into the join predicate, so excluded
+# candidates never reach the ranking window. At 100 TB anchors batch
+# through the q56/q66 candidate generators first; the constraint and
+# re-rank are unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "q206_hard_negatives",
+    scale_note=(
+        "exact brute-force over the corpus per anchor batch; at scale "
+        "generate candidates with LSH/IVF (q56/q66) and apply the same "
+        "label constraint on the re-rank"
+    ),
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding, sqrt({_N_SQL}) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, label AS q_lbl, embedding AS q_vec,
+             nrm AS q_norm
+      FROM n WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ), c AS (
+      SELECT vec_id AS n_id, label AS c_lbl, embedding AS c_vec,
+             nrm AS c_norm
+      FROM n
+    ), scored AS (
+      SELECT q_id, n_id, ({_QC_SQL}) / (q_norm * c_norm) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q_id <> n_id AND q_lbl <> c_lbl
+    )
+    SELECT q_id, n_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q206_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 different-label nearest neighbours per anchor vector."""
+    return cosine_topk(
+        spark.table("embeddings"),
+        _QUERY_IDS,
+        k=3,
+        dim=_DIM,
+        anti_col="label",
+    )

@@ -838,3 +838,94 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("w1", "w2", F.col("c12").alias("n_pair"), "pmi", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit (L4p) — OLS slope of ln(freq) on ln(rank) over the top
+# 1000 corpus words: the corpus-health diagnostic (natural text ≈ -1;
+# boilerplate/spam bends the curve). ln values are carried as exact
+# MICRO-unit integers (round(ln*1e6) — nearbyint and HALF_UP agree off
+# ties), so the OLS moments are exact decimal(38,0)/HUGEINT sums and
+# the slope is an unrounded quotient of identical doubles. Word counts
+# collapse in one partial-agg shuffle; the fit runs on 1000 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q207_zipf_fit",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), cnt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r
+      FROM cnt
+    ), pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS HUGEINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+      FROM ranked WHERE r <= 1000
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1e6 AS intercept_ln
+    FROM m
+    """,
+)
+def q207_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept from the top-1000 word rank-frequency curve
+    (micro-unit integer OLS moments)."""
+    from pyspark.sql import Window
+
+    d = spread(spark.table("documents"))
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "word"))
+        .alias("r"),
+    ).where(F.col("r") <= 1000)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6)
+        .cast("decimal(20,0)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6)
+        .cast("decimal(20,0)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1e6)
+        ).alias("intercept_ln"),
+    )
