@@ -1044,14 +1044,44 @@ def q138_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q139_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user MAD outlier counts via grouped-map applyInPandas
-    (operators/python_udfs.py::mad_outliers_per_group)."""
-    from pandas_td_spark.operators.python_udfs import mad_outliers_per_group
-
+    """Per-user MAD outlier counts, JVM-side: two exact percentile
+    aggregates with the tiny median table broadcast back between them.
+    The applyInPandas twin (operators/python_udfs.py::
+    mad_outliers_per_group, kept for the grouped-map surface and proven
+    equal in tests/test_operators.py) pays one Python call per group —
+    ~10k tiny groups cost ~3 s at sf0.1 vs ~0.4 s for this plan, and
+    the gap widens with group count; expression form wins whenever the
+    per-group math has one (SURVEY §2.11 guidance)."""
     e = spark.table("events").select("user_id", "value")
-    out = mad_outliers_per_group(e, "user_id", "value", n_mads=3.0)
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "user_id").select(
+        "user_id", "m", F.abs(F.col("value") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("user_id", "m").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    out = (
+        e.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m"))
+                    > 3.0 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("raw_out")
+        )
+    )
     return out.select(
-        "user_id", "n_outliers", F.round("mad", 6).alias("mad")
+        "user_id",
+        F.when(F.col("mad") > 0, F.col("raw_out"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round("mad", 6).alias("mad"),
     )
 
 
@@ -2150,18 +2180,18 @@ def q192_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q200_cusum",
     oracle="""
-    WITH RECURSIVE day AS (
-      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS d,
+    WITH RECURSIVE mo AS (
+      SELECT l_returnflag AS rf, date_trunc('month', l_shipdate) AS d,
              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS rev
       FROM lineitem GROUP BY 1, 2
     ), tgt AS (
       SELECT rf, CAST(SUM(rev) // COUNT(*) AS BIGINT) AS t
-      FROM day GROUP BY rf
+      FROM mo GROUP BY rf
     ), seq AS (
-      SELECT day.rf, day.d, day.rev, tgt.t,
-             row_number() OVER (PARTITION BY day.rf ORDER BY day.d) AS rn
-      FROM day JOIN tgt USING (rf)
+      SELECT mo.rf, mo.d, mo.rev, tgt.t,
+             row_number() OVER (PARTITION BY mo.rf ORDER BY mo.d) AS rn
+      FROM mo JOIN tgt USING (rf)
     ), walk(rf, d, rn, s) AS (
       SELECT rf, d, rn, GREATEST(0, rev - t) FROM seq WHERE rn = 1
       UNION ALL
@@ -2169,21 +2199,24 @@ def q192_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM walk w JOIN seq q ON q.rf = w.rf AND q.rn = w.rn + 1
     )
     SELECT rf AS l_returnflag,
-           CAST(floor(epoch(CAST(d AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+           CAST(floor(epoch(d)) AS BIGINT) AS month_epoch,
            CAST(s AS BIGINT) AS cusum_cents
     FROM walk
     """,
 )
 def q200_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-returnflag CUSUM of daily revenue cents vs the flag's mean
-    day (floor division keeps the target integral)."""
+    """Per-returnflag CUSUM of monthly revenue cents vs the flag's mean
+    month (floor division keeps the target integral). Month grain keeps
+    the oracle's recursive CTE at 84 steps — at day grain DuckDB's
+    step-per-row recursion needed minutes, a pure oracle-cost choice;
+    the Spark walk is grain-agnostic."""
     from pandas_td_spark.operators.python_udfs import cusum
 
-    day = (
+    mo = (
         spark.table("lineitem")
         .groupBy(
             F.col("l_returnflag").alias("rf"),
-            F.to_date("l_shipdate").alias("d"),
+            F.date_trunc("month", "l_shipdate").alias("d"),
         )
         .agg(
             F.sum(
@@ -2191,14 +2224,12 @@ def q200_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("rev")
         )
     )
-    tgt = day.groupBy("rf").agg(
+    tgt = mo.groupBy("rf").agg(
         F.floor(F.sum("rev") / F.count("*")).cast("bigint").alias("t")
     )
-    seq = day.join(F.broadcast(tgt), "rf")
+    seq = mo.join(F.broadcast(tgt), "rf")
     return cusum(seq, "rf", ["d"], "rev", "t", out="s").select(
         F.col("rf").alias("l_returnflag"),
-        F.unix_timestamp(F.col("d").cast("timestamp"))
-        .cast("bigint")
-        .alias("day_epoch"),
+        F.unix_timestamp("d").cast("bigint").alias("month_epoch"),
         F.col("s").alias("cusum_cents"),
     )

@@ -628,3 +628,45 @@ def register_views(
         if os.path.exists(table_path(sf_dir, name)):
             _load(spark, sf_dir, name).createOrReplaceTempView(name)
     _CURRENT_VIEWS[spark] = target
+
+
+def read_file_tolerant(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """S7b: error-tolerant semi-structured ingest. Reads CSV/JSON in
+    PERMISSIVE mode with the raw text of every unparseable row captured
+    in ``corrupt_col``, and returns ``(good, quarantine)`` DataFrames:
+    rows that parsed cleanly (corrupt column dropped) and the raw
+    corrupt lines for a dead-letter sink. The split is two filters over
+    ONE cached scan — no second pass over the input, no job abort on a
+    single bad byte, which is the ingest contract a 100 TB loader needs
+    (FAILFAST is opt-in via options). A schema is required: column
+    NULLability can't distinguish "parsed NULL" from "failed parse"
+    without the corrupt column, and inference would cost an extra scan.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"tolerant read supports csv/json, got {fmt!r}")
+    if schema is None:
+        raise ValueError("read_file_tolerant requires an explicit schema")
+    from pyspark.sql.types import StringType, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("schema must be a StructType")
+    full = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    options.setdefault("mode", "PERMISSIVE")
+    options["columnNameOfCorruptRecord"] = corrupt_col
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    raw = (
+        spark.read.schema(full).options(**options).format(fmt).load(path)
+    ).cache()
+    good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, quarantine

@@ -300,3 +300,30 @@ def test_merge_upsert_semantics_and_atomicity(spark, tmp_path):
     assert resolve_data_path(path) == committed_before
     got2 = {r.id for r in spark.read.parquet(resolve_data_path(path)).collect()}
     assert got2 == {1, 2, 4}
+
+
+def test_read_file_tolerant_quarantines_corrupt_rows(spark, tmp_path):
+    """S7b: PERMISSIVE ingest splits clean rows from a dead-letter feed
+    without aborting and without a second input scan."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from pandas_td_spark.sources.io import read_file_tolerant
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json line\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": "bad type"}\n'
+    )
+    schema = (
+        StructType().add("id", LongType()).add("name", StringType())
+    )
+    good, quarantine = read_file_tolerant(
+        spark, str(p), fmt="json", schema=schema
+    )
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    bad = [r.raw_record for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("broken" in b for b in bad)
+    assert any("not-a-number" in b for b in bad)

@@ -53,7 +53,13 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q133_event_islands",       # window sort 10x rows
         "q134_nearest_event",       # bucket join both sides 10x
         "q132_rolling_distinct",    # day-fanout explode 10x
-        "q142_twap"]                # lead() window 10x
+        "q142_twap",                # lead() window 10x
+        # round-4 late additions
+        "q195_roc_auc",             # distinct-score grain constant; scan 10x
+        "q199_tfidf_topk",          # explode 10x; df rollup near-constant
+        "q200_cusum",               # day-grain walk constant; scan 10x
+        "q202_abc_classification",  # part grain constant (keys unshifted)
+        "q208_proration"]           # order-grain window 10x rows
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
