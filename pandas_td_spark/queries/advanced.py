@@ -1836,3 +1836,107 @@ def q208_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("t") - F.col("sb"), 1).otherwise(0)
         ).cast("bigint").alias("alloc_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (F15) — the product-engagement ratio: average
+# daily-active over monthly-active users per month. Both distincts
+# collapse in partial-agg shuffles at (day,user)/(month,user) grain;
+# the ratio is an exact bigint-sum / bigint-count / bigint quotient.
+# ---------------------------------------------------------------------------
+@query(
+    "q209_dau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), mau AS (
+      SELECT date_trunc('month', d) AS mo,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY 1
+    ), dm AS (
+      SELECT date_trunc('month', d) AS mo,
+             CAST(SUM(dau) AS BIGINT) AS sdau,
+             CAST(COUNT(*) AS BIGINT) AS ndays
+      FROM dau GROUP BY 1
+    )
+    SELECT CAST(floor(epoch(dm.mo)) AS BIGINT) AS month_epoch,
+           mau.mau, dm.sdau, dm.ndays,
+           CAST(dm.sdau AS DOUBLE) / dm.ndays / mau.mau AS stickiness
+    FROM dm JOIN mau ON dm.mo = mau.mo
+    """,
+)
+def q209_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness = mean DAU / MAU, all from one (day, user)
+    dedup pass."""
+    du = (
+        spark.table("events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    mau = du.groupBy(F.date_trunc("month", "d").alias("mo")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dm = dau.groupBy(F.date_trunc("month", "d").alias("mo")).agg(
+        F.sum("dau").cast("bigint").alias("sdau"),
+        F.count("*").alias("ndays"),
+    )
+    return dm.join(mau, "mo").select(
+        F.unix_timestamp("mo").cast("bigint").alias("month_epoch"),
+        F.col("mau").cast("bigint").alias("mau"),
+        "sdau",
+        "ndays",
+        (
+            F.col("sdau").cast("double") / F.col("ndays") / F.col("mau")
+        ).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (M11) — q203's k-anonymity companion: within each
+# quasi-identifier class, how many DISTINCT sensitive values appear
+# (here: market segment as the sensitive attribute, nation x balance
+# band as the QI). A class can be k-large yet 1-diverse — everyone in
+# it shares the sensitive value, so it still leaks. Two partial-agg
+# rollups, nothing row-grain leaves the cluster.
+# ---------------------------------------------------------------------------
+@query(
+    "q212_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l_div,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_customers,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size
+    FROM cls GROUP BY l_div
+    """,
+)
+def q212_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of sensitive-attribute diversity across QI classes:
+    classes at l_div=1 are re-identification leaks even when k-large."""
+    cls = (
+        spark.table("customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    return cls.groupBy("l_div").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_customers"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )

@@ -1336,3 +1336,86 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("norm_chars").cast("bigint").alias("norm_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter threshold yield curve (L4q) — for each decile cutoff of the
+# doc-length distribution, how many documents and tokens a min-length
+# filter would keep: the tuning table every curation pipeline builds
+# before committing a threshold. Everything runs at the DISTINCT-VALUE
+# grain (two cumulative windows over ~|values| rows); threshold
+# selection is integer cross-multiplication on ranks, never a
+# percentile interpolation.
+# ---------------------------------------------------------------------------
+@query(
+    "q210_yield_curve",
+    oracle="""
+    WITH doc AS (
+      SELECT n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cells AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok
+      FROM doc GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars, cnt, tok,
+             SUM(cnt) OVER (ORDER BY n_chars) AS cum_le,
+             SUM(cnt) OVER (ORDER BY n_chars DESC) AS docs_ge,
+             SUM(tok) OVER (ORDER BY n_chars DESC) AS toks_ge,
+             SUM(cnt) OVER () AS n
+      FROM cells
+    ), thr AS (
+      SELECT i.decile, MIN(c.n_chars) AS threshold
+      FROM (SELECT unnest(range(1, 10)) AS decile) i
+      JOIN cum c ON c.cum_le * 10 >= c.n * i.decile
+      GROUP BY i.decile
+    )
+    SELECT t.decile, CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(c.docs_ge AS BIGINT) AS docs_kept,
+           CAST(c.toks_ge AS BIGINT) AS tokens_kept,
+           CAST(c.docs_ge AS DOUBLE) / c.n AS doc_share
+    FROM thr t JOIN cum c ON c.n_chars = t.threshold
+    """,
+)
+def q210_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents/tokens surviving a min-length filter at each decile
+    threshold of n_chars."""
+    doc = spark.table("documents").select(
+        "n_chars", F.size(F.split("text", " ")).cast("bigint").alias(
+            "n_tokens"
+        )
+    )
+    cells = doc.groupBy("n_chars").agg(
+        F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok")
+    )
+    cum = cells.select(
+        "n_chars",
+        F.sum("cnt").over(Window.orderBy("n_chars")).alias("cum_le"),
+        F.sum("cnt").over(Window.orderBy(F.desc("n_chars"))).alias(
+            "docs_ge"
+        ),
+        F.sum("tok").over(Window.orderBy(F.desc("n_chars"))).alias(
+            "toks_ge"
+        ),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    thr = (
+        F.broadcast(deciles)
+        .join(cum, cum.cum_le * 10 >= cum.n * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").alias("threshold"))
+    )
+    return (
+        thr.join(cum, cum.n_chars == thr.threshold)
+        .select(
+            "decile",
+            F.col("threshold").cast("bigint").alias("threshold"),
+            F.col("docs_ge").cast("bigint").alias("docs_kept"),
+            F.col("toks_ge").cast("bigint").alias("tokens_kept"),
+            (F.col("docs_ge").cast("double") / F.col("n")).alias(
+                "doc_share"
+            ),
+        )
+    )

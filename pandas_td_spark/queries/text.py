@@ -929,3 +929,106 @@ def q207_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("intercept_ln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (L4r) — pairwise overlap of
+# winnowing fingerprints between sources: the audit that catches one
+# corpus slice leaking into another (or into an eval set) BEFORE
+# training. Reuses q92's fingerprint construction, collapsed to
+# distinct (source, fp) grain, so the self-join is |sources|-bounded
+# per fingerprint; Jaccard is an exact integer ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q211_source_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT source, i AS pos,
+             substr(md5(array_to_string(ws[i:i + {_WIN_K - 1}], ' ')), 1, 8)
+               AS h
+      FROM t, unnest(range(1, greatest(len(ws) - {_WIN_K - 2}, 2))) AS u(i)
+    ), sf AS (
+      SELECT DISTINCT source, h AS fp FROM g
+    ), tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sf GROUP BY 1
+    ), ov AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT o.src_a, o.src_b, o.n_shared, ta.n_fp AS n_fp_a,
+           tb.n_fp AS n_fp_b,
+           CAST(o.n_shared AS DOUBLE)
+             / (ta.n_fp + tb.n_fp - o.n_shared) AS jaccard
+    FROM ov o
+    JOIN tot ta ON ta.source = o.src_a
+    JOIN tot tb ON tb.source = o.src_b
+    """,
+)
+def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination: shared winnowing k-gram
+    fingerprints and fingerprint-set Jaccard per source pair.
+
+    The oracle's per-gram hashing is position-insensitive here (no
+    window minimum — full k-gram sets, the stricter audit)."""
+    d = spread(spark.table("documents"))
+    ws = _words()
+    grams = F.when(
+        F.size(ws) >= _WIN_K,
+        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
+    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
+    sf = (
+        d.select("source", ws.alias("__ws"), F.explode(grams).alias("pos"))
+        .select(
+            "source",
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)),
+                        " ",
+                    )
+                ),
+                1,
+                8,
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    tot = sf.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a, b = sf.alias("a"), sf.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = F.broadcast(
+        tot.select(F.col("source").alias("src_a"), F.col("n_fp").alias("n_fp_a"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("source").alias("src_b"), F.col("n_fp").alias("n_fp_b"))
+    )
+    return (
+        ov.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
