@@ -1940,3 +1940,245 @@ def q212_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").cast("bigint").alias("n_customers"),
         F.min("class_size").cast("bigint").alias("min_class_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped Welch t-test (A38) — unequal-variance mean comparison of
+# order totals between high and low priority orders, per order status:
+# the A/B readout when variances differ. All five sufficient statistics
+# are exact decimal sums at cents grain (map-side combinable); t and
+# the Welch-Satterthwaite df are quotients of identical doubles —
+# unrounded.
+# ---------------------------------------------------------------------------
+@query(
+    "q213_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS st,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sx,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                 * CAST(round(o_totalprice * 100) AS HUGEINT)) AS sxx
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT st, grp, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+               AS var
+      FROM s
+    )
+    SELECT a.st AS o_orderstatus,
+           a.n AS n_hi, b.n AS n_lo,
+           (a.mean - b.mean) / 100.0 AS mean_diff_dollars,
+           (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+           ((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n))
+             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS welch_df
+    FROM m a JOIN m b ON a.st = b.st AND a.grp = 'hi' AND b.grp = 'lo'
+    """,
+)
+def q213_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t statistic for high- vs low-priority order totals per
+    status, from exact integer-cents moments."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cd = cents.cast("decimal(20,0)")
+    s = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("st"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+            ).otherwise("lo").alias("grp"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cd).alias("sx"),
+            F.sum(cd * cents).alias("sxx"),
+        )
+    )
+    m = s.select(
+        "st",
+        "grp",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.where(F.col("grp") == "hi").alias("a")
+    b = m.where(F.col("grp") == "lo").alias("b")
+    va_n = F.col("a.var") / F.col("a.n")
+    vb_n = F.col("b.var") / F.col("b.n")
+    return a.join(b, F.col("a.st") == F.col("b.st")).select(
+        F.col("a.st").alias("o_orderstatus"),
+        F.col("a.n").alias("n_hi"),
+        F.col("b.n").alias("n_lo"),
+        ((F.col("a.mean") - F.col("b.mean")) / 100.0).alias(
+            "mean_diff_dollars"
+        ),
+        (
+            (F.col("a.mean") - F.col("b.mean")) / F.sqrt(va_n + vb_n)
+        ).alias("t_stat"),
+        (
+            ((va_n + vb_n) * (va_n + vb_n))
+            / (
+                va_n * va_n / (F.col("a.n") - 1)
+                + vb_n * vb_n / (F.col("b.n") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-day distribution drift via Jensen-Shannon divergence (A39) — each
+# day's event-type mix vs the global mix: the bounded, symmetric drift
+# score monitoring pipelines chart per partition. Cell probabilities
+# are exact integer ratios; every ln is round(,6)-reconciled and the
+# per-day sum is a 12dp decimal sum over <=|event types| terms. Day x
+# type cells come from ONE scan; the global mix is a broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q214_js_divergence",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), day AS (
+      SELECT d, CAST(SUM(c) AS BIGINT) AS nd FROM cell GROUP BY d
+    ), gm AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT cell.d,
+             CAST(cell.c AS DOUBLE) / day.nd AS p,
+             CAST(gm.g AS DOUBLE) / tot.n AS q
+      FROM cell JOIN day USING (d) JOIN gm USING (event_type)
+      CROSS JOIN tot
+    ), contrib AS (
+      SELECT d,
+             0.5 * p * round(ln(2.0 * p / (p + q)), 6)
+               + 0.5 * q * round(ln(2.0 * q / (p + q)), 6) AS t
+      FROM terms
+    )
+    SELECT CAST(floor(epoch(CAST(d AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+           CAST(SUM(CAST(round(t, 12) AS DECIMAL(28,12))) AS DOUBLE)
+             AS js_nats
+    FROM contrib GROUP BY d
+    """,
+)
+def q214_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS divergence (nats) of each day's event-type distribution from
+    the corpus distribution. Types absent on a day contribute only the
+    q-side term through the shared cell join — identical treatment in
+    both engines since the join basis is the same cell set."""
+    cell = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    day = cell.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
+    glob = cell.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("g")
+    )
+    n = cell.agg(F.sum("c")).collect()[0][0]
+    terms = (
+        cell.join(day, "d")
+        .join(F.broadcast(glob), "event_type")
+        .select(
+            "d",
+            (F.col("c").cast("double") / F.col("nd")).alias("p"),
+            (F.col("g").cast("double") / F.lit(float(n))).alias("q"),
+        )
+    )
+    t = (
+        0.5 * F.col("p") * F.round(
+            F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))), 6
+        )
+        + 0.5 * F.col("q") * F.round(
+            F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))), 6
+        )
+    )
+    return (
+        terms.select("d", t.alias("t"))
+        .groupBy(
+            F.unix_timestamp(F.col("d").cast("timestamp"))
+            .cast("bigint")
+            .alias("day_epoch")
+        )
+        .agg(
+            F.sum(F.round(F.col("t"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("js_nats")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistent top-k membership (O4) — parts that rank in the revenue
+# top-10 EVERY year: continuous leaders, the BI "persistency" report.
+# Ranking happens at (year, part) aggregate grain; the membership test
+# is COUNT(DISTINCT year) == |years| on the tiny top-k slice — no
+# iterative logic, two partial-agg shuffles and a window.
+# ---------------------------------------------------------------------------
+@query(
+    "q215_persistent_topk",
+    oracle="""
+    WITH yp AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT yr, l_partkey, rev,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY rev DESC, l_partkey) AS r
+      FROM yp
+    ), ny AS (SELECT COUNT(DISTINCT yr) AS n_years FROM yp)
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_years_in_topk,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+           CAST(MIN(r) AS BIGINT) AS best_rank
+    FROM ranked CROSS JOIN ny
+    WHERE r <= 10
+    GROUP BY l_partkey, ny.n_years
+    HAVING COUNT(*) = ny.n_years
+    """,
+)
+def q215_persistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts in the yearly revenue top-10 for every year of the data."""
+    from pyspark.sql import Window
+
+    yp = (
+        spark.table("lineitem")
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("yr"), "l_partkey"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    ranked = yp.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("yr").orderBy(F.desc("rev"), "l_partkey")
+        ),
+    ).where(F.col("r") <= 10)
+    n_years = yp.select("yr").distinct().count()
+    return (
+        ranked.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_years_in_topk"),
+            F.sum("rev").cast("bigint").alias("total_rev_cents"),
+            F.min("r").cast("bigint").alias("best_rank"),
+        )
+        .where(F.col("n_years_in_topk") == n_years)
+    )

@@ -1419,3 +1419,87 @@ def q210_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement / Cohen's kappa (A40) — agreement between
+# two independent document-quality classifiers (a length rule and a
+# stopword-ratio rule) beyond chance: the evaluation primitive for
+# judging auto-labelers before trusting them at scale. Confusion counts
+# come from ONE scan; kappa is an exact-integer-ratio expression
+# ((po - pe) / (1 - pe) with po/pe built from bigint products, all
+# < 2^53 — identical doubles both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q216_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','to','and','in','is')))
+                        AS DOUBLE) / len(string_split(text, ' ')) >= 0.05
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / n AS po,
+           (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+            + CAST((n01 + n00) * (n10 + n00) AS DOUBLE)) / (n * n) AS pe,
+           (CAST(n11 + n00 AS DOUBLE) / n
+            - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+               + CAST((n01 + n00) * (n10 + n00) AS DOUBLE)) / (n * n))
+           / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+               + CAST((n01 + n00) * (n10 + n00) AS DOUBLE)) / (n * n))
+             AS kappa
+    FROM cm
+    """,
+)
+def q216_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a length-based and a stopword-based
+    quality rule over the documents table."""
+    words = F.split("text", " ")
+    lab = spark.table("documents").select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.filter(words, lambda x: x.isin(
+                "the", "a", "of", "to", "and", "in", "is"))).cast("double")
+            / F.size(words)
+            >= 0.05,
+            1,
+        ).otherwise(0).alias("b"),
+    )
+    cm = lab.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias(
+            "n00"
+        ),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))).cast(
+            "double"
+        )
+        + ((F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))).cast(
+            "double"
+        )
+    ) / (F.col("n") * F.col("n"))
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
