@@ -201,3 +201,39 @@ def cusum(
         return pdf.assign(**{out: vals})
 
     return df.groupBy(key).applyInPandas(_walk, schema=schema)
+
+
+def debounce(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    epoch: str,
+    min_gap: int,
+    out: str = "kept",
+) -> DataFrame:
+    """Per-key time debounce: keep an event iff it is at least
+    ``min_gap`` seconds after the last KEPT event (first is kept). The
+    state depends on which earlier events survived — not expressible as
+    a window over the raw sequence — so like :func:`cusum` it is a
+    sequential per-key walk (one shuffle, parallel across keys).
+    Integer epochs keep it engine-exact.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, IntegerType())]
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        kept, last = [], None
+        for e in pdf[epoch]:
+            e = int(e)
+            if last is None or e - last >= min_gap:
+                kept.append(1)
+                last = e
+            else:
+                kept.append(0)
+        return pdf.assign(**{out: kept})
+
+    return df.groupBy(key).applyInPandas(_walk, schema=schema)

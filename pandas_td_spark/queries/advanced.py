@@ -2182,3 +2182,57 @@ def q215_persistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_years_in_topk") == n_years)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmask audience segmentation (A41) — each user's event-type
+# footprint packed into an integer bitmask with BIT_OR, then segment
+# combinations counted at mask grain: the roaring-bitmap-style audience
+# algebra in two partial-agg shuffles. Bit positions are fixed by a
+# deterministic type -> bit map so both engines build identical masks.
+# ---------------------------------------------------------------------------
+@query(
+    "q219_segment_bitmask",
+    oracle="""
+    WITH bits AS (
+      SELECT user_id,
+             BIT_OR(CASE event_type
+               WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'cart' THEN 4
+               WHEN 'purchase' THEN 8 ELSE 16 END) AS mask
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(mask AS BIGINT) AS mask,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(mask & 8 > 0 AS INTEGER) AS has_purchase,
+           CAST((mask & 2 > 0) AND (mask & 8 > 0) AS INTEGER)
+             AS click_and_purchase
+    FROM bits GROUP BY mask
+    """,
+)
+def q219_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-segment bitmasks (view/click/cart/purchase/other bits)
+    and user counts per combination."""
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "cart", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .otherwise(16)
+    )
+    bits = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.bit_or(bit).alias("mask"))
+    )
+    return bits.groupBy(F.col("mask").cast("bigint").alias("mask")).agg(
+        F.count("*").alias("n_users"),
+        F.max(
+            (F.col("mask").bitwiseAND(8) > 0).cast("int")
+        ).alias("has_purchase"),
+        F.max(
+            (
+                (F.col("mask").bitwiseAND(2) > 0)
+                & (F.col("mask").bitwiseAND(8) > 0)
+            ).cast("int")
+        ).alias("click_and_purchase"),
+    )

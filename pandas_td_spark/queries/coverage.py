@@ -2233,3 +2233,49 @@ def q200_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("d").cast("bigint").alias("month_epoch"),
         F.col("s").alias("cusum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce / rate limiting (2.11h) — keep an event only if >= 300 s
+# after the last KEPT event per user. The kept-set recursion (state =
+# last surviving timestamp, which depends on earlier decisions) is the
+# canonical op a LAG window CANNOT express; runs as the cusum/ewma-
+# family applyInPandas walk, certified by a recursive-CTE oracle on
+# exact integer epochs.
+# ---------------------------------------------------------------------------
+@query(
+    "q217_debounce",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS e,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk(user_id, event_id, rn, e, kept, last_kept) AS (
+      SELECT user_id, event_id, rn, e, 1, e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.e,
+             CASE WHEN s.e - w.last_kept >= 300 THEN 1 ELSE 0 END,
+             CASE WHEN s.e - w.last_kept >= 300 THEN s.e
+                  ELSE w.last_kept END
+      FROM walk w JOIN seq s
+        ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, CAST(kept AS INTEGER) AS kept
+    FROM walk
+    """,
+)
+def q217_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 300 s debounce flags over the event stream."""
+    from pandas_td_spark.operators.python_udfs import debounce
+
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").cast("bigint").alias("e"),
+    )
+    return debounce(
+        e, "user_id", ["ts", "event_id"], "e", 300, out="kept"
+    ).select("user_id", "event_id", "kept")

@@ -1849,3 +1849,49 @@ def q179_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (J25) — the hot-key mitigation, certified for
+# CORRECTNESS: the fact side's join key is salted pmod(xxhash, 8) and
+# the dim side replicated 8x, so one hot key spreads over 8 reducers;
+# the oracle is the UNSALTED plain join, proving the rewrite is
+# result-identical. At 100 TB this is what q140's skew profile tells
+# you to reach for; AQE skew-join does it adaptively, salting does it
+# deterministically.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q218_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted orders-customer join aggregated per market segment —
+    bit-identical to the plain join the oracle runs."""
+    n_salt = 8
+    o = spark.table("orders").withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    salts = spark.range(n_salt).select(F.col("id").alias("__salt"))
+    c = (
+        spark.table("customer")
+        .select("c_custkey", "c_mktsegment")
+        .crossJoin(F.broadcast(salts))
+    )
+    j = o.join(
+        c,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (o["__salt"] == c["__salt"]),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).cast("bigint").alias("rev_cents"),
+    )
