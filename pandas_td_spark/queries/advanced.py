@@ -2236,3 +2236,205 @@ def q219_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int")
         ).alias("click_and_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log2-bucketed latency histogram (A42) — view-to-purchase
+# latencies bucketed by power-of-two bounds, the latency-dashboard
+# shape that keeps constant relative error with O(log range) buckets.
+# The bucket index is length(bin(x)) = floor(log2(x))+1 — pure integer/
+# string ops, sidestepping the engines' log() ulp divergence entirely.
+# One as-of-style pairing then a bucket-grain aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q220_log2_histogram",
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), fv AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), lat AS (
+      SELECT CAST(floor(epoch(p.ts)) - floor(epoch(f.t0)) AS BIGINT) AS s
+      FROM pur p JOIN fv f USING (user_id)
+      WHERE p.ts > f.t0
+    )
+    SELECT bucket,
+           CAST(2 ** (bucket - 1) AS BIGINT) AS lo_bound_s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(s) AS BIGINT) AS min_s,
+           CAST(MAX(s) AS BIGINT) AS max_s
+    FROM (SELECT s, CAST(length(bin(s)) AS BIGINT) AS bucket
+          FROM lat WHERE s > 0)
+    GROUP BY bucket
+    """,
+)
+def q220_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 buckets of view-to-purchase latency seconds (bucket k holds
+    [2^(k-1), 2^k))."""
+    e = spark.table("events")
+    pur = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    lat = (
+        pur.join(fv, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("t0")
+            ).cast("bigint").alias("s")
+        )
+        .where(F.col("s") > 0)
+    )
+    bucket = F.length(F.bin("s")).cast("bigint")
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.pow(F.lit(2.0), F.col("bucket") - 1).cast("bigint").alias(
+            "lo_bound_s"
+        ),
+        F.count("*").alias("n"),
+        F.min("s").cast("bigint").alias("min_s"),
+        F.max("s").cast("bigint").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gain / lift curve (A43) — rank orders by a score (total
+# price as the propensity stand-in), split into deciles by exact rank
+# cross-multiplication, and report each decile's share of all "events"
+# (urgent orders): the targeting-model evaluation table. Runs at
+# decile grain after one rank window; every ratio is exact-integer /
+# exact-integer.
+# ---------------------------------------------------------------------------
+@query(
+    "q221_lift_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS r,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ), binned AS (
+      SELECT ((r - 1) * 10) // n + 1 AS decile, y, n FROM scored
+    ), agg AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n_rows) AS BIGINT) AS n
+      FROM agg
+    )
+    SELECT a.decile, a.n_rows, a.n_pos,
+           CAST(SUM(a.n_pos) OVER (ORDER BY a.decile) AS DOUBLE) / t.p
+             AS cum_gain,
+           (CAST(a.n_pos AS DOUBLE) / a.n_rows)
+             / (CAST(t.p AS DOUBLE) / t.n) AS lift
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/cumulative-gain of order total price as a predictor
+    of urgent priority."""
+    from pyspark.sql import Window
+
+    scored = spark.table("orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    binned = scored.select(
+        (F.floor(((F.col("r") - 1) * 10) / F.col("n")) + 1).alias(
+            "decile"
+        ),
+        "y",
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = agg.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_rows").cast("bigint").alias("n"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            (
+                F.sum("n_pos").over(Window.orderBy("decile")).cast("double")
+                / F.col("p")
+            ).alias("cum_gain"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n_rows"))
+                / (F.col("p").cast("double") / F.col("n"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy-suppressed rollup (M12) — the statistical-disclosure-control
+# pattern: a nation x segment x year ROLLUP where any cell built from
+# fewer than k=10 customers ships NULLed measures and a suppression
+# flag instead of values. Suppression is applied to the rollup OUTPUT
+# (grouping-set grain), so the engine work is the ordinary one-pass
+# Expand aggregate; nothing row-level leaves.
+# ---------------------------------------------------------------------------
+@query(
+    "q222_suppressed_rollup",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+             CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+             CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+      FROM customer
+      GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    )
+    SELECT c_nationkey, c_mktsegment, g_nat, g_seg,
+           CASE WHEN n_customers < 10 THEN 1 ELSE 0 END AS suppressed,
+           CASE WHEN n_customers < 10 THEN NULL
+                ELSE n_customers END AS n_customers,
+           CASE WHEN n_customers < 10 THEN NULL
+                ELSE bal_cents END AS bal_cents
+    FROM cells
+    """,
+)
+def q222_suppressed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with small-cell suppression (k=10): measures NULLed and
+    flagged where the cell would identify few customers."""
+    cells = (
+        spark.table("customer")
+        .rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).cast("bigint").alias("bal_cents"),
+            F.grouping("c_nationkey").cast("bigint").alias("g_nat"),
+            F.grouping("c_mktsegment").cast("bigint").alias("g_seg"),
+        )
+    )
+    small = F.col("n_customers") < 10
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "g_nat",
+        "g_seg",
+        small.cast("int").alias("suppressed"),
+        F.when(~small, F.col("n_customers")).alias("n_customers"),
+        F.when(~small, F.col("bal_cents")).alias("bal_cents"),
+    )
