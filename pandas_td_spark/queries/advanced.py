@@ -2438,3 +2438,61 @@ def q222_suppressed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~small, F.col("n_customers")).alias("n_customers"),
         F.when(~small, F.col("bal_cents")).alias("bal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLA attainment (F16) — share of line items shipped within 30/60/90
+# days of their order date, per order priority and month: the
+# operations KPI dashboard shape. One fact-dim join (orders side
+# broadcastable after pruning to two columns) and one partial-agg
+# shuffle; attainment ratios are exact integer quotients.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_sla_attainment",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS prio,
+             date_trunc('month', o.o_orderdate) AS mo,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT prio, CAST(floor(epoch(mo)) AS BIGINT) AS month_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_30d,
+           CAST(SUM(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_60d,
+           CAST(SUM(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS sla30_rate
+    FROM j GROUP BY prio, mo
+    """,
+)
+def q223_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30/60-day ship-SLA attainment per priority and order month."""
+    j = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("lag_d"),
+        )
+    )
+    in30 = F.sum(F.when(F.col("lag_d") <= 30, 1).otherwise(0))
+    return j.groupBy(
+        "prio", F.unix_timestamp("mo").cast("bigint").alias("month_epoch")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        in30.cast("bigint").alias("n_30d"),
+        F.sum(F.when(F.col("lag_d") <= 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_60d"),
+        (in30.cast("double") / F.count("*")).alias("sla30_rate"),
+    )

@@ -1895,3 +1895,109 @@ def q218_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint")
         ).cast("bigint").alias("rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) attribution (J26) — 40% to the first touch,
+# 40% to the last, the middle 20% split over interior clicks; n=1 gets
+# all, n=2 splits 50/50. Same day-bucketed candidate join as q157's
+# linear model; position comes from one rank window at candidate grain.
+# Weights are ratios of identical integers (identical doubles both
+# engines); per-click totals are 12dp-rounded decimal sums so partition
+# order can't perturb them.
+# ---------------------------------------------------------------------------
+@query(
+    "q224_ushape_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), cand AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             p.value AS pval,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.t, c.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+      FROM ev p JOIN ev c
+        ON p.user_id = c.user_id
+        AND c.t <= p.t AND c.t > p.t - 604800
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ), weighted AS (
+      SELECT click_id, pval,
+             CASE WHEN n_touch = 1 THEN 1.0
+                  WHEN n_touch = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n_touch THEN 0.4
+                  ELSE 0.2 / (n_touch - 2) END AS w
+      FROM cand
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(CAST(round(pval * w, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS attributed_value
+    FROM weighted GROUP BY click_id
+    """,
+)
+def q224_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based 40/20/40 attribution of purchase value over the
+    preceding 7 days of clicks."""
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    day, window_s = 86400, 604800
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("value").alias("pval"),
+        F.col("t").alias("p_t"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("c_t"),
+        (F.col("t") / day).cast("bigint").alias("b"),
+    )
+    probe = purchases.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                (F.col("p_t") / day).cast("bigint") - 7,
+                (F.col("p_t") / day).cast("bigint"),
+            )
+        ),
+    )
+    cand = probe.join(clicks, ["u", "b"]).where(
+        (F.col("c_t") <= F.col("p_t"))
+        & (F.col("c_t") > F.col("p_t") - window_s)
+    )
+    wp = W.partitionBy("purchase_id")
+    cand = cand.select(
+        "click_id",
+        "pval",
+        F.row_number().over(wp.orderBy("c_t", "click_id")).alias("pos"),
+        F.count("*").over(wp).alias("n_touch"),
+    )
+    w = (
+        F.when(F.col("n_touch") == 1, 1.0)
+        .when(F.col("n_touch") == 2, 0.5)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), 0.4
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        cand.select("click_id", (F.col("pval") * w).alias("term"))
+        .groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_purchases_touched"),
+            F.sum(
+                F.round(F.col("term"), 12).cast("decimal(28,12)")
+            ).cast("double").alias("attributed_value"),
+        )
+    )
