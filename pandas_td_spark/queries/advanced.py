@@ -1586,8 +1586,8 @@ def q198_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH day AS (
       SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
-             CAST(floor(epoch(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)))
-                  // 86400 AS BIGINT) AS di,
+             CAST(floor(epoch(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP))
+                        / 86400) AS BIGINT) AS di,
              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS rev
       FROM lineitem GROUP BY 1, 2
@@ -2506,4 +2506,169 @@ def q223_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_60d"),
         (in30.cast("double") / F.count("*")).alias("sla30_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition completeness audit (M13) — the platform-ops freshness
+# check: build the EXPECTED (nation x order-month) spine from the dims
+# and calendar bounds, anti-join the observed partitions, report
+# missing cells per nation. The spine is a broadcastable cross join of
+# two tiny sides; observed partitions collapse in one partial agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q225_partition_completeness",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ), months AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo
+      FROM bounds
+    ), spine AS (
+      SELECT n.n_nationkey, m.mo FROM nation n CROSS JOIN months m
+    ), observed AS (
+      SELECT c.c_nationkey AS n_nationkey,
+             date_trunc('month', o.o_orderdate) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT s.n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(SUM(CASE WHEN ob.mo IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(COALESCE(SUM(ob.n_orders), 0) AS BIGINT) AS n_orders
+    FROM spine s
+    LEFT JOIN observed ob
+      ON ob.n_nationkey = s.n_nationkey AND ob.mo = s.mo
+    GROUP BY s.n_nationkey
+    """,
+)
+def q225_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected vs observed (nation, month) partitions with per-nation
+    missing-cell counts."""
+    o = spark.table("orders")
+    b = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("mo")
+    )
+    spine = spark.table("nation").select("n_nationkey").crossJoin(
+        F.broadcast(months)
+    )
+    observed = (
+        o.join(
+            spark.table("customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("onk"),
+            F.date_trunc("month", "o_orderdate").alias("omo"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = spine.join(
+        observed,
+        (F.col("n_nationkey") == F.col("onk"))
+        & (F.col("mo") == F.col("omo")),
+        "left",
+    )
+    return j.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_expected"),
+        F.sum(F.when(F.col("omo").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint").alias(
+            "n_orders"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week anomaly monitor (A44) — weekly revenue, WoW deltas,
+# and a z-score against the series' own delta distribution: the alert
+# rule behind most "metric moved" pages. Weekly cents are exact
+# integers; mean/variance of the deltas come from exact integer
+# moments, so the flag thresholds compare identical doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "q226_wow_anomaly",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS w,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT w, rev, rev - LAG(rev) OVER (ORDER BY w) AS delta
+      FROM wk
+    ), m AS (
+      SELECT CAST(COUNT(delta) AS BIGINT) AS n,
+             SUM(CAST(delta AS HUGEINT)) AS s,
+             SUM(CAST(delta AS HUGEINT) * delta) AS ss
+      FROM d WHERE delta IS NOT NULL
+    )
+    SELECT d.w, d.rev, d.delta,
+           (CAST(d.delta AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt((CAST(m.ss AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1))
+             AS z,
+           CASE WHEN abs((CAST(d.delta AS DOUBLE)
+                          - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt((CAST(m.ss AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1)))
+                > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+    FROM d CROSS JOIN m WHERE d.delta IS NOT NULL
+    """,
+)
+def q226_wow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue deltas flagged where |z| > 2 against the delta
+    series' own moments."""
+    from pyspark.sql import Window
+
+    wk = (
+        spark.table("lineitem")
+        .groupBy(
+            F.floor(F.unix_timestamp("l_shipdate") / 604800)
+            .cast("bigint")
+            .alias("w")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev")
+        )
+    )
+    d = wk.select(
+        "w",
+        "rev",
+        (F.col("rev") - F.lag("rev").over(Window.orderBy("w"))).alias(
+            "delta"
+        ),
+    ).where(F.col("delta").isNotNull())
+    dd = F.col("delta").cast("decimal(20,0)")
+    m = d.agg(
+        F.count("delta").alias("n"),
+        F.sum(dd).alias("s"),
+        F.sum(dd * F.col("delta")).alias("ss"),
+    )
+    j = d.crossJoin(F.broadcast(m))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("delta").cast("double") - mean) / F.sqrt(var)
+    return j.select(
+        "w",
+        "rev",
+        "delta",
+        z.alias("z"),
+        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
     )

@@ -621,3 +621,53 @@ def q168_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_sum"),
         F.count("*").over(w).cast("bigint").alias("hour_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-flavor parity (W17) — row_number vs rank vs dense_rank vs
+# percent_rank on one tied ordering, side by side: the window-semantics
+# certification for the rank family on ties. percent_rank is
+# (rank-1)/(n-1) — an exact integer ratio, identical doubles both
+# engines. Tie grain: quantity within returnflag (25 distinct values →
+# heavy, deterministic ties).
+# ---------------------------------------------------------------------------
+@query(
+    "q227_rank_flavors",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_quantity <= 25 GROUP BY 1, 2
+    )
+    SELECT l_returnflag, q, cnt,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk
+    FROM g
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY cnt DESC, q)
+    """,
+)
+def q227_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four rank flavors over the same deterministic tied ordering
+    (count-of-quantity cells per returnflag)."""
+    from pyspark.sql import Window as W
+
+    g = (
+        spark.table("lineitem")
+        .where(F.col("l_quantity") <= 25)
+        .groupBy(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "q")
+    return g.select(
+        "l_returnflag",
+        "q",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
