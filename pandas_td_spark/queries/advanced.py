@@ -2672,3 +2672,59 @@ def q226_wow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR-fence outlier profile (A45) — the boxplot profiler: per market
+# segment, Q1/Q3 of order totals (exact percentile, the same
+# interpolation both engines — q71 discipline), Tukey fences at 1.5 IQR
+# and the rate of orders outside them. Quartiles come from one
+# per-group exact percentile; the outlier count is a second aggregate
+# with the tiny fence table broadcast back.
+# ---------------------------------------------------------------------------
+@query(
+    "q229_iqr_fences",
+    oracle="""
+    WITH q AS (
+      SELECT c.c_mktsegment AS seg,
+             quantile_cont(o.o_totalprice, 0.25) AS q1,
+             quantile_cont(o.o_totalprice, 0.75) AS q3
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT q.seg, q.q1, q.q3,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                       < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN q ON q.seg = c.c_mktsegment
+    GROUP BY q.seg, q.q1, q.q3
+    """,
+)
+def q229_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier rates of order totals per market segment."""
+    oc = spark.table("orders").join(
+        spark.table("customer").select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("seg"), "o_totalprice")
+    q = oc.groupBy("seg").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        oc.join(F.broadcast(q), "seg")
+        .groupBy("seg", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+        )
+    )

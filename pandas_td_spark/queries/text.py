@@ -1032,3 +1032,61 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (L4s) — Flesch-style reading ease per document
+# from words-per-sentence and characters-per-word (the syllable proxy
+# that needs no dictionary): the curation feature separating prose from
+# listings/code. All counts are exact integers from one expression pass
+# (no explode); the score is arithmetic on exact-integer ratios —
+# identical doubles both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(string_split(text, '.')) - 1, 1) AS BIGINT)
+               AS n_sents,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars2
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents,
+           CAST(n_words AS DOUBLE) / n_sents AS words_per_sent,
+           CAST(n_chars2 AS DOUBLE) / n_words AS chars_per_word,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * ((CAST(n_chars2 AS DOUBLE) / n_words) / 3.0)
+             AS flesch_proxy
+    FROM t
+    """,
+)
+def q228_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy per document (chars-per-word / 3
+    standing in for syllables-per-word)."""
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.split("text", "\\.")) - 1, F.lit(1)
+    ).cast("bigint")
+    n_chars2 = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "bigint"
+    )
+    t = spark.table("documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_chars2.alias("n_chars2"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    cpw = F.col("n_chars2").cast("double") / F.col("n_words")
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        wps.alias("words_per_sent"),
+        cpw.alias("chars_per_word"),
+        (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * (cpw / 3.0)
+        ).alias("flesch_proxy"),
+    )
