@@ -791,3 +791,65 @@ def test_quality_checks_detect_synthetic_violations(spark):
     ri = check_referential(df, "k", parent, "pk", "k_in_parent")
     r = ri.toPandas().iloc[0]
     assert r.n_violations == 1 and r.n_rows == 4
+
+
+def test_walk_family_matches_python_reference(spark):
+    """cusum/debounce/ewma applyInPandas walks vs pure-Python references
+    on seeded random per-key sequences — covers multi-key parallelism,
+    unsorted input order, and ties in the order column."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for k in range(6):
+        for i in range(rng.randint(1, 40)):
+            rows.append(
+                (k, i, rng.randint(-50, 50), rng.randint(0, 5000))
+            )
+    rng.shuffle(rows)  # operator must sort per key itself
+    df = spark.createDataFrame(
+        rows, "k bigint, i bigint, x bigint, e bigint"
+    )
+
+    from pandas_td_spark.operators.python_udfs import cusum, debounce, ewma
+
+    # pure-python references on the per-key sorted sequences
+    by_key = {}
+    for k, i, x, e in rows:
+        by_key.setdefault(k, []).append((i, x, e))
+    for v in by_key.values():
+        v.sort()
+
+    got = {
+        (r.k, r.i): r.s
+        for r in cusum(
+            df.withColumn("t", F.lit(0)), "k", ["i"], "x", "t", out="s"
+        ).collect()
+    }
+    for k, seq in by_key.items():
+        acc = 0
+        for i, x, _ in seq:
+            acc = max(0, acc + x)
+            assert got[(k, i)] == acc, (k, i)
+
+    got = {
+        (r.k, r.i): r.kept
+        for r in debounce(df, "k", ["i"], "e", 300).collect()
+    }
+    for k, seq in by_key.items():
+        last = None
+        for i, _, e in seq:
+            keep = last is None or e - last >= 300
+            if keep:
+                last = e
+            assert got[(k, i)] == int(keep), (k, i)
+
+    got = {
+        (r.k, r.i): r.ewma
+        for r in ewma(df, "k", ["i"], "x", 0.5).collect()
+    }
+    for k, seq in by_key.items():
+        acc = None
+        for i, x, _ in seq:
+            acc = float(x) if acc is None else 0.5 * x + 0.5 * acc
+            assert abs(got[(k, i)] - acc) < 1e-12, (k, i)

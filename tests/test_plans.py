@@ -382,3 +382,51 @@ def test_winsorize_fences_are_broadcast(spark):
     side is group-cardinality and must broadcast."""
     q = spark_queries()["q125_winsorize"]
     assert has_broadcast_hash_join(q(spark, SF))
+
+
+def test_round4_late_queries_stay_equi_join_shaped(spark):
+    """The late round-4 scale-relevant joins must not regress to nested
+    loops: wedge link prediction (q197), salted join (q218), proration
+    (q208), SLA join (q223), U-shaped attribution's bucket join (q224),
+    TF-IDF's df join (q199)."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    for name in (
+        "q197_link_prediction",
+        "q208_proration",
+        "q223_sla_attainment",
+        "q224_ushape_attribution",
+        "q199_tfidf_topk",
+    ):
+        plan = physical_plan(spark_queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    # q218's only non-hash join must be the deliberate 8-row salt
+    # replication (a broadcast cross join); the salted key join itself
+    # stays hash-shaped.
+    # formatted plans name each operator twice (tree + detail section)
+    plan = physical_plan(spark_queries()["q218_salted_join"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_roc_auc_windows_run_at_distinct_score_grain(spark):
+    """q195's rank windows must consume the aggregated (group, score)
+    grain, not raw rows: the scan side collapses through a partial agg
+    BEFORE any Window operator (the property that makes the plan safe at
+    100 TB — windows over raw fact rows would single-thread per group)."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    plan = physical_plan(spark_queries()["q195_roc_auc"](spark, SF))
+    assert "Window" in plan
+    # partial aggregation evidence: HashAggregate appears below the window
+    # (formatted plans list operators leaf-first within each subtree)
+    assert "HashAggregate" in plan
+    first_agg = plan.index("HashAggregate")
+    first_win = plan.index("Window")
+    assert first_agg < first_win, plan
