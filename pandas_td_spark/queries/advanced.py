@@ -2728,3 +2728,189 @@ def q229_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (M14) — compare each order's stored
+# total against the recomputed sum of its line items (price x
+# (1-disc) x (1+tax)) and bucket the discrepancies: the financial
+# close-of-books check. All money at cents grain; the per-line charge
+# is rounded to cents ONCE (round of a near-boundary product is the
+# same in both engines at these magnitudes), then everything is exact
+# integers. One join, one order-grain agg, one 6-bucket rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q230_reconciliation",
+    oracle="""
+    WITH line AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS recomputed_cents
+      FROM lineitem GROUP BY 1
+    ), cmp AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS stored_cents,
+             l.recomputed_cents,
+             abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 - l.recomputed_cents) AS diff_cents
+      FROM orders o JOIN line l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+                WHEN diff_cents <= 100 THEN 'within_1_dollar'
+                WHEN diff_cents <= 10000 THEN 'within_100'
+                ELSE 'over_100' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(diff_cents AS HUGEINT)) AS BIGINT)
+             AS total_abs_diff_cents,
+           CAST(MAX(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM cmp GROUP BY 1
+    """,
+)
+def q230_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored vs recomputed order totals bucketed by absolute
+    discrepancy in cents."""
+    line = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("bigint")
+            ).cast("bigint").alias("recomputed_cents")
+        )
+    )
+    cmp = (
+        spark.table("orders")
+        .join(line, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.abs(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                - F.col("recomputed_cents")
+            ).alias("diff_cents")
+        )
+    )
+    bucket = (
+        F.when(F.col("diff_cents") == 0, "exact")
+        .when(F.col("diff_cents") <= 100, "within_1_dollar")
+        .when(F.col("diff_cents") <= 10000, "within_100")
+        .otherwise("over_100")
+    )
+    return cmp.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("diff_cents").cast("decimal(20,0)"))
+        .cast("bigint")
+        .alias("total_abs_diff_cents"),
+        F.max("diff_cents").cast("bigint").alias("max_diff_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue mix (F19) — per quarter, revenue split by
+# whether the order is the customer's FIRST: the growth-accounting
+# report. First-order detection is a min-date aggregate broadcast back;
+# both legs of the mix come from one order scan at quarter grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q231_new_vs_returning",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY 1
+    ), tagged AS (
+      SELECT date_trunc('quarter', o.o_orderdate) AS qtr,
+             CASE WHEN o.o_orderdate = f.d0 THEN 'new'
+                  ELSE 'returning' END AS kind,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(floor(epoch(qtr)) AS BIGINT) AS quarter_epoch, kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS rev_cents
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def q231_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly order counts and revenue for first-time vs returning
+    customers (date-grain first-order tie keeps same-day repeats
+    'new' in both engines identically)."""
+    o = spark.table("orders")
+    first = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min("o_orderdate").alias("d0")
+    )
+    tagged = o.join(first, F.col("o_custkey") == F.col("ck")).select(
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.when(F.col("o_orderdate") == F.col("d0"), "new")
+        .otherwise("returning")
+        .alias("kind"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return tagged.groupBy(
+        F.unix_timestamp("qtr").cast("bigint").alias("quarter_epoch"),
+        "kind",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(20,0)"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (A46) — supplier revenue
+# concentration per nation: HHI = sum of squared revenue shares =
+# sum(rev_i^2) / total^2, computed ENTIRELY in exact integer arithmetic
+# (decimal(38,0)/HUGEINT squares) with one double division at the end.
+# Complements q49's top-k share and q140's Gini; the market-structure
+# metric regulators and marketplace teams chart.
+# ---------------------------------------------------------------------------
+@query(
+    "q232_hhi",
+    oracle="""
+    WITH sup AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT)) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           CAST(SUM(rev * rev) AS DOUBLE)
+             / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+             AS hhi
+    FROM sup GROUP BY s_nationkey
+    """,
+)
+def q232_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue HHI from exact integer moments."""
+    sup = (
+        spark.table("lineitem")
+        .join(
+            spark.table("supplier").select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .cast("decimal(20,0)")
+            ).alias("rev")
+        )
+    )
+    return sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("total_cents"),
+        (
+            F.sum(F.col("rev") * F.col("rev")).cast("double")
+            / (
+                F.sum("rev").cast("double")
+                * F.sum("rev").cast("double")
+            )
+        ).alias("hhi"),
+    )
