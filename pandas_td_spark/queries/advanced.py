@@ -2914,3 +2914,102 @@ def q232_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap profile (F20) — days between consecutive orders per
+# customer, summarized per market segment: the repurchase-cadence
+# report behind replenishment and churn models. Gaps are exact integer
+# day differences from one customer-partitioned lag window; the
+# summary uses the q71 exact-percentile discipline.
+# ---------------------------------------------------------------------------
+@query(
+    "q233_interorder_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day',
+                       LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                ORDER BY o.o_orderdate,
+                                                         o.o_orderkey),
+                       o.o_orderdate) AS gap_d
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT seg,
+           CAST(COUNT(gap_d) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_d, 0.50) AS median_gap_d,
+           quantile_cont(gap_d, 0.90) AS p90_gap_d,
+           CAST(MAX(gap_d) AS BIGINT) AS max_gap_d
+    FROM g WHERE gap_d IS NOT NULL GROUP BY seg
+    """,
+)
+def q233_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cadence: consecutive-order day gaps per segment."""
+    from pyspark.sql import Window
+
+    oc = spark.table("orders").join(
+        spark.table("customer").select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = oc.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    return g.groupBy("seg").agg(
+        F.count("gap_d").alias("n_gaps"),
+        F.percentile("gap_d", 0.5).alias("median_gap_d"),
+        F.percentile("gap_d", 0.9).alias("p90_gap_d"),
+        F.max("gap_d").cast("bigint").alias("max_gap_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User reactivation / resurrection (F21) — users whose event follows a
+# 30+ day silence, counted by the month they return: the growth-
+# accounting companion to q231 (new vs returning) and q97 (retention).
+# One user-partitioned lag over the (user, day) dedup grain — gaps are
+# integer day diffs, months exact epochs.
+# ---------------------------------------------------------------------------
+@query(
+    "q234_reactivation",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), g AS (
+      SELECT user_id, d,
+             date_diff('day',
+                       LAG(d) OVER (PARTITION BY user_id ORDER BY d),
+                       d) AS gap_d
+      FROM ud
+    )
+    SELECT CAST(floor(epoch(date_trunc('month', d))) AS BIGINT)
+             AS month_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_reactivated
+    FROM g WHERE gap_d > 30
+    GROUP BY 1
+    """,
+)
+def q234_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly count of users returning after a 30+ day absence."""
+    from pyspark.sql import Window
+
+    ud = (
+        spark.table("events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.select(
+        "user_id",
+        "d",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_d"),
+    ).where(F.col("gap_d") > 30)
+    return g.groupBy(
+        F.unix_timestamp(F.date_trunc("month", "d"))
+        .cast("bigint")
+        .alias("month_epoch")
+    ).agg(F.countDistinct("user_id").alias("n_reactivated"))
