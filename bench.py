@@ -7,6 +7,9 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
+(stdout keeps the line under the driver's ~4 KB capture window by
+showing only the slowest queries; BENCH_LATEST.json holds the full map)
+
 Materialization is ``df.write.format("noop")`` — full plan execution
 (scans, shuffles, joins, UDFs) without sink or driver-transfer cost, the
 standard Spark benching idiom. Session build time is excluded; each query
@@ -110,7 +113,7 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
 
-    out = {
+    full = {
         "metric": "sum_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -119,17 +122,35 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if failures:
-        out["failures"] = failures
-    # Durable copy: the driver's stdout capture has truncated the (long)
-    # JSON line before (BENCH_r03 kept only the tail — 61 of 94 queries).
-    # BENCH_LATEST.json in the repo root preserves the full per-query map.
+        full["failures"] = failures
+    # Durable copy FIRST: BENCH_LATEST.json always holds the complete
+    # per-query map (and is committed each round).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(full, f, indent=1)
             f.write("\n")
     except OSError:
         pass
+    # The driver keeps only a ~4 KB stdout tail, and a 233-entry queries
+    # map (~7 KB) loses the line's head → BENCH_r03/r04 recorded
+    # `parsed: null`. Emit the totals plus the SLOWEST queries, capped so
+    # the whole line stays well inside the capture window; the full map
+    # lives in BENCH_LATEST.json (pointer included).
+    out = dict(full)
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "3000"))
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    shown: dict[str, float] = {}
+    for name in slowest:
+        shown[name] = timings[name]
+        out["queries"] = shown
+        out["queries_shown"] = len(shown)
+        out["full_detail"] = "BENCH_LATEST.json"
+        if len(json.dumps(out)) > budget:
+            shown.pop(name)
+            break
+    out["queries"] = shown
+    out["queries_shown"] = len(shown)
     print(json.dumps(out))
 
 

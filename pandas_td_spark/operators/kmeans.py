@@ -68,7 +68,10 @@ def kmeans_fit(
         .sort_values("id", ignore_index=True)
     )
     centers = np.vstack([np.asarray(v, dtype=np.float64) for v in init["v"]])
-    src = emb.select(F.col(vec).cast("array<double>").alias("v"))
+    # persist the projected/cast corpus ONCE: without this every Lloyd
+    # iteration re-scans and re-casts the source (n_iter full scans of
+    # the corpus at 100 TB); with it, one scan feeds all iterations
+    src = emb.select(F.col(vec).cast("array<double>").alias("v")).persist()
     for _ in range(n_iter):
         assigned = src.withColumn("__cell", _assigner(centers)(F.col("v")))
         stats = (
@@ -94,6 +97,7 @@ def kmeans_fit(
             centers = new
             break
         centers = new
+    src.unpersist()
     return centers
 
 

@@ -980,9 +980,29 @@ def _copurchase_edges(spark: SparkSession):
     ).select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
     e = undirected_edges(pairs, "pa", "pb").localCheckpoint()
     if len(_EDGE_CACHE) >= 4:
-        _EDGE_CACHE.clear()
+        evict_edge_cache()
     _EDGE_CACHE[key] = e
     return e
+
+
+def evict_edge_cache(spark=None, view_dir=None) -> None:
+    """Drop memoized edge checkpoints, releasing their block-manager /
+    disk storage (localCheckpoint blocks are NOT freed by dict.clear()
+    alone — a long-lived session would leak them). With (spark,
+    view_dir) given, evicts only that key — register_views(force=True)
+    calls this so a regenerated fixture dir can't serve stale edges."""
+    keys = (
+        [(spark, view_dir)]
+        if spark is not None
+        else list(_EDGE_CACHE)
+    )
+    for k in keys:
+        df = _EDGE_CACHE.pop(k, None)
+        if df is not None:
+            try:
+                df.rdd.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
 
 
 # ---------------------------------------------------------------------------
@@ -1642,8 +1662,10 @@ def q201_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("slope")).alias("rn"),
         F.count("*").over(w).alias("n"),
     )
+    # integer `div` (not floor of a double quotient) keeps the lower-
+    # median rank selection exact past 2^53 pairs — oracle uses `//`
     return ranked.where(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+        F.expr("rn = (n + 1) div 2")
     ).select(
         "yr",
         F.col("n").cast("bigint").alias("n_pairs"),
@@ -2362,10 +2384,13 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
+    # Exact integer division (SQL `div`), matching the oracle's `//`:
+    # floor((r-1)*10 / n) via doubles loses exactness past 2^53 and can
+    # flip a boundary row's decile at planetary row counts.
     binned = scored.select(
-        (F.floor(((F.col("r") - 1) * 10) / F.col("n")) + 1).alias(
-            "decile"
-        ),
+        F.expr(
+            "(CAST(r - 1 AS BIGINT) * 10) div CAST(n AS BIGINT) + 1"
+        ).alias("decile"),
         "y",
     )
     agg = binned.groupBy("decile").agg(

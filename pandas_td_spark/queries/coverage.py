@@ -994,9 +994,18 @@ def q138_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey") < 10, F.col("p_partkey")
         ).otherwise(F.expr("p_partkey DIV 10")).alias("anc"),
     )
-    # anc(node) reaches 2^i levels after i rounds; 6 rounds cover depth
-    # 64 — far beyond any realistic key-derived hierarchy.
-    for _ in range(6):
+    # anc(node) advances 2^i levels after i doubling rounds, and roots
+    # (<10) are fixed points, so overshoot is harmless. Derive the round
+    # count from the ACTUAL hierarchy depth — the deepest key needs
+    # (digits-1) divisions to reach a root — instead of a fixed 6: the
+    # depth probe is one cheap MAX scan, and it halves the shuffled
+    # self-joins (2 rounds at sf fixtures, 4 at ~2e9 keys) while keeping
+    # the log-depth shape.
+    import math
+
+    max_key = p.agg(F.max("p_partkey")).first()[0] or 1
+    depth = max(1, len(str(int(max_key))) - 1)
+    for _ in range(max(1, math.ceil(math.log2(depth)))):
         nxt = anc.select(
             F.col("node").alias("j_node"), F.col("anc").alias("j_anc")
         )
@@ -1891,6 +1900,7 @@ def q188_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(
             W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
         )
+        .cast("bigint")  # Spark ntile is int32; DuckDB's is BIGINT
         .alias("bin"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
     )

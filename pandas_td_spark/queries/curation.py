@@ -677,7 +677,10 @@ _PACK_C = 256  # tokens per packed context window
       FROM tok
     )
     SELECT doc_id, source, n_tokens,
-           cum - n_tokens AS start_offset,
+           -- DuckDB window SUM(BIGINT) is HUGEINT; uncast arithmetic on it
+           -- canonicalizes to float64 and hash-mismatches Spark's bigint
+           -- (same class as q41's round-trip). Pin the width explicitly.
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
            CAST(floor((cum - n_tokens) / {_PACK_C}) AS BIGINT) AS first_chunk,
            CAST(floor((cum - 1) / {_PACK_C}) AS BIGINT) AS last_chunk
     FROM run
@@ -1322,12 +1325,18 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        # Exact integer division (SQL `div` over decimal(38,0)) matching
+        # the oracle's `//`: the double path floor(a*b / c) is inexact
+        # once (r-1)*(nt-1) exceeds 2^53 (~1e8 docs), and decimal keeps
+        # the product exact even past int64 (~3e9 docs).
         F.when(
-            F.col("n_src") == 1, F.lit((nt + 1) // 2)
+            F.col("n_src") == 1, F.lit((nt + 1) // 2).cast("bigint")
         ).otherwise(
-            F.floor(
-                ((F.col("r") - 1) * F.lit(nt - 1)) / (F.col("n_src") - 1)
-            ) + 1
+            F.expr(
+                f"(CAST(r - 1 AS DECIMAL(38,0))"
+                f" * CAST({nt - 1} AS DECIMAL(38,0)))"
+                f" div CAST(n_src - 1 AS DECIMAL(38,0)) + 1"
+            )
         ).alias("gi"),
     )
     return mapped.join(g, mapped.gi == g.gr).select(

@@ -612,9 +612,13 @@ def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .collect()
     )
+    # round mu ONCE and reuse it in the variance — centering with the
+    # rounded literal but building sigma from the unrounded mean would
+    # whiten with inconsistent moments (E[(x-mu_r)^2] != ex2 - mu_u^2)
     mu = [round(r.mu, 6) for r in dim_stats]
     sigma = [
-        round(max(r.ex2 - r.mu * r.mu, 1e-12) ** 0.5, 6) for r in dim_stats
+        round(max(r.ex2 - m * m, 1e-12) ** 0.5, 6)
+        for r, m in zip(dim_stats, mu)
     ]
     mu_arr = F.array(*[F.lit(m) for m in mu])
     sg_arr = F.array(*[F.lit(s) for s in sigma])

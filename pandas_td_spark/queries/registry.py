@@ -100,6 +100,11 @@ _IMPL_CHANGED_SINCE_LAST_CHECK = {
     "q56_embedding_lsh_topk",
     "q61_range_join",
     "q62_multimodal_features",  # round 4: gained a full oracle (was rows-only)
+    # round 5 edits to queries with a green r4 row (value-identical
+    # changes, but the standing green predates the shipped code):
+    "q138_hierarchy_rollup",  # doubling rounds now derived from depth
+    "q118_kmeans_clusters",  # kmeans_fit persists the corpus across Lloyd iters
+    "q193_embedding_whitening",  # sigma now uses the rounded mu consistently
 }
 
 

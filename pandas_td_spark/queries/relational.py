@@ -886,7 +886,9 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r_score") * 100
                 + F.col("f_score") * 10
                 + F.col("m_score")
-            ).alias("segment")
+            )
+            .cast("bigint")  # Spark ntile is int32; DuckDB's is BIGINT
+            .alias("segment")
         )
         .agg(
             F.count("*").alias("n_customers"),

@@ -742,7 +742,7 @@ def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("doc_id", "word", "tf", "score", "rnk")
     )
@@ -831,9 +831,9 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn(
             "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("pmi"), "w1", "w2")
-            ),
+            F.row_number()
+            .over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
+            .cast("bigint"),
         )
         .where(F.col("rnk") <= 20)
         .select("w1", "w2", F.col("c12").alias("n_pair"), "pmi", "rnk")

@@ -666,8 +666,9 @@ def q227_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "q",
         "cnt",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        # Spark rank fns are int32; DuckDB's are BIGINT — pin the width
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.percent_rank().over(w).alias("prnk"),
     )

@@ -624,10 +624,39 @@ def register_views(
     target = os.path.abspath(sf_dir)
     if not force and _CURRENT_VIEWS.get(spark) == target:
         return
+    # a forced refresh (or dir switch) must also invalidate any memoized
+    # derived state keyed on (session, view dir) — the graph edge cache
+    # would otherwise serve checkpointed edges built from the OLD files
+    try:
+        from pandas_td_spark.queries.advanced import evict_edge_cache
+
+        evict_edge_cache(spark, _CURRENT_VIEWS.get(spark))
+        if force:
+            evict_edge_cache(spark, target)
+    except Exception:
+        pass  # queries package optional for bare-io users
     for name in TABLES:
         if os.path.exists(table_path(sf_dir, name)):
             _load(spark, sf_dir, name).createOrReplaceTempView(name)
     _CURRENT_VIEWS[spark] = target
+
+
+class TolerantRead(tuple):
+    """``(good, quarantine)`` pair from :func:`read_file_tolerant`, plus
+    an ``unpersist()`` handle for the shared cached scan both frames
+    filter. Unpacks like a plain 2-tuple for backwards compatibility."""
+
+    def __new__(cls, good, quarantine, raw=None):
+        self = super().__new__(cls, (good, quarantine))
+        self.good = good
+        self.quarantine = quarantine
+        self._raw = raw
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "TolerantRead":
+        if self._raw is not None:
+            self._raw.unpersist(blocking)
+        return self
 
 
 def read_file_tolerant(
@@ -644,10 +673,23 @@ def read_file_tolerant(
     rows that parsed cleanly (corrupt column dropped) and the raw
     corrupt lines for a dead-letter sink. The split is two filters over
     ONE cached scan — no second pass over the input, no job abort on a
-    single bad byte, which is the ingest contract a 100 TB loader needs
-    (FAILFAST is opt-in via options). A schema is required: column
-    NULLability can't distinguish "parsed NULL" from "failed parse"
-    without the corrupt column, and inference would cost an extra scan.
+    single bad byte, which is the ingest contract a 100 TB loader needs.
+    A schema is required: column NULLability can't distinguish "parsed
+    NULL" from "failed parse" without the corrupt column, and inference
+    would cost an extra scan.
+
+    FAILFAST/DROPMALFORMED are opt-in via ``options={'mode': ...}``; in
+    those modes Spark REJECTS a corrupt-record column in the schema, so
+    the corrupt column is only injected under PERMISSIVE and the
+    quarantine frame comes back empty (FAILFAST throws on the first bad
+    row, DROPMALFORMED silently drops them — no rows to quarantine).
+
+    Returns a ``TolerantRead`` — unpacks as ``(good, quarantine)`` and
+    adds ``.unpersist()`` to release the shared cached scan once both
+    sides are consumed. Repeated ingest calls that skip it accumulate
+    cached scans for the session's lifetime (``good.unpersist()`` would
+    NOT help: the cache lives on the parent scan, not the filtered
+    children).
     """
     if fmt not in ("csv", "json"):
         raise ValueError(f"tolerant read supports csv/json, got {fmt!r}")
@@ -657,11 +699,22 @@ def read_file_tolerant(
 
     if not isinstance(schema, StructType):
         raise TypeError("schema must be a StructType")
-    full = StructType(schema.fields[:]).add(corrupt_col, StringType())
     options.setdefault("mode", "PERMISSIVE")
-    options["columnNameOfCorruptRecord"] = corrupt_col
     if fmt == "csv":
         options.setdefault("header", "true")
+    if options["mode"] != "PERMISSIVE":
+        # corrupt-column injection is PERMISSIVE-only (Spark errors
+        # otherwise: "columnNameOfCorruptRecord ... in non-PERMISSIVE
+        # mode"); no caching either — there is only one consumer.
+        good = (
+            spark.read.schema(schema).options(**options).format(fmt).load(path)
+        )
+        quarantine = spark.createDataFrame(
+            [], "raw_record string"
+        )
+        return TolerantRead(good, quarantine)
+    full = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    options["columnNameOfCorruptRecord"] = corrupt_col
     raw = (
         spark.read.schema(full).options(**options).format(fmt).load(path)
     ).cache()
@@ -669,4 +722,4 @@ def read_file_tolerant(
     quarantine = raw.where(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record")
     )
-    return good, quarantine
+    return TolerantRead(good, quarantine, raw)

@@ -58,6 +58,28 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse dtype class used for driver-faithful schema comparison.
+
+    The driver hashes TYPED values, so an int column on one side and a
+    float column on the other hash-mismatch even when every value
+    compares equal under Python ``==`` (0 == 0.0).  This is exactly the
+    class of bug that produced the q41 (r2) and q103 (r4) driver-reds
+    while the local suite stayed green.  NULL-widened float64 on BOTH
+    sides stays legal because both sides then land in the 'float' class.
+    """
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith("datetime64"):
+        return "datetime"
+    return "object"
+
+
 def compare_frames(
     spark_df: pd.DataFrame, oracle_df: pd.DataFrame
 ) -> list[str]:
@@ -70,6 +92,14 @@ def compare_frames(
         return problems
     if len(spark_df) != len(oracle_df):
         problems.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
+    for c in sorted(spark_df.columns):
+        sc, oc = _dtype_class(spark_df[c].dtype), _dtype_class(oracle_df[c].dtype)
+        if sc != oc:
+            problems.append(
+                f"dtype col {c!r}: spark={spark_df[c].dtype} ({sc}) "
+                f"vs oracle={oracle_df[c].dtype} ({oc}) — driver hashes typed "
+                f"values; cast both sides to the same class"
+            )
     a, b = _canon(spark_df), _canon(oracle_df)
     if len(a) == len(b):
         for c in a.columns:

@@ -327,3 +327,51 @@ def test_read_file_tolerant_quarantines_corrupt_rows(spark, tmp_path):
     assert len(bad) == 2
     assert any("broken" in b for b in bad)
     assert any("not-a-number" in b for b in bad)
+
+
+def test_read_file_tolerant_unpersist_releases_shared_scan(spark, tmp_path):
+    """The two-filter split shares ONE cached scan; the returned handle
+    must release it (repeated ingest calls would otherwise accumulate
+    cached scans for the session's lifetime)."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from pandas_td_spark.sources.io import read_file_tolerant
+
+    p = tmp_path / "feed.json"
+    p.write_text('{"id": 1, "name": "ok"}\n')
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    result = read_file_tolerant(spark, str(p), fmt="json", schema=schema)
+    good, quarantine = result  # tuple-unpacking contract preserved
+    assert good.count() == 1
+    assert result._raw.storageLevel.useMemory  # cached while in use
+    result.unpersist()
+    assert not result._raw.storageLevel.useMemory
+
+
+def test_read_file_tolerant_failfast_mode(spark, tmp_path):
+    """Non-PERMISSIVE modes reject a corrupt-record column in the schema,
+    so the corrupt column must NOT be injected there: FAILFAST reads
+    clean input fine (empty quarantine) and raises on corrupt input."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from pandas_td_spark.sources.io import read_file_tolerant
+
+    schema = StructType().add("id", LongType()).add("name", StringType())
+
+    clean = tmp_path / "clean.json"
+    clean.write_text('{"id": 1, "name": "ok"}\n{"id": 2, "name": "b"}\n')
+    good, quarantine = read_file_tolerant(
+        spark, str(clean), fmt="json", schema=schema, mode="FAILFAST"
+    )
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert quarantine.count() == 0
+
+    dirty = tmp_path / "dirty.json"
+    dirty.write_text('{"id": 1, "name": "ok"}\n{broken\n')
+    good2, _ = read_file_tolerant(
+        spark, str(dirty), fmt="json", schema=schema, mode="FAILFAST"
+    )
+    with _pytest.raises(Exception):
+        good2.collect()

@@ -1,0 +1,41 @@
+"""Lifecycle of the memoized co-purchase edge checkpoint (q121/q164/
+q166/q197 share it): eviction must actually free the localCheckpoint
+blocks, and a forced view refresh must invalidate the cache so a
+regenerated fixture dir can't serve stale edges."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def test_force_register_invalidates_edge_cache(spark):
+    from pandas_td_spark.queries.advanced import _EDGE_CACHE, _copurchase_edges
+    from pandas_td_spark.sources.io import _CURRENT_VIEWS, register_views
+
+    register_views(spark, SF_SMALL)
+    e = _copurchase_edges(spark)
+    assert e.count() > 0
+    key = (spark, _CURRENT_VIEWS.get(spark))
+    assert key in _EDGE_CACHE
+    register_views(spark, SF_SMALL, force=True)
+    assert key not in _EDGE_CACHE, (
+        "force=True must evict the memoized edges built from the old files"
+    )
+    # and the consumer transparently rebuilds
+    e2 = _copurchase_edges(spark)
+    assert e2.count() == e.count()
+
+
+def test_evict_edge_cache_unpersists(spark):
+    from pandas_td_spark.queries.advanced import (
+        _EDGE_CACHE,
+        _copurchase_edges,
+        evict_edge_cache,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF_SMALL)
+    e = _copurchase_edges(spark)
+    e.count()
+    evict_edge_cache()
+    assert not _EDGE_CACHE

@@ -30,23 +30,43 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
 
     import __spark_entry__ as E
 
-    con = duckdb.connect()
-    con.execute("SET memory_limit='24GB'")
-    # an interrupted spill-heavy query (q166 at sf0.1 spilled 80 GB)
-    # must not fill the disk before the watchdog fires
-    con.execute("SET max_temp_directory_size='8GB'")
     from pandas_td_spark.sources.io import TABLES
 
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    def connect() -> "duckdb.DuckDBPyConnection":
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        # an interrupted spill-heavy query (q166 at sf0.1 spilled 80 GB)
+        # must not fill the disk before the watchdog fires
+        c.execute("SET max_temp_directory_size='8GB'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
+
+    con = connect()
     out: dict[str, float] = {}
     for name, sql in E.oracle_sql().items():
         runs = []
+        interrupted = False
         for _ in range(3):
-            timer = threading.Timer(DUCKDB_BUDGET_S, con.interrupt)
+            # The watchdog must never interrupt an IDLE connection: a
+            # Timer(con.interrupt) can fire after fetchall() returns but
+            # before cancel(), leaving a pending interrupt that aborts
+            # the NEXT query and silently drops its baseline entry. The
+            # lock + flag make check-then-interrupt atomic against the
+            # main thread marking the query finished.
+            lock = threading.Lock()
+            state = {"running": True, "fired": False}
+
+            def _kill(c=con, lk=lock, st=state):
+                with lk:
+                    if st["running"]:
+                        st["fired"] = True
+                        c.interrupt()
+
+            timer = threading.Timer(DUCKDB_BUDGET_S, _kill)
             timer.start()
             t0 = time.time()
             try:
@@ -58,11 +78,27 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
                     f"after {time.time() - t0:.0f}s",
                     file=sys.stderr,
                 )
+                interrupted = True
                 break
             finally:
+                with lock:
+                    state["running"] = False
                 timer.cancel()
-        if runs:
+            if state["fired"]:
+                # belt-and-braces: if the timer did fire (even if the
+                # query won the race and returned), the connection may
+                # hold a pending interrupt — replace it.
+                interrupted = True
+                break
+        if interrupted:
+            # a partial runs list would publish a median over fewer
+            # samples than every other query; drop the entry instead,
+            # and reconnect so no pending interrupt leaks forward.
+            con.close()
+            con = connect()
+        elif runs:
             out[name] = statistics.median(runs)
+    con.close()
     return out
 
 
