@@ -128,8 +128,10 @@ def capped_running_balance(
 
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, ignore_index=True)
+        # iterate the raw ndarray: Series.__iter__ pays index machinery
+        # per element — ~3x slower on the million-row sf0.1 walks
         bal, acc = [], 0.0
-        for d in pdf[delta]:
+        for d in pdf[delta].to_numpy():
             acc = min(max(acc + float(d), lo), hi)
             bal.append(acc)
         return pdf.assign(**{out: bal})
@@ -161,7 +163,7 @@ def ewma(
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, ignore_index=True)
         vals, acc = [], None
-        for v in pdf[x]:
+        for v in pdf[x].to_numpy():
             v = float(v)
             acc = v if acc is None else alpha * v + (1.0 - alpha) * acc
             vals.append(acc)
@@ -195,7 +197,7 @@ def cusum(
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, ignore_index=True)
         vals, acc = [], 0
-        for v, t in zip(pdf[x], pdf[target]):
+        for v, t in zip(pdf[x].to_numpy(), pdf[target].to_numpy()):
             acc = max(0, acc + int(v) - int(t))
             vals.append(acc)
         return pdf.assign(**{out: vals})
@@ -227,7 +229,7 @@ def debounce(
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, ignore_index=True)
         kept, last = [], None
-        for e in pdf[epoch]:
+        for e in pdf[epoch].to_numpy():
             e = int(e)
             if last is None or e - last >= min_gap:
                 kept.append(1)
