@@ -104,19 +104,22 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    bench = json.loads(
-        subprocess.run(
-            [sys.executable, "bench.py"],
-            env={
-                **__import__("os").environ,
-                "SPARK_GRAFT_SF_DIR": sf_dir,
-                "PYTHONPATH": ".",
-            },
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout.strip().splitlines()[-1]
+    subprocess.run(
+        [sys.executable, "bench.py"],
+        env={
+            **__import__("os").environ,
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "PYTHONPATH": ".",
+        },
+        capture_output=True,
+        text=True,
+        check=True,
     )
+    # bench.py's STDOUT truncates the per-query map to fit the driver's
+    # ~4 KB capture window; the complete map is the durable artifact it
+    # writes alongside — read that, never the stdout line.
+    with open("BENCH_LATEST.json") as f:
+        bench = json.load(f)
     dd = duckdb_times(sf_dir)
     spark_total = sum(bench["queries"].values())
     dd_total = sum(dd.values())
