@@ -102,6 +102,21 @@ def register_udtfs(spark) -> None:
     spark.udtf.register("split_ngrams", SplitNgrams)
 
 
+def _spread_groups(df: DataFrame, key: str) -> DataFrame:
+    """Explicit key-hash repartition to core count before a sequential
+    per-key walk. AQE coalesces shuffle partitions by BYTE size, but a
+    Python walk's cost is per ROW: at sf0.1 the ~5 MB events shuffle
+    coalesced to ONE partition and the walk ran single-core (measured
+    3.3 s at 1x vs 0.93 s at 10x data, tools/scale_experiment.py). An
+    explicit repartition is exempt from AQE coalescing and satisfies the
+    groupBy's clustering requirement, so no second shuffle is added; on
+    a real cluster defaultParallelism tracks total cores — the right
+    width for a CPU-bound stage at any data size."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key
+    )
+
+
 def capped_running_balance(
     df: DataFrame,
     key: str,
@@ -136,7 +151,9 @@ def capped_running_balance(
             bal.append(acc)
         return pdf.assign(**{out: bal})
 
-    return df.groupBy(key).applyInPandas(_walk, schema=schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _walk, schema=schema
+    )
 
 
 def ewma(
@@ -169,7 +186,9 @@ def ewma(
             vals.append(acc)
         return pdf.assign(**{out: vals})
 
-    return df.groupBy(key).applyInPandas(_walk, schema=schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _walk, schema=schema
+    )
 
 
 def cusum(
@@ -202,7 +221,9 @@ def cusum(
             vals.append(acc)
         return pdf.assign(**{out: vals})
 
-    return df.groupBy(key).applyInPandas(_walk, schema=schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _walk, schema=schema
+    )
 
 
 def debounce(
@@ -238,4 +259,6 @@ def debounce(
                 kept.append(0)
         return pdf.assign(**{out: kept})
 
-    return df.groupBy(key).applyInPandas(_walk, schema=schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _walk, schema=schema
+    )

@@ -1859,7 +1859,14 @@ def q208_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.withColumn(
         "rr",
         F.row_number().over(wo.orderBy(rem.desc(), "l_linenumber")),
-    ).withColumn("b", F.floor((F.col("t") * F.col("q")) / F.col("qt")))
+    ).withColumn(
+        # integer `div` over an exact decimal product, matching the
+        # oracle's `(t * q) // qt`: floor of the double quotient flips
+        # allocations once t*q passes 2^53 (plausible cents x quantity
+        # magnitudes at warehouse scale)
+        "b",
+        F.expr("(CAST(t AS DECIMAL(38,0)) * q) div qt"),
+    )
     li = li.withColumn("sb", F.sum("b").over(wo))
     return li.select(
         "l_orderkey",

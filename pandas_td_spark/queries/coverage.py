@@ -2234,8 +2234,13 @@ def q200_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("rev")
         )
     )
+    # integer `div` over a decimal sum, matching the oracle's
+    # `SUM(rev) // COUNT(*)` (HUGEINT floor-div): floor of the double
+    # quotient goes inexact once the flag's total cents pass 2^53
     tgt = mo.groupBy("rf").agg(
-        F.floor(F.sum("rev") / F.count("*")).cast("bigint").alias("t")
+        F.expr(
+            "CAST(sum(CAST(rev AS DECIMAL(38,0))) div count(*) AS BIGINT)"
+        ).alias("t")
     )
     seq = mo.join(F.broadcast(tgt), "rf")
     return cusum(seq, "rf", ["d"], "rev", "t", out="s").select(

@@ -59,7 +59,12 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q199_tfidf_topk",          # explode 10x; df rollup near-constant
         "q200_cusum",               # day-grain walk constant; scan 10x
         "q202_abc_classification",  # part grain constant (keys unshifted)
-        "q208_proration"]           # order-grain window 10x rows
+        "q208_proration",           # order-grain window 10x rows
+        # round-5 additions: the reshaped / micro-opted paths
+        "q217_debounce",            # per-key ndarray walk, 10x rows spread across keys
+        "q149_capped_balance",      # same applyInPandas walk family
+        "q138_hierarchy_rollup",    # depth-derived pointer doubling (part keys unshifted)
+        "q118_kmeans_clusters"]     # Lloyd on the persisted corpus
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
@@ -79,4 +84,7 @@ for name in HEAD:
     out[name] = {"t_1x": round(t1, 3), "t_10x": round(t10, 3),
                  "ratio": round(t10 / t1, 2)}
     print(name, out[name], flush=True)
+with open("SCALE_LATEST.json", "w") as f:
+    json.dump(out, f, indent=1)
+    f.write("\n")
 print(json.dumps(out))
