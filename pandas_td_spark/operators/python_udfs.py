@@ -48,7 +48,9 @@ def zscore_per_group(
         z = (pdf[value] - pdf[value].mean()) / std if std and std > 0 else 0.0
         return pdf.assign(**{out: z})
 
-    return df.groupBy(key).applyInPandas(_z, schema=schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _z, schema=schema
+    )
 
 
 def mad_outliers_per_group(
@@ -67,7 +69,9 @@ def mad_outliers_per_group(
             {key: [pdf[key].iloc[0]], "n_outliers": [n_out], "mad": [mad]}
         )
 
-    return df.groupBy(key).applyInPandas(_mad, schema=out_schema)
+    return _spread_groups(df, key).groupBy(key).applyInPandas(
+        _mad, schema=out_schema
+    )
 
 
 @pandas_udf("double")

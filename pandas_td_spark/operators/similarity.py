@@ -576,7 +576,15 @@ def semdedup_pairs(
             {"id_a": lo, "id_b": hi, "cosine": S[iu, ju][m]}
         )
 
-    cand = assigned.groupBy("__cell").applyInPandas(
+    # key-hash repartition to core count: the per-cell work is
+    # O(cell_size^2 * dim) numpy, but the pre-group shuffle is small in
+    # BYTES, so AQE would coalesce it onto few cores (python_udfs.py::
+    # _spread_groups rationale); explicit repartition is exempt and
+    # still satisfies the grouping (one shuffle total)
+    spread_cells = assigned.repartition(
+        assigned.sparkSession.sparkContext.defaultParallelism, "__cell"
+    )
+    cand = spread_cells.groupBy("__cell").applyInPandas(
         within_cell, schema="id_a long, id_b long, cosine double"
     )
     # exact re-score with the oracle-bit-identical chain
@@ -838,6 +846,10 @@ def mmr_rerank(
             out_rows, columns=["q_id", "n_id", "mmr", "sel_rank"]
         )
 
-    return joined.groupBy("q_id").applyInPandas(
+    # spread the per-query pools across cores before the O(pool^2*dim)
+    # greedy walk — same AQE byte-size-coalescing hazard as _spread_groups
+    return joined.repartition(
+        joined.sparkSession.sparkContext.defaultParallelism, "q_id"
+    ).groupBy("q_id").applyInPandas(
         rerank, "q_id long, n_id long, mmr double, sel_rank long"
     )
