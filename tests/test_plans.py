@@ -430,3 +430,29 @@ def test_roc_auc_windows_run_at_distinct_score_grain(spark):
     first_agg = plan.index("HashAggregate")
     first_win = plan.index("Window")
     assert first_agg < first_win, plan
+
+
+def test_python_walk_stages_keep_core_count_parallelism(spark):
+    """The sequential per-key walks repartition by key to core count
+    BEFORE applyInPandas: AQE coalesces shuffle partitions by byte size,
+    which serialized the per-ROW-cost python stage onto one core at
+    small shuffle sizes (scale_experiment round 4: 3.3 s at 1x vs
+    0.93 s at 10x). The explicit round-robin-free hash repartition is
+    exempt from coalescing and must also satisfy the grouping — exactly
+    ONE exchange, carrying the session's default parallelism."""
+    import re
+
+    from pandas_td_spark.operators.python_udfs import debounce
+
+    n = spark.sparkContext.defaultParallelism
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("bigint").alias("e")
+    )
+    df = debounce(e, "user_id", ["e", "event_id"], "e", 300)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, f"expected one exchange, plan:\n{plan}"
+    assert f" {n}" in exchanges[0] or f", {n}" in exchanges[0], (
+        f"walk shuffle must carry defaultParallelism={n}: {exchanges[0]}"
+    )
+    assert "FlatMapGroupsInPandas" in plan
