@@ -849,7 +849,12 @@ _RFM_ASOF = "2002-01-01"
     )
     SELECT r_score * 100 + f_score * 10 + m_score AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(AVG(monetary), 6) AS avg_monetary,
+           -- decimal-sum / count, never engine AVG: double AVG is
+           -- addition-order-dependent and diverged in the last ulp at
+           -- sf0.1, flipping the 6dp round (monetary is exactly a 6dp
+           -- decimal, so the re-cast is lossless)
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_monetary,
            ROUND(AVG(CAST(recency_d AS DOUBLE)), 6) AS avg_recency_d
     FROM scored GROUP BY 1
     """,
@@ -892,7 +897,13 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_monetary"),
             F.round(F.avg(F.col("recency_d").cast("double")), 6).alias(
                 "avg_recency_d"
             ),

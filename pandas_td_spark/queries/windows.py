@@ -582,35 +582,42 @@ def q148_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Time-interval RANGE frame — trailing 1-hour sums per user. Spark
-# expresses the time frame as rangeBetween over epoch seconds; the
-# oracle uses the native RANGE BETWEEN INTERVAL form. Peer rows (equal
-# timestamps) are included by both — the semantics RANGE exists for.
+# Time-interval RANGE frame — trailing 1-hour sums per user. Both
+# engines frame over INTEGER MICROSECOND epochs: an earlier form framed
+# Spark on floor-second epochs against the oracle's native
+# INTERVAL-on-timestamp frame, and a sub-second-precision event at
+# t-3600.4s landed inside Spark's truncated frame but outside DuckDB's
+# full-precision one (first seen at sf0.1 — sf0.01's sparser per-user
+# streams never put an event on the boundary). Peer rows (equal µs) are
+# included by both — the semantics RANGE exists for.
 # ---------------------------------------------------------------------------
 @query(
     "q168_time_range_frame",
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
-                PARTITION BY user_id ORDER BY ts
-                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS hour_sum,
            CAST(COUNT(*) OVER (
-                PARTITION BY user_id ORDER BY ts
-                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              AS BIGINT) AS hour_n
     FROM events
     """,
 )
 def q168_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour value sum/count per user via a RANGE frame keyed on
-    epoch seconds — sliding time windows without self-joins."""
+    epoch microseconds — sliding time windows without self-joins."""
     e = spark.table("events")
-    t = F.unix_timestamp("ts").cast("bigint")
+    # ts arrives TIMESTAMP or TIMESTAMP_NTZ depending on the source
+    # path (r3's ntz lesson); the cast is a no-op for TIMESTAMP and
+    # pins NTZ to the UTC session zone — unix_micros requires TIMESTAMP
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         W.partitionBy("user_id")
         .orderBy(t)
-        .rangeBetween(-3600, 0)
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",

@@ -23,6 +23,11 @@ __all__ = ["duckdb_connection", "run_oracle", "compare_frames", "check_query"]
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # resource guards, matching tools/gen_baseline.py: a runaway oracle
+    # (q166's recursive CTE at sf0.1 spilled 80 GB) must fail fast, not
+    # fill the disk under pytest
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='8GB'")
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
