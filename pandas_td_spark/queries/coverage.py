@@ -718,7 +718,11 @@ def q125_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi,
-           ROUND(AVG(o_totalprice), 6) AS mean_price
+           -- decimal-sum / count, never engine AVG (q156's sf0.1
+           -- lesson: double AVG is addition-order-dependent and can
+           -- flip the 6dp round; prices are exact 2dp decimals)
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_price
     FROM b GROUP BY bucket
     """,
     scale_note=(
@@ -740,7 +744,13 @@ def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
-            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_price"),
         )
     )
 
@@ -1217,8 +1227,15 @@ def q141_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap,
-           ROUND(AVG(value), 6) AS naive_avg,
+           -- decimal sums, never double SUM/AVG: value is an exact 2dp
+           -- decimal and holds are integer seconds, so both the
+           -- weighted and naive means are exact-ratio doubles in any
+           -- addition order (q156's sf0.1 lesson)
+           ROUND(CAST(SUM(CAST(value * (t_next - t) AS DECIMAL(28,6)))
+                      AS DOUBLE)
+                 / SUM(t_next - t), 6) AS twap,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS naive_avg,
            CAST(COUNT(*) AS BIGINT) AS n_held
     FROM seq WHERE t_next IS NOT NULL
     GROUP BY user_id
@@ -1240,10 +1257,18 @@ def q142_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("t_next").isNotNull())
     hold = F.col("t_next") - F.col("t")
     return seq.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value") * hold) / F.sum(hold), 6).alias(
-            "twap"
-        ),
-        F.round(F.avg("value"), 6).alias("naive_avg"),
+        F.round(
+            F.sum((F.col("value") * hold).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.sum(hold),
+            6,
+        ).alias("twap"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("naive_avg"),
         F.count("*").alias("n_held"),
     )
 
