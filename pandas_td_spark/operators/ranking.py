@@ -1,0 +1,115 @@
+"""Distributed EXACT global ranking (O1-adjacent; SURVEY.md §2.5/§2.6).
+
+``Window.orderBy(...)`` with no PARTITION BY moves every row to ONE
+partition (Spark warns "No Partition Defined") — the classic scale
+killer for fact-grain global ``row_number``/``ntile``. The exact,
+distributed formulation is the two-phase rank every MPP engine uses:
+
+1. ``repartitionByRange`` on the (total) order — a range shuffle, the
+   same cost a global sort pays, but the result stays spread across
+   partitions;
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the id
+   encodes (partition, local position), so the partition-local rank is
+   derived WITHOUT another shuffle or window;
+3. per-partition row counts (a ``numPartitions``-row aggregate,
+   collected driver-side — bounded model state, never data) prefix-sum
+   into offsets, broadcast back, and
+   ``global_rank = offset[partition] + local_rank``.
+
+Ranks are identical to the single-partition window whenever the order
+is a TOTAL order (the repo's tie-break discipline: every global order
+ends in a unique key). ``ntile`` follows from the rank with the exact
+remainder-to-early-buckets rule both engines implement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_row_number", "with_global_ntile"]
+
+_PID_SHIFT = 33  # monotonically_increasing_id = partition_id << 33 + pos
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact global 1-based row number under ``order``
+    (which must be a total order for deterministic results) without a
+    single-partition sort. One range shuffle; parallelism = core count.
+    """
+    sess = df.sparkSession
+    n = num_partitions or sess.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright("__mid", _PID_SHIFT).cast("int")
+    local = (
+        F.col("__mid")
+        - F.shiftleft(F.shiftright("__mid", _PID_SHIFT), _PID_SHIFT)
+        + 1
+    )
+    ranged = ranged.withColumn("__pid", pid).withColumn("__local", local)
+    # materialize the ranged layout ONCE: repartitionByRange draws a new
+    # sample seed per ACTION (seed = f(rdd.id)), so the offsets job and
+    # the final pass would otherwise see different boundaries and the
+    # composed ranks would be garbage (observed: consistent +k shifts).
+    # localCheckpoint = one shuffle-sized materialization on the
+    # executors, freed by the context cleaner when the frame is dropped
+    # — the same lifecycle the graph operators use.
+    ranged = ranged.localCheckpoint()
+    # numPartitions-row driver collect: bounded by cluster width, not data
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_expr = F.element_at(
+        F.create_map(
+            *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
+        ),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    return (
+        ranged.withColumn(out, (off_expr + F.col("__local")).cast("bigint"))
+        .drop("__mid", "__pid", "__local")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    buckets: int,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact global ``ntile(buckets)`` under ``order`` —
+    identical to the window ntile (remainder rows go to the earliest
+    buckets) but computed with the distributed two-phase rank. Integer
+    ``div`` throughout, exact at any row count."""
+    rn = "__gntile_rn"
+    ranked = with_global_row_number(df, order, out=rn, num_partitions=num_partitions)
+    total = ranked.count()
+    q, rem = divmod(total, buckets)
+    if q == 0:
+        # fewer rows than buckets: ntile gives row r bucket r
+        return ranked.withColumn(out, F.col(rn)).drop(rn)
+    big = q + 1  # first `rem` buckets carry one extra row
+    cut = big * rem
+    bucket = F.when(
+        F.col(rn) <= cut,
+        F.expr(f"({rn} - 1) div {big}") + 1,
+    ).otherwise(F.expr(f"({rn} - 1 - {cut}) div {q}") + rem + 1)
+    return ranked.withColumn(out, bucket.cast("bigint")).drop(rn)

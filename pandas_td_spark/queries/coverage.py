@@ -726,18 +726,27 @@ def q125_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY bucket
     """,
     scale_note=(
-        "global ntile = total sort; at fact-table grain derive fences "
-        "from approx_percentile (q83) and bucket with a broadcast join"
+        "exact global ntile via the distributed two-phase rank "
+        "(operators/ranking.py: range shuffle + partition offsets, no "
+        "one-partition window); approx_percentile fences (q83) remain "
+        "the cheaper swap when exactness is negotiable"
     ),
 )
 def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile buckets of order value with per-bucket count/range/mean —
-    equal-population bins, the planner-statistics histogram shape."""
-    o = spark.table("orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    equal-population bins, the planner-statistics histogram shape.
+    The global ntile runs DISTRIBUTED (operators/ranking.py two-phase
+    rank: range shuffle + partition offsets), not as a one-partition
+    window — the exact path stays viable at fact grain."""
+    from pandas_td_spark.operators.ranking import with_global_ntile
+
+    o = spark.table("orders").select("o_totalprice", "o_orderkey")
+    binned = with_global_ntile(
+        o, ["o_totalprice", "o_orderkey"], 10, out="bucket"
+    )
     return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket")
+        binned.select(
+            "o_totalprice", F.col("bucket").cast("int").alias("bucket")
         )
         .groupBy("bucket")
         .agg(
@@ -1914,21 +1923,27 @@ def q184_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q188_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WOE/IV over price deciles with returns as the event class. The
-    global ntile needs one total sort — acceptable at dim/feature grain;
-    the approx_percentile fence swap (q125 note) is the fact-grain
-    path."""
-    from pyspark.sql import Window as W
+    global decile assignment runs DISTRIBUTED (operators/ranking.py
+    two-phase rank) rather than as a one-partition ntile window — this
+    is fact-grain input, and the exact path must not funnel the table
+    through one task; the approx_percentile fence swap (q125 note)
+    remains the cheaper alternative when exactness is negotiable."""
+    from pandas_td_spark.operators.ranking import with_global_ntile
 
     li = spark.table("lineitem")
-    binned = li.select(
-        F.ntile(10)
-        .over(
-            W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        )
-        .cast("bigint")  # Spark ntile is int32; DuckDB's is BIGINT
-        .alias("bin"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
-    )
+    binned = with_global_ntile(
+        li.select(
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("bad"),
+        ),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        10,
+        out="bin",
+    ).select("bin", "bad")
     cells = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("bad").cast("double").alias("n_bad"),

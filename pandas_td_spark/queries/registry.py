@@ -105,8 +105,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK = {
     "q138_hierarchy_rollup",  # doubling rounds now derived from depth
     "q118_kmeans_clusters",  # kmeans_fit persists the corpus across Lloyd iters
     "q193_embedding_whitening",  # sigma now uses the rounded mu consistently
-    "q129_equidepth_histogram",  # mean via decimal-sum/count (q156's sf0.1 lesson)
+    "q129_equidepth_histogram",  # decimal-sum mean + distributed exact ntile
     "q142_twap",  # decimal sums for twap/naive_avg (same lesson)
+    "q188_woe_binning",  # distributed exact ntile (never one-partition)
 }
 
 
