@@ -34,19 +34,40 @@ __all__ = ["with_global_row_number", "with_global_ntile"]
 _PID_SHIFT = 33  # monotonically_increasing_id = partition_id << 33 + pos
 
 
+SMALL_THRESHOLD = 100_000  # below this, one sorted partition is cheaper
+
+
 def with_global_row_number(
     df: DataFrame,
     order: Sequence[Column | str],
     out: str = "rn",
     num_partitions: int | None = None,
+    small_threshold: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Append the exact global 1-based row number under ``order``
     (which must be a total order for deterministic results) without a
     single-partition sort. One range shuffle; parallelism = core count.
-    """
+
+    Gated fast path (cluster.py/pagerank.py precedent): inputs at or
+    under ``small_threshold`` rows take the ordinary window form — for
+    a few-thousand-row dim/aggregate grain, one sorted partition beats
+    the range shuffle + checkpoint; the distributed path is for inputs
+    that keep growing. Values are identical on both paths (pinned in
+    tests/test_ranking.py, which forces each)."""
     sess = df.sparkSession
-    n = num_partitions or sess.sparkContext.defaultParallelism
+    thresh = SMALL_THRESHOLD if small_threshold is None else small_threshold
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    # callers that already know the row count pass input_rows to skip
+    # the gate's count job (q156 chains three ranks over one aggregate)
+    n_rows = df.count() if input_rows is None else input_rows
+    if thresh > 0 and n_rows <= thresh:
+        from pyspark.sql import Window as W
+
+        return df.withColumn(
+            out, F.row_number().over(W.orderBy(*cols)).cast("bigint")
+        )
+    n = num_partitions or sess.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
@@ -94,14 +115,24 @@ def with_global_ntile(
     buckets: int,
     out: str = "bucket",
     num_partitions: int | None = None,
+    small_threshold: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Append the exact global ``ntile(buckets)`` under ``order`` —
     identical to the window ntile (remainder rows go to the earliest
-    buckets) but computed with the distributed two-phase rank. Integer
+    buckets) but computed with the distributed two-phase rank (small
+    inputs take the window path — see with_global_row_number). Integer
     ``div`` throughout, exact at any row count."""
     rn = "__gntile_rn"
-    ranked = with_global_row_number(df, order, out=rn, num_partitions=num_partitions)
-    total = ranked.count()
+    ranked = with_global_row_number(
+        df,
+        order,
+        out=rn,
+        num_partitions=num_partitions,
+        small_threshold=small_threshold,
+        input_rows=input_rows,
+    )
+    total = ranked.count() if input_rows is None else input_rows
     q, rem = divmod(total, buckets)
     if q == 0:
         # fewer rows than buckets: ntile gives row r bucket r

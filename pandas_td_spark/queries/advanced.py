@@ -2380,23 +2380,31 @@ def q220_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift/cumulative-gain of order total price as a predictor
     of urgent priority."""
+    # distributed two-phase rank, not a one-partition window: the rank
+    # runs at ORDER grain (fact-sized at warehouse scale). The remaining
+    # Window below runs at DECILE grain (10 rows) — fine anywhere.
     from pyspark.sql import Window
 
-    scored = spark.table("orders").select(
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .alias("y"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .alias("r"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from pandas_td_spark.operators.ranking import with_global_row_number
+
+    scored = with_global_row_number(
+        spark.table("orders").select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        out="r",
     )
+    n_total = scored.count()  # bounded driver state (one long)
     # Exact integer division (SQL `div`), matching the oracle's `//`:
     # floor((r-1)*10 / n) via doubles loses exactness past 2^53 and can
     # flip a boundary row's decile at planetary row counts.
     binned = scored.select(
         F.expr(
-            "(CAST(r - 1 AS BIGINT) * 10) div CAST(n AS BIGINT) + 1"
+            f"(CAST(r - 1 AS BIGINT) * 10) div CAST({n_total} AS BIGINT) + 1"
         ).alias("decile"),
         "y",
     )

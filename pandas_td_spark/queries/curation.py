@@ -1314,12 +1314,15 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count("*").over(Window.partitionBy("source")).alias("n_src"),
     )
-    g = d.select(
-        F.col("n_chars").alias("norm_chars"),
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("gr"),
-    )
+    # global length ranks run DISTRIBUTED (doc grain is fact-sized at
+    # warehouse scale; the per-source ranks above are fine — partitioned)
+    from pandas_td_spark.operators.ranking import with_global_row_number
+
+    g = with_global_row_number(
+        d.select(F.col("n_chars").alias("norm_chars"), "doc_id"),
+        ["norm_chars", "doc_id"],
+        out="gr",
+    ).select("norm_chars", "gr")
     nt = d.count()
     mapped = s.select(
         "doc_id",

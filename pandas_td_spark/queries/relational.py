@@ -872,18 +872,36 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("mon"),
     )
-    scored = cust.select(
-        F.col("recency_d"),
+    # three DISTRIBUTED exact quintiles (customer grain is fact-sized at
+    # warehouse scale): chained two-phase ranks, one range shuffle each,
+    # never a one-partition ntile window
+    from pandas_td_spark.operators.ranking import with_global_ntile
+
+    n_cust = cust.count()  # one job; shared by all three gates below
+    scored = with_global_ntile(
+        with_global_ntile(
+            with_global_ntile(
+                cust,
+                [F.col("recency_d").asc(), F.col("o_custkey")],
+                5,
+                out="r_score",
+                input_rows=n_cust,
+            ),
+            [F.col("frequency").desc(), F.col("o_custkey")],
+            5,
+            out="f_score",
+            input_rows=n_cust,
+        ),
+        [F.col("mon").desc(), F.col("o_custkey")],
+        5,
+        out="m_score",
+        input_rows=n_cust,
+    ).select(
+        "recency_d",
         F.col("mon").cast("double").alias("monetary"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_d").asc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("mon").desc(), "o_custkey"))
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return (
         scored.groupBy(

@@ -27,7 +27,7 @@ def _fixture(spark, n=100_000):
 
 def test_global_row_number_matches_window(spark):
     df = _fixture(spark)
-    got = with_global_row_number(df, ["k", "i"], out="rn")
+    got = with_global_row_number(df, ["k", "i"], out="rn", small_threshold=0)
     want = df.withColumn(
         "rn", F.row_number().over(W.orderBy("k", "i")).cast("bigint")
     )
@@ -44,7 +44,7 @@ def test_global_row_number_matches_window(spark):
 def test_global_ntile_matches_window(spark):
     df = _fixture(spark)
     for k in (10, 7):  # 7 does not divide 100000: remainder path
-        got = with_global_ntile(df, ["k", "i"], k, out="b")
+        got = with_global_ntile(df, ["k", "i"], k, out="b", small_threshold=0)
         want = df.withColumn(
             "b", F.ntile(k).over(W.orderBy("k", "i")).cast("bigint")
         )
@@ -61,3 +61,12 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
         for r in with_global_ntile(df, ["i"], 10, out="b").collect()
     }
     assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_gated_window_path_matches_distributed(spark):
+    df = _fixture(spark, n=5_000)
+    a = with_global_row_number(df, ["k", "i"], out="rn")  # gated: window
+    b = with_global_row_number(df, ["k", "i"], out="rn", small_threshold=0)
+    assert (
+        a.select("i", "rn").exceptAll(b.select("i", "rn")).count() == 0
+    )
