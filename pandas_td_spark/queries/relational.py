@@ -862,8 +862,6 @@ _RFM_ASOF = "2002-01-01"
 def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer RFM quintile segments (r*100+f*10+m) with per-segment
     size and value — three global ntiles at customer grain."""
-    from pyspark.sql import Window as W
-
     o = spark.table("orders")
     cust = o.groupBy("o_custkey").agg(
         F.datediff(
