@@ -130,15 +130,21 @@ def main() -> None:
         with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
             json.dump(full, f, indent=1)
             f.write("\n")
-    except OSError:
-        pass
-    # The driver keeps only a ~4 KB stdout tail, and a 233-entry queries
-    # map (~7 KB) loses the line's head → BENCH_r03/r04 recorded
-    # `parsed: null`. Emit the totals plus the SLOWEST queries, capped so
-    # the whole line stays well inside the capture window; the full map
-    # lives in BENCH_LATEST.json (pointer included).
+    except OSError as exc:
+        # Surface the failure: gen_baseline.py reads BENCH_LATEST.json and
+        # would otherwise silently publish the PREVIOUS round's timings as
+        # the new baseline. Flag it in the stdout JSON (machine-readable)
+        # and on stderr; gen_baseline also mtime-checks the artifact.
+        print(f"WARN: BENCH_LATEST.json write failed: {exc}", file=sys.stderr)
+        full["bench_latest_write_failed"] = True
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line as JSON. BENCH_r05's line was ~3 KB, so the tail started
+    # mid-line and the head (metric/value) was lost → `parsed: null`.
+    # The ENTIRE final line must fit inside the 2000-char tail: emit the
+    # totals plus only the slowest queries, capped at 1400 bytes; the
+    # full map lives in BENCH_LATEST.json (pointer included).
     out = dict(full)
-    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "3000"))
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1400"))
     slowest = sorted(timings, key=timings.get, reverse=True)
     shown: dict[str, float] = {}
     for name in slowest:

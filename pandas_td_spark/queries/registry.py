@@ -81,54 +81,65 @@ def _ensure_loaded() -> None:
 # query, by round number), so the ordering self-updates every round:
 #
 #   0. latest driver row is red/errored (a fix shipped → must re-certify);
-#   1. never driver-checked (first-time verification);
+#   1. never driver-checked, oracle-backed (first full-strength check);
 #   2. implementation changed since the query's latest driver row
-#      (manual set below — the stale green no longer certifies the code);
-#   3. standing greens (re-verification);
-#   oracle=None rows-only entries sort after oracle-backed ones within each
-#   group — weakest per-row signal.
+#      (map below — the stale green no longer certifies the code);
+#      oracle-backed before rows-only within the group;
+#   3. never driver-checked, rows-only (first check, but weak signal);
+#   4. standing greens (re-verification; oracle-backed first).
 #
-# Within a group: lexicographic by name.
+# Within a group: lexicographic by name. Rationale for 2 < 3: a stale
+# green is actively MISLEADING evidence (it certifies code that no longer
+# exists), while an unchecked rows-only query is merely unverified — and
+# its oracle-less driver row can only confirm it runs.
 
-# Queries whose implementation/plan changed after their most recent driver
-# row was recorded. MAINTAIN BY HAND when editing a query whose latest
-# driver row is green. (q54/q55/q56: rewritten in round 2, only driver rows
-# are r1. q61: plan replaced in round 4.)
-_IMPL_CHANGED_SINCE_LAST_CHECK = {
-    "q54_simhash_pairs",
-    "q55_embedding_topk",
-    "q56_embedding_lsh_topk",
-    "q61_range_join",
-    "q62_multimodal_features",  # round 4: gained a full oracle (was rows-only)
+# Queries whose implementation/plan changed AFTER their most recent driver
+# row was recorded, mapped to the round the change shipped in. MAINTAIN BY
+# HAND when editing a query whose latest driver row is green: add
+# ``name: current_round``. Entries AUTO-RETIRE once a driver row from
+# ``round_changed`` or later exists (the driver runs at the END of round N
+# and writes CORRECTNESS_rN, so a row with round >= round_changed was
+# produced by the changed code) — no manual deletion, so the map can't
+# silently rot (tests/test_registry_order.py pins both properties).
+_IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
+    "q54_simhash_pairs": 2,  # rewritten round 2; only driver row is r1
+    "q55_embedding_topk": 2,  # zip_with rewrite round 2
+    "q56_embedding_lsh_topk": 2,  # rewritten round 2
+    "q61_range_join": 4,  # zero-join plan replaced the interval join
+    "q62_multimodal_features": 4,  # gained a full oracle (was rows-only)
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
-    "q138_hierarchy_rollup",  # doubling rounds now derived from depth
-    "q118_kmeans_clusters",  # kmeans_fit persists the corpus across Lloyd iters
-    "q193_embedding_whitening",  # sigma now uses the rounded mu consistently
-    "q129_equidepth_histogram",  # decimal-sum mean + distributed exact ntile
-    "q142_twap",  # decimal sums for twap/naive_avg (same lesson)
-    "q188_woe_binning",  # distributed exact ntile (never one-partition)
+    "q138_hierarchy_rollup": 5,  # doubling rounds now derived from depth
+    "q118_kmeans_clusters": 5,  # kmeans_fit persists corpus across Lloyd
+    "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
+    "q129_equidepth_histogram": 5,  # decimal-sum mean + distributed ntile
+    "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
+    "q188_woe_binning": 5,  # distributed exact ntile (never one-partition)
+    # round 6:
+    "q164_bfs_levels": 6,  # fused distinct into the round body, fewer actions
+    "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
+    "q205_quantile_normalization": 6,  # ranking offsets piggyback total count
 }
 
 
-def _latest_driver_status() -> dict[str, str]:
-    """Per-query status from the newest CORRECTNESS_r*.json row that
-    mentions it: 'green' | 'red'. Queries absent from every artifact have
-    no entry. 'no_oracle' rows-only rows count as green (ran, matched the
-    weak check). Robust to missing/corrupt artifacts (empty dict)."""
+def _latest_driver_round() -> dict[str, tuple[int, str]]:
+    """Per-query ``(round, status)`` from the newest CORRECTNESS_r*.json
+    row that mentions it: status 'green' | 'red'. Queries absent from every
+    artifact have no entry. 'no_oracle' rows-only rows count as green (ran,
+    matched the weak check). Robust to missing/corrupt artifacts."""
     import glob
     import json
     import os
     import re
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    status: dict[str, str] = {}
+    latest: dict[str, tuple[int, str]] = {}
     paths = []
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
         if m:
             paths.append((int(m.group(1)), p))
-    for _, p in sorted(paths):  # later rounds overwrite earlier
+    for rnd, p in sorted(paths):  # later rounds overwrite earlier
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -149,25 +160,39 @@ def _latest_driver_status() -> dict[str, str]:
                     and row.get("schema_match") is not False
                     and row.get("hash_match") is not False
                 )
-            status[name] = "green" if ok else "red"
-    return status
+            latest[name] = (rnd, "green" if ok else "red")
+    return latest
+
+
+def _latest_driver_status() -> dict[str, str]:
+    return {n: st for n, (_, st) in _latest_driver_round().items()}
+
+
+def _is_stale(name: str, latest: dict[str, tuple[int, str]]) -> bool:
+    """True when ``name``'s standing driver row predates its last
+    implementation change (the row certifies code that no longer exists)."""
+    changed = _IMPL_CHANGED_SINCE_LAST_CHECK.get(name)
+    if changed is None or name not in latest:
+        return False
+    return latest[name][0] < changed
 
 
 def _driver_order(items: dict[str, Query]) -> list[str]:
-    status = _latest_driver_status()
+    latest = _latest_driver_round()
 
     def key(name: str):
         q = items[name]
-        st = status.get(name)
-        if st == "red":
+        rnd_st = latest.get(name)
+        rows_only = q.oracle is None
+        if rnd_st is not None and rnd_st[1] == "red":
             group = 0
-        elif st is None:
-            group = 1
-        elif name in _IMPL_CHANGED_SINCE_LAST_CHECK:
+        elif rnd_st is None:
+            group = 1 if not rows_only else 3
+        elif _is_stale(name, latest):
             group = 2
         else:
-            group = 3
-        return (group, q.oracle is None, name)
+            group = 4
+        return (group, rows_only, name)
 
     return sorted(items, key=key)
 

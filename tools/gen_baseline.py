@@ -12,6 +12,7 @@ Usage: PYTHONPATH=. python tools/gen_baseline.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -104,10 +105,11 @@ def duckdb_times(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    bench_start = time.time()
     subprocess.run(
         [sys.executable, "bench.py"],
         env={
-            **__import__("os").environ,
+            **os.environ,
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "PYTHONPATH": ".",
         },
@@ -116,8 +118,16 @@ def main() -> None:
         check=True,
     )
     # bench.py's STDOUT truncates the per-query map to fit the driver's
-    # ~4 KB capture window; the complete map is the durable artifact it
-    # writes alongside — read that, never the stdout line.
+    # ~2 KB capture window; the complete map is the durable artifact it
+    # writes alongside — read that, never the stdout line. Freshness
+    # guard: if bench.py's artifact write failed (it warns and continues),
+    # a stale file from the previous round would silently become the new
+    # baseline — refuse instead.
+    if os.path.getmtime("BENCH_LATEST.json") < bench_start:
+        raise RuntimeError(
+            "BENCH_LATEST.json was not refreshed by this bench run "
+            "(write failed?) — refusing to publish stale timings"
+        )
     with open("BENCH_LATEST.json") as f:
         bench = json.load(f)
     dd = duckdb_times(sf_dir)
