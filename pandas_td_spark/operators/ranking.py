@@ -20,6 +20,17 @@ Ranks are identical to the single-partition window whenever the order
 is a TOTAL order (the repo's tie-break discipline: every global order
 ends in a unique key). ``ntile`` follows from the rank with the exact
 remainder-to-early-buckets rule both engines implement.
+
+The distributed path is the DEFAULT (``small_threshold=0``): the
+library never runs a hidden ``df.count()`` gate job, and the offsets
+aggregate doubles as the total-row count (``*_with_total`` variants),
+so rank+ntile costs exactly one range shuffle + one bounded offsets
+job. The one-sorted-partition window fast path is opt-in for callers
+that KNOW their input is aggregate-grain: pass
+``small_threshold=SMALL_THRESHOLD`` together with ``input_rows``
+(q156's pattern — one shared count feeds three chained ranks, and the
+same call sites auto-switch to the distributed path when the input
+outgrows the threshold).
 """
 
 from __future__ import annotations
@@ -29,44 +40,55 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_row_number", "with_global_ntile"]
+__all__ = [
+    "with_global_row_number",
+    "with_global_row_number_and_total",
+    "with_global_ntile",
+    "SMALL_THRESHOLD",
+]
 
 _PID_SHIFT = 33  # monotonically_increasing_id = partition_id << 33 + pos
 
 
-SMALL_THRESHOLD = 100_000  # below this, one sorted partition is cheaper
+SMALL_THRESHOLD = 100_000  # opt-in gate: below this, one sorted partition
+# is cheaper than the range shuffle + offsets job
 
 
-def with_global_row_number(
+def with_global_row_number_and_total(
     df: DataFrame,
     order: Sequence[Column | str],
     out: str = "rn",
     num_partitions: int | None = None,
-    small_threshold: int | None = None,
+    small_threshold: int = 0,
     input_rows: int | None = None,
-) -> DataFrame:
-    """Append the exact global 1-based row number under ``order``
-    (which must be a total order for deterministic results) without a
-    single-partition sort. One range shuffle; parallelism = core count.
+) -> tuple[DataFrame, int]:
+    """Append the exact global 1-based row number under ``order`` (which
+    must be a total order for deterministic results) and return
+    ``(frame, total_rows)`` — the total rides along free on the offsets
+    aggregate, so callers that need N (ntile, lift deciles, quantile
+    normalization) never pay a separate ``count()`` job.
 
-    Gated fast path (cluster.py/pagerank.py precedent): inputs at or
-    under ``small_threshold`` rows take the ordinary window form — for
-    a few-thousand-row dim/aggregate grain, one sorted partition beats
-    the range shuffle + checkpoint; the distributed path is for inputs
-    that keep growing. Values are identical on both paths (pinned in
-    tests/test_ranking.py, which forces each)."""
+    Distributed two-phase rank by default: one range shuffle,
+    parallelism = core count, no single-partition window anywhere.
+    Opt-in fast path (``small_threshold>0`` — pass ``input_rows`` with
+    it, or the gate itself must run a count job): inputs at or under the
+    threshold take the ordinary window form, where one sorted partition
+    beats the range shuffle + checkpoint. Values are identical on both
+    paths (pinned in tests/test_ranking.py, which forces each)."""
     sess = df.sparkSession
-    thresh = SMALL_THRESHOLD if small_threshold is None else small_threshold
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    # callers that already know the row count pass input_rows to skip
-    # the gate's count job (q156 chains three ranks over one aggregate)
-    n_rows = df.count() if input_rows is None else input_rows
-    if thresh > 0 and n_rows <= thresh:
-        from pyspark.sql import Window as W
+    if small_threshold > 0:
+        # aggregate-grain opt-in. Callers pass input_rows (q156 chains
+        # three ranks over one shared count); only an explicit opt-in
+        # without it pays the gate's count job.
+        n_rows = df.count() if input_rows is None else input_rows
+        if n_rows <= small_threshold:
+            from pyspark.sql import Window as W
 
-        return df.withColumn(
-            out, F.row_number().over(W.orderBy(*cols)).cast("bigint")
-        )
+            ranked = df.withColumn(
+                out, F.row_number().over(W.orderBy(*cols)).cast("bigint")
+            )
+            return ranked, n_rows
     n = num_partitions or sess.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *cols)
@@ -103,10 +125,32 @@ def with_global_row_number(
         ),
         F.col("__pid"),
     ) if offsets else F.lit(0)
-    return (
+    ranked = (
         ranged.withColumn(out, (off_expr + F.col("__local")).cast("bigint"))
         .drop("__mid", "__pid", "__local")
     )
+    return ranked, acc
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+    small_threshold: int = 0,
+    input_rows: int | None = None,
+) -> DataFrame:
+    """``with_global_row_number_and_total`` without the total — see
+    that function for semantics and the scale contract."""
+    ranked, _ = with_global_row_number_and_total(
+        df,
+        order,
+        out=out,
+        num_partitions=num_partitions,
+        small_threshold=small_threshold,
+        input_rows=input_rows,
+    )
+    return ranked
 
 
 def with_global_ntile(
@@ -115,16 +159,17 @@ def with_global_ntile(
     buckets: int,
     out: str = "bucket",
     num_partitions: int | None = None,
-    small_threshold: int | None = None,
+    small_threshold: int = 0,
     input_rows: int | None = None,
 ) -> DataFrame:
     """Append the exact global ``ntile(buckets)`` under ``order`` —
     identical to the window ntile (remainder rows go to the earliest
-    buckets) but computed with the distributed two-phase rank (small
-    inputs take the window path — see with_global_row_number). Integer
-    ``div`` throughout, exact at any row count."""
+    buckets) but computed with the distributed two-phase rank; the
+    bucket arithmetic reuses the rank's piggybacked total, so no extra
+    count job runs on either path. Integer ``div`` throughout, exact at
+    any row count."""
     rn = "__gntile_rn"
-    ranked = with_global_row_number(
+    ranked, total = with_global_row_number_and_total(
         df,
         order,
         out=rn,
@@ -132,7 +177,6 @@ def with_global_ntile(
         small_threshold=small_threshold,
         input_rows=input_rows,
     )
-    total = ranked.count() if input_rows is None else input_rows
     q, rem = divmod(total, buckets)
     if q == 0:
         # fewer rows than buckets: ntile gives row r bucket r

@@ -2385,9 +2385,13 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window below runs at DECILE grain (10 rows) — fine anywhere.
     from pyspark.sql import Window
 
-    from pandas_td_spark.operators.ranking import with_global_row_number
+    from pandas_td_spark.operators.ranking import (
+        with_global_row_number_and_total,
+    )
 
-    scored = with_global_row_number(
+    # n_total rides along on the rank's offsets aggregate — no separate
+    # count job (advisor r5: this query used to pay three table scans)
+    scored, n_total = with_global_row_number_and_total(
         spark.table("orders").select(
             F.when(F.col("o_orderpriority") == "1-URGENT", 1)
             .otherwise(0)
@@ -2398,7 +2402,6 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         out="r",
     )
-    n_total = scored.count()  # bounded driver state (one long)
     # Exact integer division (SQL `div`), matching the oracle's `//`:
     # floor((r-1)*10 / n) via doubles loses exactness past 2^53 and can
     # flip a boundary row's decile at planetary row counts.

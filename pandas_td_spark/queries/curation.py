@@ -1316,14 +1316,18 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global length ranks run DISTRIBUTED (doc grain is fact-sized at
     # warehouse scale; the per-source ranks above are fine — partitioned)
-    from pandas_td_spark.operators.ranking import with_global_row_number
+    from pandas_td_spark.operators.ranking import (
+        with_global_row_number_and_total,
+    )
 
-    g = with_global_row_number(
+    # the offsets aggregate doubles as the doc count — no separate
+    # d.count() job (advisor r5: one rank used to cost two table scans)
+    g, nt = with_global_row_number_and_total(
         d.select(F.col("n_chars").alias("norm_chars"), "doc_id"),
         ["norm_chars", "doc_id"],
         out="gr",
-    ).select("norm_chars", "gr")
-    nt = d.count()
+    )
+    g = g.select("norm_chars", "gr")
     mapped = s.select(
         "doc_id",
         "source",

@@ -112,13 +112,16 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q138_hierarchy_rollup": 5,  # doubling rounds now derived from depth
     "q118_kmeans_clusters": 5,  # kmeans_fit persists corpus across Lloyd
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
-    "q129_equidepth_histogram": 5,  # decimal-sum mean + distributed ntile
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
-    "q188_woe_binning": 5,  # distributed exact ntile (never one-partition)
     # round 6:
     "q164_bfs_levels": 6,  # fused distinct into the round body, fewer actions
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
     "q205_quantile_normalization": 6,  # ranking offsets piggyback total count
+    "q129_equidepth_histogram": 6,  # ntile total piggybacks on offsets job
+    "q188_woe_binning": 6,  # ntile total piggybacks on offsets job
+    # (q156_rfm_segments also touched in r6 — call sites now pass the
+    # opt-in small_threshold explicitly — but path, plan and values are
+    # identical to its r5-certified form, so its green row still stands)
 }
 
 

@@ -873,8 +873,15 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three DISTRIBUTED exact quintiles (customer grain is fact-sized at
     # warehouse scale): chained two-phase ranks, one range shuffle each,
     # never a one-partition ntile window
-    from pandas_td_spark.operators.ranking import with_global_ntile
+    from pandas_td_spark.operators.ranking import (
+        SMALL_THRESHOLD,
+        with_global_ntile,
+    )
 
+    # aggregate-grain opt-in (customer grain): one shared count feeds all
+    # three gates; at/below SMALL_THRESHOLD each ntile is a single sorted
+    # partition, above it the same calls auto-switch to the distributed
+    # two-phase rank — the library default never counts implicitly.
     n_cust = cust.count()  # one job; shared by all three gates below
     scored = with_global_ntile(
         with_global_ntile(
@@ -883,16 +890,19 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [F.col("recency_d").asc(), F.col("o_custkey")],
                 5,
                 out="r_score",
+                small_threshold=SMALL_THRESHOLD,
                 input_rows=n_cust,
             ),
             [F.col("frequency").desc(), F.col("o_custkey")],
             5,
             out="f_score",
+            small_threshold=SMALL_THRESHOLD,
             input_rows=n_cust,
         ),
         [F.col("mon").desc(), F.col("o_custkey")],
         5,
         out="m_score",
+        small_threshold=SMALL_THRESHOLD,
         input_rows=n_cust,
     ).select(
         "recency_d",

@@ -1,6 +1,7 @@
 """Distributed exact global ranking (operators/ranking.py) must equal
 the single-partition window forms bit-for-bit, while keeping the data
-spread across partitions (the whole point)."""
+spread across partitions (the whole point). The distributed path is the
+DEFAULT; the window fast path is opt-in via small_threshold."""
 
 from __future__ import annotations
 
@@ -8,8 +9,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pandas_td_spark.operators.ranking import (
+    SMALL_THRESHOLD,
     with_global_ntile,
     with_global_row_number,
+    with_global_row_number_and_total,
 )
 
 
@@ -27,7 +30,7 @@ def _fixture(spark, n=100_000):
 
 def test_global_row_number_matches_window(spark):
     df = _fixture(spark)
-    got = with_global_row_number(df, ["k", "i"], out="rn", small_threshold=0)
+    got = with_global_row_number(df, ["k", "i"], out="rn")
     want = df.withColumn(
         "rn", F.row_number().over(W.orderBy("k", "i")).cast("bigint")
     )
@@ -44,7 +47,7 @@ def test_global_row_number_matches_window(spark):
 def test_global_ntile_matches_window(spark):
     df = _fixture(spark)
     for k in (10, 7):  # 7 does not divide 100000: remainder path
-        got = with_global_ntile(df, ["k", "i"], k, out="b", small_threshold=0)
+        got = with_global_ntile(df, ["k", "i"], k, out="b")
         want = df.withColumn(
             "b", F.ntile(k).over(W.orderBy("k", "i")).cast("bigint")
         )
@@ -65,8 +68,51 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
 
 def test_gated_window_path_matches_distributed(spark):
     df = _fixture(spark, n=5_000)
-    a = with_global_row_number(df, ["k", "i"], out="rn")  # gated: window
-    b = with_global_row_number(df, ["k", "i"], out="rn", small_threshold=0)
+    # opt-in window path (aggregate-grain caller pattern: threshold +
+    # known row count) must equal the distributed default bit-for-bit
+    a = with_global_row_number(
+        df, ["k", "i"], out="rn",
+        small_threshold=SMALL_THRESHOLD, input_rows=5_000,
+    )
+    b = with_global_row_number(df, ["k", "i"], out="rn")
     assert (
         a.select("i", "rn").exceptAll(b.select("i", "rn")).count() == 0
     )
+
+
+def test_piggybacked_total_matches_count_both_paths(spark):
+    df = _fixture(spark, n=5_000)
+    # distributed default: total comes from the offsets aggregate
+    ranked, total = with_global_row_number_and_total(df, ["k", "i"], out="rn")
+    assert total == 5_000
+    assert ranked.agg(F.max("rn")).first()[0] == 5_000
+    # opt-in window path: total echoes the caller-provided row count
+    _, total_w = with_global_row_number_and_total(
+        df, ["k", "i"], out="rn",
+        small_threshold=SMALL_THRESHOLD, input_rows=5_000,
+    )
+    assert total_w == 5_000
+
+
+def test_distributed_default_runs_no_count_gate(spark):
+    """The library default must not launch a hidden count() gate job:
+    with small_threshold=0 (default) the input is never counted before
+    the range shuffle. Pinned by plan shape: rank over an un-counted
+    narrow projection still succeeds and the gate would be the only
+    possible full-scan action before it."""
+    df = _fixture(spark, n=2_000)
+    calls = {"n": 0}
+    orig = type(df).count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    type(df).count = counting
+    try:
+        with_global_row_number(df, ["k", "i"], out="rn").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        type(df).count = orig
+    assert calls["n"] == 0, "default path ran a hidden DataFrame.count()"
