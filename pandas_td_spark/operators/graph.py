@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "undirected_edges",
+    "orient_edges",
     "triangle_counts",
     "bfs_levels",
     "kcore_peel",
@@ -53,20 +54,22 @@ def undirected_edges(df: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle participation counts.
+def orient_edges(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """Orient distinct undirected edges LOW-degree → HIGH-degree (rank =
+    degree-then-id, a strict total order) and return the checkpointed
+    ``(src, dst, dst_rank)`` frame — the shared input of wedge
+    generation and closure verification (Schank-Wagner orientation; see
+    module docstring for the skew argument).
 
-    ``edges`` must be distinct undirected pairs (``undirected_edges``
-    output). Returns ``(node, n_triangles)`` for every node in at least
-    one triangle; each triangle contributes 1 to each of its three nodes.
-
-    The edge list is referenced by degree counting, orientation, wedge
-    generation, AND closure verification — without a lineage cut Spark
-    recomputes the (possibly expensive) upstream edge derivation once per
-    reference. ``localCheckpoint`` materializes it exactly once on the
-    executors (same pattern as operators/cluster.py).
+    ``materialize=False`` skips the defensive edge checkpoint when the
+    caller already holds a materialized edge frame (e.g. the memoized
+    co-purchase edge cache) — re-checkpointing a checkpoint is a full
+    extra copy job. The ORIENTED frame is always checkpointed: it is
+    probed three times downstream, and callers memoize it across the
+    graph query family the same way the edge cache memoizes edges.
     """
-    edges = edges.localCheckpoint()
+    if materialize:
+        edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))
@@ -91,8 +94,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # Orient low-rank → high-rank; keep the destination's rank so wedge
     # generation can order the two spokes without another join.
-    # Referenced three times below (both wedge spokes + closure probe).
-    oriented = e.select(
+    # Referenced three times downstream (both wedge spokes + closure
+    # probe).
+    return e.select(
         F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
         .otherwise(F.col("v"))
         .alias("src"),
@@ -101,22 +105,60 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .alias("dst"),
         F.greatest("rank_u", "rank_v").alias("dst_rank"),
     ).localCheckpoint()
+
+
+def triangle_counts(
+    edges: DataFrame | None = None,
+    oriented: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node triangle participation counts.
+
+    ``edges`` must be distinct undirected pairs (``undirected_edges``
+    output); alternatively pass a pre-built ``oriented`` frame
+    (``orient_edges`` output — memoizable across the graph family).
+    Returns ``(node, n_triangles)`` for every node in at least one
+    triangle; each triangle contributes 1 to each of its three nodes.
+    """
+    if oriented is None:
+        if edges is None:
+            raise ValueError("pass edges or oriented")
+        oriented = orient_edges(edges, materialize=materialize)
     l = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("dst_rank").alias("rx")
     )
     r = oriented.select(
         F.col("src"), F.col("dst").alias("y"), F.col("dst_rank").alias("ry")
     )
-    wedges = l.join(r, "src").where(F.col("rx") < F.col("ry"))
+    # Pack the wedge endpoints into ONE bigint join key (ids fit 32 bits
+    # — the _ID_BITS contract the rank packing already relies on). The
+    # closure probe then joins on a single long: half the shuffle bytes
+    # for the wedge set (the dominant data volume — sum C(outdeg,2)
+    # rows), a radix-sortable SMJ key, and an 8-byte/row closing side
+    # that AQE can broadcast whenever the edge list fits its threshold
+    # (it does at bench scale; at 100 TB AQE's size check falls back to
+    # the co-partitioned SMJ, which is the correct plan there).
+    wedges = (
+        l.join(r, "src")
+        .where(F.col("rx") < F.col("ry"))
+        .select(
+            "src",
+            (F.shiftleft(F.col("x"), _ID_BITS) + F.col("y")).alias("xy"),
+        )
+    )
     # A wedge src→{x, y} closes iff the oriented edge x→y exists (x has
     # lower rank than y by construction, so only that direction can).
     closing = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y")
+        (F.shiftleft(F.col("src"), _ID_BITS) + F.col("dst")).alias("xy")
     )
-    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    tri = wedges.join(closing, "xy")
+    x = F.shiftright("xy", _ID_BITS)
+    y = F.col("xy") - F.shiftleft(F.shiftright("xy", _ID_BITS), _ID_BITS)
     return (
         tri.select(
-            F.explode(F.array("src", "x", "y")).alias("node")
+            F.explode(
+                F.array(F.col("src"), x.cast("bigint"), y.cast("bigint"))
+            ).alias("node")
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
@@ -124,53 +166,105 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def bfs_levels(
-    edges: DataFrame, source, max_depth: int = 4
+    edges: DataFrame,
+    source,
+    max_depth: int = 4,
+    materialize: bool = True,
+    broadcast_frontier_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Single-source BFS levels by frontier expansion: each round is one
-    equi-join (frontier × adjacency) + one anti-join against the visited
-    set — the standard distributed BFS (no per-node state, no driver
-    traversal). ``edges`` as from ``undirected_edges``. Returns
-    ``(node, level)`` for nodes within ``max_depth`` hops.
+    """Single-source BFS levels by frontier expansion — the standard
+    distributed BFS (no per-node state, no driver traversal). ``edges``
+    as from ``undirected_edges`` (``materialize=False`` when the caller
+    already holds a checkpointed edge frame). Returns ``(node, level)``
+    for nodes within ``max_depth`` hops.
 
-    Each round's frontier is lineage-cut with localCheckpoint: without it
-    round k replays rounds 1..k-1 (quadratic blowup in plan depth).
+    Per-round plan, tuned so each round is ONE shuffle plus the
+    lineage-cutting checkpoint (without which round k replays rounds
+    1..k-1 — quadratic plan depth):
+
+    - round 1 is a FILTER on the adjacency, not a join (the seed is one
+      literal node, and distinct edges make its neighbor set already
+      unique);
+    - candidate dedup and visited-exclusion are FUSED into a single
+      aggregation: candidates (marker 0) union the visited set
+      (marker 1), group by node, keep groups whose max marker is 0 —
+      one shuffle where distinct + anti-join cost two;
+    - the frontier row count rides on the per-round checkpoint (it
+      doubles as the emptiness check), and frontiers under
+      ``broadcast_frontier_rows`` are broadcast-hinted into the
+      adjacency probe so the big side never shuffles; larger frontiers
+      fall back to the plain shuffle join — the scale-safe path.
     """
     spark = edges.sparkSession
     # One materialization of the (possibly expensive) edge derivation —
     # the adjacency is probed every round.
-    edges = edges.localCheckpoint()
+    if materialize:
+        edges = edges.localCheckpoint()
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    levels = spark.createDataFrame(
+    seed = spark.createDataFrame(
         [(source, 0)], "node bigint, level int"
     )
-    frontier = levels.select("node")
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(adj, frontier["node"] == adj["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(levels, "node", "left_anti")
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
+    # depth 1: distinct undirected edges ⇒ the neighbor multiset of one
+    # node is already a set, so a filter + projection suffices.
+    f1 = (
+        adj.where(F.col("u") == F.lit(source))
+        .select(F.col("v").alias("node"))
+        .localCheckpoint()
+    )
+    parts = [seed, f1.withColumn("level", F.lit(1))]
+    visited = seed.select("node").unionAll(f1)
+    frontier, n_frontier = f1, f1.count()
+    for depth in range(2, max_depth + 1):
+        if n_frontier == 0:
             break
-        levels = levels.unionByName(
-            nxt.withColumn("level", F.lit(depth))
-        ).localCheckpoint()
+        probe = (
+            F.broadcast(frontier)
+            if n_frontier <= broadcast_frontier_rows
+            else frontier
+        )
+        cand = probe.join(adj, frontier["node"] == adj["u"]).select(
+            F.col("v").alias("node"), F.lit(0).alias("vis")
+        )
+        nxt = (
+            cand.unionAll(visited.select("node", F.lit(1).alias("vis")))
+            .groupBy("node")
+            .agg(F.max("vis").alias("v"))
+            .where(F.col("v") == 0)
+            .select("node")
+        )
+        if depth == max_depth:
+            # the last frontier is consumed exactly once (final union):
+            # no reuse to cut, nothing to gate — stay lazy, zero extra
+            # jobs, and let the terminal action run the round.
+            parts.append(nxt.withColumn("level", F.lit(depth)))
+            break
+        nxt = nxt.localCheckpoint()
+        n_frontier = nxt.count()  # doubles as the emptiness probe
+        if n_frontier == 0:
+            break
+        parts.append(nxt.withColumn("level", F.lit(depth)))
+        visited = visited.unionAll(nxt)
         frontier = nxt
-    return levels
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, materialize: bool = True
+) -> DataFrame:
     """Bounded k-core peeling: ``rounds`` iterations of "drop nodes with
     degree < k, restrict edges to survivors". A FIXED round count makes
     the result a deterministic function of the graph that an oracle can
     unroll; full k-core = iterate to fixpoint (monotone, ≤ |V| rounds).
     Returns surviving ``(node, deg)`` after the last round.
+    ``materialize=False`` when the caller's edge frame is already
+    checkpointed (the memoized edge cache).
     """
-    e = edges.localCheckpoint()
+    e = edges if not materialize else edges.localCheckpoint()
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
