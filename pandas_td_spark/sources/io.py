@@ -700,6 +700,11 @@ def read_file_tolerant(
     if not isinstance(schema, StructType):
         raise TypeError("schema must be a StructType")
     options.setdefault("mode", "PERMISSIVE")
+    # Spark accepts mode strings case-insensitively; normalize before
+    # branching so mode="permissive" still gets the corrupt-column
+    # injection instead of silently surfacing bad rows as all-NULL rows
+    # with an always-empty quarantine.
+    options["mode"] = options["mode"].upper()
     if fmt == "csv":
         options.setdefault("header", "true")
     if options["mode"] != "PERMISSIVE":

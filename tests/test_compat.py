@@ -329,6 +329,27 @@ def test_read_file_tolerant_quarantines_corrupt_rows(spark, tmp_path):
     assert any("not-a-number" in b for b in bad)
 
 
+def test_read_file_tolerant_mode_case_insensitive(spark, tmp_path):
+    """Spark treats mode strings case-insensitively; the quarantine
+    branch must too — mode='permissive' used to fall into the
+    no-quarantine branch, surfacing corrupt rows as all-NULL good rows
+    with an always-empty quarantine (advisor r5)."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from pandas_td_spark.sources.io import read_file_tolerant
+
+    p = tmp_path / "feed.json"
+    p.write_text('{"id": 1, "name": "ok"}\n{broken json line\n')
+    schema = (
+        StructType().add("id", LongType()).add("name", StringType())
+    )
+    good, quarantine = read_file_tolerant(
+        spark, str(p), fmt="json", schema=schema, mode="permissive"
+    )
+    assert [r.id for r in good.collect()] == [1]
+    assert quarantine.count() == 1
+
+
 def test_read_file_tolerant_unpersist_releases_shared_scan(spark, tmp_path):
     """The two-filter split shares ONE cached scan; the returned handle
     must release it (repeated ingest calls would otherwise accumulate
