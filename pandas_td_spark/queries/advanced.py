@@ -1042,8 +1042,10 @@ def evict_edge_cache(spark=None, view_dir=None) -> None:
     FROM walk GROUP BY node
     """,
     scale_note=(
-        "each BFS round is one frontier equi-join + anti-join; rounds = "
-        "graph diameter, frontiers lineage-cut per round"
+        "each BFS round is one frontier probe (broadcast under 1M rows, "
+        "shuffle join above) + a fused dedup/visited max-marker "
+        "aggregation — one shuffle/round; rounds = graph diameter, "
+        "frontiers lineage-cut per round"
     ),
 )
 def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -456,3 +456,37 @@ def test_python_walk_stages_keep_core_count_parallelism(spark):
         f"walk shuffle must carry defaultParallelism={n}: {exchanges[0]}"
     )
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_round_bodies_cover_checkpointed_iteratives(spark):
+    """VERDICT r5 item 3: the plan audit must see the per-round work
+    that localCheckpoint hides from final plans. Pin (a) every iterative
+    query family has a round-body builder, (b) each body's plan contains
+    the operator shape the audit exists to audit — a join+aggregate for
+    the graph rounds, a range repartition for the rank phase. If an
+    operator's loop body changes shape, update round_bodies.py with it."""
+    from pandas_td_spark.plans.explain import physical_plan
+    from pandas_td_spark.plans.round_bodies import (
+        ROUND_BODY_QUERIES,
+        round_body,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    expected = {
+        "q164_bfs_levels": ["HashAggregate", "BroadcastHashJoin"],
+        "q166_kcore": ["HashAggregate", "Join"],
+        "q121_triangle_count": ["HashAggregate", "Join"],
+        "q119_pagerank_transitions": ["HashAggregate", "Join", "Window"],
+        "q65_near_dup_clusters": ["HashAggregate", "Join"],
+        "q129_equidepth_histogram": ["rangepartitioning", "Sort"],
+    }
+    assert set(expected) <= ROUND_BODY_QUERIES
+    register_views(spark, SF)
+    for name, ops in expected.items():
+        label, frame = round_body(name, spark, SF)
+        plan = physical_plan(frame)
+        for op in ops:
+            assert op in plan, f"{name} round body ({label}) lost {op}"
+        assert "Scan ExistingRDD" not in plan.split("== Physical Plan ==")[
+            -1
+        ].split("\n")[1], f"{name} round body must not START at a checkpoint"

@@ -64,7 +64,12 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q217_debounce",            # per-key ndarray walk, 10x rows spread across keys
         "q149_capped_balance",      # same applyInPandas walk family
         "q138_hierarchy_rollup",    # depth-derived pointer doubling (part keys unshifted)
-        "q118_kmeans_clusters"]     # Lloyd on the persisted corpus
+        "q118_kmeans_clusters",     # Lloyd on the persisted corpus
+        # round-6 additions: the reshaped graph/rank paths
+        "q164_bfs_levels",          # fused BFS rounds; frontier broadcast gate (graph constant)
+        "q166_kcore",               # peel rounds on the cached edge checkpoint
+        "q129_equidepth_histogram", # distributed two-phase rank now the default path, orders 10x
+        "q221_lift_curve"]          # rank + piggybacked total, orders 10x
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
