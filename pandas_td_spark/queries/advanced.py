@@ -2407,13 +2407,12 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window below runs at DECILE grain (10 rows) — fine anywhere.
     from pyspark.sql import Window
 
-    from pandas_td_spark.operators.ranking import (
-        with_global_row_number_and_total,
-    )
+    from pandas_td_spark.operators.ranking import with_global_row_number
 
-    # n_total rides along on the rank's offsets aggregate — no separate
-    # count job (advisor r5: this query used to pay three table scans)
-    scored, n_total = with_global_row_number_and_total(
+    # fully lazy: the rank is one in-plan range shuffle, and the row
+    # total joins in as a broadcast 1-row count aggregate — the whole
+    # query is a single action with zero driver-side state
+    scored = with_global_row_number(
         spark.table("orders").select(
             F.when(F.col("o_orderpriority") == "1-URGENT", 1)
             .otherwise(0)
@@ -2424,12 +2423,17 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         out="r",
     )
+    n_total = F.broadcast(
+        spark.table("orders").agg(
+            F.count("*").cast("bigint").alias("__nt")
+        )
+    )
     # Exact integer division (SQL `div`), matching the oracle's `//`:
     # floor((r-1)*10 / n) via doubles loses exactness past 2^53 and can
     # flip a boundary row's decile at planetary row counts.
-    binned = scored.select(
+    binned = scored.crossJoin(n_total).select(
         F.expr(
-            f"(CAST(r - 1 AS BIGINT) * 10) div CAST({n_total} AS BIGINT) + 1"
+            "(CAST(r - 1 AS BIGINT) * 10) div __nt + 1"
         ).alias("decile"),
         "y",
     )

@@ -727,7 +727,7 @@ def q125_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     scale_note=(
         "exact global ntile via the distributed two-phase rank "
-        "(operators/ranking.py: range shuffle + partition offsets, no "
+        "(operators/ranking.py: literal-boundary buckets + bucket-partitioned window + broadcast offsets, no "
         "one-partition window); approx_percentile fences (q83) remain "
         "the cheaper swap when exactness is negotiable"
     ),
@@ -736,7 +736,8 @@ def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile buckets of order value with per-bucket count/range/mean —
     equal-population bins, the planner-statistics histogram shape.
     The global ntile runs DISTRIBUTED (operators/ranking.py two-phase
-    rank: range shuffle + partition offsets), not as a one-partition
+    rank: literal-boundary buckets + bucket-partitioned window +
+    broadcast offsets), not as a one-partition
     window — the exact path stays viable at fact grain."""
     from pandas_td_spark.operators.ranking import with_global_ntile
 

@@ -1316,19 +1316,19 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global length ranks run DISTRIBUTED (doc grain is fact-sized at
     # warehouse scale; the per-source ranks above are fine — partitioned)
-    from pandas_td_spark.operators.ranking import (
-        with_global_row_number_and_total,
-    )
+    from pandas_td_spark.operators.ranking import with_global_row_number
 
-    # the offsets aggregate doubles as the doc count — no separate
-    # d.count() job (advisor r5: one rank used to cost two table scans)
-    g, nt = with_global_row_number_and_total(
+    # fully lazy: rank and doc count are both in-plan (the count joins
+    # in as a broadcast 1-row aggregate) — no driver-side actions
+    g = with_global_row_number(
         d.select(F.col("n_chars").alias("norm_chars"), "doc_id"),
         ["norm_chars", "doc_id"],
         out="gr",
+    ).select("norm_chars", "gr")
+    nt = F.broadcast(
+        d.agg(F.count("*").cast("bigint").alias("__nt"))
     )
-    g = g.select("norm_chars", "gr")
-    mapped = s.select(
+    mapped = s.crossJoin(nt).select(
         "doc_id",
         "source",
         "n_chars",
@@ -1337,12 +1337,12 @@ def q205_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once (r-1)*(nt-1) exceeds 2^53 (~1e8 docs), and decimal keeps
         # the product exact even past int64 (~3e9 docs).
         F.when(
-            F.col("n_src") == 1, F.lit((nt + 1) // 2).cast("bigint")
+            F.col("n_src") == 1, F.expr("(__nt + 1) div 2").cast("bigint")
         ).otherwise(
             F.expr(
-                f"(CAST(r - 1 AS DECIMAL(38,0))"
-                f" * CAST({nt - 1} AS DECIMAL(38,0)))"
-                f" div CAST(n_src - 1 AS DECIMAL(38,0)) + 1"
+                "(CAST(r - 1 AS DECIMAL(38,0))"
+                " * CAST(__nt - 1 AS DECIMAL(38,0)))"
+                " div CAST(n_src - 1 AS DECIMAL(38,0)) + 1"
             )
         ).alias("gi"),
     )

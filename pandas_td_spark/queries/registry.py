@@ -116,9 +116,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # round 6:
     "q164_bfs_levels": 6,  # fused distinct into the round body, fewer actions
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
-    "q205_quantile_normalization": 6,  # ranking offsets piggyback total count
-    "q129_equidepth_histogram": 6,  # ntile total piggybacks on offsets job
-    "q188_woe_binning": 6,  # ntile total piggybacks on offsets job
+    "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
+    "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile
+    "q188_woe_binning": 6,  # lazy literal-boundary rank/ntile
     # (q156_rfm_segments also touched in r6 — call sites now pass the
     # opt-in small_threshold explicitly — but path, plan and values are
     # identical to its r5-certified form, so its green row still stands)

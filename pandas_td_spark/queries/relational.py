@@ -871,7 +871,7 @@ def q156_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("mon"),
     )
     # three DISTRIBUTED exact quintiles (customer grain is fact-sized at
-    # warehouse scale): chained two-phase ranks, one range shuffle each,
+    # warehouse scale): chained two-phase ranks, one bucketed shuffle each,
     # never a one-partition ntile window
     from pandas_td_spark.operators.ranking import (
         SMALL_THRESHOLD,

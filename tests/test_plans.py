@@ -478,7 +478,6 @@ def test_round_bodies_cover_checkpointed_iteratives(spark):
         "q121_triangle_count": ["HashAggregate", "Join"],
         "q119_pagerank_transitions": ["HashAggregate", "Join", "Window"],
         "q65_near_dup_clusters": ["HashAggregate", "Join"],
-        "q129_equidepth_histogram": ["rangepartitioning", "Sort"],
     }
     assert set(expected) <= ROUND_BODY_QUERIES
     register_views(spark, SF)

@@ -40,8 +40,15 @@ def test_global_row_number_matches_window(spark):
         .count()
         == 0
     )
-    # and the result is NOT a single partition
-    assert got.rdd.getNumPartitions() > 1
+    # and the rank window is PARTITIONED (by the boundary bucket), never
+    # the global "No Partition Defined" form — AQE may still coalesce
+    # the small RESULT to one partition, which is fine
+    from pandas_td_spark.plans.explain import physical_plan
+
+    plan = physical_plan(got)
+    assert "windowspecdefinition(__bkt" in plan, (
+        "expected a __bkt-partitioned window in:\n" + plan[:2000]
+    )
 
 
 def test_global_ntile_matches_window(spark):
@@ -116,3 +123,52 @@ def test_distributed_default_runs_no_count_gate(spark):
     finally:
         type(df).count = orig
     assert calls["n"] == 0, "default path ran a hidden DataFrame.count()"
+
+
+def test_rank_consistent_across_repeated_actions(spark):
+    """Regression for the round-6 exchange-reuse design flaw: a lazy
+    two-phase rank whose offsets and data branches could materialize a
+    range shuffle independently produced silently-wrong ranks (flaky
+    under toPandas). The literal-boundary formulation must give
+    bit-identical ranks on every re-execution."""
+    df = _fixture(spark, n=50_000)
+    ranked = with_global_row_number(df, ["k", "i"], out="rn")
+    a = sorted((r["i"], r["rn"]) for r in ranked.collect())
+    b = sorted(
+        (int(r.i), int(r.rn))
+        for r in ranked.toPandas().itertuples(index=False)
+    )
+    c = sorted((r["i"], r["rn"]) for r in ranked.collect())
+    assert a == b == c
+    # and the rank is a perfect permutation of 1..n every time
+    assert [rn for _, rn in sorted(a, key=lambda t: t[1])] == list(
+        range(1, 50_001)
+    ) or sorted(rn for _, rn in a) == list(range(1, 50_001))
+
+
+def test_ntile_desc_first_key(spark):
+    """DESC leading key exercises the reversed boundary comparison."""
+    df = _fixture(spark, n=20_000)
+    got = with_global_ntile(
+        df, [F.col("k").desc(), "i"], 7, out="b"
+    )
+    want = df.withColumn(
+        "b", F.ntile(7).over(W.orderBy(F.col("k").desc(), "i")).cast("bigint")
+    )
+    assert got.select("i", "b").exceptAll(want.select("i", "b")).count() == 0
+
+
+def test_rank_falls_back_for_expression_keys(spark):
+    """A non-column leading key can't derive literal boundaries — the
+    checkpointed fallback must produce identical values."""
+    df = _fixture(spark, n=5_000)
+    got = with_global_row_number(
+        df, [(F.col("k") * 2).asc(), "i"], out="rn"
+    )
+    want = df.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy((F.col("k") * 2).asc(), "i")).cast(
+            "bigint"
+        ),
+    )
+    assert got.select("i", "rn").exceptAll(want.select("i", "rn")).count() == 0
