@@ -91,7 +91,12 @@ def _parse_first_key(c: Column | str) -> tuple[str, bool] | None:
     fallback)."""
     if isinstance(c, str):
         return c, False
-    s = c._jc.toString()  # e.g. "o_totalprice DESC NULLS LAST"
+    try:
+        s = c._jc.toString()  # e.g. "o_totalprice DESC NULLS LAST"
+    except Exception:
+        # non-JVM Column impl (e.g. Spark Connect): can't introspect —
+        # callers fall back to the checkpointed path
+        return None
     m = re.fullmatch(
         r"([A-Za-z_][A-Za-z0-9_]*)"
         r"(?: (ASC|DESC)(?: NULLS (FIRST|LAST))?)?",
