@@ -1519,3 +1519,180 @@ def q216_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (L4r) — q91 flags contaminated documents;
+# this produces the CLEANED corpus: every token inside any 5-gram window
+# shared with the benchmark set (doc_id < 25) is removed and the
+# remaining tokens are rejoined in order (the span-removal variant of
+# the train/test-overlap methodology — drop the overlap, keep the doc).
+# Plan shape: the benchmark n-gram set broadcasts; the corpus side is
+# two explodes (windows, tokens) + a broadcast semi-join + an anti-join
+# on removed positions + one ordered collect_list reassembly per doc —
+# linear in corpus tokens, no all-pairs anything.
+# ---------------------------------------------------------------------------
+@query(
+    "q236_decontaminate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), win AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM win WHERE doc_id < 25
+    ), contam AS (
+      SELECT w.doc_id, w.i FROM win w JOIN bench USING (g)
+      WHERE w.doc_id >= 25
+    ), removed AS (
+      SELECT DISTINCT c.doc_id, c.i + o AS pos
+      FROM contam c, unnest(range(0, 5)) AS r(o)
+    ), kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM (
+        SELECT doc_id, t[p.pos] AS tok, p.pos AS pos
+        FROM toks, unnest(range(1, len(t) + 1)) AS p(pos)
+        WHERE doc_id >= 25
+      ) tk
+      LEFT JOIN removed r ON r.doc_id = tk.doc_id AND r.pos = tk.pos
+      WHERE r.doc_id IS NULL
+    ), nrem AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+      FROM removed GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(nrem.n_removed, 0) AS n_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+    LEFT JOIN nrem USING (doc_id)
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    scale_note=(
+        "benchmark n-gram set broadcasts (benchmarks are tiny); corpus "
+        "work is explode + broadcast semi-join + ordered reassembly — "
+        "one shuffle at doc grain, linear in corpus tokens"
+    ),
+)
+def q236_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every token covered by a benchmark-shared 5-gram window;
+    emit (doc_id, n_removed, text_clean) for the corpus partition."""
+    d = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 4, 0)), "
+                "i -> struct(i AS i, array_join(slice(t, i, 5), ' ') AS g))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.g").alias("g"))
+    bench = win.where(F.col("doc_id") < 25).select("g").distinct()
+    contam = (
+        win.where(F.col("doc_id") >= 25)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "i")
+    )
+    removed = (
+        contam.select(
+            "doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("pos")
+        )
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") >= 25)
+    toks = corpus.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    text_clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), "
+                   "x -> x.tok)"),
+            " ",
+        ).alias("text_clean")
+    )
+    nrem = removed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    return (
+        corpus.select("doc_id")
+        .join(nrem, "doc_id", "left")
+        .join(text_clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus budget table (L4s) — the "what is in my dataset" accounting
+# every pretraining run starts from: per (source, lang) document and
+# whitespace-token counts, corpus share, and the cumulative share in
+# descending-size order (the mixture-design input). One partial-agg
+# shuffle at (source, lang) grain + a broadcast scalar total + a
+# cell-grain window — nothing data-sized crosses the driver.
+# ---------------------------------------------------------------------------
+@query(
+    "q237_corpus_budget",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t FROM cells
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+           ROUND(CAST(SUM(n_tokens) OVER (
+                   ORDER BY n_tokens DESC, source, lang
+                 ) AS DOUBLE) / t, 6) AS cum_share
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q237_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) doc/token accounting with corpus share and
+    cumulative share in descending-size order."""
+    cells = (
+        spark.table("documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = F.broadcast(cells.agg(F.sum("n_tokens").alias("t")))
+    # cell grain is (sources × langs) — a bounded window, never fact-sized
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_tokens"), "source", "lang").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        cells.crossJoin(tot)
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.sum("n_tokens").over(w).cast("double") / F.col("t"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -698,3 +698,70 @@ def q206_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         anti_col="label",
     )
+
+
+# ---------------------------------------------------------------------------
+# L2e — per-source duplication audit: the data-quality table every
+# curation pipeline publishes before filtering. "Dup" = has an exact
+# word-trigram Jaccard ≥ 0.6 partner with a smaller doc_id (the same
+# pairwise semantics q52/q80 certify), so no transitive closure is
+# needed and the oracle stays pure SQL. The pair generation is the
+# candidate-bounded PPJoin scale path; the audit itself is one
+# broadcast-sized distinct + a per-source aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q235_dup_rate_by_source",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dup AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dups,
+           ROUND(CAST(COUNT(dup.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    GROUP BY 1
+    """,
+    scale_note=(
+        "pair generation is the q80 candidate-bounded PPJoin; the audit "
+        "adds one dup-id distinct (bounded by the pair count) and a "
+        "source-grain aggregate — at 100 TB swap in q53's banded LSH "
+        "pairs for the same audit shape"
+    ),
+)
+def q235_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate rate: docs with a smaller-id Jaccard
+    ≥ 0.6 partner, as a fraction of the source's documents."""
+    from pandas_td_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = spark.table("documents")
+    pairs = jaccard_pairs_prefix(d, shingle_n=3, threshold=0.6)
+    dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    marked = d.select("doc_id", "source").join(
+        dups.withColumn("__dup", F.lit(1)), "doc_id", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("__dup", F.lit(0))).cast("bigint").alias("n_dups"),
+        F.round(
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
