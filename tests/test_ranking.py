@@ -172,3 +172,41 @@ def test_rank_falls_back_for_expression_keys(spark):
         ),
     )
     assert got.select("i", "rn").exceptAll(want.select("i", "rn")).count() == 0
+
+
+def test_rank_nan_null_and_tie_keys(spark):
+    """Library edge cases: NaN keys (Spark orders NaN above every other
+    double, and its comparison operators agree, so the WHEN-chain bucket
+    stays monotone), NULL keys (asc first / desc last), and an all-equal
+    key column (every row lands in one bucket; the tiebreak column still
+    produces a total order)."""
+    rows = [
+        (1, 2.0), (2, float("nan")), (3, 1.0),
+        (4, float("nan")), (5, 3.0), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, k double")
+    for order in (["k", "i"], [F.col("k").desc(), "i"]):
+        got = with_global_row_number(df, order, out="rn")
+        want = df.withColumn(
+            "rn", F.row_number().over(W.orderBy(*[
+                F.col(c) if isinstance(c, str) else c for c in order
+            ])).cast("bigint")
+        )
+        assert sorted((r.i, r.rn) for r in got.collect()) == sorted(
+            (r.i, r.rn) for r in want.collect()
+        ), f"NaN/null order mismatch for {order}"
+    ties = spark.range(5_000).select(
+        F.col("id").alias("i"), F.lit(7.5).alias("k")
+    )
+    got = with_global_row_number(ties, ["k", "i"], out="rn")
+    assert [
+        r.rn for r in got.orderBy("i").collect()
+    ] == list(range(1, 5_001))
+
+
+def test_rank_empty_input(spark):
+    df = spark.range(0).select(
+        F.col("id").alias("i"), F.col("id").cast("double").alias("k")
+    )
+    assert with_global_row_number(df, ["k", "i"], out="rn").count() == 0
+    assert with_global_ntile(df, ["k", "i"], 10, out="b").count() == 0
