@@ -536,6 +536,75 @@ def merge_upsert(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: Sequence[str] | None = None,
+    keep_versions: int = 1,
+) -> tuple[int, int]:
+    """S5e: OPTIMIZE-style small-files compaction of a (manifest-managed
+    or plain) parquet table — the maintenance op every streaming/CDC
+    ingest path needs, since per-microbatch and per-merge writes
+    accumulate files far below the scan-efficient size. Rewrites the
+    committed snapshot into ``ceil(total_bytes / target_file_mb)`` files
+    (per partition directory when hive-partitioned — partition layout is
+    preserved) and commits via the atomic manifest swap, so a crash
+    mid-compaction leaves the previous snapshot readable and time-travel
+    across the compaction keeps working. Data is bit-identical; only the
+    file layout changes.
+
+    ``sort_by`` additionally range-clusters rows across the output files
+    (one range shuffle — the same cost the rewrite's repartition pays
+    anyway) so min/max row-group stats become selective on those columns
+    (write_sorted's discipline applied at maintenance time).
+
+    Returns ``(files_before, files_after)``. Scale note: the rewrite is
+    one full scan + one shuffle of the table — schedule it like any
+    OPTIMIZE; readers are never blocked (snapshot isolation via the
+    manifest pointer)."""
+    import math
+
+    src_dir = resolve_data_path(path)
+    files = []
+    part_cols: set[str] = set()
+    for root, dirs, names in os.walk(src_dir):
+        for d in dirs:
+            if "=" in d:
+                part_cols.add(d.split("=", 1)[0])
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+    if not files:
+        raise ValueError(f"{path} has no committed parquet data")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_out)
+
+    def _write(target: str) -> None:
+        writer = df.write.mode("errorifexists")
+        if part_cols:
+            writer = writer.partitionBy(*sorted(part_cols))
+        writer.parquet(target)
+
+    _atomic_replace(df, path, _write, keep_versions=keep_versions)
+    out_dir = resolve_data_path(path)
+    n_after = sum(
+        1
+        for root, _, names in os.walk(out_dir)
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(".")
+    )
+    return len(files), n_after
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -426,3 +426,78 @@ def test_read_binary_dir_binaryfile_ingest(spark, tmp_path):
     assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == [
         "a.png"
     ]
+
+
+def test_compact_table_small_files(spark, tmp_path):
+    """S5e: compaction rewrites many small files into few, preserves the
+    data bit-for-bit, keeps the previous snapshot readable (time travel
+    across the compaction), and survives partitioned layouts."""
+    from pandas_td_spark.sources.io import (
+        compact_table,
+        read_snapshot,
+        table_versions,
+        write_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    # many tiny files: one per ~500 records
+    write_table(
+        df, p, if_exists="replace", time_value=0, max_records_per_file=500
+    )
+    from pandas_td_spark.sources.io import resolve_data_path
+
+    before_rows = sorted(
+        (r["id"], r["v"])
+        for r in spark.read.parquet(resolve_data_path(p))
+        .select("id", "v")
+        .collect()
+    )
+    n_before, n_after = compact_table(spark, p, target_file_mb=1024)
+    assert n_before > n_after
+    assert n_after == 1  # 10k tiny rows fit one 1 GiB-target file
+    after = spark.read.parquet(resolve_data_path(p))
+    assert sorted(
+        (r["id"], r["v"]) for r in after.select("id", "v").collect()
+    ) == before_rows
+    # previous snapshot retained and readable (keep_versions=1)
+    vs = table_versions(p)
+    assert len(vs) == 2
+    old = read_snapshot(spark, p, vs[0])
+    assert old.count() == 10_000
+
+
+def test_compact_table_preserves_partitions_and_sorts(spark, tmp_path):
+    from pandas_td_spark.sources.io import (
+        compact_table,
+        resolve_data_path,
+        write_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "tp")
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    write_table(
+        df, p, if_exists="replace", time_value=0,
+        max_records_per_file=200, partition_by=["part"],
+    )
+    n_before, n_after = compact_table(
+        spark, p, target_file_mb=1024, sort_by=["id"]
+    )
+    assert n_after < n_before
+    out = resolve_data_path(p)
+    import os as _os
+
+    assert any("part=" in d for d in _os.listdir(out)), (
+        "hive partition layout must survive compaction"
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == 5_000
+    assert set(after.columns) >= {"id", "part"}
