@@ -6,9 +6,14 @@ alongside (``media_meta``: n_bytes, digest, detected format). Payloads over
 
 The Spark-side plumbing here is REAL and tested: schemas, metadata
 expressions (JVM-side), and the ``mapInPandas`` batch shape for
-decode/feature-extraction. The actual codecs (PIL/ffmpeg et al.) are NOT in
-this container, so ``decode_fn`` defaults to a clearly-marked deterministic
-STUB (documented below) and real decoders plug into the same signature.
+decode/feature-extraction. Since round 6 the DECODE itself is also real
+for every format that pure numpy can parse: PCM WAV, PPM/PGM, and
+24-bit BMP (``operators/codecs.py`` — pass ``decode_fn=codecs.
+media_features``; the decode→feature path is oracle-certified by
+q238/q239). Formats that require external codec libraries (JPEG/PNG/
+MP3/H.264 — PIL/ffmpeg et al., NOT in this container) still fall back
+to the clearly-marked deterministic STUB below; real decoders plug into
+the same ``(bytes, out_dim) -> ndarray`` signature.
 
 Scale notes: feature extraction is embarrassingly parallel —
 ``mapInPandas`` streams Arrow batches, so executor memory is bounded by
@@ -61,7 +66,9 @@ def with_media_meta(
 
 
 def stub_decoder(payload: bytes, out_dim: int) -> np.ndarray:
-    """STUB decode/featurize (no codec libraries in this container).
+    """STUB decode/featurize — the fallback for formats that need
+    external codec libraries (JPEG/PNG/MP3/...). WAV/PPM/PGM/BMP have
+    REAL pure-numpy decoders in operators/codecs.py (media_features).
 
     Deterministic fake: features are a seeded hash-expansion of the bytes —
     stable across runs/machines, shaped exactly like a real embedding, so

@@ -765,3 +765,176 @@ def q235_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5b — REAL audio codec round-trip, oracle-certified. Each document
+# synthesizes a deterministic PCM16 square wave (amplitude from doc_id,
+# length from n_chars), encodes it as genuine RIFF/WAVE bytes, then the
+# REAL pure-numpy decoder (operators/codecs.py — chunk walk, int16
+# dequantization) recovers samples and computes features. Every feature
+# has a closed form the oracle reproduces: the quantized magnitude is
+# floor(a*32767 + 0.5)/32767 (k/32767 never lands on a 6-dp rounding
+# boundary: 2e6·k = 32767·odd is parity-impossible, so both engines
+# round identically), duration is n/8000 in IEEE doubles on both sides,
+# and an alternating wave crosses zero every sample. This certifies the
+# decode path itself — not a stub — through the driver's hash gate.
+# ---------------------------------------------------------------------------
+@query(
+    "q238_wav_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n,
+             ((doc_id % 99) + 1) / 100.0 AS a
+      FROM documents
+    ), q AS (
+      SELECT doc_id, n, floor(a * 32767 + 0.5) / 32767 AS qa FROM base
+    )
+    SELECT doc_id,
+           n AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           ROUND(CAST(n AS DOUBLE) / 8000, 6) AS duration_s,
+           ROUND(qa, 6) AS rms,
+           ROUND(qa, 6) AS peak,
+           CASE WHEN n >= 2 THEN 1.0 ELSE 0.0 END AS zcr
+    FROM q
+    """,
+)
+def q238_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize → encode PCM WAV → REAL decode → features, per doc."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        encode_wav_pcm16,
+        wav_features,
+    )
+
+    d = spark.table("documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n")
+    )
+    schema = (
+        "doc_id long, n_samples long, sample_rate long, "
+        "duration_s double, rms double, peak double, zcr double"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                a = ((int(doc_id) % 99) + 1) / 100.0
+                samples = np.where(
+                    np.arange(int(n)) % 2 == 0, a, -a
+                )
+                payload = encode_wav_pcm16(samples, 8000)
+                f = wav_features(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        f["n_samples"],
+                        f["sample_rate"],
+                        round(f["duration_s"], 6),
+                        round(f["rms"], 6),
+                        round(f["peak"], 6),
+                        round(f["zcr"], 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "duration_s", "rms", "peak", "zcr",
+                ],
+            )
+
+    return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5c — REAL image codec round-trip (PPM for even doc_ids, 24-bit
+# bottom-up padded BMP for odd), oracle-certified the same way:
+# constant-color 16×12 frames with channel values derived from doc_id,
+# decoded by the real header/stride/BGR-order parsers, features with
+# integer closed forms.
+# ---------------------------------------------------------------------------
+@query(
+    "q239_image_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(12 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST(192 AS BIGINT) AS n_pixels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q239_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize → encode PPM/BMP → REAL decode → channel stats."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_image,
+        encode_ppm,
+        image_features,
+    )
+
+    d = spark.table("documents").select("doc_id")
+    schema = (
+        "doc_id long, fmt string, height long, width long, "
+        "n_pixels long, mean_r double, mean_g double, mean_b double"
+    )
+
+    def _encode_bmp(img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = img[y][..., ::-1].tobytes()  # BGR
+            rows += row + b"\x00" * (stride - len(row))
+        off = 14 + 40
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                2835, 2835, 0, 0,
+            )
+            + rows
+        )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rgb = (i % 256, (i * 7) % 256, (i * 13) % 256)
+                img = np.full((12, 16, 3), rgb, dtype=np.uint8)
+                payload = (
+                    encode_ppm(img) if i % 2 == 0 else _encode_bmp(img)
+                )
+                dec = decode_image(payload)
+                f = image_features(dec)
+                rows.append(
+                    (
+                        i,
+                        "ppm" if i % 2 == 0 else "bmp",
+                        f["height"], f["width"], f["n_pixels"],
+                        f["mean_r"], f["mean_g"], f["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "height", "width",
+                    "n_pixels", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return d.mapInPandas(_batches, schema=schema)
