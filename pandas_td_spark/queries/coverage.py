@@ -878,12 +878,14 @@ def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(1152921504606846977.0)
     key = F.round(F.log(u) / F.col("n_chars"), 9)
     keyed = d.select("doc_id", "n_chars", key.alias("k"))
-    from pyspark.sql import Window as _W
-
-    w = _W.orderBy(F.col("k").desc(), "doc_id")
+    # genuine top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-k, then a k-row merge — never a global
+    # sort or a one-partition window; the previous row_number window
+    # form moved every doc to ONE task and Spark 4 did not infer a
+    # WindowGroupLimit for it)
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _WS_K)
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_K)
         .select("doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
     )
 
@@ -1145,14 +1147,16 @@ def q140_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution skew profile (max/mean ratio + Gini) for the
     user_id grouping key — the salting decision input, computed on the
     key rollup only."""
-    from pyspark.sql import Window as W
+    from pandas_td_spark.operators.ranking import with_global_row_number
 
     e = spark.table("events")
     per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
-    w = W.orderBy("n", "user_id")
-    ranked = per_key.select(
-        "n", F.row_number().over(w).cast("double").alias("rn")
-    )
+    # the key rollup is user-grain — billions of rows at warehouse scale,
+    # so the Gini rank runs on the distributed two-phase rank, never a
+    # one-partition window
+    ranked = with_global_row_number(
+        per_key, ["n", "user_id"], out="rn0"
+    ).select("n", F.col("rn0").cast("double").alias("rn"))
     return ranked.agg(
         F.count("*").alias("n_keys"),
         F.max("n").alias("max_key_rows"),

@@ -82,16 +82,21 @@ def _ensure_loaded() -> None:
 #
 #   0. latest driver row is red/errored (a fix shipped → must re-certify);
 #   1. never driver-checked, oracle-backed (first full-strength check);
-#   2. implementation changed since the query's latest driver row
-#      (map below — the stale green no longer certifies the code);
-#      oracle-backed before rows-only within the group;
+#   2. stale oracle-backed: implementation changed since the query's
+#      latest driver row (map below — the stale green no longer
+#      certifies the code);
 #   3. never driver-checked, rows-only (first check, but weak signal);
-#   4. standing greens (re-verification; oracle-backed first).
+#   4. stale rows-only (weakest useful row: it can only re-confirm the
+#      changed code still runs);
+#   5. standing greens (re-verification; oracle-backed first).
 #
 # Within a group: lexicographic by name. Rationale for 2 < 3: a stale
 # green is actively MISLEADING evidence (it certifies code that no longer
 # exists), while an unchecked rows-only query is merely unverified — and
-# its oracle-less driver row can only confirm it runs.
+# its oracle-less driver row can only confirm it runs. Rationale for
+# 3 < 4: when the window is tight, a FIRST row for an unchecked query
+# beats refreshing a rows-only row whose check contents would be
+# identical either way.
 
 # Queries whose implementation/plan changed AFTER their most recent driver
 # row was recorded, mapped to the round the change shipped in. MAINTAIN BY
@@ -119,6 +124,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
     "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile
     "q188_woe_binning": 6,  # lazy literal-boundary rank/ntile
+    "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
+    "q140_key_skew": 6,  # Gini rank now on the distributed two-phase rank
     # (q156_rfm_segments also touched in r6 — call sites now pass the
     # opt-in small_threshold explicitly — but path, plan and values are
     # identical to its r5-certified form, so its green row still stands)
@@ -192,9 +199,9 @@ def _driver_order(items: dict[str, Query]) -> list[str]:
         elif rnd_st is None:
             group = 1 if not rows_only else 3
         elif _is_stale(name, latest):
-            group = 2
+            group = 2 if not rows_only else 4
         else:
-            group = 4
+            group = 5
         return (group, rows_only, name)
 
     return sorted(items, key=key)

@@ -34,9 +34,9 @@ def _groups():
         elif rnd_st is None:
             out[name] = 1 if not rows_only else 3
         elif R._is_stale(name, latest):
-            out[name] = 2
+            out[name] = 2 if not rows_only else 4
         else:
-            out[name] = 4
+            out[name] = 5
     return qs, out
 
 
@@ -47,18 +47,31 @@ def test_driver_order_is_grouped_weakest_last():
 
 
 def test_active_stale_entries_fit_in_next_driver_window():
-    """A stale green that sorts outside the ~50-row budget would never be
-    re-certified — the map would rot silently (the round-4/5 failure mode
-    this ordering exists to close)."""
+    """A stale ORACLE-BACKED green that sorts outside the ~50-row budget
+    would never be re-certified — the map would rot silently (the
+    round-4/5 failure mode this ordering exists to close). Rows-only
+    stale entries (group 4) are allowed to wait one round behind
+    first-time checks when the window is tight: they must still sit
+    ahead of every standing green, so they certify as soon as the
+    backlog clears."""
     qs, groups = _groups()
     names = list(qs)
-    stale = [n for n, g in groups.items() if g == 2]
-    for n in stale:
-        pos = names.index(n)
-        assert pos < DRIVER_BUDGET, (
-            f"{n} is active-stale but sorts at position {pos} — outside the "
-            f"~{DRIVER_BUDGET}-row driver budget; it would never re-certify"
-        )
+    for n, g in groups.items():
+        if g == 2:
+            pos = names.index(n)
+            assert pos < DRIVER_BUDGET, (
+                f"{n} is active-stale but sorts at position {pos} — "
+                f"outside the ~{DRIVER_BUDGET}-row driver budget"
+            )
+    first_green = min(
+        (names.index(n) for n, g in groups.items() if g == 5),
+        default=len(names),
+    )
+    for n, g in groups.items():
+        if g == 4:
+            assert names.index(n) < first_green, (
+                f"{n} (stale rows-only) must outrank every standing green"
+            )
 
 
 def test_stale_map_names_are_registered():
