@@ -2339,3 +2339,49 @@ def q217_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return debounce(
         e, "user_id", ["ts", "event_id"], "e", 300, out="kept"
     ).select("user_id", "event_id", "kept")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics (S6b) — the optimizer-statistics table
+# (`ANALYZE TABLE ... FOR COLUMNS` shape): per-column row/null/NDV counts
+# and rendered min/max over orders. One column-pruned aggregate per
+# column, unioned — |columns| result rows; exact NDV keeps the oracle
+# exact (approx_count_distinct is the documented 100 TB swap). The
+# Spark plan and the DuckDB oracle are generated from the SAME spec
+# (operators/stats.py), so the per-type renders cannot drift.
+# ---------------------------------------------------------------------------
+_STATS_SPECS = [
+    ("o_orderkey", None),
+    ("o_custkey", None),
+    ("o_orderstatus", None),
+    # money column: render through DECIMAL(18,2) — both engines print
+    # the same fixed-point text, where raw double→string formats differ
+    ("o_totalprice", "CAST({c} AS DECIMAL(18,2))"),
+    # timestamp at date grain: render as DATE text
+    ("o_orderdate", "CAST({c} AS DATE)"),
+    ("o_orderpriority", None),
+]
+
+
+def _stats_oracle() -> str:
+    from pandas_td_spark.operators.stats import column_stats_sql
+
+    return column_stats_sql("orders", _STATS_SPECS, string_type="VARCHAR")
+
+
+@query(
+    "q240_column_stats",
+    oracle=_stats_oracle(),
+    scale_note=(
+        "exact NDV per column is the oracle anchor; at 100 TB swap "
+        "countDistinct for approx_count_distinct (mergeable HLL, "
+        "KB-scale state) — the rest of the statistics stay exact"
+    ),
+)
+def q240_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ANALYZE statistics over orders."""
+    from pandas_td_spark.operators.stats import column_stats
+
+    return column_stats(
+        spark.table("orders"), _STATS_SPECS, string_type="STRING"
+    )
