@@ -562,7 +562,12 @@ def compact_table(
     Returns ``(files_before, files_after)``. Scale note: the rewrite is
     one full scan + one shuffle of the table — schedule it like any
     OPTIMIZE; readers are never blocked (snapshot isolation via the
-    manifest pointer)."""
+    manifest pointer). Writer exclusion is the caller's job: an append
+    committed into the PREVIOUS snapshot while the compaction rewrite is
+    in flight is not carried into the compacted snapshot (the same
+    lost-update window every last-writer-wins snapshot swap has — Delta/
+    Iceberg close it with commit-conflict detection); don't run
+    compaction concurrently with writers."""
     import math
 
     src_dir = resolve_data_path(path)
