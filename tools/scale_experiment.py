@@ -69,7 +69,10 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q164_bfs_levels",          # fused BFS rounds; frontier broadcast gate (graph constant)
         "q166_kcore",               # peel rounds on the cached edge checkpoint
         "q129_equidepth_histogram", # distributed two-phase rank now the default path, orders 10x
-        "q221_lift_curve"]          # rank + piggybacked total, orders 10x
+        "q221_lift_curve",          # rank + piggybacked total, orders 10x
+        # round-6 late additions
+        "q236_decontaminate_spans", # explode + broadcast semi-join, corpus tokens 10x
+        "q240_column_stats"]        # per-column pruned aggregates, orders 10x
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
