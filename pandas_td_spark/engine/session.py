@@ -83,6 +83,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Every remaining empty-partition window in this engine feeds a frame
+    # that is BOUNDED BY CONSTRUCTION — a post-TakeOrdered top-k (≤k rows:
+    # q204/q207), a per-bucket offsets frame (≤ cluster-width rows:
+    # operators/ranking.py), or an aggregate-grain cumulative (≤ value-domain
+    # rows: q210). WindowExec warns per *instantiation* (several times per
+    # action under AQE), flooding bench/driver logs with false positives, so
+    # that one logger is pinned to ERROR. The actual protections against
+    # data-sized single-partition sorts stay active: the distributed
+    # rank/prefix operators remove fact-grain global windows from plans,
+    # plans/guards.py::warn_if_global_window_input_large fires on large
+    # inputs, and tools/gen_plans.py audits every query's physical plan.
+    try:
+        jvm = spark.sparkContext._jvm
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # non-JVM session (Spark Connect) or log4j-core absent
     # TD-compatible SQL function surface (td_time_range etc.) is registered
     # lazily here so ``spark.sql`` text can use them like the reference's
     # delegated engines did.

@@ -61,6 +61,7 @@ __all__ = [
     "with_global_row_number",
     "with_global_row_number_and_total",
     "with_global_ntile",
+    "with_global_prefix_agg",
     "SMALL_THRESHOLD",
 ]
 
@@ -353,6 +354,134 @@ def _ntile_from_int_total(ranked, rn, out, total, buckets):
         F.expr(f"({rn} - 1) div {big}") + 1,
     ).otherwise(F.expr(f"({rn} - 1 - {cut}) div {q}") + rem + 1)
     return ranked.withColumn(out, bucket.cast("bigint")).drop(rn)
+
+
+_PREFIX_AGGS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _prefix_combine(agg: str, off: Column, within: Column) -> Column:
+    """Merge the exclusive cross-bucket prefix (NULL for the first
+    bucket) with the within-bucket running value."""
+    if agg == "sum":
+        # either side may be NULL (first bucket; all-NULL value prefix
+        # within a bucket) — NULL+x must not poison the running total,
+        # but an all-NULL prefix stays NULL (SQL aggregate semantics)
+        return (
+            F.when(off.isNull(), within)
+            .when(within.isNull(), off)
+            .otherwise(off + within)
+        )
+    # least/greatest skip NULLs (return the extreme non-NULL operand),
+    # which is exactly the empty-exclusive-prefix semantics we need
+    return (F.least if agg == "min" else F.greatest)(off, within)
+
+
+def with_global_prefix_agg(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    value: Column | str,
+    agg: str = "sum",
+    out: str = "cum",
+    total_out: str | None = None,
+    num_partitions: int | None = None,
+    small_threshold: int = 0,
+    input_rows: int | None = None,
+) -> DataFrame:
+    """Append the exact global running ``sum``/``min``/``max`` of
+    ``value`` under ``order`` — the distributed form of
+    ``agg(value) OVER (ORDER BY ...)`` — without the single-partition
+    global window (running totals, Pareto/ABC curves, skyline
+    prefix-min). ``order`` must be a TOTAL order (the repo's tie-break
+    discipline), which makes ROWS and RANGE frames coincide, so the
+    result equals both engines' default RANGE-frame window.
+
+    Same two-phase scheme as the global rank: deterministic
+    literal-boundary buckets → within-bucket running window
+    (PARTITIONED — parallel) → per-bucket totals → exclusive running
+    combine over the ≤ buckets+2-row offsets frame → broadcast join.
+    ``total_out`` additionally rides the grand total (sum/min/max over
+    ALL rows) on every row from the same bounded offsets branch — no
+    second scan, no ``Window.partitionBy()`` global aggregate.
+
+    NULL ``value`` rows contribute nothing (SQL aggregate semantics) but
+    still receive the running value over their predecessors. Fallbacks
+    mirror ``with_global_row_number``: opt-in single-window fast path
+    via ``small_threshold`` + ``input_rows``; ``repartitionByRange`` +
+    ``localCheckpoint`` when the leading order key is not a plain
+    numeric column."""
+    if agg not in _PREFIX_AGGS:
+        raise ValueError(f"agg must be one of {sorted(_PREFIX_AGGS)}")
+    agg_fn = _PREFIX_AGGS[agg]
+    vcol = F.col(value) if isinstance(value, str) else value
+    cols = list(order)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+
+    def _finish_window(frame: DataFrame, part_col: str | None):
+        w = (
+            Window.partitionBy(part_col) if part_col else Window
+        ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return frame.withColumn(out, agg_fn(vcol).over(w))
+
+    gate = _window_gate(df, small_threshold, input_rows)
+    if gate is not None:
+        res = _finish_window(df, None)
+        if total_out:
+            tot = df.agg(agg_fn(vcol).alias(total_out))
+            res = res.crossJoin(F.broadcast(tot))
+        return res
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucketed = _boundary_buckets(df, cols, n)
+    if bucketed is None:
+        # checkpoint fallback: range-partition once, pin boundaries,
+        # then the bounded per-partition aggregates collect driver-side
+        ranged = (
+            df.repartitionByRange(n, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        per = ranged.groupBy("__pid").agg(agg_fn(vcol).alias("__v"))
+        woff = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wall = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = per.select(
+            "__pid",
+            agg_fn("__v").over(woff).alias("__off"),
+            agg_fn("__v").over(wall).alias("__tot"),
+        )
+        joined = ranged.join(F.broadcast(offsets), "__pid")
+        res = _finish_window(joined, "__pid").withColumn(
+            out, _prefix_combine(agg, F.col("__off"), F.col(out))
+        )
+        keep = [*df.columns, out] + ([total_out] if total_out else [])
+        if total_out:
+            res = res.withColumn(total_out, F.col("__tot"))
+        return res.select(*keep)
+
+    per = bucketed.groupBy("__bkt").agg(agg_fn(vcol).alias("__v"))
+    woff = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = per.select(
+        "__bkt",
+        agg_fn("__v").over(woff).alias("__off"),
+        agg_fn("__v").over(wall).alias("__tot"),
+    )
+    joined = bucketed.join(F.broadcast(offsets), "__bkt")
+    res = _finish_window(joined, "__bkt").withColumn(
+        out, _prefix_combine(agg, F.col("__off"), F.col(out))
+    )
+    keep = [*df.columns, out] + ([total_out] if total_out else [])
+    if total_out:
+        res = res.withColumn(total_out, F.col("__tot"))
+    return res.select(*keep)
 
 
 def with_global_ntile(

@@ -1732,8 +1732,12 @@ def q201_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q202_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC classes of parts by cumulative revenue-cents share with
-    integer threshold math (ties broken by partkey)."""
-    from pyspark.sql import Window
+    integer threshold math (ties broken by partkey). The part-grain
+    running sum is fact-adjacent (every part in the catalog), so it
+    runs on the distributed two-phase prefix sum — bucket-partitioned
+    windows plus broadcast offsets — never a single-partition global
+    window; the grand total rides the same bounded offsets branch."""
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
 
     p = (
         spark.table("lineitem")
@@ -1745,13 +1749,13 @@ def q202_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     revd = F.col("rev").cast("decimal(38,0)")
-    c = p.select(
-        "l_partkey",
-        "rev",
-        F.sum(revd)
-        .over(Window.orderBy(F.desc("rev"), "l_partkey"))
-        .alias("cum"),
-        F.sum(revd).over(Window.partitionBy()).alias("total"),
+    c = with_global_prefix_agg(
+        p.withColumn("revd", revd),
+        [F.desc("rev"), "l_partkey"],
+        "revd",
+        agg="sum",
+        out="cum",
+        total_out="total",
     )
     cls = c.select(
         "l_partkey",

@@ -129,6 +129,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # (q156_rfm_segments also touched in r6 — call sites now pass the
     # opt-in small_threshold explicitly — but path, plan and values are
     # identical to its r5-certified form, so its green row still stands)
+    # round 7:
+    "q202_abc_classification": 7,  # part-grain cumsum on distributed prefix agg
+    "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
+    "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
 }
 
 

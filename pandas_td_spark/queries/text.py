@@ -811,31 +811,37 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
-    nb = bg.count()
+    # total bigram count rides as a broadcast 1-row aggregate (lazy —
+    # no driver count action, no second scan of bg)
+    nbf = bg.agg(F.count("*").alias("__nb"))
     scored = (
         c12.join(c1, "w1")
         .join(c2, "w2")
+        .crossJoin(F.broadcast(nbf))
         .select(
             "w1",
             "w2",
             "c12",
             F.round(
                 F.log(
-                    (F.col("c12") * F.lit(nb)).cast("double")
+                    (F.col("c12") * F.col("__nb")).cast("double")
                     / (F.col("c1") * F.col("c2")).cast("double")
                 ),
                 6,
             ).alias("pmi"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject) bounds the frame to 20
+    # rows BEFORE any rank window — the remaining global window sorts a
+    # ≤20-row frame, never the bigram vocabulary
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
     return (
-        scored.withColumn(
+        top.withColumn(
             "rnk",
             F.row_number()
             .over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
             .cast("bigint"),
         )
-        .where(F.col("rnk") <= 20)
         .select("w1", "w2", F.col("c12").alias("n_pair"), "pmi", "rnk")
     )
 
@@ -892,12 +898,16 @@ def q207_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    ranked = cnt.select(
+    # distributed top-k (TakeOrderedAndProject) bounds the frame to
+    # 1000 rows BEFORE the rank window — the remaining global window
+    # sorts a ≤1000-row frame, never the corpus vocabulary
+    top = cnt.orderBy(F.desc("c"), "word").limit(1000)
+    ranked = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.desc("c"), "word"))
         .alias("r"),
-    ).where(F.col("r") <= 1000)
+    )
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1e6)
         .cast("decimal(20,0)")

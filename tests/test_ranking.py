@@ -210,3 +210,116 @@ def test_rank_empty_input(spark):
     )
     assert with_global_row_number(df, ["k", "i"], out="rn").count() == 0
     assert with_global_ntile(df, ["k", "i"], 10, out="b").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix aggregate (with_global_prefix_agg)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_fixture(spark, n=60_000):
+    # ties on k, NULL values sprinkled into v, scrambled partitions
+    return (
+        spark.range(n, numPartitions=16)
+        .select(
+            F.col("id").alias("i"),
+            F.pmod(F.xxhash64("id"), F.lit(500)).alias("k"),
+            F.when(
+                F.pmod("id", F.lit(17)) == 0, F.lit(None)
+            ).otherwise(
+                F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)) - 200
+            ).cast("bigint").alias("v"),
+        )
+        .repartition(16)
+    )
+
+
+def test_prefix_sum_matches_window(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark)
+    got = with_global_prefix_agg(
+        df, ["k", "i"], "v", agg="sum", out="c", total_out="t"
+    )
+    w = W.orderBy("k", "i").rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("c", F.sum("v").over(w)).withColumn(
+        "t", F.sum("v").over(W.partitionBy())
+    )
+    assert (
+        got.select("i", "c", "t")
+        .exceptAll(want.select("i", "c", "t"))
+        .count()
+        == 0
+    )
+    # the running window must be bucket-partitioned, never global
+    from pandas_td_spark.plans.explain import physical_plan
+
+    plan = physical_plan(got)
+    assert "windowspecdefinition(__bkt" in plan
+
+
+def test_prefix_min_max_match_window(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark, n=20_000)
+    w = W.orderBy("k", "i").rowsBetween(W.unboundedPreceding, 0)
+    for agg, fn in (("min", F.min), ("max", F.max)):
+        got = with_global_prefix_agg(df, ["k", "i"], "v", agg=agg, out="c")
+        want = df.withColumn("c", fn("v").over(w))
+        assert (
+            got.select("i", "c").exceptAll(want.select("i", "c")).count()
+            == 0
+        ), agg
+
+
+def test_prefix_sum_desc_and_decimal(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark, n=20_000).withColumn(
+        "v", F.col("v").cast("decimal(38,0)")
+    )
+    got = with_global_prefix_agg(
+        df, [F.desc("k"), "i"], "v", agg="sum", out="c"
+    )
+    w = W.orderBy(F.desc("k"), "i").rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("c", F.sum("v").over(w))
+    assert (
+        got.select("i", "c").exceptAll(want.select("i", "c")).count() == 0
+    )
+
+
+def test_prefix_sum_expression_key_fallback(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark, n=10_000)
+    # expression first key -> checkpointed repartitionByRange fallback
+    got = with_global_prefix_agg(
+        df, [(F.col("k") * 2).asc(), F.col("i")], "v", agg="sum", out="c"
+    )
+    w = W.orderBy((F.col("k") * 2).asc(), "i").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want = df.withColumn("c", F.sum("v").over(w))
+    assert (
+        got.select("i", "c").exceptAll(want.select("i", "c")).count() == 0
+    )
+
+
+def test_prefix_sum_gated_window_path(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark, n=3_000)
+    a = with_global_prefix_agg(
+        df, ["k", "i"], "v", out="c",
+        small_threshold=SMALL_THRESHOLD, input_rows=3_000,
+    )
+    b = with_global_prefix_agg(df, ["k", "i"], "v", out="c")
+    assert a.select("i", "c").exceptAll(b.select("i", "c")).count() == 0
+
+
+def test_prefix_sum_empty_input(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    df = _prefix_fixture(spark, n=2_000).where(F.lit(False))
+    got = with_global_prefix_agg(df, ["k", "i"], "v", out="c")
+    assert got.count() == 0
