@@ -386,6 +386,7 @@ def with_global_prefix_agg(
     num_partitions: int | None = None,
     small_threshold: int = 0,
     input_rows: int | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
     """Append the exact global running ``sum``/``min``/``max`` of
     ``value`` under ``order`` — the distributed form of
@@ -416,10 +417,15 @@ def with_global_prefix_agg(
     cols = list(order)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
 
+    # inclusive=False gives the STRICT prefix (rows before, current row
+    # excluded — NULL on each order's first row): Pareto frontiers,
+    # "best so far" baselines, exclusive running totals
+    upper = 0 if inclusive else -1
+
     def _finish_window(frame: DataFrame, part_col: str | None):
         w = (
             Window.partitionBy(part_col) if part_col else Window
-        ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, upper)
         return frame.withColumn(out, agg_fn(vcol).over(w))
 
     gate = _window_gate(df, small_threshold, input_rows)

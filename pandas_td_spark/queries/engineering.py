@@ -1,0 +1,388 @@
+"""Data-engineering operators: dimension builds, physical-layout keys,
+replica reconciliation, incremental rollup maintenance, Pareto
+frontiers.
+
+No reference locus (pandas-td delegated all server-side processing to
+TD's hosted engines — /root/reference is empty); each operator follows
+its public literature: SCD type-2 dimension builds (Kimball), Z-order
+clustering keys (Morton curves, as used by Delta OPTIMIZE ZORDER BY and
+Iceberg sort orders), Merkle-style partition checksums for anti-entropy
+replica repair (Dynamo/Cassandra lineage), algebraic partial-aggregate
+merge for incremental materialized-view refresh, and sort-based skyline
+computation.
+
+Common scale discipline: everything is keyed partial aggregation or a
+bounded broadcast join; the only global orders run on the distributed
+two-phase prefix operators (operators/ranking.py), never a
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_td_spark.functions.layout import zorder_key, zorder_key_sql
+from pandas_td_spark.queries.registry import query
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build — turn an event stream into versioned
+# validity intervals per user (valid_from / valid_to / is_current), the
+# Kimball slowly-changing-dimension shape every warehouse maintains.
+# Plan: the gaps-and-islands change detection (two user-partitioned
+# windows), one hash aggregation to interval grain, then a
+# user-partitioned lead for the interval close — every window is keyed
+# by user_id, so the build parallelizes by user at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q241_scd2_dimension",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM flagged
+    ), dim AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           n_events
+    FROM dim
+    """,
+)
+def q241_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per user from the event stream: one row
+    per consecutive same-type run, closed by the next run's start."""
+    e = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    is_new = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(is_new).over(run).cast("bigint").alias("version"),
+    )
+    dim = islands.groupBy("user_id", "version", "event_type").agg(
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return dim.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering-key profile — the Morton-interleave layout key a
+# writer sorts by so multi-dimensional range predicates hit contiguous
+# row groups (functions/layout.py::zorder_key). The key itself is a
+# map-only JVM integer expression; this query profiles the induced
+# bucketing of lineitem by (partkey, suppkey): per z-range bucket, the
+# row count and the min-max envelope of BOTH dimensions — exactly the
+# min-max stats a data-skipping index stores per file.
+# ---------------------------------------------------------------------------
+_ZBITS = 16
+_ZBUCKET_SHIFT = 1 << 26  # 32-bit z-key -> 64 coarse buckets
+
+@query(
+    "q242_zorder_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+      FROM lineitem
+    ), z AS (
+      SELECT x, y,
+             {zorder_key_sql('x', 'y', _ZBITS)} AS zkey
+      FROM d
+    )
+    SELECT CAST(zkey // {_ZBUCKET_SHIFT} AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS min_z,
+           CAST(MAX(zkey) AS BIGINT) AS max_z,
+           CAST(MIN(x) AS BIGINT) AS min_x,
+           CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y,
+           CAST(MAX(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def q242_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-bucket row counts and per-dimension min-max envelopes for
+    the Morton key over (l_partkey, l_suppkey)."""
+    d = spark.table("lineitem").select(
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    z = d.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), _ZBITS))
+    return (
+        z.groupBy(
+            F.expr(f"zkey div {_ZBUCKET_SHIFT}")
+            .cast("bigint")
+            .alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zkey").cast("bigint").alias("min_z"),
+            F.max("zkey").cast("bigint").alias("max_z"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-checksum reconciliation (anti-entropy table diff) — locate
+# which hash partitions of two table snapshots diverge WITHOUT moving
+# either table: per-bucket row counts + an algebraic row-fingerprint
+# sum (the Merkle-leaf idea from Dynamo-style replica repair). The
+# replica here is simulated from orders with deterministic drift: one
+# key in 997 deleted, one in 991 price-corrupted by a cent. Both sides
+# are map-side partial aggregations to 64 rows; the diff join is over
+# bucket ids — at 100 TB the network carries 2x64 checksums, never rows.
+# The fingerprint is pure integer arithmetic (portable and exact), not
+# a cryptographic hash — collision-safety is probabilistic, which is
+# the standard anti-entropy trade.
+# ---------------------------------------------------------------------------
+_FP_MOD = (1 << 61) - 1
+
+@query(
+    "q243_partition_checksums",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), a AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST((o_orderkey * 1000003 + cents) % {_FP_MOD}
+                  AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS fp
+      FROM base GROUP BY 1
+    ), b_rows AS (
+      SELECT o_orderkey,
+             cents + CASE WHEN o_orderkey % 991 = 7 THEN 1 ELSE 0 END
+               AS cents
+      FROM base WHERE o_orderkey % 997 <> 13
+    ), b AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST((o_orderkey * 1000003 + cents) % {_FP_MOD}
+                  AS HUGEINT)) % {_FP_MOD} AS BIGINT) AS fp
+      FROM b_rows GROUP BY 1
+    )
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           a.n AS n_a, b.n AS n_b,
+           CAST(CASE WHEN a.n IS NOT DISTINCT FROM b.n
+                      AND a.fp IS NOT DISTINCT FROM b.fp
+                THEN 1 ELSE 0 END AS BIGINT) AS is_match
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """,
+)
+def q243_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which of 64 hash buckets differ between orders and a drifted
+    replica, by (row count, fingerprint-sum) checksum comparison."""
+    base = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def checksums(df: DataFrame) -> DataFrame:
+        fp = (F.col("o_orderkey") * 1000003 + F.col("cents")) % _FP_MOD
+        return df.groupBy(
+            (F.col("o_orderkey") % 64).alias("bucket")
+        ).agg(
+            F.count("*").alias("n"),
+            (F.sum(fp.cast("decimal(38,0)")) % _FP_MOD)
+            .cast("bigint")
+            .alias("fp"),
+        )
+
+    replica = base.where(F.col("o_orderkey") % 997 != 13).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 991 == 7, 1).otherwise(0)
+        ).alias("cents"),
+    )
+    a = checksums(base).alias("a")
+    b = checksums(replica).alias("b")
+    match = (
+        F.col("a.n").eqNullSafe(F.col("b.n"))
+        & F.col("a.fp").eqNullSafe(F.col("b.fp"))
+    )
+    return a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full").select(
+        F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.when(match, 1).otherwise(0).cast("bigint").alias("is_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup refresh (operators/incremental.py) — merge a
+# historical per-customer aggregate STATE with a fresh delta partition
+# WITHOUT rescanning history: both sides pre-aggregate to key grain,
+# then one union + hash re-aggregation merges the algebraic partials
+# (counts/sums by SUM, extrema by MIN/MAX); AVG derives after. The
+# oracle recomputes from the full fact table — the merged state must
+# be indistinguishable from a cold rebuild.
+# ---------------------------------------------------------------------------
+@query(
+    "q244_incremental_rollup",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                AS BIGINT) AS first_day,
+           CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                AS BIGINT) AS last_day,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q244_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup refreshed incrementally: state (orders
+    before 1999) merged with delta (1999 onward) via algebraic
+    partial-aggregate merge, equal to a full rebuild."""
+    from pandas_td_spark.operators.incremental import merge_agg_states
+
+    orders = spark.table("orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    cut = F.to_date(F.col("o_orderdate")) < F.lit("1999-01-01")
+
+    def state_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+
+    historical = state_of(
+        orders.where(
+            F.datediff(
+                F.to_date(F.lit("1999-01-01")), F.lit("1970-01-01")
+            ).cast("bigint")
+            > F.col("day")
+        )
+    )
+    delta = state_of(
+        orders.where(
+            F.datediff(
+                F.to_date(F.lit("1999-01-01")), F.lit("1970-01-01")
+            ).cast("bigint")
+            <= F.col("day")
+        )
+    )
+    merged = merge_agg_states(
+        [historical, delta],
+        keys=["o_custkey"],
+        spec={
+            "n_orders": "count",
+            "sum_cents": "sum",
+            "first_day": "min",
+            "last_day": "max",
+        },
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "sum_cents",
+        "first_day",
+        "last_day",
+        (F.col("sum_cents").cast("double") / F.col("n_orders")).alias(
+            "avg_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) — parts no other part beats on BOTH
+# price (lower is better) and size (higher is better). The sort-based
+# formulation: collapse to price grain (max size per price), take the
+# STRICT prefix-max of size over ascending price on the distributed
+# exclusive prefix operator, keep prices whose max size exceeds every
+# strictly-cheaper price's, then re-attach the part rows by broadcast.
+# The oracle is the quadratic NOT EXISTS dominance definition — the
+# prefix form must match it exactly. No all-pairs anywhere in the
+# Spark plan: cost is one price-grain aggregation + the two-phase
+# prefix max + a broadcast join.
+# ---------------------------------------------------------------------------
+@query(
+    "q245_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT a.p_partkey, a.cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.size >= a.size
+        AND (b.cents < a.cents OR b.size > a.size)
+    )
+    """,
+)
+def q245_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/size Pareto frontier of parts via distributed strict
+    prefix-max over ascending price."""
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    p = spark.table("part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    g = p.groupBy("cents").agg(F.max("size").alias("msize"))
+    gg = with_global_prefix_agg(
+        g, ["cents"], "msize", agg="max", out="prev_max", inclusive=False
+    )
+    frontier = gg.where(
+        F.col("msize") > F.coalesce(F.col("prev_max"), F.lit(-1))
+    ).select(F.col("cents").alias("f_cents"), "msize")
+    return p.join(
+        F.broadcast(frontier),
+        (p["cents"] == F.col("f_cents")) & (p["size"] == F.col("msize")),
+    ).select("p_partkey", "cents", "size")

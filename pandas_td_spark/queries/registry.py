@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         approx,
         coverage,
         curation,
+        engineering,
         llm,
         relational,
         tdfuncs,

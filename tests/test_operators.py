@@ -853,3 +853,85 @@ def test_walk_family_matches_python_reference(spark):
         for i, x, _ in seq:
             acc = float(x) if acc is None else 0.5 * x + 0.5 * acc
             assert abs(got[(k, i)] - acc) < 1e-12, (k, i)
+
+
+def test_zorder_key_known_values(spark):
+    from pandas_td_spark.functions.layout import zorder_key
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 3), (5, 9), (65535, 65535),
+             (1234, 4321)]
+
+    def expected(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(cases, "x: long, y: long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key(F.col("x"), F.col("y"))
+        ).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == expected(x, y), (x, y)
+    # interleave of the full 16-bit domain is a bijection into 32 bits
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_sql_matches_column_form(spark):
+    from pandas_td_spark.functions.layout import zorder_key, zorder_key_sql
+
+    df = spark.range(500).select(
+        (F.col("id") * 7919 % 65536).alias("x"),
+        (F.col("id") * 104729 % 65536).alias("y"),
+    )
+    expr = zorder_key_sql("x", "y", div="div")
+    both = df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("a"),
+        F.expr(expr).cast("bigint").alias("b"),
+    )
+    assert both.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_merge_agg_states_equals_full_rebuild(spark):
+    from pandas_td_spark.operators.incremental import merge_agg_states
+
+    rows = spark.range(10_000).select(
+        (F.col("id") % 37).alias("k"),
+        (F.col("id") % 101).alias("v"),
+    )
+    # three disjoint "partitions" with keys missing from some of them
+    parts = [
+        rows.where(F.col("id") % 3 == i).groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        for i in range(3)
+    ]
+    merged = merge_agg_states(
+        parts, keys=["k"],
+        spec={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+    )
+    full = rows.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_merge_agg_states_rejects_unknown_kind(spark):
+    import pytest
+
+    from pandas_td_spark.operators.incremental import merge_agg_states
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    with pytest.raises(ValueError):
+        merge_agg_states([df], keys=["k"], spec={"a": "avg"})
