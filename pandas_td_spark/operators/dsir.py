@@ -71,11 +71,20 @@ def _bucket_logprob(grams: DataFrame, n_buckets: int, alpha: float) -> DataFrame
     dense = spine.join(counts, "bucket", "left").select(
         "bucket", F.coalesce("n", F.lit(0)).alias("n")
     )
-    total = dense.agg(F.sum("n")).first()[0] or 0
-    denom = float(total) + alpha * n_buckets
-    return dense.select(
+    # the normalizer rides as a lazy broadcast 1-row aggregate — a
+    # driver-side .first() here would add a full extra scan of the gram
+    # explode per distribution (two per dsir_weights call). The double
+    # arithmetic ((exact-int total) + alpha*n_buckets, then one IEEE
+    # divide) is identical either way.
+    tot = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("__tot")
+    )
+    return dense.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.log((F.col("n") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+        F.log(
+            (F.col("n") + F.lit(alpha))
+            / (F.col("__tot") + F.lit(alpha * n_buckets))
+        ).alias("logp"),
     )
 
 

@@ -134,6 +134,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q202_abc_classification": 7,  # part-grain cumsum on distributed prefix agg
     "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
     "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
+    "q80_near_dup_prefix": 7,  # pairs served from the shared memoized checkpoint
+    "q235_dup_rate_by_source": 7,  # same shared pair cache
+    "q65_near_dup_clusters": 7,  # consumes prefix pairs (exact) via the cache
+    "q159_cluster_survivor": 7,  # consumes prefix pairs (exact) via the cache
 }
 
 

@@ -737,10 +737,12 @@ def register_views(
     # would otherwise serve checkpointed edges built from the OLD files
     try:
         from pandas_td_spark.queries.advanced import evict_edge_cache
+        from pandas_td_spark.queries.llm import evict_pairs_cache
 
-        evict_edge_cache(spark, _CURRENT_VIEWS.get(spark))
-        if force:
-            evict_edge_cache(spark, target)
+        for evict in (evict_edge_cache, evict_pairs_cache):
+            evict(spark, _CURRENT_VIEWS.get(spark))
+            if force:
+                evict(spark, target)
     except Exception:
         pass  # queries package optional for bare-io users
     for name in TABLES:
