@@ -74,6 +74,11 @@ def kmeans_fit(
     src = emb.select(F.col(vec).cast("array<double>").alias("v")).persist()
     for _ in range(n_iter):
         assigned = src.withColumn("__cell", _assigner(centers)(F.col("v")))
+        # posexplode + (cell,pos) partial agg beats a dim-wide
+        # one-agg-column-per-dimension form here: measured 0.63 s vs
+        # 1.17 s warm at sf0.1 (64 decimal buffers defeat codegen),
+        # and map-side combine still caps the shuffle at k*dim rows
+        # per partition either way.
         stats = (
             assigned.select(
                 "__cell", F.posexplode("v").alias("pos", "x")

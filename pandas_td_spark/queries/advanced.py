@@ -957,6 +957,28 @@ _COPURCHASE_EDGES_SQL = """
 _EDGE_CACHE: dict = {}
 
 
+def distinct_order_parts(spark: SparkSession):
+    """Distinct ``(o, p)`` order-part incidence rows, MEMOIZED per
+    (session, registered fixture dir) and localCheckpointed (bounded:
+    one row per order-part combination, ~10 MB at sf0.1). This is the
+    shared base of the whole co-purchase family — the graph edge build
+    self-joins it and q158's association rules read it three times
+    (marginals, pair join both sides); without the checkpoint each use
+    re-runs the lineitem scan + distinct."""
+    from pandas_td_spark.sources.io import _CURRENT_VIEWS
+
+    key = (spark, _CURRENT_VIEWS.get(spark), "op")
+    if key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    li = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+    if len(_EDGE_CACHE) >= 8:
+        evict_edge_cache()
+    _EDGE_CACHE[key] = li
+    return li
+
+
 def _copurchase_edges(spark: SparkSession):
     """Distinct undirected co-purchase edges, MEMOIZED per (session,
     registered fixture dir) and localCheckpointed: four graph queries
@@ -971,9 +993,7 @@ def _copurchase_edges(spark: SparkSession):
     key = (spark, _CURRENT_VIEWS.get(spark))
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    li = spark.table("lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    li = distinct_order_parts(spark)
     pairs = li.alias("a").join(
         li.alias("b"),
         (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
@@ -1013,7 +1033,11 @@ def evict_edge_cache(spark=None, view_dir=None) -> None:
     checkpointed RDD handle; DataFrame.rdd builds a NEW un-persisted
     RDD, so unpersisting it would be a no-op)."""
     keys = (
-        [(spark, view_dir), (spark, view_dir, "oriented")]
+        [
+            (spark, view_dir),
+            (spark, view_dir, "oriented"),
+            (spark, view_dir, "op"),
+        ]
         if spark is not None
         else list(_EDGE_CACHE)
     )

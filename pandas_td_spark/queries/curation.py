@@ -554,12 +554,17 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(spark.table("documents"))
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
     freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
-    total = tok.count()  # pinned literal (q46/q86 discipline)
+    # corpus token total rides the freq aggregate as a lazy broadcast
+    # 1-row rollup — a driver-side tok.count() was a full extra scan of
+    # the token explode; exact int -> double either way
+    tot = freq.agg(
+        F.sum(F.col("c").cast("bigint")).cast("double").alias("__tot")
+    )
     nll = (
-        -F.round(F.log(F.col("c") / F.lit(float(total))), 6)
+        -F.round(F.log(F.col("c") / F.col("__tot")), 6)
     ).cast("decimal(28,6)")
     return (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "w")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
@@ -758,12 +763,15 @@ def q104_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
     freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
-    total = tok.count()  # pinned literal (q95 discipline)
+    # lazy broadcast token total (q95's rationale: no extra explode scan)
+    tot = freq.agg(
+        F.sum(F.col("c").cast("bigint")).cast("double").alias("__tot")
+    )
     nll = (
-        -F.round(F.log(F.col("c") / F.lit(float(total))), 6)
+        -F.round(F.log(F.col("c") / F.col("__tot")), 6)
     ).cast("decimal(28,6)")
     per_doc = (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "w")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg((F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"))

@@ -138,6 +138,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q235_dup_rate_by_source": 7,  # same shared pair cache
     "q65_near_dup_clusters": 7,  # consumes prefix pairs (exact) via the cache
     "q159_cluster_survivor": 7,  # consumes prefix pairs (exact) via the cache
+    "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)
+    "q104_ccnet_buckets": 7,  # lazy broadcast token total
+    "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
+    "q158_basket_lift": 7,  # shared (o,p) checkpoint + lazy order total
 }
 
 

@@ -1054,12 +1054,13 @@ def q158_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-ordered parts (min co-count 3):
     support, confidence, lift — pair counts from the co-order join,
     marginals broadcast back."""
-    li = (
-        spark.table("lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    n_orders = li.select("o").distinct().count()
+    from pandas_td_spark.queries.advanced import distinct_order_parts
+
+    # shared memoized (o, p) checkpoint (graph family base): three uses
+    # below would otherwise each re-run the lineitem scan + distinct
+    li = distinct_order_parts(spark)
+    # order total rides as a lazy broadcast scalar (exact int -> double)
+    nof = li.agg(F.count_distinct("o").cast("double").alias("__no"))
     item = li.groupBy("p").agg(F.count("*").alias("n_p"))
     pair = (
         li.alias("a")
@@ -1076,19 +1077,20 @@ def q158_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.join(F.broadcast(ia), "pa")
         .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nof))
         .select(
             "pa",
             "pb",
             F.col("n_ab").alias("n_both"),
-            F.round(F.col("n_ab").cast("double") / n_orders, 6).alias(
-                "support"
-            ),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("__no"), 6
+            ).alias("support"),
             F.round(
                 F.col("n_ab").cast("double") / F.col("n_pa"), 6
             ).alias("confidence"),
             F.round(
                 F.col("n_ab").cast("double")
-                * n_orders
+                * F.col("__no")
                 / (F.col("n_pa").cast("double") * F.col("n_pb")),
                 6,
             ).alias("lift"),

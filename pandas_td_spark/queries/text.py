@@ -665,15 +665,24 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("c12")
     )
     c1 = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
-    v = float(
-        d.select(F.explode(words).alias("w")).select("w").distinct().count()
+    # vocabulary size rides as a lazy broadcast 1-row aggregate — a
+    # driver-side distinct().count() here was a full extra scan+job of
+    # the word explode; the exact integer count converts to the same
+    # double either way
+    vocab = (
+        d.select(F.explode(words).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("__v"))
     )
     term = F.round(
-        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(v))), 6
+        F.log(
+            (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("__v"))
+        ),
+        6,
     ).cast("decimal(28,6)")
     return (
         bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -72,7 +72,14 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q221_lift_curve",          # rank + piggybacked total, orders 10x
         # round-6 late additions
         "q236_decontaminate_spans", # explode + broadcast semi-join, corpus tokens 10x
-        "q240_column_stats"]        # per-column pruned aggregates, orders 10x
+        "q240_column_stats",        # per-column pruned aggregates, orders 10x
+        # round-7 additions: new operator family + reshaped hot paths
+        "q241_scd2_dimension",      # user-partitioned islands windows, events 10x
+        "q243_partition_checksums", # map-side checksum partials, orders 10x
+        "q245_skyline",             # strict prefix-max (part grain constant)
+        "q244_incremental_rollup",  # state+delta merge, orders 10x
+        "q95_unigram_nll",          # lazy broadcast token total, tokens 10x
+        "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
