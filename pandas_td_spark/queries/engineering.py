@@ -250,6 +250,88 @@ def q243_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Replica repair (row level) — the second half of anti-entropy: q243's
+# checksums LOCATE divergent buckets; this query then row-diffs ONLY
+# those buckets. The bucket prune is a broadcast join against the
+# ≤64-row diff set, so at 100 TB the row-level full-outer join touches
+# the divergent fraction of the table, not all of it — and because
+# unchanged buckets provably contain no diffs, the pruned diff equals
+# the direct full-table diff (which is exactly what the oracle runs).
+# ---------------------------------------------------------------------------
+@query(
+    "q246_replica_repair",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), b_rows AS (
+      SELECT o_orderkey,
+             cents + CASE WHEN o_orderkey % 991 = 7 THEN 1 ELSE 0 END
+               AS cents
+      FROM base WHERE o_orderkey % 997 <> 13
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS status,
+           a.cents AS cents_a, b.cents AS cents_b
+    FROM base a FULL OUTER JOIN b_rows b ON a.o_orderkey = b.o_orderkey
+    WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+       OR a.cents <> b.cents
+    """,
+)
+def q246_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level replica diff restricted to the checksum-divergent
+    buckets: locate via q243's per-bucket checksums, then full-outer
+    join only the pruned rows."""
+    base = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    replica = base.where(F.col("o_orderkey") % 997 != 13).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 991 == 7, 1).otherwise(0)
+        ).alias("cents"),
+    )
+    diff_buckets = (
+        q243_partition_checksums(spark, sf_dir)
+        .where(F.col("is_match") == 0)
+        .select("bucket")
+    )
+
+    def prune(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(diff_buckets),
+            (F.col("o_orderkey") % 64) == F.col("bucket"),
+            "left_semi",
+        )
+
+    a = prune(base).alias("a")
+    b = prune(replica).alias("b")
+    ka, kb = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    return (
+        a.join(b, ka == kb, "full")
+        .where(
+            kb.isNull()
+            | ka.isNull()
+            | (F.col("a.cents") != F.col("b.cents"))
+        )
+        .select(
+            F.coalesce(ka, kb).alias("o_orderkey"),
+            F.when(kb.isNull(), "removed")
+            .when(ka.isNull(), "added")
+            .otherwise("changed")
+            .alias("status"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental rollup refresh (operators/incremental.py) — merge a
 # historical per-customer aggregate STATE with a fresh delta partition
 # WITHOUT rescanning history: both sides pre-aggregate to key grain,

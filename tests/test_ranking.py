@@ -323,3 +323,31 @@ def test_prefix_sum_empty_input(spark):
     df = _prefix_fixture(spark, n=2_000).where(F.lit(False))
     got = with_global_prefix_agg(df, ["k", "i"], "v", out="c")
     assert got.count() == 0
+
+
+def test_prefix_sum_nan_null_and_tie_keys(spark):
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    rows = [
+        (1, 2.0, 10), (2, float("nan"), 20), (3, 1.0, None),
+        (4, float("nan"), 40), (5, 3.0, 50), (6, None, 60),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, k double, v bigint")
+    for order in (["k", "i"], [F.col("k").desc(), "i"]):
+        got = with_global_prefix_agg(df, order, "v", out="c")
+        oc = [F.col(c) if isinstance(c, str) else c for c in order]
+        w = W.orderBy(*oc).rowsBetween(W.unboundedPreceding, 0)
+        want = df.withColumn("c", F.sum("v").over(w))
+        assert sorted((r.i, r.c) for r in got.collect()) == sorted(
+            (r.i, r.c) for r in want.collect()
+        ), f"NaN/null prefix mismatch for {order}"
+    # all-tie key: one bucket, tiebreak column still totals the order
+    ties = spark.range(3_000).select(
+        F.col("id").alias("i"),
+        F.lit(7.5).alias("k"),
+        F.lit(1).alias("v"),
+    )
+    got = with_global_prefix_agg(ties, ["k", "i"], "v", out="c")
+    assert [r.c for r in got.orderBy("i").collect()] == list(
+        range(1, 3_001)
+    )
