@@ -32,7 +32,54 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_zorder_key", "zorder_key", "write_zordered"]
+__all__ = [
+    "with_zorder_key",
+    "zorder_key",
+    "write_zordered",
+    "morton_interleave",
+    "morton_interleave_sql",
+]
+
+
+def morton_interleave(cols: Sequence[Column], bits: int) -> Column:
+    """Raw Morton/Z-order bit interleave of the low ``bits`` bits of
+    ``d`` non-negative integer columns: bit ``i`` of column ``j`` lands
+    at position ``i*d + j``. Pure integer arithmetic — whole-stage
+    codegen keeps it in the JVM; the quantile-rank keyer below feeds it
+    rank columns, and callers with already-uniform integer keys (q242)
+    use it directly."""
+    d = len(cols)
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("bigint"), bit).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    bit * d + j,
+                )
+            )
+    return z
+
+
+def morton_interleave_sql(
+    cols: Sequence[str], bits: int, div: str = "//"
+) -> str:
+    """The same interleave as SQL text (integer divide + modulo — no
+    dialect bit operators), for oracle SQL and ``spark.sql`` callers.
+    ``div`` is the dialect's integer-division operator: ``//`` (DuckDB,
+    the default) or ``div`` (Spark SQL). Exact-integer arithmetic on
+    both engines, so it matches :func:`morton_interleave`
+    bit-for-bit."""
+    d = len(cols)
+    terms = []
+    for bit in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                f"(({c} {div} {1 << bit}) % 2) * {1 << (bit * d + j)}"
+            )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _bucket_rank(col: str, boundaries: list[float]) -> Column:
@@ -73,18 +120,7 @@ def with_zorder_key(
         rc = f"{out_col}_r{j}"
         df = df.withColumn(rc, _bucket_rank(c, sorted(set(cuts))))
         rank_cols.append(rc)
-    d = len(cols)
-    z = F.lit(0).cast("bigint")
-    for bit in range(bits_per_col):
-        for j, rc in enumerate(rank_cols):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(F.col(rc).cast("bigint"), bit).bitwiseAND(
-                        F.lit(1)
-                    ),
-                    bit * d + j,
-                )
-            )
+    z = morton_interleave([F.col(rc) for rc in rank_cols], bits_per_col)
     return df.withColumn(out_col, z).drop(*rank_cols)
 
 

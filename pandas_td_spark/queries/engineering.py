@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandas_td_spark.functions.layout import zorder_key, zorder_key_sql
+from pandas_td_spark.operators.zorder import (
+    morton_interleave,
+    morton_interleave_sql,
+)
 from pandas_td_spark.queries.registry import query
 
 
@@ -104,8 +107,9 @@ def q241_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order clustering-key profile — the Morton-interleave layout key a
 # writer sorts by so multi-dimensional range predicates hit contiguous
-# row groups (functions/layout.py::zorder_key). The key itself is a
-# map-only JVM integer expression; this query profiles the induced
+# row groups (operators/zorder.py — the raw interleave shared with the
+# quantile-rank keyer/write_zordered). The key is a map-only JVM
+# integer expression; this query profiles the induced
 # bucketing of lineitem by (partkey, suppkey): per z-range bucket, the
 # row count and the min-max envelope of BOTH dimensions — exactly the
 # min-max stats a data-skipping index stores per file.
@@ -121,7 +125,7 @@ _ZBUCKET_SHIFT = 1 << 26  # 32-bit z-key -> 64 coarse buckets
       FROM lineitem
     ), z AS (
       SELECT x, y,
-             {zorder_key_sql('x', 'y', _ZBITS)} AS zkey
+             {morton_interleave_sql(['x', 'y'], _ZBITS)} AS zkey
       FROM d
     )
     SELECT CAST(zkey // {_ZBUCKET_SHIFT} AS BIGINT) AS zbucket,
@@ -142,7 +146,10 @@ def q242_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 65536).alias("x"),
         (F.col("l_suppkey") % 65536).alias("y"),
     )
-    z = d.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), _ZBITS))
+    z = d.withColumn(
+        "zkey",
+        morton_interleave([F.col("x"), F.col("y")], _ZBITS),
+    )
     return (
         z.groupBy(
             F.expr(f"zkey div {_ZBUCKET_SHIFT}")

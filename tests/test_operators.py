@@ -856,7 +856,7 @@ def test_walk_family_matches_python_reference(spark):
 
 
 def test_zorder_key_known_values(spark):
-    from pandas_td_spark.functions.layout import zorder_key
+    from pandas_td_spark.operators.zorder import morton_interleave
 
     cases = [(0, 0), (1, 0), (0, 1), (3, 3), (5, 9), (65535, 65535),
              (1234, 4321)]
@@ -872,7 +872,7 @@ def test_zorder_key_known_values(spark):
     got = {
         (r.x, r.y): r.z
         for r in df.withColumn(
-            "z", zorder_key(F.col("x"), F.col("y"))
+            "z", morton_interleave([F.col("x"), F.col("y")], 16)
         ).collect()
     }
     for x, y in cases:
@@ -882,15 +882,18 @@ def test_zorder_key_known_values(spark):
 
 
 def test_zorder_sql_matches_column_form(spark):
-    from pandas_td_spark.functions.layout import zorder_key, zorder_key_sql
+    from pandas_td_spark.operators.zorder import (
+        morton_interleave,
+        morton_interleave_sql,
+    )
 
     df = spark.range(500).select(
         (F.col("id") * 7919 % 65536).alias("x"),
         (F.col("id") * 104729 % 65536).alias("y"),
     )
-    expr = zorder_key_sql("x", "y", div="div")
+    expr = morton_interleave_sql(["x", "y"], 16, div="div")
     both = df.select(
-        zorder_key(F.col("x"), F.col("y")).alias("a"),
+        morton_interleave([F.col("x"), F.col("y")], 16).alias("a"),
         F.expr(expr).cast("bigint").alias("b"),
     )
     assert both.where(F.col("a") != F.col("b")).count() == 0
