@@ -79,7 +79,13 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q245_skyline",             # strict prefix-max (part grain constant)
         "q244_incremental_rollup",  # state+delta merge, orders 10x
         "q95_unigram_nll",          # lazy broadcast token total, tokens 10x
-        "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x
+        "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x.
+        # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
+        # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
+        # exact copies -> 45 intra-copy pairs per group + 100x the original
+        # near-dup pairs). q235's ~9x wall ratio is OUTPUT growth from that
+        # fixture artifact, not a plan-shape regression — the PPJoin stays
+        # candidate-bounded; a 10x corpus of DISTINCT docs keeps pairs ~10x.
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
