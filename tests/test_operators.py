@@ -938,3 +938,33 @@ def test_merge_agg_states_rejects_unknown_kind(spark):
     df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("a"))
     with pytest.raises(ValueError):
         merge_agg_states([df], keys=["k"], spec={"a": "avg"})
+
+
+def test_morton_sql_property_duckdb():
+    """morton_interleave_sql must agree with the bit-level definition on
+    ANY input — checked on DuckDB (the oracle engine) with hypothesis,
+    so the SQL twin can't silently diverge from the Column form that
+    test_zorder_sql_matches_column_form pins against Spark."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_td_spark.operators.zorder import morton_interleave_sql
+
+    con = duckdb.connect()
+    expr = morton_interleave_sql(["x", "y"], 16)
+
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    @settings(max_examples=200, deadline=None)
+    def check(x, y):
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({x} AS BIGINT) AS x, "
+            f"CAST({y} AS BIGINT) AS y)"
+        ).fetchone()[0]
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        assert got == z, (x, y)
+
+    check()
