@@ -1,0 +1,93 @@
+"""tdpack Python DataSource (sources/packstream.py): chunked binary
+record transport — distributed writer (one chunk per task, job-commit
+protocol) + distributed reader (one split per chunk)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_td_spark.sources.packstream import register_tdpack
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    register_tdpack(spark)
+
+
+def test_round_trip_all_types_with_nulls(spark):
+    src = spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        (F.col("o_orderkey") % 2 == 0).alias("flag"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_orderpriority"))
+        .alias("maybe_null"),
+    )
+    d = tempfile.mkdtemp(prefix="tdpack_rt_")
+    src.write.format("tdpack").option("path", d).mode("overwrite").save()
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in src.schema.fields
+    ]
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
+def test_writer_chunks_follow_partitions_and_reader_splits_follow_chunks(
+    spark,
+):
+    src = spark.table("customer").select("c_custkey", "c_name")
+    d = tempfile.mkdtemp(prefix="tdpack_par_")
+    src.repartition(4).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    chunks = [f for f in os.listdir(d) if f.endswith(".tdpack")]
+    assert len(chunks) == 4
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == src.count()
+
+
+def test_overwrite_replaces_previous_chunks(spark):
+    d = tempfile.mkdtemp(prefix="tdpack_ow_")
+    a = spark.range(100).select(F.col("id").alias("x"))
+    a.repartition(3).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    b = spark.range(7).select(F.col("id").alias("x"))
+    b.repartition(1).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert back.count() == 7
+    assert len([f for f in os.listdir(d) if f.endswith(".tdpack")]) == 1
+
+
+def test_reader_refuses_uncommitted_dataset(spark):
+    d = tempfile.mkdtemp(prefix="tdpack_unc_")
+    with open(os.path.join(d, "part-00000-zz.tdpack"), "wb") as f:
+        f.write(b"TDP1")
+    with pytest.raises(Exception, match="_SUCCESS"):
+        spark.read.format("tdpack").schema("x bigint").option(
+            "path", d
+        ).load().collect()
+
+
+def test_events_timestamps_survive_transport(spark):
+    src = spark.table("events").select("event_id", "ts", "event_type")
+    d = tempfile.mkdtemp(prefix="tdpack_ts_")
+    src.write.format("tdpack").option("path", d).mode("overwrite").save()
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
