@@ -91,3 +91,78 @@ def test_events_timestamps_survive_transport(spark):
     back = spark.read.format("tdpack").option("path", d).load()
     assert back.exceptAll(src).count() == 0
     assert src.exceptAll(back).count() == 0
+
+
+def test_stream_tails_new_chunks_exactly_once(spark):
+    """Streaming half: chunks landed between micro-batches are each
+    consumed exactly once (the reference's Streaming Import shape)."""
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tdpack_stream_")
+    ck = tempfile.mkdtemp(prefix="tdpack_ck_")
+    a = spark.range(10).select(F.col("id").alias("x"))
+    a.coalesce(1).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+
+    name = "s" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.format("tdpack")
+        .schema("x bigint")
+        .option("path", d)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {r.x for r in spark.sql(f"select x from {name}").collect()}
+    assert got1 == set(range(10))
+
+
+def test_stream_offset_protocol_exactly_once():
+    """Offset semantics drive exactly-once directly: chunks landed
+    after an offset are read once, and readBetweenOffsets replays
+    precisely the delta (what checkpoint recovery re-executes)."""
+    import struct as _struct
+
+    from pandas_td_spark.sources.packstream import (
+        _MAGIC,
+        _PackSimpleStreamReader,
+    )
+    from pyspark.sql.types import StructType
+
+    d = tempfile.mkdtemp(prefix="tdpack_off_")
+
+    def land(name, values):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(_MAGIC)
+            for v in values:
+                f.write(
+                    _struct.pack("<I", 1)
+                    + bytes([1])
+                    + _struct.pack("<q", v)
+                )
+
+    schema = StructType.fromDDL("x bigint")
+    r = _PackSimpleStreamReader({"path": d}, schema)
+    o0 = r.initialOffset()
+    land("part-00000-a.tdpack", [1, 2, 3])
+    rows1, o1 = r.read(o0)
+    assert [t[0] for t in rows1] == [1, 2, 3]
+    land("part-00001-b.tdpack", [4, 5])
+    rows2, o2 = r.read(o1)
+    assert [t[0] for t in rows2] == [4, 5]  # batch 1 not replayed
+    rows_idle, o3 = r.read(o2)
+    assert rows_idle == [] and o3 == o2
+    # recovery replay: exactly the delta between two offsets
+    replay = [t[0] for t in r.readBetweenOffsets(o1, o2)]
+    assert replay == [4, 5]
+    # in-progress dotfiles are invisible until renamed
+    land(".part-00002-c.tdpack.inprogress", [9])
+    rows4, _ = r.read(o2)
+    assert rows4 == []
