@@ -14,8 +14,9 @@ principles with numpy alone:
 - **BMP** (Windows, 24-bit uncompressed BI_RGB): header parse, bottom-up
   row order, 4-byte row padding → (h, w, 3) uint8 RGB.
 
-JPEG/PNG/MP3/H.264 genuinely need external codec libraries and REMAIN
-stubbed (``multimodal.stub_decoder``); :func:`media_features` dispatches
+JPEG/MP3/H.264 genuinely need external codec libraries and REMAIN
+stubbed (PNG joined the REAL decoders in round 7 — stdlib zlib covers
+its compression, see the PNG section below) (``multimodal.stub_decoder``); :func:`media_features` dispatches
 on magic bytes and falls back to the stub for those, so the pipeline
 runs end-to-end on mixed corpora either way.
 
@@ -208,6 +209,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError("no pure-numpy decoder for this image format")
 
 
@@ -256,7 +259,7 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     REAL decode for WAV/PPM/PGM/BMP (audio: duration/rms/peak/zcr +
     FFT band energies; image: shape/channel stats + intensity
     histogram), stub fallback for formats that need external codecs
-    (JPEG/PNG/MP3/...). Always returns float32[out_dim]."""
+    (JPEG/MP3/...). Always returns float32[out_dim]."""
     from pandas_td_spark.operators.multimodal import stub_decoder
 
     try:
@@ -277,7 +280,10 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             else:
                 bands = [0.0] * n_bands
             vec = head + bands
-        elif payload[:2] in (b"P6", b"P5", b"BM"):
+        elif (
+            payload[:2] in (b"P6", b"P5", b"BM")
+            or payload[:8] == _PNG_SIG
+        ):
             img = decode_image(payload)
             f = image_features(img)
             head = [
@@ -298,3 +304,153 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     except ValueError:
         return stub_decoder(payload, out_dim)
     return np.asarray(vec[:out_dim], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL decode/encode via stdlib zlib (round 7). PNG needed no
+# external codec library after all: the container ships zlib, and the
+# rest of the format is chunk framing + per-scanline filters. Supported:
+# 8-bit depth, color types 0 (gray) and 2 (RGB), no interlace — other
+# shapes raise ValueError and media_features falls back to the stub
+# (honest partial support, same contract as BMP's 24bpp-only).
+# Filter reconstruction is per-byte sequential within a scanline (the
+# spec's data dependency for Sub/Average/Paeth); fine for the fixture-
+# sized frames this pipeline certifies — a production decoder would
+# vectorize per filter type.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → PNG, every scanline using
+    ``filter_type`` (0 none / 1 sub / 2 up / 3 average / 4 paeth) — the
+    parameter exists so tests and oracle queries can exercise every
+    reconstruction path in :func:`decode_png`."""
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    color_type = 0 if gray else 2
+    bpp = 1 if gray else 3
+    raw = arr.reshape(h, w * bpp)
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    out = []
+    for y in range(h):
+        row = raw[y].astype(np.int32)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - left) % 256
+        elif filter_type == 2:
+            filt = (row - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            filt = np.empty_like(row)
+            for x in range(len(row)):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                filt[x] = (int(row[x]) - _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w) or (h, w, 3) uint8. Real format mechanics: chunk
+    walk, IHDR geometry, concatenated-IDAT zlib inflate, and all five
+    scanline filter reconstructions."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    bpp = 1 if color_type == 0 else 3
+    stride = w * bpp
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = data[base]
+        row = np.frombuffer(
+            data, np.uint8, stride, base + 1
+        ).astype(np.int32)
+        if ft == 0:
+            recon = row
+        elif ft == 2:
+            recon = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            recon = np.empty_like(row)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                recon[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)

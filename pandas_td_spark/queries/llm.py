@@ -970,3 +970,75 @@ def q239_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5d — REAL PNG codec round-trip (round 7: stdlib zlib + chunk walk +
+# scanline filters, operators/codecs.py::decode_png). Gradient frames
+# make the filter predictors non-trivial, and filter_type = doc_id % 5
+# pushes EVERY reconstruction path (none/sub/up/average/paeth) through
+# the driver's hash gate. Channel means have exact closed forms: the
+# x-gradient never wraps (base < 240, width 16) so
+# mean_r = base_r + 7.5 exactly (sum of ints in float64, exact /192).
+# ---------------------------------------------------------------------------
+@query(
+    "q247_png_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 5 AS BIGINT) AS filter_type,
+           CAST(12 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST(192 AS BIGINT) AS n_pixels,
+           CAST(doc_id % 240 AS DOUBLE) + 7.5 AS mean_r,
+           CAST((doc_id * 7) % 244 AS DOUBLE) + 5.5 AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q247_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize gradient → encode PNG (filter doc_id%5) → REAL decode
+    → channel stats."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        image_features,
+    )
+
+    d = spark.table("documents").select("doc_id")
+    schema = (
+        "doc_id long, filter_type long, height long, width long, "
+        "n_pixels long, mean_r double, mean_g double, mean_b double"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                br, bg, bb = i % 240, (i * 7) % 244, (i * 13) % 256
+                img = np.empty((12, 16, 3), dtype=np.uint8)
+                img[..., 0] = br + np.arange(16)[None, :]
+                img[..., 1] = bg + np.arange(12)[:, None]
+                img[..., 2] = bb
+                dec = decode_png(encode_png(img, filter_type=i % 5))
+                assert (dec == img).all()
+                f = image_features(dec)
+                rows.append(
+                    (
+                        i, i % 5,
+                        f["height"], f["width"], f["n_pixels"],
+                        f["mean_r"], f["mean_g"], f["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "filter_type", "height", "width",
+                    "n_pixels", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return d.mapInPandas(_batches, schema=schema)

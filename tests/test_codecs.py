@@ -156,3 +156,52 @@ def test_featurize_binary_with_real_codec_in_spark(spark):
     assert abs(out[1][1] - q) < 1e-6  # rms slot of the real WAV decode
     assert out[2][0] == 4.0 and out[2][1] == 4.0  # height/width slots
     assert len(out[3]) == 8  # stub fallback still shaped right
+
+
+def test_png_round_trip_all_filters_rgb_and_gray():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (8, 21), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(rgb, ft)) == rgb).all(), ft
+        assert (decode_png(encode_png(gray, ft)) == gray).all(), ft
+
+
+def test_png_dispatch_and_unsupported_fallback():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_image,
+        encode_png,
+        media_features,
+    )
+    from pandas_td_spark.operators.multimodal import stub_decoder
+
+    img = np.full((4, 6, 3), 200, dtype=np.uint8)
+    assert (decode_image(encode_png(img, 2)) == img).all()
+    # real PNG -> real features (height/width lead the vector)
+    v = media_features(encode_png(img))
+    assert v[0] == 4.0 and v[1] == 6.0
+    # a JPEG magic still routes to the stub (no external codec)
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    assert (media_features(fake_jpeg) == stub_decoder(fake_jpeg, 16)).all()
+
+
+def test_png_resize_via_decode_image():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_ppm,
+        encode_png,
+        resize_image,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:4, :, 0] = 100  # top half red-ish
+    out = decode_ppm(resize_image(encode_png(img, 1), 4, 4))
+    assert out.shape == (4, 4, 3)
+    assert (out[:2, :, 0] == 100).all() and (out[2:, :, 0] == 0).all()
