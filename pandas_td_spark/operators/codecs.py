@@ -454,3 +454,97 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = recon.astype(np.uint8)
         prev = recon
     return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — REAL uncompressed video decode/encode (round 7).
+# The last stubbed modality was video; compressed codecs (H.264 et al.)
+# genuinely need external libraries, but YUV4MPEG2 — the standard
+# uncompressed interchange format every ffmpeg pipeline can emit — is a
+# text header plus raw C420 planes, fully parseable with numpy. This
+# closes the video path the honest way: REAL container parsing and
+# frame extraction, with the compressed-codec slot still documented as
+# a drop-in ``(bytes, n) -> list[bytes]`` extractor.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
+    """(n, h, w) luma + (n, h/2, w/2) chroma planes → YUV4MPEG2 C420."""
+    y = np.asarray(y, np.uint8)
+    u = np.asarray(u, np.uint8)
+    v = np.asarray(v, np.uint8)
+    n, h, w = y.shape
+    if u.shape != (n, h // 2, w // 2) or v.shape != u.shape:
+        raise ValueError("C420 chroma planes must be (n, h/2, w/2)")
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+    frames = b"".join(
+        b"FRAME\n" + y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
+        for i in range(n)
+    )
+    return head + frames
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """YUV4MPEG2 C420 → ``{"width", "height", "n_frames", "y", "u",
+    "v"}`` with ``y`` shaped (n, h, w) and chroma (n, h/2, w/2).
+    Real format mechanics: space-separated header tags, per-frame
+    ``FRAME`` markers (optional frame params tolerated), plane sizes
+    from the chroma subsampling."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    c = "420jpeg"
+    for tag in payload[len(_Y4M_MAGIC) : nl].split():
+        t = tag.decode()
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            c = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not c.startswith("420"):
+        raise ValueError(f"unsupported Y4M chroma mode C{c}")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    fsz = ysz + 2 * csz
+    pos, ys, us, vs = nl + 1, [], [], []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params tolerated
+        ys.append(np.frombuffer(payload, np.uint8, ysz, pos))
+        us.append(np.frombuffer(payload, np.uint8, csz, pos + ysz))
+        vs.append(np.frombuffer(payload, np.uint8, csz, pos + ysz + csz))
+        pos += fsz
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(ys),
+        "y": np.stack(ys).reshape(-1, h, w),
+        "u": np.stack(us).reshape(-1, h // 2, w // 2),
+        "v": np.stack(vs).reshape(-1, h // 2, w // 2),
+    }
+
+
+def y4m_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL drop-in for ``multimodal.sample_frames``: parse the Y4M,
+    take ``n_frames`` evenly-spaced frames (index ``j * (total // n)``),
+    and hand each luma plane on as a P5 PGM payload — a real image
+    format the downstream decoders (decode_ppm / media_features /
+    resize_image) consume unchanged."""
+    vid = decode_y4m(payload)
+    total = vid["n_frames"]
+    if total == 0:
+        return []
+    n = min(n_frames, total)
+    step = total // n
+    out = []
+    for j in range(n):
+        plane = vid["y"][j * step]
+        h, w = plane.shape
+        out.append(f"P5\n{w} {h}\n255\n".encode() + plane.tobytes())
+    return out

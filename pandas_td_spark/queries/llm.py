@@ -1042,3 +1042,83 @@ def q247_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5e — REAL video frame-sampling (round 7): YUV4MPEG2 is uncompressed
+# (text header + raw C420 planes), so the container's "no video codecs"
+# constraint only applies to COMPRESSED formats. Synthesize an 8-frame
+# Y4M per document, run the real multimodal.sample_frames plumbing with
+# the real Y4M extractor (evenly-spaced frames handed on as P5 PGM
+# payloads), decode each frame with the real PGM parser, closed-form
+# luma means through the driver's hash gate.
+# ---------------------------------------------------------------------------
+@query(
+    "q248_y4m_frames",
+    oracle="""
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           CAST(12 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST((doc_id + 34 * j) % 256 AS DOUBLE) AS mean_y
+    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    """,
+)
+def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 8-frame Y4M → REAL container parse + frame sample
+    (multimodal.sample_frames) → REAL PGM decode → per-frame luma
+    mean."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_ppm,
+        encode_y4m,
+        y4m_frame_extractor,
+    )
+    from pandas_td_spark.operators.multimodal import sample_frames
+
+    d = spark.table("documents").select("doc_id")
+
+    def _mk(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                y = np.empty((8, 12, 16), dtype=np.uint8)
+                for f in range(8):
+                    y[f] = (i + 17 * f) % 256
+                uv = np.full((8, 6, 8), 128, dtype=np.uint8)
+                rows.append((i, encode_y4m(y, uv, uv)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(_mk, "doc_id long, payload binary")
+    frames = sample_frames(
+        payloads, n_frames=4, extract_fn=y4m_frame_extractor
+    )
+
+    def _feat(it):
+        for pdf in it:
+            rows = []
+            for i, j, fp in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                img = decode_ppm(bytes(fp))
+                rows.append(
+                    (
+                        int(i), int(j),
+                        img.shape[0], img.shape[1],
+                        float(img.astype(np.float64).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "height", "width", "mean_y"
+                ],
+            )
+
+    return frames.mapInPandas(
+        _feat,
+        "doc_id long, frame_idx long, height long, width long, "
+        "mean_y double",
+    )

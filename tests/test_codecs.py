@@ -205,3 +205,43 @@ def test_png_resize_via_decode_image():
     out = decode_ppm(resize_image(encode_png(img, 1), 4, 4))
     assert out.shape == (4, 4, 3)
     assert (out[:2, :, 0] == 100).all() and (out[2:, :, 0] == 0).all()
+
+
+def test_y4m_round_trip_and_real_frame_extraction():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_ppm,
+        decode_y4m,
+        encode_y4m,
+        y4m_frame_extractor,
+    )
+
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 256, (6, 10, 14), dtype=np.uint8)
+    u = rng.randint(0, 256, (6, 5, 7), dtype=np.uint8)
+    v = rng.randint(0, 256, (6, 5, 7), dtype=np.uint8)
+    p = encode_y4m(y, u, v)
+    d = decode_y4m(p)
+    assert (d["width"], d["height"], d["n_frames"]) == (14, 10, 6)
+    assert (d["y"] == y).all() and (d["u"] == u).all() and (d["v"] == v).all()
+    # evenly-spaced real frames as PGM, decodable by the image path
+    frames = y4m_frame_extractor(p, 3)
+    assert len(frames) == 3
+    for j, f in enumerate(frames):
+        assert (decode_ppm(f) == y[j * 2]).all()
+    # asking for more frames than exist clamps
+    assert len(y4m_frame_extractor(p, 99)) == 6
+
+
+def test_y4m_rejects_non_420_and_bad_magic():
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import decode_y4m
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx")
+    hdr = b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(48)
+    with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        decode_y4m(hdr)
