@@ -37,6 +37,8 @@ __all__ = ["kmeans_fit", "kmeans_assign"]
 def _assigner(centers: np.ndarray):
     @F.pandas_udf("int")
     def cell_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0 or len(centers) == 0:
+            return pd.Series([], dtype="int32")
         A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
         d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
         return pd.Series(d.argmin(1).astype(np.int32))
@@ -67,6 +69,10 @@ def kmeans_fit(
         .toPandas()
         .sort_values("id", ignore_index=True)
     )
+    if len(init) == 0:
+        # empty corpus (an empty time partition is a normal production
+        # input): a (0, dim) model, assignment of nothing stays nothing
+        return np.zeros((0, dim), dtype=np.float64)
     centers = np.vstack([np.asarray(v, dtype=np.float64) for v in init["v"]])
     # persist the projected/cast corpus ONCE: without this every Lloyd
     # iteration re-scans and re-casts the source (n_iter full scans of
@@ -117,6 +123,9 @@ def kmeans_assign(
 
     @F.pandas_udf("struct<c: int, d: double>")
     def cell_dist(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0 or len(centers) == 0:
+            return pd.DataFrame({"c": pd.Series([], dtype="int32"),
+                                 "d": pd.Series([], dtype="float64")})
         A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
         d = (
             (A * A).sum(1)[:, None]

@@ -49,8 +49,10 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
         "rule",
         "n_rows",
         "n_violations",
+        # try_divide: NULL pass_frac on a zero-row input (empty time
+        # partitions are normal) instead of an ANSI divide-by-zero
         F.round(
-            1.0 - F.col("n_violations") / F.col("n_rows"), 6
+            1.0 - F.try_divide("n_violations", "n_rows"), 6
         ).alias("pass_frac"),
     )
 
@@ -63,7 +65,7 @@ def check_unique(df: DataFrame, cols: list[str], rule: str) -> DataFrame:
         F.sum("__c").alias("n_rows"),
         F.sum(F.col("__c") - 1).alias("n_violations"),
         F.round(
-            1.0 - F.sum(F.col("__c") - 1) / F.sum("__c"), 6
+            1.0 - F.try_divide(F.sum(F.col("__c") - 1), F.sum("__c")), 6
         ).alias("pass_frac"),
     )
 
@@ -86,7 +88,7 @@ def check_referential(
         F.lit(rule).alias("rule"),
         F.lit(n).alias("n_rows"),
         F.count("*").alias("n_violations"),
-        F.round(1.0 - F.count("*") / F.lit(float(n)), 6).alias(
-            "pass_frac"
-        ),
+        F.round(
+            1.0 - F.try_divide(F.count("*"), F.lit(float(n))), 6
+        ).alias("pass_frac"),
     )

@@ -310,6 +310,8 @@ def _cell_assigner(centers):
 
     @F.pandas_udf("int")
     def cell_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0 or len(centers) == 0:
+            return pd.Series([], dtype="int32")
         A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
         d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
         return pd.Series(d.argmin(1).astype(np.int32))
@@ -348,6 +350,10 @@ def _train_ivf_quantizer(
         .toPandas()
         .sort_values("id", ignore_index=True)
     )
+    if len(train) == 0:
+        # empty corpus (empty time partitions are normal inputs): a
+        # 0-centroid model; downstream assignment sees no rows anyway
+        return np.zeros((0, 1), dtype=np.float64)
     X = np.vstack([np.asarray(v, dtype=np.float64) for v in train["v"]])
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -562,6 +568,12 @@ def semdedup_pairs(
 
     def within_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
         A = np.vstack(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec]]
         )
@@ -643,6 +655,8 @@ def _train_pq_codebooks(
         .toPandas()
         .sort_values("id", ignore_index=True)
     )
+    if len(train) == 0:
+        return np.zeros((m, ksub, dsub), dtype=np.float64)
     X = np.vstack([np.asarray(v, dtype=np.float64) for v in train["v"]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -695,6 +709,8 @@ def pq_topk(
 
     @F.pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(X), m), dtype=np.int32)

@@ -265,9 +265,12 @@ def q96_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_idx",
         "stage",
         "n_users",
-        (F.col("n_users").cast("double") / F.lit(float(n1))).alias(
-            "conv_from_start"
-        ),
+        # NULL (not an ANSI divide-by-zero) when the funnel is empty —
+        # an empty time partition is a normal production input
+        F.when(
+            F.lit(n1) > 0,
+            F.col("n_users").cast("double") / F.lit(float(max(n1, 1))),
+        ).alias("conv_from_start"),
     )
 
 
@@ -2177,14 +2180,18 @@ def q214_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = cell.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("g")
     )
-    n = cell.agg(F.sum("c")).collect()[0][0]
+    # corpus total rides as a lazy broadcast scalar (no driver action;
+    # also survives an empty-partition input, where collect()[0][0]
+    # was None)
+    nf = cell.agg(F.sum("c").cast("double").alias("__n"))
     terms = (
         cell.join(day, "d")
         .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(nf))
         .select(
             "d",
             (F.col("c").cast("double") / F.col("nd")).alias("p"),
-            (F.col("g").cast("double") / F.lit(float(n))).alias("q"),
+            (F.col("g").cast("double") / F.col("__n")).alias("q"),
         )
     )
     t = (

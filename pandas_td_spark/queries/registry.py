@@ -142,6 +142,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
     "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
     "q158_basket_lift": 7,  # shared (o,p) checkpoint + lazy order total
+    "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
+    "q96_funnel": 7,  # NULL conv on empty funnel instead of ANSI /0
+    "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
 }
 
 
