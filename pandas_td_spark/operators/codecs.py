@@ -14,11 +14,15 @@ principles with numpy alone:
 - **BMP** (Windows, 24-bit uncompressed BI_RGB): header parse, bottom-up
   row order, 4-byte row padding → (h, w, 3) uint8 RGB.
 
-JPEG/MP3/H.264 genuinely need external codec libraries and REMAIN
-stubbed (PNG joined the REAL decoders in round 7 — stdlib zlib covers
-its compression, see the PNG section below) (``multimodal.stub_decoder``); :func:`media_features` dispatches
-on magic bytes and falls back to the stub for those, so the pipeline
-runs end-to-end on mixed corpora either way.
+Round 7 additions: **PNG** (stdlib zlib covers its compression; chunk
+walk + all five scanline filters), **Y4M video** (uncompressed C420
+container + real frame extraction) and **baseline grayscale JPEG**
+(full marker/Huffman/DCT bitstream, tables read from the file's own
+DQT/DHT). Color/progressive JPEG, MP3 and compressed video genuinely
+need external codec libraries and REMAIN stubbed
+(``multimodal.stub_decoder``); :func:`media_features` dispatches on
+magic bytes and falls back to the stub for those, so the pipeline runs
+end-to-end on mixed corpora either way.
 
 Feature extraction and resize are closed-form numpy (RMS/peak/ZCR/
 duration for audio; per-channel means + intensity histogram for images;
@@ -211,6 +215,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
     raise ValueError("no pure-numpy decoder for this image format")
 
 
@@ -283,6 +289,7 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
         elif (
             payload[:2] in (b"P6", b"P5", b"BM")
             or payload[:8] == _PNG_SIG
+            or payload[:2] == b"\xff\xd8"
         ):
             img = decode_image(payload)
             f = image_features(img)
@@ -548,3 +555,379 @@ def y4m_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
         h, w = plane.shape
         out.append(f"P5\n{w} {h}\n255\n".encode() + plane.tobytes())
     return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG, baseline grayscale — REAL bitstream codec (round 7). The full
+# JFIF pipeline with no external library: marker framing (SOI/DQT/SOF0/
+# DHT/SOS/EOI, APPn/COM skipped), canonical Huffman tables BUILT FROM
+# THE FILE'S DHT SEGMENTS (spec behavior — so third-party baseline
+# grayscale JPEGs decode too, whatever tables they chose), byte
+# unstuffing (FF 00), zigzag order, dequantization, and an exact
+# orthonormal-matrix IDCT. Honest scope: baseline DCT, 8-bit, single
+# component; color (YCbCr + subsampling) and progressive scans raise
+# ValueError and media_features falls back to the stub.
+#
+# The encoder exists for round-trip certification: it emits flat-length
+# canonical Huffman tables (valid per the spec, suboptimal compression —
+# the DHT it writes fully describes them, so the decoder treats our
+# files and Annex-K files identically). Entropy coding is LOSSLESS by
+# construction; the only lossy step is quantization, so
+# decode(encode(x)) must equal reconstruct(quantize(x)) bit-for-bit —
+# pinned in tests, and the constant-block DC math gives closed forms
+# the q249 oracle checks through the driver's hash gate.
+# ---------------------------------------------------------------------------
+
+#: standard luminance quantization table (Annex K), zigzag-order applied
+#: at write time; natural (row-major) order here
+_JPEG_QTAB = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """JPEG's 8-point DCT-II basis: C[u,x] = c(u)/2 * cos((2x+1)u*pi/16),
+    c(0)=1/sqrt(2). Forward block transform = C @ B @ C.T; inverse is the
+    transpose sandwich (C is orthogonal up to this scaling)."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+_DCTM = _dct_matrix()
+
+
+def _jpeg_blocks(img: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n_blocks, 8, 8) float blocks in scan order, edge-replicated to
+    multiples of 8; plus blocks-per-row/col."""
+    h, w = img.shape
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    pad = np.empty((H, W), dtype=np.float64)
+    pad[:h, :w] = img
+    if W > w:
+        pad[:h, w:] = img[:, -1:]
+    if H > h:
+        pad[H - (H - h):, :] = pad[h - 1 : h, :]
+    by, bx = H // 8, W // 8
+    blocks = (
+        pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks, by, bx
+
+
+def jpeg_quantize_gray(img: np.ndarray) -> np.ndarray:
+    """The lossy half of the encoder, exposed for tests: (n, 8, 8) int
+    quantized DCT coefficients of the level-shifted edge-padded blocks.
+    Rounding is floor(x + 0.5) — fixed so encoder and tests agree."""
+    blocks, _, _ = _jpeg_blocks(np.asarray(img, np.float64) - 128.0)
+    F2 = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+    return np.floor(F2 / _JPEG_QTAB + 0.5).astype(np.int32)
+
+
+def jpeg_reconstruct_gray(
+    coefs: np.ndarray, h: int, w: int
+) -> np.ndarray:
+    """Dequantize + IDCT + unshift + clamp: what ANY correct decoder
+    must produce from these quantized coefficients."""
+    deq = coefs.astype(np.float64) * _JPEG_QTAB
+    # IDCT: blocks[n, x, y] = sum_uv deq[n,u,v] C[u,x] C[v,y]
+    blocks = np.tensordot(
+        np.tensordot(deq, _DCTM, axes=([1], [0])), _DCTM, axes=([1], [0])
+    )
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    by, bx = H // 8, W // 8
+    img = (
+        blocks.reshape(by, bx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(H, W)
+    )
+    out = np.clip(np.floor(img + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """DHT (counts-per-length, symbols) → {symbol: (code, length)} via
+    the spec's canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.d) and self.d[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _size_of(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """8-bit grayscale baseline JFIF. Flat-length canonical Huffman
+    tables (DC: 12 symbols at 4 bits; AC: 162 symbols at 8 bits) —
+    written to DHT, so any spec decoder reads the file."""
+    arr = np.asarray(img, np.uint8)
+    h, w = arr.shape
+    coefs = jpeg_quantize_gray(arr)
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits = [0, 0, 0, len(dc_syms)] + [0] * 12
+    ac_bits = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dc_code = _canonical_codes(dc_bits, dc_syms)
+    ac_code = _canonical_codes(ac_bits, ac_syms)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in coefs:
+        zz = blk.ravel()[_ZIGZAG]
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        s = _size_of(diff)
+        c, ln = dc_code[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max(np.nonzero(zz[1:])[0]) + 1 if (zz[1:] != 0).any() else 0
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_code[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s = _size_of(v)
+            c, ln = ac_code[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_code[0x00]
+            bw.put(c, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = bytes(int(_JPEG_QTAB.ravel()[_ZIGZAG][i]) for i in range(64))
+    dqt = seg(0xDB, b"\x00" + qz)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_syms)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF → (h, w) uint8. Tables come from the
+    file's own DQT/DHT segments (any spec-valid choice decodes)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # parameterless
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if m == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(
+                    np.int32
+                )
+                nat = np.empty(64, np.int32)
+                nat[_ZIGZAG] = zz
+                qtabs[tq] = nat.reshape(8, 8)
+                i += 65
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={prec} components={nc} "
+                    "(baseline grayscale only)"
+                )
+            # per-component triple starts at offset 6: id, sampling, qtab
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            comp_q = body[8]
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif m == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsym])
+                codes = _canonical_codes(bits, vals)
+                # invert for decoding: (length, code) -> symbol
+                huff[(tc, th)] = {
+                    (ln2, c): sym for sym, (c, ln2) in codes.items()
+                }
+                i += 17 + nsym
+        elif m == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_t, ac_t = body[2] >> 4, body[2] & 15
+            data = payload[pos:]
+            end = data.rfind(b"\xff\xd9")
+            if end >= 0:
+                data = data[:end]
+            break
+    if h is None or data is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    q = qtabs.get(comp_q)
+    if q is None:
+        raise ValueError("JPEG missing quantization table")
+    dc_map, ac_map = huff[(0, dc_t)], huff[(1, ac_t)]
+
+    def read_sym(br: _BitReader, table: dict) -> int:
+        code, ln2 = 0, 0
+        while ln2 <= 16:
+            code = (code << 1) | br.bit()
+            ln2 += 1
+            if (ln2, code) in table:
+                return table[(ln2, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    n_blocks = (H // 8) * (W // 8)
+    br = _BitReader(data)
+    coefs = np.zeros((n_blocks, 64), np.int32)
+    prev_dc = 0
+    for b in range(n_blocks):
+        s = read_sym(br, dc_map)
+        diff = extend(br.bits(s), s) if s else 0
+        prev_dc += diff
+        coefs[b, 0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = read_sym(br, ac_map)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                i += 16
+                continue
+            run, s = sym >> 4, sym & 15
+            i += run
+            if i >= 64:
+                raise ValueError("AC run past block end")
+            coefs[b, i] = extend(br.bits(s), s)
+            i += 1
+    nat = np.zeros((n_blocks, 64), np.int32)
+    nat[:, _ZIGZAG] = coefs
+    blocks = nat.reshape(-1, 8, 8).astype(np.float64) * q
+    spatial = np.tensordot(
+        np.tensordot(blocks, _DCTM, axes=([1], [0])),
+        _DCTM,
+        axes=([1], [0]),
+    )
+    img = (
+        spatial.reshape(H // 8, W // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(H, W)
+    )
+    out = np.clip(np.floor(img + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    return out[:h, :w]

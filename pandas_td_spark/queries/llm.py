@@ -1122,3 +1122,61 @@ def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, height long, width long, "
         "mean_y double",
     )
+
+
+# ---------------------------------------------------------------------------
+# L5f — REAL baseline-JPEG round-trip (round 7): the full JFIF bitstream
+# (markers, canonical Huffman from in-file DHT, zigzag, dequant, exact
+# matrix IDCT) in operators/codecs.py. For a constant block the DCT has
+# only a DC term — 8*(v-128) — and the DC quantization step is 16, so
+# EVEN gray values survive the codec exactly: decode = 128 +
+# 2*((v-128)/2) = v. The oracle checks that closed form; the entropy
+# layer's losslessness on arbitrary images is pinned in
+# tests/test_codecs.py against jpeg_reconstruct_gray.
+# ---------------------------------------------------------------------------
+@query(
+    "q249_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_gray
+    FROM documents
+    """,
+)
+def q249_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize constant gray (even values) → encode baseline JPEG →
+    REAL decode → exact mean recovery."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                v = (i * 2) % 256
+                img = np.full((16, 16), v, dtype=np.uint8)
+                dec = decode_jpeg_gray(encode_jpeg_gray(img))
+                rows.append(
+                    (
+                        i,
+                        dec.shape[0],
+                        dec.shape[1],
+                        float(dec.astype(np.float64).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "mean_gray"]
+            )
+
+    return d.mapInPandas(
+        _batches, "doc_id long, height long, width long, mean_gray double"
+    )

@@ -245,3 +245,68 @@ def test_y4m_rejects_non_420_and_bad_magic():
     hdr = b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(48)
     with pytest.raises(ValueError, match="unsupported Y4M chroma"):
         decode_y4m(hdr)
+
+
+def test_jpeg_constant_even_values_round_trip_exactly():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in (0, 2, 64, 128, 200, 254):
+        img = np.full((24, 40), v, np.uint8)
+        assert (decode_jpeg_gray(encode_jpeg_gray(img)) == img).all(), v
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """decode(encode(x)) must equal the direct dequantize+IDCT of the
+    encoder's quantized coefficients — i.e. the Huffman/bitstream layer
+    loses nothing; quantization is the only lossy step."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_quantize_gray,
+        jpeg_reconstruct_gray,
+    )
+
+    rng = np.random.RandomState(42)
+    for shape in ((8, 8), (16, 24), (13, 19), (64, 64), (7, 70)):
+        img = rng.randint(0, 256, shape, np.uint8)
+        want = jpeg_reconstruct_gray(jpeg_quantize_gray(img), *shape)
+        got = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert got.shape == shape
+        assert (got == want).all(), shape
+
+
+def test_jpeg_smooth_image_within_quantization_error():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    x = np.arange(32)[None, :] + np.arange(32)[:, None] * 2
+    img = (x * 2).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_rejects_unsupported_shapes():
+    import pytest
+
+    from pandas_td_spark.operators.codecs import decode_jpeg_gray
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"BMxxxx")
+    # progressive marker (SOF2) refused, stub fallback territory
+    bad = (
+        b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+        + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bad)
