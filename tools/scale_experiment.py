@@ -79,6 +79,7 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q245_skyline",             # strict prefix-max (part grain constant)
         "q244_incremental_rollup",  # state+delta merge, orders 10x
         "q95_unigram_nll",          # lazy broadcast token total, tokens 10x
+        "q249_jpeg_roundtrip",      # per-doc codec mapInPandas, docs 10x
         "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x.
         # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
         # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
