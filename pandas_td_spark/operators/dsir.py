@@ -60,12 +60,20 @@ def _bucketed_ngrams(
 
 
 def _bucket_logprob(grams: DataFrame, n_buckets: int, alpha: float) -> DataFrame:
+    """Smoothed categorical log-distribution over buckets from raw gram
+    occurrences (explode grain)."""
+    counts = grams.groupBy("bucket").agg(F.count("*").alias("n"))
+    return _bucket_logprob_from_counts(counts, n_buckets, alpha)
+
+
+def _bucket_logprob_from_counts(
+    counts: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
     """Smoothed categorical log-distribution over buckets:
     ln((count_b + alpha) / (N + alpha*n_buckets)). Untouched buckets get
     the floor mass via a dense sequence spine, so the returned table always
     has exactly ``n_buckets`` rows (broadcastable by construction)."""
-    counts = grams.groupBy("bucket").agg(F.count("*").alias("n"))
-    spine = grams.sparkSession.range(n_buckets).select(
+    spine = counts.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")
     )
     dense = spine.join(counts, "bucket", "left").select(
@@ -103,18 +111,38 @@ def dsir_weights(
     documents with no tokens score 0."""
     raw_grams = _bucketed_ngrams(raw, text_col, id_col, n_buckets, seed)
     tgt_grams = _bucketed_ngrams(target, text_col, id_col, n_buckets, seed)
+    # collapse the raw explode to (doc, bucket) COUNT grain and
+    # MATERIALIZE it: this is the DSIR featurization output — both the
+    # q-distribution fit and the scoring join consume it, and without
+    # the checkpoint Catalyst merges the fit's re-aggregation straight
+    # onto the explode, running the corpus-sized token explode twice
+    # per call (exchange reuse can't fire across the merged shapes).
+    # The checkpoint is O(docs x distinct buckets) — the feature table
+    # a production pipeline would persist anyway — and n x llr in exact
+    # decimal equals the n-fold llr sum, so weights are bit-identical.
+    raw_counts = (
+        raw_grams.groupBy("id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     p = _bucket_logprob(tgt_grams, n_buckets, alpha)
-    q = _bucket_logprob(raw_grams, n_buckets, alpha)
+    q = _bucket_logprob_from_counts(
+        raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("n")),
+        n_buckets,
+        alpha,
+    )
     ratio = p.join(q.withColumnRenamed("logp", "logq"), "bucket").select(
         "bucket",
         F.round(F.col("logp") - F.col("logq"), 9).alias("llr"),
     )
     scored = (
-        raw_grams.join(F.broadcast(ratio), "bucket")
+        raw_counts.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("llr").cast("decimal(28,9)")).cast("double").alias(
-            "log_weight"
-        ))
+        .agg(
+            F.sum(
+                F.col("llr").cast("decimal(28,9)") * F.col("cnt")
+            ).cast("double").alias("log_weight")
+        )
     )
     ids = raw.select(F.col(id_col).alias("id"))
     return (

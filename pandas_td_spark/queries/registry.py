@@ -145,6 +145,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
     "q96_funnel": 7,  # NULL conv on empty funnel instead of ANSI /0
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
+    "q117_dsir_select": 7,  # featurization counts materialized once (rows-only)
 }
 
 
