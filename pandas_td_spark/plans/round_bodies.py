@@ -202,6 +202,31 @@ def _cc_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_pairs_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin pair generation (operators/dedup.py
+    jaccard_pairs_prefix) rebuilt directly: since round 7 the q80/q235
+    family serves pairs from a memoized localCheckpoint, so their final
+    plans are RDD scans; this body records the prefix-filter join +
+    exact-verify shape the checkpoint hides."""
+    from pandas_td_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        spark.table("documents"), shingle_n=3, threshold=0.6
+    )
+
+
+def _dsir_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR featurization (operators/dsir.py): hashed uni+bigram
+    explode collapsed to (doc, bucket) counts — checkpointed in the
+    operator since round 7 (it feeds both the q-distribution fit and
+    the scoring join), so the final plan hides the explode shape."""
+    from pandas_td_spark.operators.dsir import _bucketed_ngrams
+
+    d = spark.table("documents")
+    grams = _bucketed_ngrams(d, "text", "doc_id", 1024, 23)
+    return grams.groupBy("id", "bucket").agg(F.count("*").alias("cnt"))
+
+
 #: query name -> (label, builder). One representative body per iterative
 #: operator family; queries sharing the operator share the builder.
 _BUILDERS: dict[str, tuple[str, Callable[[SparkSession, str], DataFrame]]] = {
@@ -211,6 +236,9 @@ _BUILDERS: dict[str, tuple[str, Callable[[SparkSession, str], DataFrame]]] = {
     "q119_pagerank_transitions": ("pagerank iteration", _pagerank_round),
     "q65_near_dup_clusters": ("label-propagation round", _cc_round),
     "q159_cluster_survivor": ("label-propagation round", _cc_round),
+    "q117_dsir_select": ("featurization (pre-checkpoint)", _dsir_featurize),
+    "q80_near_dup_prefix": ("prefix-filter pair generation", _prefix_pairs_body),
+    "q235_dup_rate_by_source": ("prefix-filter pair generation", _prefix_pairs_body),
     # the two-phase rank (q129/q188/q205/q221) needs no round body since
     # round 6: the literal-boundary formulation is fully lazy, so the
     # bucket expression, partitioned window, and offsets branch all
