@@ -16,10 +16,12 @@ principles with numpy alone:
 
 Round 7 additions: **PNG** (stdlib zlib covers its compression; chunk
 walk + all five scanline filters), **Y4M video** (uncompressed C420
-container + real frame extraction) and **baseline grayscale JPEG**
-(full marker/Huffman/DCT bitstream, tables read from the file's own
-DQT/DHT). Color/progressive JPEG, MP3 and compressed video genuinely
-need external codec libraries and REMAIN stubbed
+container + real frame extraction) and **baseline JPEG** — grayscale
+AND 3-component color with 4:4:4/4:2:0 chroma, JFIF YCbCr transform,
+DRI/RSTn restart markers, all tables read from the file's own DQT/DHT
+(full marker/Huffman/DCT bitstream). Progressive JPEG, MP3 and
+compressed video genuinely need external codec libraries and REMAIN
+stubbed
 (``multimodal.stub_decoder``); :func:`media_features` dispatches on
 magic bytes and falls back to the stub for those, so the pipeline runs
 end-to-end on mixed corpora either way.
@@ -216,7 +218,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        return decode_jpeg_gray(payload)
+        return decode_jpeg(payload)  # gray or color baseline
     raise ValueError("no pure-numpy decoder for this image format")
 
 
@@ -931,3 +933,425 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     )
     out = np.clip(np.floor(img + 128.0 + 0.5), 0, 255).astype(np.uint8)
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# JPEG color (round 7, part 2): 3-component baseline with 4:4:4 and
+# 4:2:0 chroma, JFIF YCbCr color transform, interleaved MCUs,
+# per-component quantization/Huffman selection, DRI/RSTn restart
+# markers. With this, decode_jpeg handles the shapes real-world
+# baseline JPEGs actually use; progressive (SOF2) and arithmetic
+# coding remain honestly out of scope (ValueError → stub fallback).
+# ---------------------------------------------------------------------------
+
+_JPEG_QTAB_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF color transform, floor(x+0.5) rounding, clamped uint8
+    planes stacked as (h, w, 3) = (Y, Cb, Cr)."""
+    a = np.asarray(img, np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Inverse JFIF transform, floor(x+0.5) rounding, clamped uint8."""
+    a = np.asarray(ycc, np.float64)
+    y, cb, cr = a[..., 0], a[..., 1] - 128.0, a[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n_blocks, 8, 8) quantized DCT coefficients of one uint8 plane
+    (level-shifted, edge-replicated to multiples of 8)."""
+    blocks, _, _ = _jpeg_blocks(np.asarray(plane, np.float64) - 128.0)
+    F2 = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+    return np.floor(F2 / qtab + 0.5).astype(np.int32)
+
+
+def _entropy_encode_component(
+    bw: "_BitWriter", zz: np.ndarray, prev_dc: int, dc_code, ac_code
+) -> int:
+    """Write one block's zigzag coefficients; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - prev_dc
+    s = _size_of(diff)
+    c, ln = dc_code[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz.max() + 1) if len(nz) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_code[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        s = _size_of(v)
+        c, ln = ac_code[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_code[0x00]
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_color(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline color JFIF: YCbCr, 4:4:4 by
+    default or 4:2:0 with ``subsample=True`` (2x2-mean chroma), two
+    quantization tables, flat canonical Huffman tables written to DHT
+    (luma pair id 0, chroma pair id 1)."""
+    arr = np.asarray(img, np.uint8)
+    h, w = arr.shape[:2]
+    ycc = rgb_to_ycbcr(arr).astype(np.float64)
+    yp = ycc[..., 0]
+    if subsample:
+        H2, W2 = (h + 1) & ~1, (w + 1) & ~1
+        pad = np.empty((H2, W2, 2))
+        pad[:h, :w] = ycc[..., 1:]
+        if W2 > w:
+            pad[:h, w:] = ycc[:, -1:, 1:]
+        if H2 > h:
+            pad[h:, :] = pad[h - 1 : h, :]
+        sub = pad.reshape(H2 // 2, 2, W2 // 2, 2, 2).mean(axis=(1, 3))
+        chroma = np.floor(sub + 0.5)
+        cbp, crp = chroma[..., 0], chroma[..., 1]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        cbp, crp = ycc[..., 1], ycc[..., 2]
+        samp = [(1, 1), (1, 1), (1, 1)]
+
+    comps = [
+        (yp, _JPEG_QTAB, 0),
+        (cbp, _JPEG_QTAB_CHROMA, 1),
+        (crp, _JPEG_QTAB_CHROMA, 1),
+    ]
+    hmax0 = max(s[0] for s in samp)
+    vmax0 = max(s[1] for s in samp)
+    mx_n = (w + 8 * hmax0 - 1) // (8 * hmax0)
+    my_n = (h + 8 * vmax0 - 1) // (8 * vmax0)
+    coefs, grids = [], []
+    for (plane, qtab, _t), (sh, sv) in zip(comps, samp):
+        # pad each plane to its MCU-aligned block grid (not just 8):
+        # 4:2:0's Y plane carries sh x sv blocks per MCU
+        th, tw = my_n * sv * 8, mx_n * sh * 8
+        ph, pw = plane.shape
+        pad = np.empty((th, tw), np.float64)
+        pad[:ph, :pw] = plane
+        if tw > pw:
+            pad[:ph, pw:] = plane[:, -1:]
+        if th > ph:
+            pad[ph:, :] = pad[ph - 1 : ph, :]
+        blocks = (
+            pad.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        F2 = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+        q = np.floor(F2 / qtab + 0.5).astype(np.int32)
+        grids.append((th // 8, tw // 8))
+        coefs.append(q)
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits = [0, 0, 0, len(dc_syms)] + [0] * 12
+    ac_bits = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dc_code = _canonical_codes(dc_bits, dc_syms)
+    ac_code = _canonical_codes(ac_bits, ac_syms)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # restart_interval > 0: emit RSTn every N MCUs (byte-align, reset DC
+    # predictors) — the resynchronization real encoders use so one bit
+    # error can't corrupt the rest of the scan
+    entropy = bytearray()
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    mcu_idx = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                entropy += bw.flush()
+                entropy += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw = _BitWriter()
+                prev = [0, 0, 0]
+            for ci in range(3):
+                sh, sv = samp[ci]
+                _by, bx_n = grids[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        bx = mx * sh + dx
+                        by = my * sv + dy
+                        blk = coefs[ci][by * bx_n + bx]
+                        zz = blk.ravel()[_ZIGZAG]
+                        prev[ci] = _entropy_encode_component(
+                            bw, zz, prev[ci], dc_code, ac_code
+                        )
+            mcu_idx += 1
+    entropy += bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz0 = bytes(int(_JPEG_QTAB.ravel()[_ZIGZAG][i]) for i in range(64))
+    qz1 = bytes(
+        int(_JPEG_QTAB_CHROMA.ravel()[_ZIGZAG][i]) for i in range(64)
+    )
+    dqt = seg(0xDB, b"\x00" + qz0 + b"\x01" + qz1)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (samp[0][0] << 4) | samp[0][1], 0])
+        + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])
+        + bytes([3, (samp[2][0] << 4) | samp[2][1], 1]),
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_syms)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_syms)
+        + b"\x01" + bytes(dc_bits) + bytes(dc_syms)
+        + b"\x11" + bytes(ac_bits) + bytes(ac_syms),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos
+        + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """General baseline JFIF decode: 1 component → (h, w) uint8 gray;
+    3 components (4:4:4 or 4:2:0, plus 4:2:2) → (h, w, 3) uint8 RGB.
+    Tables and sampling factors come from the file; DRI/RSTn restart
+    intervals are honored. Progressive/arithmetic raise ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []  # id, sh, sv, tq
+    scan_tables: dict[int, tuple[int, int]] = {}
+    restart = 0
+    data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if m == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(
+                    np.int32
+                )
+                nat = np.empty(64, np.int32)
+                nat[_ZIGZAG] = zz
+                qtabs[tq] = nat.reshape(8, 8)
+                i += 65
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                sf = body[7 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 15, body[8 + 3 * ci]))
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif m == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsym])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (l2, c): sym for sym, (c, l2) in codes.items()
+                }
+                i += 17 + nsym
+        elif m == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:
+            ns = body[0]
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                scan_tables[cid] = (tt >> 4, tt & 15)
+            data = payload[pos:]
+            end = data.rfind(b"\xff\xd9")
+            if end >= 0:
+                data = data[:end]
+            break
+    if h is None or data is None or not comps:
+        raise ValueError("JPEG missing SOF0/SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(
+        (hmax % c[1]) or (vmax % c[2]) for c in comps
+    ):
+        raise ValueError("non-integer sampling ratios unsupported")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def read_sym(br: "_BitReader", table: dict) -> int:
+        code, l2 = 0, 0
+        while l2 <= 16:
+            code = (code << 1) | br.bit()
+            l2 += 1
+            if (l2, code) in table:
+                return table[(l2, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    # split entropy data on restart markers (already byte-aligned)
+    if restart:
+        segments = []
+        seg_start = 0
+        i = 0
+        while i + 1 < len(data):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(data[seg_start:i])
+                seg_start = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(data[seg_start:])
+    else:
+        segments = [data]
+
+    plane_coefs = []
+    grids = []
+    for cid, sh, sv, _tq in comps:
+        bx_n = mcus_x * sh
+        by_n = mcus_y * sv
+        grids.append((by_n, bx_n))
+        plane_coefs.append(np.zeros((by_n * bx_n, 64), np.int32))
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    prev = [0] * len(comps)
+    mcu_in_seg = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_in_seg == restart:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segments[seg_idx])
+                prev = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, (cid, sh, sv, _tq) in enumerate(comps):
+                dc_map = huff[(0, scan_tables[cid][0])]
+                ac_map = huff[(1, scan_tables[cid][1])]
+                _by_n, bx_n = grids[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        s = read_sym(br, dc_map)
+                        diff = extend(br.bits(s), s) if s else 0
+                        prev[ci] += diff
+                        blk = plane_coefs[ci][
+                            (my * sv + dy) * bx_n + (mx * sh + dx)
+                        ]
+                        blk[0] = prev[ci]
+                        i = 1
+                        while i < 64:
+                            sym = read_sym(br, ac_map)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                i += 16
+                                continue
+                            run, s = sym >> 4, sym & 15
+                            i += run
+                            if i >= 64:
+                                raise ValueError("AC run past block end")
+                            blk[i] = extend(br.bits(s), s)
+                            i += 1
+            mcu_in_seg += 1
+
+    planes = []
+    for ci, (cid, sh, sv, tq) in enumerate(comps):
+        by_n, bx_n = grids[ci]
+        nat = np.zeros((by_n * bx_n, 64), np.int32)
+        nat[:, _ZIGZAG] = plane_coefs[ci]
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64) * qtabs[tq]
+        spatial = np.tensordot(
+            np.tensordot(blocks, _DCTM, axes=([1], [0])),
+            _DCTM,
+            axes=([1], [0]),
+        )
+        plane = (
+            spatial.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
+        # upsample to full resolution by pixel replication
+        plane = plane.repeat(vmax // sv, axis=0).repeat(hmax // sh, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.floor(planes[0] + 128.0 + 0.5), 0, 255).astype(
+            np.uint8
+        )
+    ycc = np.stack(
+        [np.floor(p + 128.0 + 0.5) for p in planes], axis=-1
+    )
+    return ycbcr_to_rgb(np.clip(ycc, 0, 255))

@@ -1180,3 +1180,72 @@ def q249_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _batches, "doc_id long, height long, width long, mean_gray double"
     )
+
+
+# ---------------------------------------------------------------------------
+# L5g — REAL color-JPEG round-trip (round 7, part 2): the 3-component
+# baseline pipeline (JFIF YCbCr, 4:2:0 chroma subsampling, interleaved
+# MCUs, restart markers every 2 MCUs) through the driver's hash gate.
+# Achromatic RGB with EVEN values is the closed-form anchor: Y lands on
+# v (the JFIF luma weights sum to 1), chroma on neutral 128, both
+# DC-only and exactly representable after quantization — so the decoded
+# frame equals the input bit-for-bit and every channel mean is v.
+# ---------------------------------------------------------------------------
+@query(
+    "q250_jpeg_color_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q250_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize achromatic RGB (even values) → encode 4:2:0 color
+    JPEG with restart markers → REAL decode → exact channel means."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+        image_features,
+    )
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                v = (i * 2) % 256
+                img = np.full((16, 16, 3), v, dtype=np.uint8)
+                dec = decode_jpeg(
+                    encode_jpeg_color(
+                        img, subsample=True, restart_interval=2
+                    )
+                )
+                f = image_features(dec)
+                rows.append(
+                    (
+                        i, f["height"], f["width"],
+                        f["mean_r"], f["mean_g"], f["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return d.mapInPandas(
+        _batches,
+        "doc_id long, height long, width long, "
+        "mean_r double, mean_g double, mean_b double",
+    )

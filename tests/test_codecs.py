@@ -310,3 +310,140 @@ def test_jpeg_rejects_unsupported_shapes():
     )
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(bad)
+
+
+def _expected_const_rgb(rgb):
+    """Independent DC-only reference for a constant-color JPEG round
+    trip, built from the exported numeric kernels (the entropy/bitstream
+    layer under test contributes nothing to it)."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _DCTM,
+        _JPEG_QTAB,
+        _JPEG_QTAB_CHROMA,
+        _quantize_plane,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    def dc_roundtrip(val, qtab):
+        q = _quantize_plane(np.full((8, 8), float(val)), qtab)[0]
+        deq = q.astype(np.float64) * qtab
+        spatial = np.tensordot(
+            np.tensordot(deq, _DCTM, axes=([0], [0])),
+            _DCTM,
+            axes=([0], [0]),
+        )
+        return np.floor(spatial + 128.0 + 0.5)[0, 0]
+
+    y, cb, cr = (
+        rgb_to_ycbcr(np.array(rgb, np.uint8).reshape(1, 1, 3))[0, 0]
+        .astype(float)
+    )
+    t = np.array(
+        [[[dc_roundtrip(y, _JPEG_QTAB),
+           dc_roundtrip(cb, _JPEG_QTAB_CHROMA),
+           dc_roundtrip(cr, _JPEG_QTAB_CHROMA)]]]
+    )
+    return ycbcr_to_rgb(np.clip(t, 0, 255))[0, 0]
+
+
+def test_jpeg_color_constant_444_and_420_match_dc_reference():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(1)
+    for _ in range(8):
+        rgb = tuple(int(x) for x in rng.randint(0, 256, 3))
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:] = rgb
+        for sub in (False, True):
+            out = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+            assert (out == _expected_const_rgb(rgb)).all(), (rgb, sub)
+    # odd, non-MCU-aligned dims
+    img = np.zeros((13, 19, 3), np.uint8)
+    img[:] = (10, 200, 90)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+        assert out.shape == (13, 19, 3)
+        assert (out == _expected_const_rgb((10, 200, 90))).all(), sub
+
+
+def test_jpeg_color_dc_prediction_chains_across_mcus():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(2)
+    img = np.zeros((64, 64, 3), np.uint8)
+    cells = {}
+    for by in range(4):
+        for bx in range(4):
+            c = tuple(int(x) for x in rng.randint(0, 256, 3))
+            cells[(by, bx)] = c
+            img[by * 16 : (by + 1) * 16, bx * 16 : (bx + 1) * 16] = c
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+        for (by, bx), c in cells.items():
+            got = out[by * 16 : (by + 1) * 16, bx * 16 : (bx + 1) * 16]
+            assert (got == _expected_const_rgb(c)).all(), (sub, by, bx)
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(9)
+    img = np.zeros((48, 40, 3), np.uint8)
+    for by in range(3):
+        for bx in range(5):
+            img[by * 16 : (by + 1) * 16, bx * 8 : (bx + 1) * 8] = (
+                rng.randint(0, 256, 3)
+            )
+    for sub in (False, True):
+        ref = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+        for ri in (1, 2, 5):
+            out = decode_jpeg(
+                encode_jpeg_color(img, subsample=sub, restart_interval=ri)
+            )
+            assert (out == ref).all(), (sub, ri)
+
+
+def test_jpeg_color_smooth_bounded_error_and_gray_rgb_exact():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    x = np.arange(48)
+    img = np.stack(
+        [
+            np.add.outer(x * 2, x * 0) % 256,
+            np.add.outer(x * 0, x * 3) % 256,
+            np.full((48, 48), 77),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+    # achromatic RGB with even values survives the full color pipeline
+    # exactly (Y==v, chroma==128, DC-only)
+    g = np.full((16, 16, 3), 202, np.uint8)
+    for sub in (False, True):
+        assert (
+            decode_jpeg(encode_jpeg_color(g, subsample=sub)) == g
+        ).all(), sub
