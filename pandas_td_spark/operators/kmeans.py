@@ -57,7 +57,9 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Full-corpus distributed Lloyd fit; returns the (k x dim) centroid
     matrix. Empty clusters keep their previous centroid (standard Lloyd
-    degeneracy handling)."""
+    degeneracy handling). NULL vectors are excluded (SQL aggregate
+    convention)."""
+    emb = emb.where(F.col(vec).isNotNull())
     init = (
         emb.select(
             F.col(id_col).alias("id"),
@@ -119,7 +121,9 @@ def kmeans_assign(
     vec: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Final assignment pass: (id, cluster, sq_dist) per input row."""
+    """Final assignment pass: (id, cluster, sq_dist) per non-NULL
+    input row (NULL vectors excluded, matching kmeans_fit)."""
+    emb = emb.where(F.col(vec).isNotNull())
 
     @F.pandas_udf("struct<c: int, d: double>")
     def cell_dist(col: pd.Series) -> pd.DataFrame:

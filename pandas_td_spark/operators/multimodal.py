@@ -105,6 +105,10 @@ def featurize_binary(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL payloads are dropped (SQL convention: null inputs
+            # don't participate) — mapInPandas may emit fewer rows
+            keep = pdf[payload].notna()
+            pdf = pdf[keep]
             feats = [
                 fn(bytes(b), out_dim).tolist() for b in pdf[payload]
             ]
@@ -154,6 +158,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf[payload]):
+                if b is None:
+                    continue  # null payloads don't participate
                 for j, fr in enumerate(fn(bytes(b), n_frames)):
                     ids.append(i)
                     idxs.append(j)

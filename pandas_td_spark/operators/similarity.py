@@ -96,6 +96,10 @@ def cosine_topk(
     column are excluded — the hard-negative-mining constraint (top-k most
     similar items with a DIFFERENT label/source/cluster).
     """
+    # NULL embeddings are excluded up front (SQL aggregate convention:
+    # null inputs don't participate) — a None inside an Arrow batch would
+    # otherwise break the numpy vstack/matmul kernels
+    emb = emb.where(F.col(vec).isNotNull())
     n = _with_norm(emb, dim, vec)
     extra_q = [F.col(anti_col).alias("q_grp")] if anti_col else []
     extra_c = [F.col(anti_col).alias("c_grp")] if anti_col else []
@@ -171,6 +175,7 @@ def cosine_threshold_pairs(
     (t ≥ 0.9) should use the LSH/banded paths (:func:`lsh_topk`,
     ``operators/dedup.py``) instead.
     """
+    emb = emb.where(F.col(vec).isNotNull())  # null vectors excluded
     margin = 1e-9
     # Pack each block as (array<long> ids, flat array<double> of row-major
     # vectors) rather than an array of structs: Arrow then hands mapInPandas
@@ -392,6 +397,7 @@ def ivf_topk(
     query touches n_probe/n_clusters of the corpus — the classic IVF
     trade. Recall vs the exact path is asserted in tests/test_llm.py.
     """
+    emb = emb.where(F.col(vec).isNotNull())  # null vectors excluded
     centers = _train_ivf_quantizer(
         emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
     )
@@ -487,6 +493,7 @@ def lsh_topk(
     query, never the cross product; distinct before the exact re-rank.
     Recall is measured against cosine_topk in tests/test_llm.py.
     """
+    emb = emb.where(F.col(vec).isNotNull())  # null vectors excluded
     buckets = bucket_array_udf(dim, n_planes, n_tables)(F.col(vec))
     # materialized once: the bucket-UDF + norm subtree feeds BOTH sides of
     # the self-join below; without it Spark evaluates the Python stage
@@ -556,6 +563,7 @@ def semdedup_pairs(
     comparisons shard across the cluster — raise ``n_clusters`` ∝ n to
     bound per-cell quadratic work, exactly how the paper deployed it.
     """
+    emb = emb.where(F.col(vec).isNotNull())  # null vectors excluded
     centers = _train_ivf_quantizer(
         emb, id_col=id_col, vec=vec, n_clusters=n_clusters, seed=seed
     )
@@ -702,6 +710,7 @@ def pq_topk(
     re-ranks the top-``refine`` ADC candidates per query (the standard
     PQ+refine pipeline; the exact pass touches refine rows per query, not
     the corpus)."""
+    emb = emb.where(F.col(vec).isNotNull())  # null vectors excluded
     books = _train_pq_codebooks(
         emb, id_col=id_col, vec=vec, dim=dim, m=m, ksub=ksub, seed=seed
     )

@@ -843,8 +843,10 @@ def q238_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_features,
     )
 
-    d = spark.table("documents").select(
-        "doc_id", F.length("text").cast("bigint").alias("n")
+    d = (
+        spark.table("documents")
+        .where(F.col("text").isNotNull())  # null docs: nothing to synth
+        .select("doc_id", F.length("text").cast("bigint").alias("n"))
     )
     schema = (
         "doc_id long, n_samples long, sample_rate long, "

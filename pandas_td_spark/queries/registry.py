@@ -109,14 +109,11 @@ def _ensure_loaded() -> None:
 # silently rot (tests/test_registry_order.py pins both properties).
 _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q54_simhash_pairs": 2,  # rewritten round 2; only driver row is r1
-    "q55_embedding_topk": 2,  # zip_with rewrite round 2
-    "q56_embedding_lsh_topk": 2,  # rewritten round 2
+    "q56_embedding_lsh_topk": 7,  # r2 rewrite; r7 null-vector guard
     "q61_range_join": 4,  # zero-join plan replaced the interval join
-    "q62_multimodal_features": 4,  # gained a full oracle (was rows-only)
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
     "q138_hierarchy_rollup": 5,  # doubling rounds now derived from depth
-    "q118_kmeans_clusters": 5,  # kmeans_fit persists corpus across Lloyd
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
@@ -146,6 +143,16 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q96_funnel": 7,  # NULL conv on empty funnel instead of ANSI /0
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
     "q117_dsir_select": 7,  # featurization counts materialized once (rows-only)
+    # round-7 NULL-payload guards (filters only; values identical on
+    # null-free fixtures):
+    "q238_wav_roundtrip": 7,
+    "q62_multimodal_features": 7,
+    "q64_embedding_near_dup": 7,
+    "q55_embedding_topk": 7,
+    "q109_semdedup_pairs": 7,
+    "q66_embedding_ivf_topk": 7,
+    "q116_embedding_pq_topk": 7,
+    "q118_kmeans_clusters": 7,
 }
 
 
