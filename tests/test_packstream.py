@@ -166,3 +166,46 @@ def test_stream_offset_protocol_exactly_once():
     land(".part-00002-c.tdpack.inprogress", [9])
     rows4, _ = r.read(o2)
     assert rows4 == []
+
+
+def test_wire_format_property_round_trip():
+    """Pure-codec property test: arbitrary rows (unicode, NULLs, int64
+    extremes, NaN/inf doubles) survive the tdpack wire format exactly —
+    no Spark session involved."""
+    import math
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_td_spark.sources.packstream import (
+        _MAGIC,
+        _decode_file,
+        _encode_row,
+    )
+
+    kinds = ["i64", "f64", "str", "bool"]
+    row_st = st.tuples(
+        st.none() | st.integers(-(2**63), 2**63 - 1),
+        st.none() | st.floats(allow_nan=True, allow_infinity=True),
+        st.none() | st.text(max_size=40),
+        st.none() | st.booleans(),
+    )
+
+    @given(st.lists(row_st, max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def check(rows):
+        blob = _MAGIC + b"".join(_encode_row(r, kinds) for r in rows)
+        with tempfile.NamedTemporaryFile(suffix=".tdpack") as f:
+            f.write(blob)
+            f.flush()
+            got = list(_decode_file(f.name, kinds))
+        assert len(got) == len(rows)
+        for g, r in zip(got, rows):
+            for gv, rv in zip(g, r):
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert isinstance(gv, float) and math.isnan(gv)
+                else:
+                    assert gv == rv, (gv, rv)
+
+    check()
