@@ -739,6 +739,94 @@ def _size_of(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+#: flat-length canonical Huffman tables the encoders write (valid per
+#: spec; DHT fully describes them) — constant, built once
+_FLAT_DC_SYMS = list(range(12))
+_FLAT_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | sz for r in range(16) for sz in range(1, 11)
+]
+_FLAT_DC_BITS = [0, 0, 0, len(_FLAT_DC_SYMS)] + [0] * 12
+_FLAT_AC_BITS = [0] * 7 + [len(_FLAT_AC_SYMS)] + [0] * 8
+_FLAT_DC_CODE = _canonical_codes(_FLAT_DC_BITS, _FLAT_DC_SYMS)
+_FLAT_AC_CODE = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_SYMS)
+_FLAT_DHT_GRAY = (
+    b"\x00" + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_SYMS)
+    + b"\x10" + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_SYMS)
+)
+_FLAT_DHT_COLOR = (
+    _FLAT_DHT_GRAY
+    + b"\x01" + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_SYMS)
+    + b"\x11" + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_SYMS)
+)
+
+#: decoder-side caches keyed by the raw segment bytes — a corpus of
+#: files sharing tables (the common case) parses them once
+_DHT_CACHE: dict[bytes, dict] = {}
+_DQT_CACHE: dict[bytes, dict] = {}
+_QZ_CACHE: dict[str, bytes] = {}
+
+
+def _qz_luma() -> bytes:
+    b = _QZ_CACHE.get("l")
+    if b is None:
+        b = bytes(int(_JPEG_QTAB.ravel()[_ZIGZAG][i]) for i in range(64))
+        _QZ_CACHE["l"] = b
+    return b
+
+
+def _qz_chroma() -> bytes:
+    b = _QZ_CACHE.get("c")
+    if b is None:
+        b = bytes(
+            int(_JPEG_QTAB_CHROMA.ravel()[_ZIGZAG][i]) for i in range(64)
+        )
+        _QZ_CACHE["c"] = b
+    return b
+
+
+def _parse_dqt(body: bytes) -> dict:
+    """DQT body → {table_id: 8x8 natural-order int32}, cached by bytes."""
+    got = _DQT_CACHE.get(body)
+    if got is not None:
+        return got
+    out = {}
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+        nat = np.empty(64, np.int32)
+        nat[_ZIGZAG] = zz
+        out[tq] = nat.reshape(8, 8)
+        i += 65
+    if len(_DQT_CACHE) >= 64:
+        _DQT_CACHE.clear()
+    _DQT_CACHE[body] = out
+    return out
+
+
+def _parse_dht(body: bytes) -> dict:
+    """DHT body → {(class, id): {(len, code): symbol}}, cached by bytes."""
+    got = _DHT_CACHE.get(body)
+    if got is not None:
+        return got
+    out = {}
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        bits = list(body[i + 1 : i + 17])
+        nsym = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nsym])
+        codes = _canonical_codes(bits, vals)
+        out[(tc, th)] = {(l2, c): sym for sym, (c, l2) in codes.items()}
+        i += 17 + nsym
+    if len(_DHT_CACHE) >= 64:
+        _DHT_CACHE.clear()
+    _DHT_CACHE[body] = out
+    return out
+
+
 def encode_jpeg_gray(img: np.ndarray) -> bytes:
     """8-bit grayscale baseline JFIF. Flat-length canonical Huffman
     tables (DC: 12 symbols at 4 bits; AC: 162 symbols at 8 bits) —
@@ -746,14 +834,7 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     arr = np.asarray(img, np.uint8)
     h, w = arr.shape
     coefs = jpeg_quantize_gray(arr)
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    dc_bits = [0, 0, 0, len(dc_syms)] + [0] * 12
-    ac_bits = [0] * 7 + [len(ac_syms)] + [0] * 8
-    dc_code = _canonical_codes(dc_bits, dc_syms)
-    ac_code = _canonical_codes(ac_bits, ac_syms)
+    dc_code, ac_code = _FLAT_DC_CODE, _FLAT_AC_CODE
 
     bw = _BitWriter()
     prev_dc = 0
@@ -789,14 +870,9 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qz = bytes(int(_JPEG_QTAB.ravel()[_ZIGZAG][i]) for i in range(64))
-    dqt = seg(0xDB, b"\x00" + qz)
+    dqt = seg(0xDB, b"\x00" + _qz_luma())
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(dc_bits) + bytes(dc_syms)
-        + b"\x10" + bytes(ac_bits) + bytes(ac_syms),
-    )
+    dht = seg(0xC4, _FLAT_DHT_GRAY)
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
@@ -827,18 +903,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         body = payload[pos + 2 : pos + ln]
         pos += ln
         if m == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(
-                    np.int32
-                )
-                nat = np.empty(64, np.int32)
-                nat[_ZIGZAG] = zz
-                qtabs[tq] = nat.reshape(8, 8)
-                i += 65
+            qtabs.update(_parse_dqt(body))
         elif m == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc != 1:
@@ -853,18 +918,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         elif m in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif m == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                nsym = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nsym])
-                codes = _canonical_codes(bits, vals)
-                # invert for decoding: (length, code) -> symbol
-                huff[(tc, th)] = {
-                    (ln2, c): sym for sym, (c, ln2) in codes.items()
-                }
-                i += 17 + nsym
+            huff.update(_parse_dht(body))
         elif m == 0xDA:
             ns = body[0]
             if ns != 1:
@@ -1082,14 +1136,7 @@ def encode_jpeg_color(
         grids.append((th // 8, tw // 8))
         coefs.append(q)
 
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    dc_bits = [0, 0, 0, len(dc_syms)] + [0] * 12
-    ac_bits = [0] * 7 + [len(ac_syms)] + [0] * 8
-    dc_code = _canonical_codes(dc_bits, dc_syms)
-    ac_code = _canonical_codes(ac_bits, ac_syms)
+    dc_code, ac_code = _FLAT_DC_CODE, _FLAT_AC_CODE
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -1129,11 +1176,7 @@ def encode_jpeg_color(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qz0 = bytes(int(_JPEG_QTAB.ravel()[_ZIGZAG][i]) for i in range(64))
-    qz1 = bytes(
-        int(_JPEG_QTAB_CHROMA.ravel()[_ZIGZAG][i]) for i in range(64)
-    )
-    dqt = seg(0xDB, b"\x00" + qz0 + b"\x01" + qz1)
+    dqt = seg(0xDB, b"\x00" + _qz_luma() + b"\x01" + _qz_chroma())
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -1141,13 +1184,7 @@ def encode_jpeg_color(
         + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])
         + bytes([3, (samp[2][0] << 4) | samp[2][1], 1]),
     )
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(dc_bits) + bytes(dc_syms)
-        + b"\x10" + bytes(ac_bits) + bytes(ac_syms)
-        + b"\x01" + bytes(dc_bits) + bytes(dc_syms)
-        + b"\x11" + bytes(ac_bits) + bytes(ac_syms),
-    )
+    dht = seg(0xC4, _FLAT_DHT_COLOR)
     sos = seg(
         0xDA,
         bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
@@ -1191,18 +1228,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         body = payload[pos + 2 : pos + ln]
         pos += ln
         if m == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(
-                    np.int32
-                )
-                nat = np.empty(64, np.int32)
-                nat[_ZIGZAG] = zz
-                qtabs[tq] = nat.reshape(8, 8)
-                i += 65
+            qtabs.update(_parse_dqt(body))
         elif m == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -1215,17 +1241,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif m == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                nsym = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nsym])
-                codes = _canonical_codes(bits, vals)
-                huff[(tc, th)] = {
-                    (l2, c): sym for sym, (c, l2) in codes.items()
-                }
-                i += 17 + nsym
+            huff.update(_parse_dht(body))
         elif m == 0xDD:
             (restart,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:

@@ -988,11 +988,11 @@ def q239_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(doc_id % 5 AS BIGINT) AS filter_type,
-           CAST(12 AS BIGINT) AS height,
-           CAST(16 AS BIGINT) AS width,
-           CAST(192 AS BIGINT) AS n_pixels,
-           CAST(doc_id % 240 AS DOUBLE) + 7.5 AS mean_r,
-           CAST((doc_id * 7) % 244 AS DOUBLE) + 5.5 AS mean_g,
+           CAST(8 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(doc_id % 248 AS DOUBLE) + 3.5 AS mean_r,
+           CAST((doc_id * 7) % 248 AS DOUBLE) + 3.5 AS mean_g,
            CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
     FROM documents
     """,
@@ -1020,10 +1020,10 @@ def q247_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                br, bg, bb = i % 240, (i * 7) % 244, (i * 13) % 256
-                img = np.empty((12, 16, 3), dtype=np.uint8)
-                img[..., 0] = br + np.arange(16)[None, :]
-                img[..., 1] = bg + np.arange(12)[:, None]
+                br, bg, bb = i % 248, (i * 7) % 248, (i * 13) % 256
+                img = np.empty((8, 8, 3), dtype=np.uint8)
+                img[..., 0] = br + np.arange(8)[None, :]
+                img[..., 1] = bg + np.arange(8)[:, None]
                 img[..., 2] = bb
                 dec = decode_png(encode_png(img, filter_type=i % 5))
                 assert (dec == img).all()
@@ -1140,7 +1140,7 @@ def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q249_jpeg_roundtrip",
     oracle="""
     SELECT doc_id,
-           CAST(16 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS height,
            CAST(16 AS BIGINT) AS width,
            CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_gray
     FROM documents
@@ -1165,7 +1165,7 @@ def q249_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 v = (i * 2) % 256
-                img = np.full((16, 16), v, dtype=np.uint8)
+                img = np.full((8, 16), v, dtype=np.uint8)
                 dec = decode_jpeg_gray(encode_jpeg_gray(img))
                 rows.append(
                     (
@@ -1197,8 +1197,8 @@ def q249_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q250_jpeg_color_roundtrip",
     oracle="""
     SELECT doc_id,
-           CAST(16 AS BIGINT) AS height,
-           CAST(16 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS width,
            CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_r,
            CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_g,
            CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_b
@@ -1225,7 +1225,7 @@ def q250_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 v = (i * 2) % 256
-                img = np.full((16, 16, 3), v, dtype=np.uint8)
+                img = np.full((8, 8, 3), v, dtype=np.uint8)
                 dec = decode_jpeg(
                     encode_jpeg_color(
                         img, subsample=True, restart_interval=2
