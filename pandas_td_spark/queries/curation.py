@@ -1704,3 +1704,77 @@ def q237_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights — multilingual/multi-source
+# training runs don't sample sources proportionally: raw frequencies
+# are flattened with a temperature exponent (p_s ∝ n_s^alpha,
+# alpha<1 upweights the tail — the mT5/XLM-R sampling scheme). With
+# alpha = 1/2 the weight is sqrt(n_s), and IEEE sqrt is correctly
+# rounded in every engine, so the whole computation stays bit-exact
+# cross-engine with no transcendental-divergence guards: floor(sqrt)
+# makes the weight an integer, and every downstream share is a ratio
+# of identically-computed integers. Plan: one keyed aggregation to
+# source grain (≤ sources rows), then a broadcast 1-row total.
+# ---------------------------------------------------------------------------
+@query(
+    "q254_mixture_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source HAVING SUM(n_chars) > 0
+    ), w AS (
+      SELECT source, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wgt
+      FROM s
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS tok_total,
+             CAST(SUM(wgt) AS BIGINT) AS wgt_total
+      FROM w
+    )
+    SELECT source, tokens, wgt,
+           CAST(tokens AS DOUBLE) / tok_total AS p_raw,
+           CAST(wgt AS DOUBLE) / wgt_total AS p_temp,
+           (CAST(wgt AS DOUBLE) / wgt_total)
+             / (CAST(tokens AS DOUBLE) / tok_total) AS repeat_factor
+    FROM w CROSS JOIN tot
+    """,
+    scale_note=(
+        "source grain is bounded (≤ distinct sources): one keyed "
+        "partial aggregation over the corpus, then a broadcast 1-row "
+        "total — no data-sized state anywhere"
+    ),
+)
+def q254_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling weights per source (alpha=0.5):
+    raw vs flattened sampling shares and the implied repeat factor."""
+    s = (
+        spark.table("documents")
+        .where(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("tokens"))
+        .where(F.col("tokens") > 0)
+    )
+    w = s.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")))
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("tokens").cast("bigint").alias("tok_total"),
+        F.sum("wgt").cast("bigint").alias("wgt_total"),
+    )
+    p_raw = F.col("tokens").cast("double") / F.col("tok_total")
+    p_temp = F.col("wgt").cast("double") / F.col("wgt_total")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "wgt",
+        p_raw.alias("p_raw"),
+        p_temp.alias("p_temp"),
+        (p_temp / p_raw).alias("repeat_factor"),
+    )

@@ -475,3 +475,391 @@ def q245_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(frontier),
         (p["cents"] == F.col("f_cents")) & (p["size"] == F.col("msize")),
     ).select("p_partkey", "cents", "size")
+
+
+# ---------------------------------------------------------------------------
+# Erasure cascade (GDPR/right-to-be-forgotten propagation) — given a
+# tombstone set of customers, report per-table purge impact across the
+# FK cascade (customer → orders → lineitem): rows purged, rows kept,
+# and a fingerprint-sum checksum of the surviving keys (the artifact a
+# deletion job publishes for downstream verification, same fingerprint
+# family as the q243 anti-entropy checksums). Plan: the tombstone key
+# set broadcasts into each fact scan as a left join + flag, so every
+# table is read ONCE and both counts ride one aggregation; the purged
+# order-key closure broadcasts into lineitem the same way. At 100 TB
+# the closure can exceed broadcast size — the same plan degrades to a
+# shuffle-hash semi-join without changing semantics (no driver state).
+# ---------------------------------------------------------------------------
+@query(
+    "q251_erasure_cascade",
+    oracle=f"""
+    WITH tomb AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), cflag AS (
+      SELECT c_custkey AS key,
+             CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END AS purge
+      FROM customer
+    ), oflag AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM tomb)
+                  THEN 1 ELSE 0 END AS purge
+      FROM orders
+    ), po AS (
+      SELECT key AS o_orderkey FROM oflag WHERE purge = 1
+    ), lflag AS (
+      SELECT l_orderkey * 10 + l_linenumber AS key,
+             CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+                  THEN 1 ELSE 0 END AS purge
+      FROM lineitem
+    ), u AS (
+      SELECT 'customer' AS tbl, * FROM cflag
+      UNION ALL SELECT 'orders', * FROM oflag
+      UNION ALL SELECT 'lineitem', * FROM lflag
+    )
+    SELECT tbl,
+           CAST(COALESCE(SUM(purge), 0) AS BIGINT) AS purged,
+           CAST(COALESCE(SUM(1 - purge), 0) AS BIGINT) AS kept,
+           CAST(COALESCE(SUM(CASE WHEN purge = 0 THEN
+                  CAST(key * 1000003 % {_FP_MOD} AS HUGEINT) END)
+                % {_FP_MOD}, 0) AS BIGINT) AS kept_fp
+    FROM u GROUP BY tbl
+    """,
+    scale_note=(
+        "tombstone set + purged-order closure broadcast into one-pass "
+        "flagged scans (no second read per table); closure above "
+        "broadcast size degrades to shuffle-hash semi-join"
+    ),
+)
+def q251_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table purge/keep counts + surviving-key fingerprint for a
+    customer tombstone set cascaded through orders to lineitem."""
+    tomb = (
+        spark.table("customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+
+    def flagged_agg(df: DataFrame, tbl: str) -> DataFrame:
+        fp = (F.col("key") * 1000003) % _FP_MOD
+        return df.agg(
+            F.coalesce(F.sum("purge"), F.lit(0))
+            .cast("bigint")
+            .alias("purged"),
+            F.coalesce(F.sum(1 - F.col("purge")), F.lit(0))
+            .cast("bigint")
+            .alias("kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("purge") == 0, fp).cast("decimal(38,0)")
+                )
+                % _FP_MOD,
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("kept_fp"),
+        ).select(F.lit(tbl).alias("tbl"), "purged", "kept", "kept_fp")
+
+    cflag = spark.table("customer").select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 97 == 0, 1).otherwise(0).alias("purge"),
+    )
+    oflag = (
+        spark.table("orders")
+        .join(
+            F.broadcast(tomb),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0)
+            .alias("purge"),
+        )
+    )
+    po = oflag.where(F.col("purge") == 1).select(
+        F.col("key").alias("po_key")
+    )
+    lflag = (
+        spark.table("lineitem")
+        .join(
+            F.broadcast(po),
+            F.col("l_orderkey") == F.col("po_key"),
+            "left",
+        )
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+            F.when(F.col("po_key").isNotNull(), 1).otherwise(0)
+            .alias("purge"),
+        )
+    )
+    return (
+        flagged_agg(cflag, "customer")
+        .unionByName(flagged_agg(oflag, "orders"))
+        .unionByName(flagged_agg(lflag, "lineitem"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (small-file bin-packing) — the maintenance job
+# every lakehouse table needs: group many small files into target-size
+# output bins, preserving sort order so the rewrite stays cluster-
+# friendly. "Files" here are per-shipdate row groups (the natural
+# ingest grain); the plan assigns each file to the bin its cumulative
+# byte offset falls in (next-fit in date order — deterministic, and
+# the exact algorithm Delta/Iceberg OPTIMIZE uses for sorted
+# compaction). The cumulative offset is the distributed two-phase
+# prefix sum (operators/ranking.py), never a single-partition window.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 262144  # 256 KiB bins at 128 B/row
+
+
+@query(
+    "q252_compaction_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS dkey,
+             CAST(COUNT(*) AS BIGINT) * 128 AS bytes
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT dkey, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (
+               ORDER BY dkey ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM f
+    )
+    SELECT CAST(off // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(dkey) AS first_key, MAX(dkey) AS last_key
+    FROM c GROUP BY 1
+    """,
+    scale_note=(
+        "file inventory is metadata-grain (one row per file, never per "
+        "data row); the only global order is the distributed two-phase "
+        "prefix sum over that bounded inventory"
+    ),
+)
+def q252_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit compaction bins over per-shipdate file sizes via the
+    distributed strict prefix sum."""
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    f = (
+        spark.table("lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.unix_timestamp(F.col("l_shipdate"))
+            .cast("bigint")
+            .alias("dkey")
+        )
+        .agg((F.count("*") * 128).alias("bytes"))
+    )
+    g = with_global_prefix_agg(
+        f, ["dkey"], "bytes", agg="sum", out="off", inclusive=False
+    )
+    binned = g.select(
+        "dkey",
+        "bytes",
+        F.expr(
+            f"cast(coalesce(off, 0) as bigint) div {_COMPACT_TARGET}"
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.min("dkey").alias("first_key"),
+        F.max("dkey").alias("last_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file-skipping audit — quantifies what min/max file statistics
+# (parquet row-group stats, Iceberg/Delta file-level zone maps) actually
+# prune for a given physical layout. Files are month-partitioned orders
+# (the time-partitioned ingest norm); per-file zone maps carry min/max
+# of BOTH the clustered column (orderdate) and an unclustered one
+# (totalprice). The audit evaluates one predicate against each map:
+# a quarter range on orderdate (layout-aligned → prunes ~77/80 files)
+# vs an equal-selectivity totalprice band (unaligned → prunes ~none) —
+# the measurement behind every clustering decision (cf. q242's Morton
+# profile). Plan: metadata-grain aggregation (one row per file), then a
+# bounded two-row summary; the data is scanned exactly once.
+# ---------------------------------------------------------------------------
+_ZM_D_LO, _ZM_D_HI = 836179200, 844128000  # [1996-07-01, 1996-10-01) UTC
+_ZM_P_LO, _ZM_P_HI = 100000.0, 150000.0
+
+
+@query(
+    "q253_zone_map_pruning",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(floor(epoch(date_trunc('month', o_orderdate)))
+               AS BIGINT) AS file_id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d,
+             o_totalprice AS p
+      FROM orders
+    ), z AS (
+      SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(d) AS mn_d, MAX(d) AS mx_d,
+             MIN(p) AS mn_p, MAX(p) AS mx_p,
+             CAST(SUM(CASE WHEN d >= {_ZM_D_LO} AND d < {_ZM_D_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS match_d,
+             CAST(SUM(CASE WHEN p >= {_ZM_P_LO} AND p < {_ZM_P_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS match_p
+      FROM base GROUP BY 1
+    ), audit AS (
+      SELECT 'orderdate' AS pred,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN mx_d < {_ZM_D_LO} OR mn_d >= {_ZM_D_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+             CAST(SUM(CASE WHEN mx_d < {_ZM_D_LO} OR mn_d >= {_ZM_D_HI}
+                  THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(match_d) AS BIGINT) AS rows_match,
+             CAST(SUM(n) AS BIGINT) AS rows_total
+      FROM z
+      UNION ALL
+      SELECT 'totalprice',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN mx_p < {_ZM_P_LO} OR mn_p >= {_ZM_P_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN mx_p < {_ZM_P_LO} OR mn_p >= {_ZM_P_HI}
+                  THEN 0 ELSE n END) AS BIGINT),
+             CAST(SUM(match_p) AS BIGINT),
+             CAST(SUM(n) AS BIGINT)
+      FROM z
+    )
+    SELECT * FROM audit
+    """,
+    scale_note=(
+        "zone maps are metadata-grain (files, not rows): the audit "
+        "aggregates the fact table once into per-file stats, then "
+        "reduces a bounded file inventory — no second data scan"
+    ),
+)
+def q253_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness of month-partitioned zone maps for a
+    layout-aligned date predicate vs an unaligned price predicate."""
+    base = spark.table("orders").select(
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("file_id"),
+        F.unix_timestamp(F.col("o_orderdate")).cast("bigint").alias("d"),
+        F.col("o_totalprice").alias("p"),
+    )
+    z = base.groupBy("file_id").agg(
+        F.count("*").alias("n"),
+        F.min("d").alias("mn_d"),
+        F.max("d").alias("mx_d"),
+        F.min("p").alias("mn_p"),
+        F.max("p").alias("mx_p"),
+        F.sum(
+            F.when(
+                (F.col("d") >= _ZM_D_LO) & (F.col("d") < _ZM_D_HI), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("match_d"),
+        F.sum(
+            F.when(
+                (F.col("p") >= _ZM_P_LO) & (F.col("p") < _ZM_P_HI), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("match_p"),
+    )
+
+    def audit(pred: str, lo, hi, mn, mx, match) -> DataFrame:
+        skip = (F.col(mx) < F.lit(lo)) | (F.col(mn) >= F.lit(hi))
+        return z.agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.when(skip, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_skipped"),
+            F.sum(F.when(skip, 0).otherwise(F.col("n")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum(match).cast("bigint").alias("rows_match"),
+            F.sum("n").cast("bigint").alias("rows_total"),
+        ).select(
+            F.lit(pred).alias("pred"),
+            "n_files",
+            "files_skipped",
+            "rows_scanned",
+            "rows_match",
+            "rows_total",
+        )
+
+    return audit(
+        "orderdate", _ZM_D_LO, _ZM_D_HI, "mn_d", "mx_d", "match_d"
+    ).unionByName(
+        audit("totalprice", _ZM_P_LO, _ZM_P_HI, "mn_p", "mx_p", "match_p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrival audit (watermark sizing) — for an event stream
+# consumed in arrival order (event_id), how late does event time lag
+# the running high-water mark? The lateness histogram is exactly the
+# evidence a streaming job needs to size its watermark
+# (streaming/jobs.py's windowed aggregations drop events later than
+# the chosen delay). The running max is the distributed two-phase
+# prefix-max (operators/ranking.py) — arrival order is a total order
+# (unique event_id), so ROWS and RANGE frames coincide.
+# ---------------------------------------------------------------------------
+@query(
+    "q255_out_of_order_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE ts IS NOT NULL
+    ), m AS (
+      SELECT t, MAX(t) OVER (
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS hi
+      FROM e
+    ), l AS (
+      SELECT LEAST((hi - t) // 3600, 24) AS late_bucket_h,
+             hi - t AS late_s
+      FROM m
+    )
+    SELECT late_bucket_h,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(late_s) AS max_late_s
+    FROM l GROUP BY 1
+    """,
+    scale_note=(
+        "running high-water mark via the distributed two-phase "
+        "prefix-max over arrival order; histogram reduction is keyed "
+        "partial aggregation"
+    ),
+)
+def q255_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness histogram vs the arrival-order high-water
+    mark — the watermark-sizing audit."""
+    from pandas_td_spark.operators.ranking import with_global_prefix_agg
+
+    e = (
+        spark.table("events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id"),
+            F.unix_timestamp(F.col("ts")).cast("bigint").alias("t"),
+        )
+    )
+    m = with_global_prefix_agg(
+        e, ["event_id"], "t", agg="max", out="hi", inclusive=True
+    )
+    late = F.col("hi") - F.col("t")
+    l = m.select(
+        F.least(F.expr("(hi - t) div 3600"), F.lit(24))
+        .cast("bigint")
+        .alias("late_bucket_h"),
+        late.alias("late_s"),
+    )
+    return l.groupBy("late_bucket_h").agg(
+        F.count("*").alias("n_events"),
+        F.max("late_s").alias("max_late_s"),
+    )
