@@ -422,7 +422,12 @@ def simhash_pairs(
     (block_idx, block_value) bounds candidates without the O(n²) cross
     join. Exact Hamming verify on candidates via bit_count(xor).
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    # One materialization of the signatures: the banded self-join
+    # consumes `blocks` on BOTH sides, and without the cut the whole
+    # explode + 64-sum signature build runs twice (plan showed the
+    # Generate subtree duplicated, zero exchange reuse). The frame is
+    # doc-grain (one 8-byte sig per doc) — bounded at any corpus size.
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
     blocks = sigs.select(
         id_col,
         "sig",

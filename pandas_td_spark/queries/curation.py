@@ -553,7 +553,15 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram LM (natural log, 6dp-rounded per token)."""
     d = spread(spark.table("documents"))
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
-    freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    # the unigram table is a VOCAB-grain model artifact (bounded) with
+    # two consumers (token total + scoring join) — materialize it once
+    # or each re-runs the corpus explode (plan showed Generate×3, zero
+    # exchange reuse)
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint()
+    )
     # corpus token total rides the freq aggregate as a lazy broadcast
     # 1-row rollup — a driver-side tok.count() was a full extra scan of
     # the token explode; exact int -> double either way
@@ -899,35 +907,52 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_stopwords"),
     )
 
-    def topfrac(n: int, out: str):
-        return (
-            d.select("doc_id", F.explode(_ngrams(w, n)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(
-                (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
-                    out
-                )
-            )
+    # All four repetition statistics ride ONE n-tagged gram explode:
+    # the (doc, n, gram) count table yields top-gram fraction (max/sum)
+    # for n=2..4 and the distinct-fraction dup rule for n=5, so the
+    # corpus is exploded once and joined back once — the previous form
+    # ran four independent explode+aggregate pipelines (4 corpus
+    # passes, 4 joins) for the same exploded row count. Values are
+    # identical: every fraction is a ratio of the same exact bigints.
+    def _tag(n: int):
+        # NOTE: the binding must happen in a dedicated function scope —
+        # a two-argument lambda (``lambda g, n=n``) would make
+        # F.transform pass the element POSITION as the second argument,
+        # silently replacing the n-gram order with the array index.
+        return F.transform(
+            _ngrams(w, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
 
-    dup5 = (
-        d.select("doc_id", F.explode(_ngrams(w, 5)).alias("g"))
+    tagged = F.flatten(F.array(*[_tag(n) for n in (2, 3, 4, 5)]))
+    stats = (
+        d.select("doc_id", F.explode(tagged).alias("t"))
+        .groupBy("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("c").cast("double").alias("mx"),
+            F.sum("c").cast("double").alias("tot"),
+            F.count("*").cast("double").alias("nd"),
+        )
         .groupBy("doc_id")
         .agg(
-            (
-                F.lit(1.0)
-                - F.count_distinct("g").cast("double") / F.count("*")
-            ).alias("f5")
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("mx") / F.col("tot"))
+                ).alias(f"f{n}")
+                for n in (2, 3, 4)
+            ],
+            F.max(
+                F.when(
+                    F.col("n") == 5,
+                    F.lit(1.0) - F.col("nd") / F.col("tot"),
+                )
+            ).alias("f5"),
         )
     )
-    j = (
-        base.join(topfrac(2, "f2"), "doc_id", "left")
-        .join(topfrac(3, "f3"), "doc_id", "left")
-        .join(topfrac(4, "f4"), "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .fillna(0.0, subset=["f2", "f3", "f4", "f5"])
+    j = base.join(stats, "doc_id", "left").fillna(
+        0.0, subset=["f2", "f3", "f4", "f5"]
     )
     rules = {
         "ok_word_count": F.col("n_words").between(50, 100000),
@@ -1138,8 +1163,14 @@ def q180_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     care."""
     d = spark.table("documents")
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
+    # NOTE: localCheckpoints of dl/tf/ranked were A/B-tested here and
+    # REVERTED: at sf0.1 the three serialized materialization jobs cost
+    # more than the recomputed explodes they save (0.99 -> 1.2 s warm);
+    # the lazy form keeps all branches in one job's parallel stages.
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    n_docs = d.count()
+    # corpus size rides as a lazy broadcast 1-row aggregate — a
+    # driver-side d.count() was an extra action + scan per call
+    ndf = d.agg(F.count("*").cast("double").alias("n_docs"))
     stats = dl.agg(F.avg("dl").alias("avgdl"))
     tf = (
         tok.where(F.col("w").isin(*_BM25_TERMS))
@@ -1152,7 +1183,7 @@ def q180_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_bm25 = F.round(
         F.log(
             F.lit(1.0)
-            + ((F.lit(float(n_docs)) - F.col("df")) + F.lit(0.5))
+            + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         ),
         6,
@@ -1162,12 +1193,13 @@ def q180_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
     )
     tfidf_score = F.col("tf") * F.round(
-        F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        F.log(F.col("n_docs") / F.col("df")), 6
     )
     scored = (
         tf.join(F.broadcast(dft), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ndf))
         .select(
             "term",
             "doc_id",

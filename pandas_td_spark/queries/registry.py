@@ -145,6 +145,11 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q117_dsir_select": 7,  # featurization counts materialized once (rows-only)
     # round-7 NULL-payload guards (filters only; values identical on
     # null-free fixtures):
+    # round-7 repeated-subtree perf pass (values identical; plans
+    # reshaped to cut duplicate corpus passes / driver actions):
+    "q211_source_overlap": 7,  # fingerprint set checkpointed (3 consumers)
+    "q108_gopher_verdict": 7,  # four n-gram pipelines fused into one
+    "q180_rrf_fusion": 7,  # corpus size as lazy broadcast, not d.count()
     "q238_wav_roundtrip": 7,
     "q62_multimodal_features": 7,
     "q64_embedding_near_dup": 7,

@@ -661,10 +661,22 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    c12 = bg.groupBy("w1", "w2").agg(
-        F.count("*").cast("double").alias("c12")
+    # The bigram LM is a model artifact at bigram-VOCAB grain (bounded
+    # by vocabulary², practically far smaller than the corpus) —
+    # materialize it once: without the cut, its two consumers (the c1
+    # fold and the scoring join) each re-ran the full corpus explode +
+    # count shuffle (plan showed Generate×4, zero exchange reuse).
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .localCheckpoint()
     )
-    c1 = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    # c1 folds from the materialized bigram counts — bigram-vocab
+    # grain, not another corpus pass (integer counts in double: exact
+    # in any order). A localCheckpoint of the raw bigram STREAM was
+    # A/B-tested here and rejected: warm wash at sf0.1, and token-grain
+    # materialization is the wrong default at 100 TB.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # vocabulary size rides as a lazy broadcast 1-row aggregate — a
     # driver-side distinct().count() here was a full extra scan+job of
     # the word explode; the exact integer count converts to the same
@@ -813,16 +825,25 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c12 = (
+    # ONE corpus pass: the unfiltered pair-count table is a model
+    # artifact at bigram-VOCAB grain (bounded, far smaller than the
+    # corpus); materialize it once and fold EVERY marginal from it —
+    # c1/c2 as SUM over the opposite word, the bigram total as the
+    # grand SUM. Without the cut each of the four consumers re-ran the
+    # split+transform+explode pipeline (plan showed Generate×4, zero
+    # exchange reuse). All values are exact bigints, so the folds are
+    # count-identical to re-aggregating the raw stream.
+    c12u = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
-        .where(F.col("c12") >= 5)
+        .localCheckpoint()
     )
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    c12 = c12u.where(F.col("c12") >= 5)
+    c1 = c12u.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12u.groupBy("w2").agg(F.sum("c12").alias("c2"))
     # total bigram count rides as a broadcast 1-row aggregate (lazy —
-    # no driver count action, no second scan of bg)
-    nbf = bg.agg(F.count("*").alias("__nb"))
+    # no driver count action)
+    nbf = c12u.agg(F.sum("c12").alias("__nb"))
     scored = (
         c12.join(c1, "w1")
         .join(c2, "w2")
@@ -1015,6 +1036,14 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
         .distinct()
+        # One materialization of the fingerprint set: three consumers
+        # (totals + both self-join sides) otherwise re-run the
+        # explode+md5 pipeline each (plan showed Generate×4, zero
+        # exchange reuse — 1.6 s → 0.6 s at sf0.1). Deterministic
+        # values (md5), so the lineage cut is purely a perf boundary;
+        # the checkpointed frame is (source, fp) distinct grain —
+        # fingerprint-inventory-sized, never corpus-sized.
+        .localCheckpoint()
     )
     tot = sf.groupBy("source").agg(F.count("*").alias("n_fp"))
     a, b = sf.alias("a"), sf.alias("b")
