@@ -44,13 +44,51 @@ def _ngrams(words, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_stats(grams):
+    """Row-local repetition statistics over a positional gram array:
+    struct(mx = max multiplicity of any gram, nd = distinct grams,
+    tot = total grams). Sort + run-length scan, all inside codegen —
+    the zero-shuffle replacement for explode -> groupBy(doc, gram) ->
+    re-agg when only per-document fractions are needed. Counts are
+    exact bigints, so fractions match the exploded form bit-for-bit."""
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("mx"),
+            zero.alias("nd"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            # x == acc.prev is NULL on the first element -> otherwise()
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("mx"),
+            F.when(x == acc["prev"], acc["nd"])
+            .otherwise(acc["nd"] + 1)
+            .alias("nd"),
+        ),
+        lambda acc: F.struct(
+            acc["mx"].alias("mx"),
+            acc["nd"].alias("nd"),
+            F.size(grams).cast("bigint").alias("tot"),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters: top-bigram fraction + duplicate-trigram
-# fraction. Plan: one scan explodes bigrams and trigrams (positional, with
-# multiplicity), each side hash-aggregates per (doc, gram) then per doc —
-# partial aggregation collapses repeats map-side, so shuffle volume is
-# O(distinct grams), and the final doc_id-keyed join is between two
-# one-row-per-doc aggregates. No Python, no skew (grams are near-uniform).
+# fraction. Plan: both statistics are per-document fractions, so they run
+# row-locally (_gram_stats sort + run-length scan inside codegen) — one
+# zero-shuffle projection, no explode, no (doc, gram) aggregate, no join.
 # ---------------------------------------------------------------------------
 @query(
     "q85_repetition_stats",
@@ -91,31 +129,27 @@ def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam for pretraining-data removal."""
     d = spread(spark.table("documents"))
     w = _words()
-    bg = d.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
-    bstat = (
-        bg.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            (
-                F.max("c").cast("double") / F.sum("c").cast("double")
-            ).alias("top_bigram_frac"),
+    s2, s3 = F.col("__s2"), F.col("__s3")
+    return (
+        d.select(
+            "doc_id",
+            _gram_stats(_ngrams(w, 2)).alias("__s2"),
+            _gram_stats(_ngrams(w, 3)).alias("__s3"),
         )
-    )
-    tstat = (
-        d.select("doc_id", F.explode(_ngrams(w, 3)).alias("g"))
-        .groupBy("doc_id")
-        .agg(
+        # the exploded form dropped docs with no bigrams/trigrams via its
+        # inner join of the two aggregates — keep that row set
+        .where((s2["tot"] > 0) & (s3["tot"] > 0))
+        .select(
+            "doc_id",
+            s2["tot"].alias("n_bigrams"),
+            (
+                s2["mx"].cast("double") / s2["tot"].cast("double")
+            ).alias("top_bigram_frac"),
             (
                 F.lit(1.0)
-                - F.count_distinct(F.col("g")).cast("double")
-                / F.count("*").cast("double")
-            ).alias("dup_trigram_frac")
+                - s3["nd"].cast("double") / s3["tot"].cast("double")
+            ).alias("dup_trigram_frac"),
         )
-    )
-    return bstat.join(tstat, "doc_id").select(
-        "doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac"
     )
 
 
@@ -892,7 +926,22 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(spark.table("documents"))
     w = _words()
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
-    base = d.select(
+    # All four repetition statistics are per-document fractions, so they
+    # run ROW-LOCALLY via the _gram_stats run-length scan — no explode,
+    # no (doc, gram) shuffle, no join back: the whole query is one
+    # zero-shuffle projection. Counts stay exact bigints, so every
+    # fraction matches the exploded form bit-for-bit; short docs (empty
+    # gram arrays) hit the tot == 0 branch, reproducing the old
+    # left-join-then-fillna(0.0) semantics.
+    def _frac(n: int):
+        s = F.col(f"__s{n}")
+        top = s["mx"].cast("double") / s["tot"].cast("double")
+        dup = F.lit(1.0) - s["nd"].cast("double") / s["tot"].cast("double")
+        return F.when(
+            s["tot"] > 0, dup if n == 5 else top
+        ).otherwise(F.lit(0.0)).alias(f"f{n}")
+
+    j = d.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_words"),
         (
@@ -905,54 +954,14 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(w, lambda x: F.lower(x).isin(stop))
         ).cast("bigint").alias("n_stopwords"),
-    )
-
-    # All four repetition statistics ride ONE n-tagged gram explode:
-    # the (doc, n, gram) count table yields top-gram fraction (max/sum)
-    # for n=2..4 and the distinct-fraction dup rule for n=5, so the
-    # corpus is exploded once and joined back once — the previous form
-    # ran four independent explode+aggregate pipelines (4 corpus
-    # passes, 4 joins) for the same exploded row count. Values are
-    # identical: every fraction is a ratio of the same exact bigints.
-    def _tag(n: int):
-        # NOTE: the binding must happen in a dedicated function scope —
-        # a two-argument lambda (``lambda g, n=n``) would make
-        # F.transform pass the element POSITION as the second argument,
-        # silently replacing the n-gram order with the array index.
-        return F.transform(
-            _ngrams(w, n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
-        )
-
-    tagged = F.flatten(F.array(*[_tag(n) for n in (2, 3, 4, 5)]))
-    stats = (
-        d.select("doc_id", F.explode(tagged).alias("t"))
-        .groupBy("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max("c").cast("double").alias("mx"),
-            F.sum("c").cast("double").alias("tot"),
-            F.count("*").cast("double").alias("nd"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("n") == n, F.col("mx") / F.col("tot"))
-                ).alias(f"f{n}")
-                for n in (2, 3, 4)
-            ],
-            F.max(
-                F.when(
-                    F.col("n") == 5,
-                    F.lit(1.0) - F.col("nd") / F.col("tot"),
-                )
-            ).alias("f5"),
-        )
-    )
-    j = base.join(stats, "doc_id", "left").fillna(
-        0.0, subset=["f2", "f3", "f4", "f5"]
+        *[_gram_stats(_ngrams(w, n)).alias(f"__s{n}") for n in (2, 3, 4, 5)],
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "n_stopwords",
+        *[_frac(n) for n in (2, 3, 4, 5)],
     )
     rules = {
         "ok_word_count": F.col("n_words").between(50, 100000),
@@ -1639,37 +1648,37 @@ def q236_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "g")
         .select("doc_id", "i")
     )
-    removed = (
-        contam.select(
-            "doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("pos")
-        )
-        .distinct()
+    # Span expansion and text rebuild are row-local once the matched
+    # window starts are collected per doc, so the token-grain stages of
+    # the old plan (sequence-explode + distinct, posexplode + anti-join,
+    # collect_list rebuild — three shuffles over every token) collapse
+    # into one doc-grain aggregate + one doc-grain join + HOFs:
+    # covered = union of [i, i+4], kept = array_except over positions
+    # (hash lookup, O(L + R) per row), both inside codegen.
+    starts = contam.groupBy("doc_id").agg(
+        F.collect_set("i").alias("__starts")
     )
     corpus = d.where(F.col("doc_id") >= 25)
-    toks = corpus.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
-    text_clean = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(pos, tok))), "
-                   "x -> x.tok)"),
-            " ",
-        ).alias("text_clean")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + 4),
+            )
+        )
     )
-    nrem = removed.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_removed")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("t")), F.col("__cov")
     )
     return (
-        corpus.select("doc_id")
-        .join(nrem, "doc_id", "left")
-        .join(text_clean, "doc_id", "left")
+        corpus.join(starts, "doc_id", "left")
+        .select("doc_id", "t", covered.alias("__cov"))
         .select(
             "doc_id",
-            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
-                "n_removed"
-            ),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.size("__cov").cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("t", p)), " "
+            ).alias("text_clean"),
         )
     )
 

@@ -386,10 +386,31 @@ def q90_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct minima are the document's fingerprints. Guarantees every match
 # of length ≥ w+k-1 shares a fingerprint. Hashes are md5-prefix STRINGS —
 # identical in Spark and DuckDB, so the whole op is oracle-checkable
-# (xxhash64 has no DuckDB twin). Plan: explode k-grams with position, one
-# doc-partitioned window min (ROWS frame), distinct, per-doc re-agg.
+# (xxhash64 has no DuckDB twin). Plan: the whole op is row-local, so it
+# runs as ONE zero-shuffle projection — k-gram hash array, sliding minima
+# via slice/array_min (O(L*w) per row), array_distinct. No explode, no
+# doc-partitioned window, no re-agg shuffle.
 # ---------------------------------------------------------------------------
 _WIN_K, _WIN_W = 3, 4
+
+
+def _winnow_fps(ws):
+    """Per-row winnowing fingerprint array (distinct, unsorted): k-gram
+    md5-prefix hashes, min over each w-wide sliding window. Row-local —
+    callers get the whole selection step with zero shuffles."""
+    n_grams = F.greatest(F.size(ws) - (_WIN_K - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(ws, i, _WIN_K), " ")), 1, 8
+        ),
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__hs"))),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, _WIN_W)),
+        )
+    ), hs
 
 
 @query(
@@ -417,42 +438,20 @@ _WIN_K, _WIN_W = 3, 4
 )
 def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (k=3-gram md5 hashes, window w=4),
-    emitted as a sorted comma-joined string per doc."""
-    from pyspark.sql import Window as W
+    emitted as a sorted comma-joined string per doc.
 
+    Fingerprint selection is row-local, so the plan is one zero-shuffle
+    projection: hash array -> per-position window minima (slice clamps
+    at the tail exactly like the ROWS frame) -> distinct/sort/join."""
     d = spread(spark.table("documents"))
-    ws = _words()
-    grams = F.when(
-        F.size(ws) >= _WIN_K,
-        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
-    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
-    g = d.select(
-        "doc_id",
-        F.size(ws).alias("__n"),
-        ws.alias("__ws"),
-        F.explode(grams).alias("pos"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.substring(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)), " "
-                )
-            ),
-            1,
-            8,
-        ).alias("h"),
-    )
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fps, hs = _winnow_fps(_words())
     return (
-        g.select("doc_id", F.min("h").over(win).alias("fp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("fp").alias("n_fingerprints"),
-            F.array_join(
-                F.array_sort(F.collect_set("fp")), ","
-            ).alias("fingerprints"),
+        d.select("doc_id", hs.alias("__hs"))
+        .select("doc_id", F.array_sort(fps).alias("__fps"))
+        .select(
+            "doc_id",
+            F.size(F.col("__fps")).cast("bigint").alias("n_fingerprints"),
+            F.array_join(F.col("__fps"), ",").alias("fingerprints"),
         )
     )
 
@@ -497,33 +496,14 @@ def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q110_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= 3 winnowing fingerprints, with the
-    shared-fingerprint count."""
-    from pyspark.sql import Window as W
-
+    shared-fingerprint count. Fingerprint selection rides the row-local
+    q92 helper, so postings reach the self-join with zero pre-join
+    shuffles (the exploded array is distinct per doc by construction)."""
     d = spread(spark.table("documents"))
-    ws = _words()
-    grams = F.when(
-        F.size(ws) >= _WIN_K,
-        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
-    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
-    g = d.select(
-        "doc_id", ws.alias("__ws"), F.explode(grams).alias("pos")
-    ).select(
-        "doc_id",
-        "pos",
-        F.substring(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)), " "
-                )
-            ),
-            1,
-            8,
-        ).alias("h"),
-    )
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fp_arr, hs = _winnow_fps(_words())
     fps = (
-        g.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+        d.select("doc_id", hs.alias("__hs"))
+        .select("doc_id", F.explode(fp_arr).alias("fp"))
     )
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
