@@ -86,9 +86,17 @@ def _gram_stats(grams):
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters: top-bigram fraction + duplicate-trigram
-# fraction. Plan: both statistics are per-document fractions, so they run
-# row-locally (_gram_stats sort + run-length scan inside codegen) — one
-# zero-shuffle projection, no explode, no (doc, gram) aggregate, no join.
+# fraction. Plan: one scan explodes bigrams and trigrams (positional, with
+# multiplicity), each side hash-aggregates per (doc, gram) then per doc —
+# partial aggregation collapses repeats map-side, so shuffle volume is
+# O(distinct grams), and the final doc_id-keyed join is between two
+# one-row-per-doc aggregates. No Python, no skew (grams are near-uniform).
+# A round-7 row-local `_gram_stats` rewrite of this query measured 6.6 s
+# warm vs 1.07 s for this form at sf0.1 (the HOF struct accumulator falls
+# out of efficient codegen when its result is consumed by a filter plus
+# multiple projections, so the aggregate re-evaluates per reference) —
+# reverted in round 8. q108 keeps `_gram_stats` because there the struct
+# is consumed once per n and its warm A/B held (1.596 -> 1.516 s).
 # ---------------------------------------------------------------------------
 @query(
     "q85_repetition_stats",
@@ -129,27 +137,31 @@ def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam for pretraining-data removal."""
     d = spread(spark.table("documents"))
     w = _words()
-    s2, s3 = F.col("__s2"), F.col("__s3")
-    return (
-        d.select(
-            "doc_id",
-            _gram_stats(_ngrams(w, 2)).alias("__s2"),
-            _gram_stats(_ngrams(w, 3)).alias("__s3"),
-        )
-        # the exploded form dropped docs with no bigrams/trigrams via its
-        # inner join of the two aggregates — keep that row set
-        .where((s2["tot"] > 0) & (s3["tot"] > 0))
-        .select(
-            "doc_id",
-            s2["tot"].alias("n_bigrams"),
+    bg = d.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
+    bstat = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
             (
-                s2["mx"].cast("double") / s2["tot"].cast("double")
+                F.max("c").cast("double") / F.sum("c").cast("double")
             ).alias("top_bigram_frac"),
+        )
+    )
+    tstat = (
+        d.select("doc_id", F.explode(_ngrams(w, 3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
             (
                 F.lit(1.0)
-                - s3["nd"].cast("double") / s3["tot"].cast("double")
-            ).alias("dup_trigram_frac"),
+                - F.count_distinct(F.col("g")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_trigram_frac")
         )
+    )
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac"
     )
 
 
@@ -1667,9 +1679,14 @@ def q236_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    kept_pos = F.array_except(
-        F.sequence(F.lit(1), F.size("t")), F.col("__cov")
-    )
+    # sequence(1, 0) yields the DESCENDING [1, 0] (not an empty array), so
+    # a zero-token document would feed element_at(t, 0) and throw
+    # INVALID_INDEX_OF_ZERO — guard the rebuild so empty docs yield
+    # n_removed = 0 and an empty text_clean instead.
+    kept_pos = F.when(
+        F.size("t") > 0,
+        F.array_except(F.sequence(F.lit(1), F.size("t")), F.col("__cov")),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         corpus.join(starts, "doc_id", "left")
         .select("doc_id", "t", covered.alias("__cov"))

@@ -158,7 +158,104 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q66_embedding_ivf_topk": 7,
     "q116_embedding_pq_topk": 7,
     "q118_kmeans_clusters": 7,
+    # the round-7 end-of-round snapshot (c02951c) rewrote these AFTER the
+    # closing sweep/bench and they were missed here — the hand-maintained
+    # map demonstrably failed; test_fingerprints.py now derives staleness
+    # mechanically from per-round source fingerprints:
+    "q92_winnowing": 7,  # shared _winnow_fps rewrite (r7 snapshot commit)
+    "q110_substring_overlap": 7,  # same shared _winnow_fps rewrite
+    # round 8:
+    "q85_repetition_stats": 8,  # reverted to the r6 exploded form (the
+    # r7 row-local _gram_stats rewrite measured 6.6 s warm vs 1.07 s)
+    "q236_decontaminate_spans": 8,  # zero-token guard on the rebuild
 }
+
+
+def source_fingerprint(fn) -> str:
+    """Deterministic hash of a query function's source INCLUDING every
+    package-local helper it (transitively) references — so a rewrite of a
+    shared helper (e.g. the round-7 ``_winnow_fps`` change that silently
+    invalidated q92/q110's standing greens) changes the fingerprint of
+    every query built on it, not just the file that was edited.
+
+    Resolution walks ``co_names`` (also through nested lambdas /
+    comprehensions via ``co_consts`` code objects) against the function's
+    globals; only callables defined inside ``pandas_td_spark`` contribute
+    (pyspark/stdlib symbols are stable dependencies, not implementation).
+    For referenced package-local MODULES (``operators.dedup`` style
+    access) the attribute names in ``co_names`` are resolved against the
+    module so ``dedup.jaccard_pairs_prefix`` is still picked up."""
+    import hashlib
+    import inspect
+    import types
+
+    sources: dict[str, str] = {}
+
+    def visit(f) -> None:
+        try:
+            mod = inspect.getmodule(f)
+            key = f"{mod.__name__}.{f.__qualname__}"
+        except Exception:
+            return
+        if not mod or not mod.__name__.startswith("pandas_td_spark"):
+            return
+        if key in sources:
+            return
+        try:
+            sources[key] = inspect.getsource(f)
+        except (OSError, TypeError):
+            return
+        names: set[str] = set()
+
+        def collect(code) -> None:
+            names.update(code.co_names)
+            for c in code.co_consts:
+                if isinstance(c, types.CodeType):
+                    collect(c)
+
+        try:
+            collect(f.__code__)
+        except AttributeError:
+            return
+        g = getattr(f, "__globals__", {})
+        mods = []
+        for name in names:
+            obj = g.get(name)
+            if isinstance(obj, types.ModuleType):
+                if obj.__name__.startswith("pandas_td_spark"):
+                    mods.append(obj)
+            elif callable(obj):
+                visit(obj)
+        for m in mods:  # attribute access through package-local modules
+            for name in names:
+                obj = getattr(m, name, None)
+                if callable(obj) and not isinstance(obj, type):
+                    visit(obj)
+
+    visit(fn)
+    blob = "\x00".join(sources[k] for k in sorted(sources))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def certified_fingerprints() -> dict:
+    """FINGERPRINTS.json contents: per query, the ``source_fingerprint``
+    of the code its latest driver row certified (written by
+    ``tools/update_fingerprints.py`` at round start, BEFORE any edits).
+    ``tests/test_fingerprints.py`` fails when a certified query's current
+    fingerprint drifts without a ``_IMPL_CHANGED_SINCE_LAST_CHECK`` entry
+    newer than its row — the mechanical replacement for trusting the
+    hand-maintained map alone."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    path = os.path.join(here, "FINGERPRINTS.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        return {}
+    return data if isinstance(data, dict) else {}
 
 
 def _latest_driver_round() -> dict[str, tuple[int, str]]:

@@ -1,0 +1,82 @@
+"""Mechanical stale-change detection (VERDICT r7 #2).
+
+The hand-maintained ``_IMPL_CHANGED_SINCE_LAST_CHECK`` map failed in round
+7: the end-of-round snapshot rewrote q85/q92/q110/q236 after the closing
+bench/sweep and three of them were never added, so their standing driver
+greens certified code that no longer existed. These tests make that class
+of slip a test failure instead of a judge finding:
+
+* ``test_no_silent_drift`` — every query whose latest driver row is green
+  and whose recorded (certified) fingerprint differs from the current one
+  MUST have a stale-map entry newer than the row.
+* ``test_fingerprint_covers_shared_helpers`` — pins that the fingerprint
+  includes transitively-referenced package helpers (the q92/q110 failure
+  mode was a SHARED-helper rewrite, not an edit to the query functions).
+"""
+
+from __future__ import annotations
+
+from pandas_td_spark.queries.registry import (
+    _IMPL_CHANGED_SINCE_LAST_CHECK,
+    _latest_driver_round,
+    all_queries,
+    certified_fingerprints,
+    source_fingerprint,
+)
+
+
+def test_fingerprints_file_present_and_fresh():
+    fps = certified_fingerprints()
+    assert fps, "FINGERPRINTS.json missing/empty — run tools/update_fingerprints.py"
+    latest = _latest_driver_round()
+    certified = {n for n in all_queries() if n in latest}
+    # every certified query should carry a record unless it was stale (no
+    # trustworthy fingerprint ever recorded for it yet)
+    missing = {
+        n
+        for n in certified
+        if n not in fps
+        and _IMPL_CHANGED_SINCE_LAST_CHECK.get(n, 0) <= latest[n][0]
+    }
+    assert not missing, f"certified queries without fingerprints: {sorted(missing)}"
+
+
+def test_no_silent_drift():
+    fps = certified_fingerprints()
+    latest = _latest_driver_round()
+    offenders = []
+    for name, q in all_queries().items():
+        rec = fps.get(name)
+        row = latest.get(name)
+        if rec is None or row is None:
+            continue
+        cur = source_fingerprint(q.fn)
+        if cur == rec["sha"]:
+            continue
+        changed = _IMPL_CHANGED_SINCE_LAST_CHECK.get(name)
+        if changed is None or changed <= rec["round"]:
+            offenders.append(name)
+    assert not offenders, (
+        "queries changed since their certified fingerprint without a "
+        f"stale-map entry: {sorted(offenders)} — add them to "
+        "_IMPL_CHANGED_SINCE_LAST_CHECK with the current round"
+    )
+
+
+def test_fingerprint_covers_shared_helpers():
+    """q85 calls curation helpers (_words/_ngrams); its fingerprint must
+    change if any of those helper sources change. We can't edit sources in
+    a test, so pin the mechanism: the helper sources are part of the
+    hashed blob (fingerprint differs from hashing the bare function)."""
+    import hashlib
+    import inspect
+
+    q = all_queries()["q85_repetition_stats"]
+    bare = hashlib.sha256(inspect.getsource(q.fn).encode()).hexdigest()[:16]
+    full = source_fingerprint(q.fn)
+    assert full != bare, "fingerprint did not include any helper sources"
+
+
+def test_fingerprint_deterministic():
+    q = all_queries()["q01_pricing_summary"]
+    assert source_fingerprint(q.fn) == source_fingerprint(q.fn)
