@@ -118,8 +118,12 @@ def dsir_weights(
     # onto the explode, running the corpus-sized token explode twice
     # per call (exchange reuse can't fire across the merged shapes).
     # The checkpoint is O(docs x distinct buckets) — the feature table
-    # a production pipeline would persist anyway — and n x llr in exact
-    # decimal equals the n-fold llr sum, so weights are bit-identical.
+    # a production pipeline would persist anyway. cnt is cast to
+    # decimal(9,0) below so decimal(28,9) x decimal(9,0) lands exactly on
+    # decimal(38,9) (28+9+1 = 38 digits, scale preserved): n x llr in
+    # exact decimal then equals the n-fold llr sum bit-for-bit. (A bare
+    # bigint multiplicand would infer decimal(38,6) under Spark's
+    # allowPrecisionLoss rounding — 6dp weights, silent top-k drift.)
     raw_counts = (
         raw_grams.groupBy("id", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -140,7 +144,8 @@ def dsir_weights(
         .groupBy("id")
         .agg(
             F.sum(
-                F.col("llr").cast("decimal(28,9)") * F.col("cnt")
+                F.col("llr").cast("decimal(28,9)")
+                * F.col("cnt").cast("decimal(9,0)")
             ).cast("double").alias("log_weight")
         )
     )

@@ -171,6 +171,7 @@ def bfs_levels(
     max_depth: int = 4,
     materialize: bool = True,
     broadcast_frontier_rows: int = 1_000_000,
+    frontier_hint: str = "auto",
 ) -> DataFrame:
     """Single-source BFS levels by frontier expansion — the standard
     distributed BFS (no per-node state, no driver traversal). ``edges``
@@ -178,9 +179,8 @@ def bfs_levels(
     already holds a checkpointed edge frame). Returns ``(node, level)``
     for nodes within ``max_depth`` hops.
 
-    Per-round plan, tuned so each round is ONE shuffle plus the
-    lineage-cutting checkpoint (without which round k replays rounds
-    1..k-1 — quadratic plan depth):
+    Per-round plan, tuned so each round is ONE shuffle and ONE
+    scheduled job:
 
     - round 1 is a FILTER on the adjacency, not a join (the seed is one
       literal node, and distinct edges make its neighbor set already
@@ -189,20 +189,50 @@ def bfs_levels(
       aggregation: candidates (marker 0) union the visited set
       (marker 1), group by node, keep groups whose max marker is 0 —
       one shuffle where distinct + anti-join cost two;
-    - the frontier row count rides on the per-round checkpoint (it
-      doubles as the emptiness check), and frontiers under
-      ``broadcast_frontier_rows`` are broadcast-hinted into the
-      adjacency probe so the big side never shuffles; larger frontiers
-      fall back to the plain shuffle join — the scale-safe path.
+    - each round runs exactly ONE job: the frontier is ``persist()``ed
+      and the round's ``count()`` materializes the cache, sizes the
+      frontier for the broadcast decision, and doubles as the
+      emptiness check. The cache (not a checkpoint) is what stops
+      round k replaying rounds 1..k-1 — recomputation is cut at
+      RUNTIME by the cached blocks, while Catalyst plan depth grows
+      only linearly in ``max_depth``, which is bounded here. (The
+      previous eager ``localCheckpoint()`` + separate ``count()`` was
+      two scheduled jobs per round — pure overhead on a short loop:
+      q164 at sf0.1 paid 1.45 s vs DuckDB's 0.64 s mostly in job
+      scheduling. pyspark's lazy checkpoint does NOT fuse with the
+      count: measured 9 jobs/run either way, so persist is the only
+      one-job-per-round form.)
+    - frontiers under ``broadcast_frontier_rows`` are broadcast-hinted
+      into the adjacency probe so the big side never shuffles; larger
+      frontiers fall back to the plain shuffle join — the scale-safe
+      path.
+
+    ``frontier_hint`` picks how that broadcast decision is made:
+
+    - ``"auto"`` (default, scale-safe): per-round ``count()`` sizes the
+      frontier and doubles as the emptiness early-exit — one scheduled
+      job per round.
+    - ``"broadcast"``: the caller PROMISES every frontier fits a
+      broadcast (true for shallow single-source probes: the frontier is
+      bounded by degree^depth). The loop then runs ZERO driver actions —
+      every frontier is persist()ed lazily, broadcast-hinted, and the
+      one terminal action executes the whole expansion (caches populate
+      on first use and are shared by the later rounds within the job).
+      Exhausted graphs just run empty, cheap rounds.
+    - ``"shuffle"``: never broadcast (adversarially skewed graphs);
+      per-round counts only serve the emptiness exit.
     """
     spark = edges.sparkSession
     # One materialization of the (possibly expensive) edge derivation —
     # the adjacency is probed every round.
     if materialize:
         edges = edges.localCheckpoint()
+    # the adjacency is probed by EVERY round's join inside the same job —
+    # a lazy persist makes the union-of-both-directions compute once and
+    # serve all probes from cache instead of once per round
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).persist()
     seed = spark.createDataFrame(
         [(source, 0)], "node bigint, level int"
     )
@@ -211,19 +241,26 @@ def bfs_levels(
     f1 = (
         adj.where(F.col("u") == F.lit(source))
         .select(F.col("v").alias("node"))
-        .localCheckpoint()
+        .persist()
     )
+    if frontier_hint not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"bad frontier_hint {frontier_hint!r}")
+    actionless = frontier_hint == "broadcast"
     parts = [seed, f1.withColumn("level", F.lit(1))]
     visited = seed.select("node").unionAll(f1)
-    frontier, n_frontier = f1, f1.count()
+    frontier = f1
+    # one job per round in the sized modes: cache + size + emptiness
+    n_frontier = None if actionless else f1.count()
     for depth in range(2, max_depth + 1):
         if n_frontier == 0:
             break
-        probe = (
-            F.broadcast(frontier)
-            if n_frontier <= broadcast_frontier_rows
-            else frontier
-        )
+        if actionless:
+            use_broadcast = True
+        elif frontier_hint == "shuffle":
+            use_broadcast = False
+        else:
+            use_broadcast = n_frontier <= broadcast_frontier_rows
+        probe = F.broadcast(frontier) if use_broadcast else frontier
         cand = probe.join(adj, frontier["node"] == adj["u"]).select(
             F.col("v").alias("node"), F.lit(0).alias("vis")
         )
@@ -240,10 +277,12 @@ def bfs_levels(
             # jobs, and let the terminal action run the round.
             parts.append(nxt.withColumn("level", F.lit(depth)))
             break
-        nxt = nxt.localCheckpoint()
-        n_frontier = nxt.count()  # doubles as the emptiness probe
-        if n_frontier == 0:
-            break
+        nxt = nxt.persist()  # lazy in "broadcast" mode: fills at the
+        # terminal action, shared by later rounds within that job
+        if not actionless:
+            n_frontier = nxt.count()
+            if n_frontier == 0:
+                break
         parts.append(nxt.withColumn("level", F.lit(depth)))
         visited = visited.unionAll(nxt)
         frontier = nxt

@@ -1069,10 +1069,13 @@ def evict_edge_cache(spark=None, view_dir=None) -> None:
     FROM walk GROUP BY node
     """,
     scale_note=(
-        "each BFS round is one frontier probe (broadcast under 1M rows, "
-        "shuffle join above) + a fused dedup/visited max-marker "
-        "aggregation — one shuffle/round; rounds = graph diameter, "
-        "frontiers lineage-cut per round"
+        "each BFS round is one frontier probe + a fused dedup/visited "
+        "max-marker aggregation — one shuffle/round. This query runs "
+        "frontier_hint='broadcast' (a 3-hop single-source frontier is "
+        "degree-bounded), so the loop schedules ZERO driver actions and "
+        "one terminal job executes the whole expansion; unbounded-depth "
+        "or high-fanout callers use the default 'auto' mode (per-round "
+        "sized counts, shuffle join above 1M frontier rows)"
     ),
 )
 def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1084,11 @@ def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.graph import bfs_levels
 
     return bfs_levels(
-        _copurchase_edges(spark), source=1, max_depth=3, materialize=False
+        _copurchase_edges(spark),
+        source=1,
+        max_depth=3,
+        materialize=False,
+        frontier_hint="broadcast",
     )
 
 

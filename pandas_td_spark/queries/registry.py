@@ -117,7 +117,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
-    "q164_bfs_levels": 6,  # fused distinct into the round body, fewer actions
+    "q164_bfs_levels": 8,  # r6: fused distinct; r8: actionless
+    # broadcast-mode BFS (zero in-loop driver actions, persisted adjacency)
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
     "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
     "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile

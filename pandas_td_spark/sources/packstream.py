@@ -61,6 +61,10 @@ from pyspark.sql.types import (
 )
 
 _MAGIC = b"TDP1"
+# naive-UTC epoch for exact integer microsecond decode (see _decode_file)
+import datetime as _dt  # noqa: E402
+
+_EPOCH = _dt.datetime(1970, 1, 1)
 _SCHEMA_FILE = "_tdpack_schema.json"
 _SUCCESS_FILE = "_SUCCESS"
 
@@ -135,9 +139,10 @@ def _decode_file(path: str, kinds: Sequence[str]) -> Iterator[tuple]:
                 (x,) = struct.unpack_from("<q", data, pos)
                 pos += 8
                 if kinds[i] in ("ts_us", "ts_ntz_us"):
-                    x = datetime.datetime.fromtimestamp(
-                        x / 1_000_000, tz=datetime.timezone.utc
-                    ).replace(tzinfo=None)
+                    # integer math only: fromtimestamp(x / 1e6) has
+                    # ~0.5 µs float resolution at current epochs and can
+                    # round-trip stored microseconds off by one
+                    x = _EPOCH + datetime.timedelta(microseconds=x)
                 vals.append(x)
             elif tag == _T_F64:
                 (x,) = struct.unpack_from("<d", data, pos)
@@ -174,12 +179,19 @@ class _PackReader(DataSourceReader):
                 f"{self.path}: no {_SUCCESS_FILE} — uncommitted or not a "
                 "tdpack dataset"
             )
-        chunks = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".tdpack")
-        )
-        return [_ChunkPartition(p) for p in chunks]
+        # enumerate from the committed header's chunk list, NOT the
+        # directory: a second append job that crashed after some tasks
+        # finished (abort never ran) leaves orphan .tdpack chunks, and a
+        # directory listing would serve them as committed data while the
+        # first job's _SUCCESS still stands — breaking the "readers never
+        # observe a partial dataset" protocol. commit() merges chunk
+        # lists across appends, so the header is the full dataset.
+        hdr = os.path.join(self.path, _SCHEMA_FILE)
+        with open(hdr) as f:
+            chunks = json.load(f)["chunks"]
+        return [
+            _ChunkPartition(os.path.join(self.path, c)) for c in sorted(chunks)
+        ]
 
     def read(self, partition: _ChunkPartition):
         yield from _decode_file(partition.path, self.kinds)
@@ -223,18 +235,33 @@ class _PackWriter(DataSourceWriter):
     # driver-side job commit: schema header + _SUCCESS written LAST, so
     # readers (which require _SUCCESS) never observe a partial dataset
     def commit(self, messages) -> None:
-        keep = {m.file for m in messages}
+        keep = {m.file for m in messages if m is not None}
+        rows = sum(m.rows for m in messages if m is not None)
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(".tdpack") and f not in keep:
                     os.remove(os.path.join(self.path, f))
+        else:
+            # append: merge with the previously committed chunk list so
+            # readers (which trust the header, not the directory) see the
+            # whole dataset across jobs
+            hdr = os.path.join(self.path, _SCHEMA_FILE)
+            if os.path.exists(hdr):
+                with open(hdr) as f:
+                    prev = json.load(f)
+                keep |= {
+                    c
+                    for c in prev.get("chunks", [])
+                    if os.path.exists(os.path.join(self.path, c))
+                }
+                rows += prev.get("rows", 0)
         header = {
             "fields": [
                 {"name": f.name, "kind": k}
                 for f, k in zip(self.schema.fields, self.kinds)
             ],
             "chunks": sorted(keep),
-            "rows": sum(m.rows for m in messages),
+            "rows": rows,
         }
         with open(os.path.join(self.path, _SCHEMA_FILE), "w") as f:
             json.dump(header, f, indent=1)
@@ -242,7 +269,10 @@ class _PackWriter(DataSourceWriter):
             pass
 
     def abort(self, messages) -> None:
+        # Spark passes None commit messages for tasks that never finished
         for m in messages or []:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.file))
             except OSError:

