@@ -42,6 +42,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # read as LONG nanos and let sources/io.py convert to TIMESTAMP (µs) —
     # lossless for the fixtures (sub-µs components are zero).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # plain MIN/MAX/COUNT probes over parquet answer from footer
+    # statistics instead of scanning row groups — exact for parquet
+    # (NaN-free stats guaranteed by the writer for the fixture types) and
+    # what makes model-grain probes (q138 depth) metadata-cheap at 100 TB
+    "spark.sql.parquet.aggregatePushDown": "true",
     # -- local-mode ergonomics ------------------------------------------------
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

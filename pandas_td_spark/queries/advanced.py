@@ -253,23 +253,32 @@ def q96_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    n1, n2, n3 = v.count(), c.count(), p.count()
-    rows = [
-        (1, "view", n1),
-        (2, "view>click", n2),
-        (3, "view>click>purchase", n3),
-    ]
-    return spark.createDataFrame(
-        rows, "stage_idx int, stage string, n_users bigint"
-    ).select(
+    # all three stage counts ride as lazy 1-row aggregates unioned into a
+    # 3-row frame — the previous three driver-side .count()s were three
+    # scheduled jobs (and three extra event scans) per call
+
+    def stage(df, idx: int, label: str):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(label).alias("stage"),
+            F.col("n_users"),
+        )
+
+    base = (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "view>click"))
+        .unionByName(stage(p, 3, "view>click>purchase"))
+    )
+    n1 = v.agg(F.count("*").cast("double").alias("__n1"))
+    return base.crossJoin(F.broadcast(n1)).select(
         "stage_idx",
         "stage",
         "n_users",
         # NULL (not an ANSI divide-by-zero) when the funnel is empty —
         # an empty time partition is a normal production input
         F.when(
-            F.lit(n1) > 0,
-            F.col("n_users").cast("double") / F.lit(float(max(n1, 1))),
+            F.col("__n1") > 0,
+            F.col("n_users").cast("double") / F.col("__n1"),
         ).alias("conv_from_start"),
     )
 
@@ -2276,7 +2285,9 @@ def q215_persistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("yr").orderBy(F.desc("rev"), "l_partkey")
         ),
     ).where(F.col("r") <= 10)
-    n_years = yp.select("yr").distinct().count()
+    # distinct-year count as a lazy broadcast 1-row aggregate — the
+    # driver-side distinct().count() was an extra scheduled job
+    ny = yp.agg(F.count_distinct("yr").alias("__ny"))
     return (
         ranked.groupBy("l_partkey")
         .agg(
@@ -2284,7 +2295,9 @@ def q215_persistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("bigint").alias("total_rev_cents"),
             F.min("r").cast("bigint").alias("best_rank"),
         )
-        .where(F.col("n_years_in_topk") == n_years)
+        .crossJoin(F.broadcast(ny))
+        .where(F.col("n_years_in_topk") == F.col("__ny"))
+        .drop("__ny")
     )
 
 

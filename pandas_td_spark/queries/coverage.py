@@ -1019,10 +1019,13 @@ def q138_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anc(node) advances 2^i levels after i doubling rounds, and roots
     # (<10) are fixed points, so overshoot is harmless. Derive the round
     # count from the ACTUAL hierarchy depth — the deepest key needs
-    # (digits-1) divisions to reach a root — instead of a fixed 6: the
-    # depth probe is one cheap MAX scan, and it halves the shuffled
-    # self-joins (2 rounds at sf fixtures, 4 at ~2e9 keys) while keeping
-    # the log-depth shape.
+    # (digits-1) divisions to reach a root — instead of a fixed 6: it
+    # halves the shuffled self-joins (2 rounds at sf fixtures, 4 at ~2e9
+    # keys) while keeping the log-depth shape. This probe is a DOCUMENTED
+    # model-grain collect: the scalar decides the Python loop count (plan
+    # structure), so it cannot ride as a lazy column; with parquet
+    # aggregate pushdown (session default) MAX answers from footer stats,
+    # so the job is metadata-only, not a scan, at any corpus size.
     import math
 
     max_key = p.agg(F.max("p_partkey")).first()[0] or 1

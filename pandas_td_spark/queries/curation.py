@@ -169,8 +169,8 @@ def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BM25 (Robertson k1=1.2, b=0.75) for a literal term set — the retrieval
 # scorer behind RAG / data-selection pipelines. Plan: ONE token explode
 # feeds tf (filtered to the terms BEFORE the shuffle), df, and per-doc
-# length; corpus scalars (N pinned driver-side like q46, avgdl a broadcast
-# single-row aggregate) never re-shuffle the document side. ln() is rounded
+# length; corpus scalars (N and avgdl, one lazy broadcast 1-row frame)
+# never re-shuffle the document side. ln() is rounded
 # to 6dp (q46's cross-engine ulp discipline); every other float op is a
 # fixed-association IEEE expression, bit-identical across engines.
 # ---------------------------------------------------------------------------
@@ -214,8 +214,12 @@ def q86_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    n_docs = d.count()  # pinned literal, same discipline as q46
-    stats = dl.agg(F.avg("dl").alias("avgdl"))
+    # corpus size as a lazy broadcast 1-row aggregate (the driver-side
+    # d.count() was an extra action); counted on documents, not dl, so
+    # zero-token docs still contribute to N exactly like the oracle's
+    # (SELECT COUNT(*) FROM documents)
+    nd = d.agg(F.count("*").cast("double").alias("__n"))
+    stats = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(F.broadcast(nd))
     tf = (
         tok.where(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", F.col("w").alias("term"))
@@ -227,7 +231,7 @@ def q86_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_r = F.round(
         F.log(
             F.lit(1.0)
-            + ((F.lit(float(n_docs)) - F.col("df")) + F.lit(0.5))
+            + ((F.col("__n") - F.col("df")) + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         ),
         6,

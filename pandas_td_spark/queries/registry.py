@@ -113,7 +113,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q61_range_join": 4,  # zero-join plan replaced the interval join
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
-    "q138_hierarchy_rollup": 5,  # doubling rounds now derived from depth
+    "q138_hierarchy_rollup": 8,  # r5: depth-derived rounds; r8: probe
+    # documented model-grain + answered from parquet footer stats
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
@@ -141,7 +142,6 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
     "q158_basket_lift": 7,  # shared (o,p) checkpoint + lazy order total
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
-    "q96_funnel": 7,  # NULL conv on empty funnel instead of ANSI /0
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
     "q117_dsir_select": 7,  # featurization counts materialized once (rows-only)
     # round-7 NULL-payload guards (filters only; values identical on
@@ -169,6 +169,14 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q85_repetition_stats": 8,  # reverted to the r6 exploded form (the
     # r7 row-local _gram_stats rewrite measured 6.6 s warm vs 1.07 s)
     "q236_decontaminate_spans": 8,  # zero-token guard on the rebuild
+    # round-8 lazy-broadcast conversion of the residual driver actions
+    # (values identical; the corpus scalar rides as a 1-row broadcast
+    # aggregate instead of a driver-side count job):
+    "q46_tfidf_top_terms": 8,
+    "q199_tfidf_topk": 8,
+    "q86_bm25": 8,
+    "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
+    "q215_persistent_topk": 8,
 }
 
 

@@ -235,19 +235,28 @@ def q46_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = d.select("doc_id", F.explode(_words()).alias("word"))
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # driver-side scalar: pinned into the plan as a literal
-    scored = tf.join(F.broadcast(df_), "word").select(
-        "doc_id",
-        "word",
-        (
-            F.col("tf")
-            # idf rounded to 6dp: JVM ln and DuckDB ln differ in the last
-            # ulp; rounding on a coarse grid (tie risk ~2e-9 per distinct
-            # df) makes the factor — and hence ranking — engine-identical
-            * F.round(
-                F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
-            )
-        ).alias("tfidf"),
+    # corpus size rides as a lazy broadcast 1-row aggregate — a
+    # driver-side d.count() was an extra action + full scan per call;
+    # the exact integer count converts to the same double either way
+    nd = d.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                # idf rounded to 6dp: JVM ln and DuckDB ln differ in the
+                # last ulp; rounding on a coarse grid (tie risk ~2e-9 per
+                # distinct df) makes the factor — and hence ranking —
+                # engine-identical
+                * F.round(
+                    F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0,
+                    6,
+                )
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -731,15 +740,20 @@ def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = float(spark.table("documents").count())
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        (
-            F.col("tf")
-            * F.round(F.log(F.lit(n_docs) / F.col("df")), 6)
-        ).alias("score"),
+    # corpus size as a lazy broadcast 1-row aggregate (no driver action)
+    nd = d.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("__n") / F.col("df")), 6)
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
     return (

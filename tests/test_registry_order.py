@@ -100,3 +100,21 @@ def test_never_checked_oracle_queries_lead():
         f"{len(over)} red/never-checked/stale queries sort outside the "
         f"{DRIVER_BUDGET}-row window: {over[:5]}"
     )
+
+
+def test_stale_map_has_no_duplicate_keys():
+    """A duplicate dict key silently drops the earlier entry — the exact
+    failure mode that would hide a stale round number."""
+    import ast
+    import inspect
+
+    import pandas_td_spark.queries.registry as reg
+
+    tree = ast.parse(inspect.getsource(reg))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value for k in node.keys if isinstance(k, ast.Constant)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate stale-map keys: {dupes}"
