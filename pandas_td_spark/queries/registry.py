@@ -342,7 +342,12 @@ def _driver_order(items: dict[str, Query]) -> list[str]:
             group = 2 if not rows_only else 4
         else:
             group = 5
-        return (group, rows_only, name)
+        # within the standing-green group, OLDEST certification first —
+        # the leftover driver budget refreshes the rows that have gone
+        # longest unchecked instead of re-treading the alphabet (r8; the
+        # target steady state is no green older than ~4 rounds)
+        age_rank = rnd_st[0] if group == 5 and rnd_st is not None else 0
+        return (group, rows_only, age_rank, name)
 
     return sorted(items, key=key)
 
