@@ -343,11 +343,12 @@ def jaccard_pairs_prefix(
 #: Above this many documents the exact prefix-filter pair plan hands off
 #: to banded MinHash + exact verify. The prefix filter is candidate-
 #: bounded but measurably superlinear on real corpora (SCALE audit: q235
-#: 8.6x, wall at 10x data) — at 100 TB it is a scale-killer, while the
-#: banded join's candidate volume stays near-linear. Kept above every
-#: test fixture (sf0.1 = 5k docs) so all oracle sweeps exercise the
-#: exact path; tests pin the gated path by passing a tiny override.
-EXACT_PAIRS_MAX_DOCS = 100_000
+#: 8.6x wall at 10x data) — at 100 TB it is a scale-killer, while the
+#: banded join's candidate volume stays near-linear. 20k keeps every
+#: oracle fixture (sf0.1 = 5k docs) on the exact path while the 10x
+#: scale-audit corpus (50k docs) exercises the gated LSH plan — the
+#: audit measures the operator a production pipeline would actually run.
+EXACT_PAIRS_MAX_DOCS = 20_000
 
 
 def jaccard_pairs_auto(

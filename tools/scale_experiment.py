@@ -84,9 +84,11 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
         # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
         # exact copies -> 45 intra-copy pairs per group + 100x the original
-        # near-dup pairs). q235's ~9x wall ratio is OUTPUT growth from that
-        # fixture artifact, not a plan-shape regression — the PPJoin stays
-        # candidate-bounded; a 10x corpus of DISTINCT docs keeps pairs ~10x.
+        # near-dup pairs) — OUTPUT growth from the fixture artifact, not a
+        # plan-shape property. Since r8 the 10x corpus (50k docs) crosses
+        # EXACT_PAIRS_MAX_DOCS (20k), so q235's 10x leg runs the production
+        # plan: banded MinHash candidates + exact verify (the 1x leg at 5k
+        # docs stays on the oracle-exact prefix filter).
 
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
