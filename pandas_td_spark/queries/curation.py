@@ -1848,3 +1848,173 @@ def q254_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_temp.alias("p_temp"),
         (p_temp / p_raw).alias("repeat_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing audit (L4u) — the concat-and-chunk packing every
+# pretraining data loader runs: documents are concatenated per source in
+# doc_id order and cut into fixed token-budget sequences; a document
+# belongs to the sequence its FIRST token lands in, and documents whose
+# tokens straddle a cut are boundary-crossers (attention-mask pollution /
+# truncation loss candidates). Plan: tokens per doc row-locally, ONE
+# source-partitioned ordered window for the running cumsum (the shuffle a
+# packing pass needs anyway — each source's stream is independent, so the
+# window parallelizes across sources), then a (source, seq) partial agg.
+# All integers — exact in any engine.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@query(
+    "q256_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT source,
+           CAST((cum - toks) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN (cum - 1) // {_PACK_BUDGET}
+                          > (cum - toks) // {_PACK_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+    FROM c
+    GROUP BY source, seq_id
+    """,
+    scale_note=(
+        "one source-partitioned ordered window (streams are independent "
+        "per source — the natural packing parallelism) + one (source, "
+        "seq) partial agg; at 100 TB skewed sources shard further by a "
+        "deterministic doc_id range split with per-shard base offsets"
+    ),
+)
+def q256_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit: per (source, sequence) document
+    count, token count, and boundary-crossing documents under a
+    2048-token budget."""
+    from pyspark.sql import Window
+
+    d = spread(spark.table("documents")).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(_PACK_BUDGET)
+    c = d.withColumn("cum", F.sum("toks").over(w))
+    start_seq = F.expr(f"(cum - toks) DIV {_PACK_BUDGET}")
+    end_seq = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
+    return (
+        c.select(
+            "source",
+            start_seq.alias("seq_id"),
+            "toks",
+            (end_seq > start_seq).cast("int").alias("__x"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("__x").cast("bigint").alias("n_crossing"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch allocation (L4v) — given a training token
+# budget of 4x the corpus and temperature-flattened target shares
+# (q254's sqrt weights), how many EPOCHS of each source does the
+# mixture imply, capped at 4 repeats (the diminishing-returns ceiling
+# from data-constrained scaling practice), and how much of each
+# source's target allocation survives the cap. Every allocation is
+# exact bigint arithmetic (integer DIV), ratios are 6dp-rounded — both
+# engines compute identical values. Source grain is bounded, so the
+# whole query is one keyed partial agg + a broadcast 1-row total.
+# ---------------------------------------------------------------------------
+_EPOCH_BUDGET_X = 4  # train-token budget as a multiple of corpus tokens
+_EPOCH_CAP = 4  # max useful repeats of any source
+
+
+@query(
+    "q257_epoch_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source HAVING SUM(n_chars) > 0
+    ), w AS (
+      SELECT source, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wgt
+      FROM s
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS tok_total,
+             CAST(SUM(wgt) AS BIGINT) AS wgt_total
+      FROM w
+    )
+    SELECT source, tokens,
+           (wgt * tok_total * {_EPOCH_BUDGET_X}) // wgt_total
+             AS target_tokens,
+           ROUND(CAST((wgt * tok_total * {_EPOCH_BUDGET_X}) // wgt_total
+                      AS DOUBLE) / tokens, 6) AS epochs_raw,
+           LEAST((wgt * tok_total * {_EPOCH_BUDGET_X}) // wgt_total,
+                 tokens * {_EPOCH_CAP}) AS effective_tokens,
+           ROUND(CAST(LEAST((wgt * tok_total * {_EPOCH_BUDGET_X})
+                              // wgt_total,
+                            tokens * {_EPOCH_CAP}) AS DOUBLE)
+                 / ((wgt * tok_total * {_EPOCH_BUDGET_X}) // wgt_total),
+                 6) AS utilization
+    FROM w CROSS JOIN tot
+    """,
+    scale_note=(
+        "source grain is bounded: one keyed partial aggregation + a "
+        "broadcast 1-row total; all allocations exact bigint DIV"
+    ),
+)
+def q257_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch allocation under a 4x-corpus token budget with
+    sqrt-temperature target shares and a 4-epoch repetition cap."""
+    s = (
+        spark.table("documents")
+        .where(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("tokens"))
+        .where(F.col("tokens") > 0)
+    )
+    w = s.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")))
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("tokens").cast("bigint").alias("tok_total"),
+        F.sum("wgt").cast("bigint").alias("wgt_total"),
+    )
+    target = F.expr(
+        f"(wgt * tok_total * {_EPOCH_BUDGET_X}) DIV wgt_total"
+    )
+    effective = F.least(target, F.col("tokens") * F.lit(_EPOCH_CAP))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        target.alias("target_tokens"),
+        F.round(
+            target.cast("double") / F.col("tokens").cast("double"), 6
+        ).alias("epochs_raw"),
+        effective.alias("effective_tokens"),
+        F.round(
+            effective.cast("double") / target.cast("double"), 6
+        ).alias("utilization"),
+    )
