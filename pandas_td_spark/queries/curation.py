@@ -2018,3 +2018,118 @@ def q257_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             effective.cast("double") / target.cast("double"), 6
         ).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE first-merge pair table (L4w) — the vocabulary-induction primitive:
+# global counts of adjacent CHARACTER pairs inside whitespace tokens (the
+# statistic the first BPE merge maximizes), top-20 with lexical tiebreak.
+# Plan follows the q204 collocation shape: one word explode (words under
+# 2 chars emit nothing), a row-local char-pair transform, one (pair)
+# partial-agg shuffle, then distributed TakeOrdered top-k so the rank
+# window only ever sees <= 20 rows. Counts are exact bigints.
+# ---------------------------------------------------------------------------
+@query(
+    "q258_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> substring(w, i, 2))) AS pair
+      FROM w WHERE len(w) >= 2
+    ), c AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM p GROUP BY pair
+    )
+    SELECT pair, n_pair, rnk FROM (
+      SELECT pair, n_pair,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_pair DESC, pair) AS BIGINT)
+               AS rnk
+      FROM c
+    ) WHERE rnk <= 20
+    """,
+    scale_note=(
+        "pair vocabulary is bounded (charset^2): map-side partial agg "
+        "collapses the per-token explosion before the shuffle; top-20 "
+        "via TakeOrderedAndProject, never a global sort"
+    ),
+)
+def q258_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs across word-internal positions —
+    the argmax table of the first BPE merge."""
+    from pyspark.sql import Window
+
+    d = spread(spark.table("documents"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n_pair"))
+    top = c.orderBy(F.desc("n_pair"), "pair").limit(20)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_pair"), "pair"))
+        .cast("bigint"),
+    ).select("pair", "n_pair", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Context-window truncation loss (L4x) — the complement of q256's
+# packing audit for truncate-don't-pack loaders: per source, how many
+# documents exceed the context window and what fraction of the
+# source's tokens a hard truncation at 2048 discards. One row-local
+# token count + one source-grain partial agg; all-integer, 6dp ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q259_truncation_loss",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN toks > {_PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN toks > {_PACK_BUDGET}
+                         THEN toks - {_PACK_BUDGET} ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           ROUND(CAST(SUM(CASE WHEN toks > {_PACK_BUDGET}
+                               THEN toks - {_PACK_BUDGET} ELSE 0 END)
+                      AS DOUBLE) / SUM(toks), 6) AS loss_frac
+    FROM d GROUP BY source
+    """,
+    scale_note=(
+        "row-local token count + one source-grain partial agg — "
+        "map-side combine collapses everything before the shuffle"
+    ),
+)
+def q259_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document/token loss if every document is hard-truncated
+    at the 2048-token context window."""
+    d = spread(spark.table("documents")).select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    over = F.col("toks") > _PACK_BUDGET
+    lost = F.when(over, F.col("toks") - _PACK_BUDGET).otherwise(F.lit(0))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(over.cast("int")).cast("bigint").alias("n_over"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum(lost).cast("bigint").alias("tokens_lost"),
+        F.round(
+            F.sum(lost).cast("double")
+            / F.sum("toks").cast("double"),
+            6,
+        ).alias("loss_frac"),
+    )
