@@ -166,12 +166,13 @@ def triangle_counts(
 
 
 def bfs_levels(
-    edges: DataFrame,
-    source,
+    edges: DataFrame | None = None,
+    source=None,
     max_depth: int = 4,
     materialize: bool = True,
     broadcast_frontier_rows: int = 1_000_000,
     frontier_hint: str = "auto",
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Single-source BFS levels by frontier expansion — the standard
     distributed BFS (no per-node state, no driver traversal). ``edges``
@@ -221,18 +222,31 @@ def bfs_levels(
       Exhausted graphs just run empty, cheap rounds.
     - ``"shuffle"``: never broadcast (adversarially skewed graphs);
       per-round counts only serve the emptiness exit.
+    ``adjacency`` (mutually exclusive with ``edges``): a pre-built —
+    ideally memoized/checkpointed — bidirectional ``(u, v)`` frame; a
+    session running several BFS probes over one graph should
+    materialize the adjacency once (the edge-cache pattern) rather than
+    letting every call re-derive and re-persist its own copy.
     """
-    spark = edges.sparkSession
-    # One materialization of the (possibly expensive) edge derivation —
-    # the adjacency is probed every round.
-    if materialize:
-        edges = edges.localCheckpoint()
-    # the adjacency is probed by EVERY round's join inside the same job —
-    # a lazy persist makes the union-of-both-directions compute once and
-    # serve all probes from cache instead of once per round
-    adj = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    if adjacency is not None:
+        if edges is not None:
+            raise ValueError("pass edges or adjacency, not both")
+        adj = adjacency
+        spark = adjacency.sparkSession
+    else:
+        if edges is None:
+            raise ValueError("pass edges or adjacency")
+        spark = edges.sparkSession
+        # One materialization of the (possibly expensive) edge
+        # derivation — the adjacency is probed every round.
+        if materialize:
+            edges = edges.localCheckpoint()
+        # the adjacency is probed by EVERY round's join inside the same
+        # job — a lazy persist makes the union-of-both-directions compute
+        # once and serve all probes from cache instead of once per round
+        adj = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
     seed = spark.createDataFrame(
         [(source, 0)], "node bigint, level int"
     )

@@ -1035,6 +1035,25 @@ def _copurchase_oriented(spark: SparkSession):
     return o
 
 
+def _copurchase_adjacency(spark: SparkSession):
+    """Bidirectional adjacency (edges ∪ flipped), memoized beside the
+    edge checkpoint: BFS probes the adjacency every round, and each
+    bfs_levels call otherwise re-persists its own copy per action — a
+    production graph session materializes the adjacency once per graph,
+    exactly like the oriented frame above."""
+    from pandas_td_spark.sources.io import _CURRENT_VIEWS
+
+    key = (spark, _CURRENT_VIEWS.get(spark), "adjacency")
+    if key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    e = _copurchase_edges(spark)
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    _EDGE_CACHE[key] = adj
+    return adj
+
+
 def evict_edge_cache(spark=None, view_dir=None) -> None:
     """Drop memoized edge/oriented checkpoints for one (session, view
     dir) — register_views(force=True) calls this so a regenerated
@@ -1093,11 +1112,10 @@ def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.graph import bfs_levels
 
     return bfs_levels(
-        _copurchase_edges(spark),
         source=1,
         max_depth=3,
-        materialize=False,
         frontier_hint="broadcast",
+        adjacency=_copurchase_adjacency(spark),
     )
 
 
