@@ -50,6 +50,8 @@ __all__ = [
     "image_features",
     "resize_image",
     "media_features",
+    "encode_gif",
+    "decode_gif",
 ]
 
 
@@ -219,6 +221,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)  # gray or color baseline
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ValueError("no pure-numpy decoder for this image format")
 
 
@@ -264,10 +268,11 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     """Drop-in ``decode_fn`` for ``multimodal.featurize_binary``:
-    REAL decode for WAV/PPM/PGM/BMP (audio: duration/rms/peak/zcr +
-    FFT band energies; image: shape/channel stats + intensity
-    histogram), stub fallback for formats that need external codecs
-    (JPEG/MP3/...). Always returns float32[out_dim]."""
+    REAL decode for WAV/PPM/PGM/BMP/PNG/baseline-JPEG/GIF (audio:
+    duration/rms/peak/zcr + FFT band energies; image: shape/channel
+    stats + intensity histogram), stub fallback for formats that need
+    external codecs (progressive JPEG/MP3/H.264). Always returns
+    float32[out_dim]."""
     from pandas_td_spark.operators.multimodal import stub_decoder
 
     try:
@@ -292,6 +297,7 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             payload[:2] in (b"P6", b"P5", b"BM")
             or payload[:8] == _PNG_SIG
             or payload[:2] == b"\xff\xd8"
+            or payload[:6] in (b"GIF87a", b"GIF89a")
         ):
             img = decode_image(payload)
             f = image_features(img)
@@ -1371,3 +1377,226 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         [np.floor(p + 128.0 + 0.5) for p in planes], axis=-1
     )
     return ycbcr_to_rgb(np.clip(ycc, 0, 255))
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — a REAL compressed format implementable without external
+# libraries: the only entropy layer is LZW with GIF's variable-width
+# code stream (LSB-first bit packing, 255-byte sub-blocks, CLEAR/EOI
+# codes, 12-bit table cap). Covers the global color table, optional
+# Graphic Control Extension (written by the encoder, skipped generically
+# by the decoder along with any other 0x21 extension), and 4-pass row
+# interlacing both directions. Single-frame scope (animation = repeated
+# image blocks — out of scope for the feature pipeline).
+# ---------------------------------------------------------------------------
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first_row, step) per pass
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    order: list[int] = []
+    for first, step in _GIF_PASSES:
+        order.extend(range(first, h, step))
+    return order
+
+
+def _lzw_encode_gif(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW over an index byte stream. ``mcs`` = minimum code
+    size (palette bit width, >= 2). Returns the packed code bytes (before
+    sub-block framing)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0  # LSB-first bit accumulator
+    nbits = 0
+
+    width = mcs + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    it = iter(indices)
+    w = next(it, None)
+    if w is None:  # empty image: CLEAR + EOI is a legal stream
+        emit(eoi)
+    else:
+        for k in it:
+            if (w, k) in table:
+                w = table[(w, k)]
+                continue
+            emit(w)
+            table[(w, k)] = next_code
+            next_code += 1
+            # width grows when the next code no longer fits (GIF grows
+            # AFTER assigning the first code of the wider range)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code == 4097:  # 12-bit cap: reset the table
+                emit(clear)
+                table.clear()
+                width = mcs + 1
+                next_code = eoi + 1
+            w = k
+        emit(w)
+        emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, n_expected: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    singles = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: int | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = []
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = singles[code]
+        elif eoi + 1 + len(table) > code:
+            entry = table[code - eoi - 1]
+        elif code == eoi + 1 + len(table) and prev is not None:
+            pe = singles[prev] if prev < clear else table[prev - eoi - 1]
+            entry = pe + pe[:1]
+        else:
+            raise ValueError(f"gif: bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            pe = singles[prev] if prev < clear else table[prev - eoi - 1]
+            table.append(pe + entry[:1])
+            if eoi + 1 + len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return bytes(out)
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    gce: bool = True,
+) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n<=256, 3) palette as a
+    single-frame GIF89a. ``interlace`` writes the 4-pass row order;
+    ``gce`` includes a Graphic Control Extension block (delay 0) so the
+    decoder's extension-skip path is exercised by real payloads."""
+    import struct
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_gif expects (h,w) indices, (n,3) palette")
+    h, w = idx.shape
+    n = len(pal)
+    if n > 256 or int(idx.max(initial=0)) >= max(n, 1):
+        raise ValueError("palette too small for index raster")
+    # GCT size field: 2^(s+1) entries; pad the palette up
+    s = 0
+    while (2 << s) < max(n, 2):
+        s += 1
+    gct = np.zeros((2 << s, 3), dtype=np.uint8)
+    gct[:n] = pal
+    mcs = max(2, s + 1)  # LZW minimum code size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0x70) | s, 0, 0)
+    out += gct.tobytes()
+    if gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    rows = idx[_gif_interlace_order(h)] if interlace else idx
+    packed = _lzw_encode_gif(rows.tobytes(), mcs)
+    out.append(mcs)
+    for i in range(0, len(packed), 255):
+        block = packed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a single-frame GIF87a/89a to an (h, w, 3) uint8 RGB array
+    (global color table; extensions skipped; interlacing undone)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8
+        ).reshape(size, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, flags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            pal = gct
+            if flags & 0x80:  # local color table
+                size = 2 << (flags & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * size], dtype=np.uint8
+                ).reshape(size, 3)
+                pos += 3 * size
+            if pal is None:
+                raise ValueError("gif: no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = _lzw_decode_gif(bytes(chunks), mcs, w * h)
+            idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+            if flags & 0x40:  # undo interlacing
+                de = np.empty_like(idx)
+                de[_gif_interlace_order(h)] = idx
+                idx = de
+            return pal[idx]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+    raise ValueError("gif: no image block")

@@ -1267,3 +1267,86 @@ def q250_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, height long, width long, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+# ---------------------------------------------------------------------------
+# L5f — REAL GIF codec round-trip (round 8): GIF's only entropy layer is
+# LZW, which needs no external library — variable-width LSB-first codes,
+# CLEAR/EOI, 12-bit table cap, 255-byte sub-blocks, global color table,
+# GCE extension skip, and 4-pass interlacing (odd doc_ids write the
+# interlaced row order; the decoder must undo it). The raster is a
+# palette-index x-gradient with closed-form channel means: idx = base+c,
+# base = doc_id %% 240 <= 239, c < 16 so no wrap; palette[j] =
+# (j, 255-j, 7) makes mean_r = base+7.5, mean_g = 247.5-base, mean_b = 7.
+# Every emitted row asserts pixel-exact equality before the stats, so
+# the driver hash gate certifies the whole encode->decode path.
+# ---------------------------------------------------------------------------
+@query(
+    "q260_gif_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 AS BIGINT) AS interlaced,
+           CAST(12 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST(192 AS BIGINT) AS n_pixels,
+           CAST(doc_id % 240 AS DOUBLE) + 7.5 AS mean_r,
+           247.5 - CAST(doc_id % 240 AS DOUBLE) AS mean_g,
+           CAST(7 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q260_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize palette gradient → encode GIF89a (LZW; odd doc_ids
+    interlaced) → REAL decode → channel stats."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+        image_features,
+    )
+
+    d = spark.table("documents").select("doc_id")
+    schema = (
+        "doc_id long, interlaced long, height long, width long, "
+        "n_pixels long, mean_r double, mean_g double, mean_b double"
+    )
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.uint8),
+            255 - np.arange(256, dtype=np.uint8),
+            np.full(256, 7, dtype=np.uint8),
+        ],
+        axis=1,
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = i % 240
+                idx = (
+                    base + np.tile(np.arange(16, dtype=np.uint8), (12, 1))
+                ).astype(np.uint8)
+                inter = bool(i % 2)
+                rgb = decode_gif(encode_gif(idx, pal, interlace=inter))
+                assert (rgb == pal[idx]).all()
+                f = image_features(rgb)
+                rows.append(
+                    (
+                        i, i % 2,
+                        f["height"], f["width"], f["n_pixels"],
+                        f["mean_r"], f["mean_g"], f["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "interlaced", "height", "width",
+                    "n_pixels", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return d.mapInPandas(_batches, schema=schema)
