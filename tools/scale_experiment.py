@@ -80,6 +80,10 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q244_incremental_rollup",  # state+delta merge, orders 10x
         "q95_unigram_nll",          # lazy broadcast token total, tokens 10x
         "q249_jpeg_roundtrip",      # per-doc codec mapInPandas, docs 10x
+        # round-8 additions: the new packing/vocab/codec family
+        "q256_sequence_packing",    # source-partitioned ordered window, docs 10x
+        "q258_bpe_pair_counts",     # char-pair explode 10x, bounded pair vocab
+        "q260_gif_roundtrip",       # per-doc LZW codec mapInPandas, docs 10x
         "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x.
         # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
         # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
