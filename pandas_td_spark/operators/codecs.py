@@ -52,6 +52,9 @@ __all__ = [
     "media_features",
     "encode_gif",
     "decode_gif",
+    "encode_gif_animation",
+    "gif_frames",
+    "gif_frame_extractor",
 ]
 
 
@@ -1600,3 +1603,132 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"gif: unexpected block 0x{b0:02x}")
     raise ValueError("gif: no image block")
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 4,
+    loop: bool = True,
+) -> bytes:
+    """Multi-frame GIF89a: one global color table, a NETSCAPE2.0 loop
+    extension, and per frame a Graphic Control Extension (delay in
+    centiseconds) + full-size image block. Honest scope: every frame is
+    a full-screen replacement (no partial-rect compositing, no
+    transparency) — the shape a frame-sampling pipeline needs."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = np.asarray(frames[0]).shape
+    n = len(pal)
+    s = 0
+    while (2 << s) < max(n, 2):
+        s += 1
+    gct = np.zeros((2 << s, 3), dtype=np.uint8)
+    gct[:n] = pal
+    mcs = max(2, s + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | s, 0, 0)
+    out += gct.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        idx = np.asarray(fr, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("animation frames must share one size")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        packed = _lzw_encode_gif(idx.tobytes(), mcs)
+        out.append(mcs)
+        for i in range(0, len(packed), 255):
+            block = packed[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode EVERY image block of a GIF87a/89a into (h, w, 3) RGB
+    frames (full-frame images only — partial-rect animation frames
+    raise, same honest-scope contract as the other decoders)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8
+        ).reshape(size, 3)
+        pos += 3 * size
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, flags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("gif: partial-rect frames unsupported")
+            pal = gct
+            if flags & 0x80:
+                size = 2 << (flags & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * size], dtype=np.uint8
+                ).reshape(size, 3)
+                pos += 3 * size
+            if pal is None:
+                raise ValueError("gif: no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = _lzw_decode_gif(bytes(chunks), mcs, w * h)
+            idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+            if flags & 0x40:
+                de = np.empty_like(idx)
+                de[_gif_interlace_order(h)] = idx
+                idx = de
+            frames.append(pal[idx])
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("gif: no image block")
+    return frames
+
+
+def gif_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL drop-in for ``multimodal.sample_frames`` over ANIMATED GIFs
+    (mirror of ``y4m_frame_extractor`` for the compressed container):
+    decode all frames, take ``n_frames`` evenly spaced, hand each on as
+    a P6 PPM payload the downstream image decoders consume unchanged."""
+    frames = gif_frames(payload)
+    total = len(frames)
+    if total == 0:
+        return []
+    n = min(n_frames, total)
+    step = total // n
+    out = []
+    for j in range(n):
+        rgb = frames[j * step]
+        out.append(encode_ppm(rgb))
+    return out

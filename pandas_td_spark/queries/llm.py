@@ -1350,3 +1350,101 @@ def q260_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5g — animated-GIF frame sampling (round 8): the COMPRESSED-container
+# twin of q248's Y4M path. Each doc synthesizes an 8-frame LZW-encoded
+# GIF89a animation (NETSCAPE loop + per-frame GCE); the real
+# multimodal.sample_frames plumbing runs gif_frame_extractor (decode all
+# frames, evenly-spaced pick, hand on as P6 PPM), and per-frame channel
+# means have closed forms: frame 2j's gradient base is (i + 11*2j) % 240
+# (bases <= 239 + x-offset <= 15 never wrap), palette (v, 255-v, 7).
+# ---------------------------------------------------------------------------
+@query(
+    "q261_gif_frames",
+    oracle="""
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           CAST(12 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST((doc_id + 22 * j) % 240 AS DOUBLE) + 7.5 AS mean_r,
+           247.5 - CAST((doc_id + 22 * j) % 240 AS DOUBLE) AS mean_g,
+           CAST(7 AS DOUBLE) AS mean_b
+    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    """,
+)
+def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 8-frame animated GIF → REAL LZW decode + frame sample
+    (multimodal.sample_frames) → REAL PPM decode → per-frame channel
+    means."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_ppm,
+        encode_gif_animation,
+        image_features,
+    )
+    from pandas_td_spark.operators.codecs import gif_frame_extractor
+    from pandas_td_spark.operators.multimodal import sample_frames
+
+    d = spark.table("documents").select("doc_id")
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.uint8),
+            255 - np.arange(256, dtype=np.uint8),
+            np.full(256, 7, dtype=np.uint8),
+        ],
+        axis=1,
+    )
+
+    def _mk(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = []
+                for f in range(8):
+                    base = (i + 11 * f) % 240
+                    frames.append(
+                        (
+                            base
+                            + np.tile(np.arange(16, dtype=np.uint8), (12, 1))
+                        ).astype(np.uint8)
+                    )
+                rows.append((i, encode_gif_animation(frames, pal)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(_mk, "doc_id long, payload binary")
+    frames = sample_frames(
+        payloads, n_frames=4, extract_fn=gif_frame_extractor
+    )
+
+    def _feat(it):
+        for pdf in it:
+            rows = []
+            for i, j, fp in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                img = decode_ppm(bytes(fp))
+                f = image_features(img)
+                rows.append(
+                    (
+                        int(i), int(j),
+                        f["height"], f["width"],
+                        f["mean_r"], f["mean_g"], f["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "height", "width",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return frames.mapInPandas(
+        _feat,
+        "doc_id long, frame_idx long, height long, width long, "
+        "mean_r double, mean_g double, mean_b double",
+    )

@@ -515,3 +515,48 @@ def test_gif_dispatch_and_media_features():
     # head = (h, w, mean_r, mean_g, mean_b) — real decode, closed forms
     assert vec[0] == 12.0 and vec[1] == 16.0
     assert abs(vec[2] - 7.5) < 1e-6 and abs(vec[4] - 7.0) < 1e-6
+
+
+def test_gif_animation_roundtrip_and_frame_extractor():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_ppm,
+        encode_gif_animation,
+        gif_frame_extractor,
+        gif_frames,
+    )
+
+    rng = np.random.RandomState(19)
+    pal = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+    frames = [
+        rng.randint(0, 64, size=(9, 13)).astype(np.uint8) for _ in range(7)
+    ]
+    payload = encode_gif_animation(frames, pal, delay_cs=10)
+    dec = gif_frames(payload)
+    assert len(dec) == 7
+    for d, f in zip(dec, frames):
+        assert (d == pal[f]).all()
+    # evenly-spaced extractor hands on P6 PPM payloads (step = 7//3 = 2)
+    ppm = gif_frame_extractor(payload, 3)
+    assert len(ppm) == 3
+    for j, p in enumerate(ppm):
+        assert (decode_ppm(p) == pal[frames[2 * j]]).all()
+
+
+def test_gif_single_frame_decoder_rejects_partial_rect():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import encode_gif, gif_frames
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(encode_gif(idx, pal))
+    # corrupt the image descriptor's left offset -> partial-rect frame
+    at = payload.index(0x2C, 13)
+    payload[at + 1 : at + 3] = struct.pack("<H", 1)
+    with _pytest.raises(ValueError, match="partial-rect"):
+        gif_frames(bytes(payload))
