@@ -1448,3 +1448,63 @@ def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, height long, width long, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+# ---------------------------------------------------------------------------
+# L5h — IMA ADPCM compressed-audio round-trip (round 8). The codec is
+# 4-bit DVI/IMA against the 89-step table in WAVE fmt 0x11 blocks (the
+# block header is the spec's resync point). Encode->decode is a pure
+# deterministic function but a SEQUENTIAL recurrence, so there is no SQL
+# oracle — rows-only driver row (like the sketch family); golden vectors
+# + an SNR floor are pinned in tests/test_codecs.py. Stats are emitted
+# at doc grain: compression ratio and quantization SNR per synthesized
+# tone.
+# ---------------------------------------------------------------------------
+@query("q262_adpcm_roundtrip", oracle=None)
+def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize per-doc int16 tone → IMA-ADPCM encode → REAL decode →
+    (n_samples, compressed_bytes, snr_db)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    d = spark.table("documents").select("doc_id")
+    schema = (
+        "doc_id long, n_samples long, compressed_bytes long, "
+        "pcm_bytes long, snr_db double"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                t = np.arange(2000)
+                freq = 100.0 + (i % 40) * 10.0
+                x = (
+                    12000 * np.sin(2 * np.pi * freq * t / 8000.0)
+                ).astype(np.int16)
+                payload = encode_wav_ima_adpcm(x)
+                y, _rate = decode_wav_ima_adpcm(payload)
+                assert len(y) == len(x)
+                err = x.astype(np.float64) - y.astype(np.float64)
+                snr = 10.0 * np.log10(
+                    (x.astype(np.float64) ** 2).sum()
+                    / max((err**2).sum(), 1.0)
+                )
+                rows.append(
+                    (i, len(x), len(payload), 2 * len(x), round(snr, 3))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "compressed_bytes",
+                    "pcm_bytes", "snr_db",
+                ],
+            )
+
+    return d.mapInPandas(_batches, schema=schema)

