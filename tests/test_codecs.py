@@ -597,3 +597,76 @@ def test_ima_adpcm_golden_and_snr():
         xi = np.linspace(-30000, 30000, n).astype(np.int16)
         yi, _ = decode_wav_ima_adpcm(encode_wav_ima_adpcm(xi))
         assert len(yi) == n
+
+
+def test_gif_local_color_table_branch():
+    """The decoder must honor a LOCAL color table when the image block
+    carries one (our encoder always writes a global table, so build the
+    LCT variant by restructuring an encoded payload)."""
+    import struct
+
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_gif, encode_gif
+
+    pal = np.stack(
+        [
+            np.arange(8, dtype=np.uint8) * 30,
+            np.arange(8, dtype=np.uint8) * 20,
+            np.full(8, 9, dtype=np.uint8),
+        ],
+        axis=1,
+    )
+    idx = (np.arange(48, dtype=np.uint8).reshape(6, 8) % 8).astype(np.uint8)
+    src = encode_gif(idx, pal, gce=False)
+    # parse our own layout: 6 header + 7 LSD, GCT size from LSD flags
+    packed = src[10]
+    s = packed & 0x07
+    gct_len = 3 * (2 << s)
+    lsd = bytearray(src[6:13])
+    lsd[4] = packed & 0x7F  # clear the global-table flag
+    gct = src[13 : 13 + gct_len]
+    at = 13 + gct_len
+    assert src[at] == 0x2C
+    desc = bytearray(src[at : at + 10])
+    desc[9] |= 0x80 | s  # local color table present, same size
+    rest = src[at + 10 :]
+    lct_payload = bytes(src[:6]) + bytes(lsd) + bytes(desc) + gct + rest
+    assert (decode_gif(lct_payload) == pal[idx]).all()
+
+
+def test_adpcm_rejects_stereo_and_bad_fmt():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+        encode_wav_pcm16,
+    )
+
+    x = np.zeros(100, dtype=np.int16)
+    payload = bytearray(encode_wav_ima_adpcm(x))
+    # channel count lives 2 bytes into the fmt body (offset 12+8+2)
+    struct.pack_into("<H", payload, 22, 2)
+    with _pytest.raises(ValueError, match="stereo"):
+        decode_wav_ima_adpcm(bytes(payload))
+    # a PCM payload through the ADPCM decoder must refuse, not garble
+    with _pytest.raises(ValueError, match="IMA"):
+        decode_wav_ima_adpcm(encode_wav_pcm16(np.zeros(10)))
+
+
+def test_gif_decoder_rejects_garbage_blocks():
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import decode_gif, encode_gif
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    payload = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal))
+    at = payload.index(0x2C, 13)
+    payload[at] = 0x99  # neither extension, image, nor trailer
+    with _pytest.raises(ValueError, match="unexpected block"):
+        decode_gif(bytes(payload))
