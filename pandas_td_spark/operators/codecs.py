@@ -555,21 +555,36 @@ def decode_y4m(payload: bytes) -> dict:
     }
 
 
+def _even_sample_indices(total: int, n: int) -> list[int]:
+    """Evenly spaced frame picks COVERING the whole clip: index_j =
+    round(j * (total-1) / (n-1)) in pure integer arithmetic (round half
+    up, deterministic across platforms). The former ``j * (total // n)``
+    clustered picks at the head — 10 frames, n=4 chose 0/2/4/6 and never
+    saw the tail (ADVICE r8); this picks 0/3/6/9. Strictly increasing
+    whenever ``n <= total`` since the stride ``(total-1)/(n-1) >= 1``."""
+    n = min(n, total)
+    if n <= 0:
+        return []
+    if n == 1:
+        return [0]
+    return [
+        (2 * j * (total - 1) + (n - 1)) // (2 * (n - 1)) for j in range(n)
+    ]
+
+
 def y4m_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
     """REAL drop-in for ``multimodal.sample_frames``: parse the Y4M,
-    take ``n_frames`` evenly-spaced frames (index ``j * (total // n)``),
-    and hand each luma plane on as a P5 PGM payload — a real image
-    format the downstream decoders (decode_ppm / media_features /
-    resize_image) consume unchanged."""
+    take ``n_frames`` evenly-spaced frames (``_even_sample_indices`` —
+    first and last frame always included), and hand each luma plane on
+    as a P5 PGM payload — a real image format the downstream decoders
+    (decode_ppm / media_features / resize_image) consume unchanged."""
     vid = decode_y4m(payload)
     total = vid["n_frames"]
     if total == 0:
         return []
-    n = min(n_frames, total)
-    step = total // n
     out = []
-    for j in range(n):
-        plane = vid["y"][j * step]
+    for i in _even_sample_indices(total, n_frames):
+        plane = vid["y"][i]
         h, w = plane.shape
         out.append(f"P5\n{w} {h}\n255\n".encode() + plane.tobytes())
     return out
@@ -1732,13 +1747,9 @@ def gif_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
     total = len(frames)
     if total == 0:
         return []
-    n = min(n_frames, total)
-    step = total // n
-    out = []
-    for j in range(n):
-        rgb = frames[j * step]
-        out.append(encode_ppm(rgb))
-    return out
+    return [
+        encode_ppm(frames[i]) for i in _even_sample_indices(total, n_frames)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,12 @@ def bfs_levels(
     materialize the adjacency once (the edge-cache pattern) rather than
     letting every call re-derive and re-persist its own copy.
     """
+    # every frame this call persist()s is tracked on the RESULT as
+    # ``_graph_cached`` so long-lived sessions can evict after the
+    # terminal action materializes (``release_cached``, ADVICE r8) —
+    # the result is lazy, so eviction inside this function would defeat
+    # the caches before they ever serve a probe.
+    cached: list[DataFrame] = []
     if adjacency is not None:
         if edges is not None:
             raise ValueError("pass edges or adjacency, not both")
@@ -247,6 +253,7 @@ def bfs_levels(
         adj = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).persist()
+        cached.append(adj)
     seed = spark.createDataFrame(
         [(source, 0)], "node bigint, level int"
     )
@@ -257,6 +264,7 @@ def bfs_levels(
         .select(F.col("v").alias("node"))
         .persist()
     )
+    cached.append(f1)
     if frontier_hint not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"bad frontier_hint {frontier_hint!r}")
     actionless = frontier_hint == "broadcast"
@@ -293,6 +301,7 @@ def bfs_levels(
             break
         nxt = nxt.persist()  # lazy in "broadcast" mode: fills at the
         # terminal action, shared by later rounds within that job
+        cached.append(nxt)
         if not actionless:
             n_frontier = nxt.count()
             if n_frontier == 0:
@@ -303,7 +312,18 @@ def bfs_levels(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    out._graph_cached = cached
     return out
+
+
+def release_cached(result: DataFrame) -> None:
+    """Evict the frames a graph operator persist()ed for ``result``
+    (tracked in ``result._graph_cached``). Call AFTER the terminal
+    action has materialized — repeated BFS probes in a long session
+    otherwise accumulate cached frontier/adjacency blocks (ADVICE r8).
+    No-op for frames from other operators. Non-blocking."""
+    for df in getattr(result, "_graph_cached", []):
+        df.unpersist(False)
 
 
 def kcore_peel(

@@ -1109,14 +1109,24 @@ def evict_edge_cache(spark=None, view_dir=None) -> None:
 def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from part 1 through shared orders (≤3 hops) — the
     distributed frontier BFS primitive."""
-    from pandas_td_spark.operators.graph import bfs_levels
+    from pandas_td_spark.operators.graph import bfs_levels, release_cached
 
-    return bfs_levels(
+    # evict the PREVIOUS invocation's frontier caches (the adjacency is
+    # the shared memoized edge cache, not re-persisted here) — bounds
+    # the cached-block footprint at one run in long sessions (ADVICE r8)
+    while _Q164_PREV:
+        release_cached(_Q164_PREV.pop())
+    out = bfs_levels(
         source=1,
         max_depth=3,
         frontier_hint="broadcast",
         adjacency=_copurchase_adjacency(spark),
     )
+    _Q164_PREV.append(out)
+    return out
+
+
+_Q164_PREV: list = []
 
 
 # ---------------------------------------------------------------------------

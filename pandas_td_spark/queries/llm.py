@@ -1061,11 +1061,15 @@ def q247_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q248_y4m_frames",
     oracle="""
+    -- sampled source frames for total=8, n=4 are {0,2,5,7}
+    -- (_even_sample_indices: round(j*7/3)); luma base is
+    -- (doc_id + 17*src) % 256, so offsets are 17*{0,2,5,7}
     SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
            CAST(12 AS BIGINT) AS height,
            CAST(16 AS BIGINT) AS width,
-           CAST((doc_id + 34 * j) % 256 AS DOUBLE) AS mean_y
-    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+           CAST((doc_id + off) % 256 AS DOUBLE) AS mean_y
+    FROM documents
+    CROSS JOIN (VALUES (0, 0), (1, 34), (2, 85), (3, 119)) AS t(j, off)
     """,
 )
 def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,20 +1367,25 @@ def q260_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin of q248's Y4M path. Each doc synthesizes an 8-frame LZW-encoded
 # GIF89a animation (NETSCAPE loop + per-frame GCE); the real
 # multimodal.sample_frames plumbing runs gif_frame_extractor (decode all
-# frames, evenly-spaced pick, hand on as P6 PPM), and per-frame channel
-# means have closed forms: frame 2j's gradient base is (i + 11*2j) % 240
+# frames, evenly-spaced pick covering the tail, hand on as P6 PPM), and
+# per-frame channel means have closed forms: sampled frame j maps to
+# source frame src in {0,2,5,7}, gradient base (i + 11*src) % 240
 # (bases <= 239 + x-offset <= 15 never wrap), palette (v, 255-v, 7).
 # ---------------------------------------------------------------------------
 @query(
     "q261_gif_frames",
     oracle="""
+    -- sampled source frames for total=8, n=4 are {0,2,5,7}
+    -- (_even_sample_indices); gradient base is (doc_id + 11*src) % 240,
+    -- so offsets are 11*{0,2,5,7}
     SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
            CAST(12 AS BIGINT) AS height,
            CAST(16 AS BIGINT) AS width,
-           CAST((doc_id + 22 * j) % 240 AS DOUBLE) + 7.5 AS mean_r,
-           247.5 - CAST((doc_id + 22 * j) % 240 AS DOUBLE) AS mean_g,
+           CAST((doc_id + off) % 240 AS DOUBLE) + 7.5 AS mean_r,
+           247.5 - CAST((doc_id + off) % 240 AS DOUBLE) AS mean_g,
            CAST(7 AS DOUBLE) AS mean_b
-    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    FROM documents
+    CROSS JOIN (VALUES (0, 0), (1, 22), (2, 55), (3, 77)) AS t(j, off)
     """,
 )
 def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

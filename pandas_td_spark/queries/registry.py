@@ -118,8 +118,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
-    "q164_bfs_levels": 8,  # r6: fused distinct; r8: actionless
-    # broadcast-mode BFS (zero in-loop driver actions, persisted adjacency)
+    "q164_bfs_levels": 9,  # r6: fused distinct; r8: actionless
+    # broadcast-mode BFS (zero in-loop driver actions, persisted
+    # adjacency); r9: persisted frames tracked + previous run evicted
+    # (same plan/values, no leaked cached blocks — ADVICE r8)
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
     "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
     "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile
@@ -182,6 +184,12 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q235_dup_rate_by_source": 8,
     "q65_near_dup_clusters": 8,
     "q159_cluster_survivor": 8,
+    # round 9 (ADVICE r8): frame extractors now pick evenly-spaced
+    # indices that COVER the tail (round(j*(total-1)/(n-1)) instead of
+    # j*(total//n)) — q248/q261 sample source frames {0,2,5,7} and their
+    # oracles' closed-form offsets moved with them:
+    "q248_y4m_frames": 9,
+    "q261_gif_frames": 9,
 }
 
 

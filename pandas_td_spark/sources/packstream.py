@@ -235,33 +235,56 @@ class _PackWriter(DataSourceWriter):
     # driver-side job commit: schema header + _SUCCESS written LAST, so
     # readers (which require _SUCCESS) never observe a partial dataset
     def commit(self, messages) -> None:
-        keep = {m.file for m in messages if m is not None}
-        rows = sum(m.rows for m in messages if m is not None)
+        # per-chunk row counts ride in the header so an append can sum
+        # rows over exactly the chunks it keeps — carrying the previous
+        # TOTAL forward would overstate the readable dataset whenever a
+        # previously committed chunk file has since vanished (ADVICE r8)
+        chunk_rows = {m.file: m.rows for m in messages if m is not None}
         if self.overwrite:
             for f in os.listdir(self.path):
-                if f.endswith(".tdpack") and f not in keep:
+                if f.endswith(".tdpack") and f not in chunk_rows:
                     os.remove(os.path.join(self.path, f))
         else:
             # append: merge with the previously committed chunk list so
             # readers (which trust the header, not the directory) see the
-            # whole dataset across jobs
+            # whole dataset across jobs — but only chunks that still exist
             hdr = os.path.join(self.path, _SCHEMA_FILE)
             if os.path.exists(hdr):
                 with open(hdr) as f:
                     prev = json.load(f)
-                keep |= {
+                prev_rows = prev.get("chunk_rows", {})
+                survivors = [
                     c
                     for c in prev.get("chunks", [])
                     if os.path.exists(os.path.join(self.path, c))
-                }
-                rows += prev.get("rows", 0)
+                ]
+                if prev_rows:
+                    for c in survivors:
+                        chunk_rows[c] = prev_rows.get(c, 0)
+                else:
+                    # legacy header without per-chunk counts: the stored
+                    # total is only trustworthy when every chunk survived;
+                    # amortize it evenly so the header stays upgradeable
+                    # (exact per-chunk counts resume on the next commit)
+                    n_prev = len(prev.get("chunks", []))
+                    total = (
+                        prev.get("rows", 0)
+                        if survivors and len(survivors) == n_prev
+                        else 0
+                    )
+                    for i, c in enumerate(survivors):
+                        share = total // len(survivors)
+                        if i == 0:
+                            share += total - share * len(survivors)
+                        chunk_rows[c] = share
         header = {
             "fields": [
                 {"name": f.name, "kind": k}
                 for f, k in zip(self.schema.fields, self.kinds)
             ],
-            "chunks": sorted(keep),
-            "rows": rows,
+            "chunks": sorted(chunk_rows),
+            "chunk_rows": {c: chunk_rows[c] for c in sorted(chunk_rows)},
+            "rows": sum(chunk_rows.values()),
         }
         with open(os.path.join(self.path, _SCHEMA_FILE), "w") as f:
             json.dump(header, f, indent=1)

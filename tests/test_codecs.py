@@ -225,13 +225,35 @@ def test_y4m_round_trip_and_real_frame_extraction():
     d = decode_y4m(p)
     assert (d["width"], d["height"], d["n_frames"]) == (14, 10, 6)
     assert (d["y"] == y).all() and (d["u"] == u).all() and (d["v"] == v).all()
-    # evenly-spaced real frames as PGM, decodable by the image path
+    # evenly-spaced real frames as PGM, decodable by the image path:
+    # 6 frames, n=3 picks round(j*5/2) = {0, 3, 5} — tail included
     frames = y4m_frame_extractor(p, 3)
     assert len(frames) == 3
-    for j, f in enumerate(frames):
-        assert (decode_ppm(f) == y[j * 2]).all()
+    for j, src in enumerate([0, 3, 5]):
+        assert (decode_ppm(frames[j]) == y[src]).all()
     # asking for more frames than exist clamps
     assert len(y4m_frame_extractor(p, 99)) == 6
+
+
+def test_even_sample_indices_cover_head_and_tail():
+    from pandas_td_spark.operators.codecs import _even_sample_indices
+
+    # the ADVICE r8 example: 10 frames, n=4 must reach the tail
+    assert _even_sample_indices(10, 4) == [0, 3, 6, 9]
+    assert _even_sample_indices(8, 4) == [0, 2, 5, 7]
+    assert _even_sample_indices(4, 4) == [0, 1, 2, 3]
+    assert _even_sample_indices(5, 2) == [0, 4]
+    assert _even_sample_indices(7, 1) == [0]
+    assert _even_sample_indices(0, 4) == []
+    # n > total clamps to one pick per frame
+    assert _even_sample_indices(3, 99) == [0, 1, 2]
+    # strictly increasing whenever n <= total
+    for total in range(1, 40):
+        for n in range(1, total + 1):
+            idx = _even_sample_indices(total, n)
+            assert len(idx) == n
+            assert all(b > a for a, b in zip(idx, idx[1:]))
+            assert idx[0] == 0 and (n == 1 or idx[-1] == total - 1)
 
 
 def test_y4m_rejects_non_420_and_bad_magic():
@@ -537,11 +559,12 @@ def test_gif_animation_roundtrip_and_frame_extractor():
     assert len(dec) == 7
     for d, f in zip(dec, frames):
         assert (d == pal[f]).all()
-    # evenly-spaced extractor hands on P6 PPM payloads (step = 7//3 = 2)
+    # evenly-spaced extractor covers head AND tail: 7 frames, n=3 picks
+    # round(j*6/2) = {0, 3, 6} and hands on P6 PPM payloads
     ppm = gif_frame_extractor(payload, 3)
     assert len(ppm) == 3
-    for j, p in enumerate(ppm):
-        assert (decode_ppm(p) == pal[frames[2 * j]]).all()
+    for j, src in enumerate([0, 3, 6]):
+        assert (decode_ppm(ppm[j]) == pal[frames[src]]).all()
 
 
 def test_gif_single_frame_decoder_rejects_partial_rect():

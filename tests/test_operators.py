@@ -1013,6 +1013,35 @@ def test_bfs_frontier_hint_modes_agree_and_broadcast_is_actionless(spark):
     assert results["shuffle"] == expected
 
 
+def test_bfs_release_cached_evicts_persisted_frames(spark):
+    """ADVICE r8: bfs_levels persists the adjacency union and every
+    frontier; release_cached must evict them all after the terminal
+    action so repeated probes don't leak cached blocks."""
+    from pandas_td_spark.operators.graph import (
+        bfs_levels,
+        release_cached,
+        undirected_edges,
+    )
+
+    edges = undirected_edges(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+        ),
+        "a",
+        "b",
+    )
+    out = bfs_levels(edges, source=1, max_depth=3)
+    assert out.count() == 4  # nodes 1..4 within 3 hops
+    cached = out._graph_cached
+    # adjacency + depth-1 frontier + at least one later frontier
+    assert len(cached) >= 3
+    assert all(df.is_cached for df in cached)
+    release_cached(out)
+    assert all(not df.is_cached for df in cached)
+    # no-op on frames without the marker
+    release_cached(edges)
+
+
 def test_bfs_bad_frontier_hint_raises(spark):
     from pandas_td_spark.operators.graph import bfs_levels, undirected_edges
 

@@ -89,6 +89,39 @@ def test_append_merges_chunk_lists_across_jobs(spark):
     assert back.agg(F.sum("x")).first()[0] == sum(range(107))
 
 
+def test_append_header_rows_match_surviving_chunks(spark):
+    """ADVICE r8: an append must not carry forward the row counts of
+    previously committed chunks whose files have since vanished — the
+    header's total has to equal what a reader can actually see."""
+    import json
+
+    d = tempfile.mkdtemp(prefix="tdpack_rows_")
+    a = spark.range(90).select(F.col("id").alias("x"))
+    a.repartition(3).write.format("tdpack").option("path", d).mode(
+        "overwrite"
+    ).save()
+    with open(os.path.join(d, "_tdpack_schema.json")) as f:
+        hdr = json.load(f)
+    assert hdr["rows"] == 90
+    assert sum(hdr["chunk_rows"].values()) == 90
+    # one committed chunk vanishes out-of-band (manual cleanup, lost disk)
+    victim = sorted(hdr["chunks"])[0]
+    lost = hdr["chunk_rows"][victim]
+    assert lost > 0
+    os.remove(os.path.join(d, victim))
+    b = spark.range(100, 107).select(F.col("id").alias("x"))
+    b.repartition(1).write.format("tdpack").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "_tdpack_schema.json")) as f:
+        hdr2 = json.load(f)
+    back = spark.read.format("tdpack").option("path", d).load()
+    n = back.count()
+    assert n == 90 - lost + 7
+    assert hdr2["rows"] == n  # header never overstates the readable rows
+    assert sum(hdr2["chunk_rows"].values()) == n
+
+
 def test_reader_ignores_orphan_chunks_not_in_header(spark):
     """A crashed second append (some tasks landed chunks, abort never ran)
     must stay invisible: readers trust the committed header's chunk list,
