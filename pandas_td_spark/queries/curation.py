@@ -1112,15 +1112,22 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("__s")
     ).select("doc_id", F.xxhash64("__s").alias("s"))
-    # one exchange serves both consumers: the df aggregate shuffles sh on
-    # s, and the join back shuffles sh on s again — Catalyst collapses
-    # them into a ReusedExchange, so the shingle transform runs ONCE. (A
-    # "join only the df>1 subset via broadcast" variant was A/B-tested
-    # here and rejected: the broadcast probe breaks the exchange reuse,
-    # recomputing the transform — 3.6 s vs 1.1 s warm at sf0.1.)
-    df_counts = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
+    # ONE shuffle total: the document frequency each (doc, shingle) pair
+    # needs is just count(*) over a whole-partition window on s — the
+    # same exchange the aggregate+join-back formulation pays FIRST of
+    # two, with no join after it. r9 A/B at sf0.1: window 0.74 s warm /
+    # 1.34 cold vs agg+ReusedExchange+SMJ 0.96/4.0; at 10x data the
+    # window plan is 1.3 s warm (ratio ~1.7 vs the join plan's 4.2 —
+    # the SMJ's sort and row growth were the superlinear term). Skew
+    # bound: a hot shingle concentrates its copies in one window
+    # partition, but that identical concentration existed on the join's
+    # build side; per-key state is one count either way. (An earlier
+    # "join only the df>1 subset via broadcast" variant was rejected:
+    # the broadcast probe broke exchange reuse and recomputed the
+    # transform — 3.6 s.)
+    n_docs = F.count("*").over(Window.partitionBy("s"))
     return (
-        sh.join(df_counts, "s")
+        sh.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

@@ -175,7 +175,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q86_bm25": 8,
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 8,
-    "q128_ngram_novelty": 8,  # 64-bit hashed shingle keys in the df join
+    "q128_ngram_novelty": 9,  # r8: 64-bit hashed shingle keys; r9: df
+    # via whole-partition window count on the one exchange (no join —
+    # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s)
     # round-8 LSH gate: the shared pair cache now dispatches through
     # jaccard_pairs_auto — at fixture scales the plan is byte-identical
     # (exact prefix path below EXACT_PAIRS_MAX_DOCS), listed for the
