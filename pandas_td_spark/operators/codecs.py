@@ -57,6 +57,9 @@ __all__ = [
     "gif_frame_extractor",
     "encode_wav_ima_adpcm",
     "decode_wav_ima_adpcm",
+    "encode_jpeg_progressive_gray",
+    "encode_jpeg_progressive_color",
+    "decode_jpeg_progressive",
 ]
 
 
@@ -278,10 +281,10 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     """Drop-in ``decode_fn`` for ``multimodal.featurize_binary``:
-    REAL decode for WAV/PPM/PGM/BMP/PNG/baseline-JPEG/GIF (audio:
-    duration/rms/peak/zcr + FFT band energies; image: shape/channel
-    stats + intensity histogram), stub fallback for formats that need
-    external codecs (progressive JPEG/MP3/H.264). Always returns
+    REAL decode for WAV/PPM/PGM/BMP/PNG/baseline-and-progressive-JPEG/
+    GIF (audio: duration/rms/peak/zcr + FFT band energies; image:
+    shape/channel stats + intensity histogram), stub fallback for
+    formats that need external codecs (MP3/H.264). Always returns
     float32[out_dim]."""
     from pandas_td_spark.operators.multimodal import stub_decoder
 
@@ -1025,8 +1028,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 # 4:2:0 chroma, JFIF YCbCr color transform, interleaved MCUs,
 # per-component quantization/Huffman selection, DRI/RSTn restart
 # markers. With this, decode_jpeg handles the shapes real-world
-# baseline JPEGs actually use; progressive (SOF2) and arithmetic
-# coding remain honestly out of scope (ValueError → stub fallback).
+# baseline JPEGs actually use; SOF2 dispatches to the round-9
+# progressive decoder below, leaving only arithmetic coding (SOF9/SOFA)
+# honestly out of scope (ValueError → stub fallback).
 # ---------------------------------------------------------------------------
 
 _JPEG_QTAB_CHROMA = np.array(
@@ -1232,10 +1236,11 @@ def encode_jpeg_color(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """General baseline JFIF decode: 1 component → (h, w) uint8 gray;
-    3 components (4:4:4 or 4:2:0, plus 4:2:2) → (h, w, 3) uint8 RGB.
+    """General JFIF decode: 1 component → (h, w) uint8 gray; 3
+    components (4:4:4 or 4:2:0, plus 4:2:2) → (h, w, 3) uint8 RGB.
     Tables and sampling factors come from the file; DRI/RSTn restart
-    intervals are honored. Progressive/arithmetic raise ValueError."""
+    intervals are honored. SOF2 dispatches to the progressive decoder;
+    arithmetic coding raises ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1269,8 +1274,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid = body[6 + 3 * ci]
                 sf = body[7 + 3 * ci]
                 comps.append((cid, sf >> 4, sf & 15, body[8 + 3 * ci]))
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif m == 0xC2:
+            return decode_jpeg_progressive(payload)  # SOF2 path (round 9)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline/progressive JPEG supported")
         elif m == 0xC4:
             huff.update(_parse_dht(body))
         elif m == 0xDD:
@@ -1401,6 +1408,666 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ycc = np.stack(
         [np.floor(p + 128.0 + 0.5) for p in planes], axis=-1
     )
+    return ycbcr_to_rgb(np.clip(ycc, 0, 255))
+
+
+# ---------------------------------------------------------------------------
+# JPEG progressive (SOF2) — round 9, closing the last JPEG stub. The
+# entropy layer is the same canonical Huffman machinery as baseline, so
+# no external library is needed; what progressive adds is the SCAN
+# SCHEDULE (ITU-T T.81 Annex G): spectral selection (each scan carries a
+# zigzag band of coefficients) and successive approximation (each scan
+# carries a bit-plane slice — first scans send magnitude >> Al, later
+# refinement scans send one correction bit per already-nonzero
+# coefficient plus newly-significant ±1<<Al coefficients, with
+# EOB-run codes amortizing all-zero bands across blocks). Encode is
+# lossless over the SAME quantized coefficients as baseline, so
+# decode(encode_progressive(x)) must equal jpeg_reconstruct_gray
+# (quantize(x)) bit-for-bit — the q263 certification hinge. The decoder
+# is general: gray or color, interleaved DC scans, per-component AC
+# scans on the non-interleaved block grid, DHT/DQT between scans,
+# DRI/RSTn restarts (DC predictors and EOB run reset per segment).
+# ---------------------------------------------------------------------------
+
+#: progressive AC alphabet adds the EOBn symbols (r<<4, r=0..14) that
+#: baseline's alphabet lacks; flat 8-bit canonical lengths stay valid
+#: (176 < 255 codes at one length — the all-ones padding code is free)
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 7 + [len(_PROG_AC_SYMS)] + [0] * 8
+_PROG_AC_CODE = _canonical_codes(_PROG_AC_BITS, _PROG_AC_SYMS)
+_PROG_DHT_GRAY = (
+    b"\x00" + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_SYMS)
+    + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+)
+
+#: the scan script the encoder writes: DC first at Al=1, the low AC band
+#: at Al=2 refined twice (2→1→0), the high band at Al=1 refined once,
+#: DC refinement last — every Annex-G scan kind is exercised, and each
+#: band's successive-approximation chain is contiguous per spec B.2.3.
+_PROG_SCANS_GRAY = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 1),
+    (1, 5, 2, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+    (0, 0, 1, 0),
+)
+
+
+class _ProgACWriter:
+    """Per-scan AC entropy state: EOB-run accumulation and (for
+    refinement scans) the correction bits buffered until the next
+    symbol flushes them (T.81 G.1.2.3 ordering)."""
+
+    def __init__(self, bw: _BitWriter, code: dict):
+        self.bw = bw
+        self.code = code
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits inside the run
+
+    def sym(self, s: int) -> None:
+        c, ln = self.code[s]
+        self.bw.put(c, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+
+def _encode_ac_first(wr: _ProgACWriter, tv: list[int]) -> None:
+    """One block's band of point-transformed values, first AC scan."""
+    if not any(tv):
+        wr.eobrun += 1
+        if wr.eobrun == 0x7FFF:
+            wr.flush_eobrun()
+        return
+    wr.flush_eobrun()
+    run = 0
+    last_nz = max(i for i, v in enumerate(tv) if v)
+    for i in range(last_nz + 1):
+        v = tv[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.sym(0xF0)
+            run -= 16
+        s = _size_of(v)
+        wr.sym((run << 4) | s)
+        wr.bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(tv) - 1:
+        wr.eobrun = 1
+
+
+def _encode_ac_refine(wr: _ProgACWriter, vals: list[int], al: int) -> None:
+    """One block's band in an AC refinement scan (libjpeg-equivalent
+    form of T.81 figure G.7): newly-significant coefficients emit
+    (run<<4)|1 + a sign bit; already-nonzero coefficients each emit one
+    buffered correction bit; all-zero tails fold into the EOB run."""
+    absv = [abs(v) >> al for v in vals]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []  # this block's correction bits, not yet flushed
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            wr.flush_eobrun()
+            wr.sym(0xF0)
+            run -= 16
+            for b in br:
+                wr.bw.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        wr.flush_eobrun()
+        wr.sym((run << 4) | 1)
+        wr.bw.put(1 if vals[i] > 0 else 0, 1)
+        for b in br:
+            wr.bw.put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        wr.eobrun += 1
+        wr.pending.extend(br)
+        if wr.eobrun == 0x7FFF or len(wr.pending) > 937:
+            wr.flush_eobrun()
+
+
+def encode_jpeg_progressive_gray(
+    img: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """8-bit grayscale progressive JFIF (SOF2) over the SAME quantized
+    coefficients as ``encode_jpeg_gray`` — only the entropy schedule
+    differs, so any spec decoder reconstructs the identical image.
+    ``restart_interval`` > 0 writes DRI and emits RSTn every N blocks in
+    EVERY scan (DC predictor and EOB run reset per segment)."""
+    arr = np.asarray(img, np.uint8)
+    h, w = arr.shape
+    zz = jpeg_quantize_gray(arr).reshape(-1, 64)[:, _ZIGZAG]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + _qz_luma())
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, _PROG_DHT_GRAY)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for ss, se, ah, al in _PROG_SCANS_GRAY:
+        entropy = bytearray()
+        bw = _BitWriter()
+        wr = _ProgACWriter(bw, _PROG_AC_CODE) if ss else None
+        prev = 0
+        rst_n = 0
+        for b in range(zz.shape[0]):
+            if restart_interval and b and b % restart_interval == 0:
+                if wr is not None:
+                    wr.flush_eobrun()  # an EOB run may not cross RSTn
+                entropy += bw.flush()
+                entropy += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw = _BitWriter()
+                wr = _ProgACWriter(bw, _PROG_AC_CODE) if ss else None
+                prev = 0
+            if ss == 0:  # DC scan (Se must be 0)
+                if ah == 0:
+                    d = int(zz[b, 0]) >> al  # arithmetic shift per spec
+                    diff = d - prev
+                    prev = d
+                    s = _size_of(diff)
+                    c, ln = _FLAT_DC_CODE[s]
+                    bw.put(c, ln)
+                    if s:
+                        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                else:
+                    bw.put((int(zz[b, 0]) >> al) & 1, 1)
+            else:
+                vals = [int(v) for v in zz[b, ss : se + 1]]
+                if ah == 0:
+                    tv = [
+                        (abs(v) >> al) * (1 if v >= 0 else -1) for v in vals
+                    ]
+                    _encode_ac_first(wr, tv)
+                else:
+                    _encode_ac_refine(wr, vals, al)
+        if wr is not None:
+            wr.flush_eobrun()
+        entropy += bw.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_PROG_DHT_COLOR = (
+    b"\x00" + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_SYMS)
+    + b"\x01" + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_SYMS)
+    + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+    + b"\x11" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+)
+
+
+def encode_jpeg_progressive_color(
+    img: np.ndarray, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive color JFIF: same YCbCr planes,
+    quantization and 4:4:4/4:2:0 geometry as ``encode_jpeg_color``, but
+    scheduled progressively — one INTERLEAVED DC scan (all components,
+    MCU order, Al=1), per-component AC scans on each component's own
+    block grid (spectral bands + refinements for luma, a 1→0
+    approximation chain for chroma), and an interleaved DC refinement
+    last. Entropy is lossless, so any spec decoder reconstructs exactly
+    the baseline encoder's image."""
+    arr = np.asarray(img, np.uint8)
+    h, w = arr.shape[:2]
+    ycc = rgb_to_ycbcr(arr).astype(np.float64)
+    yp = ycc[..., 0]
+    if subsample:
+        H2, W2 = (h + 1) & ~1, (w + 1) & ~1
+        pad = np.empty((H2, W2, 2))
+        pad[:h, :w] = ycc[..., 1:]
+        if W2 > w:
+            pad[:h, w:] = ycc[:, -1:, 1:]
+        if H2 > h:
+            pad[h:, :] = pad[h - 1 : h, :]
+        sub = pad.reshape(H2 // 2, 2, W2 // 2, 2, 2).mean(axis=(1, 3))
+        chroma = np.floor(sub + 0.5)
+        cbp, crp = chroma[..., 0], chroma[..., 1]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        cbp, crp = ycc[..., 1], ycc[..., 2]
+        samp = [(1, 1), (1, 1), (1, 1)]
+    planes = [
+        (yp, _JPEG_QTAB),
+        (cbp, _JPEG_QTAB_CHROMA),
+        (crp, _JPEG_QTAB_CHROMA),
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    zzs, grids, cgrids = [], [], []
+    for (plane, qtab), (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        ph, pw = plane.shape
+        pad = np.empty((th, tw), np.float64)
+        pad[:ph, :pw] = plane
+        if tw > pw:
+            pad[:ph, pw:] = plane[:, -1:]
+        if th > ph:
+            pad[ph:, :] = pad[ph - 1 : ph, :]
+        blocks = (
+            pad.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        F2 = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+        q = np.floor(F2 / qtab + 0.5).astype(np.int32)
+        zzs.append(q.reshape(-1, 64)[:, _ZIGZAG])
+        grids.append((th // 8, tw // 8))
+        # the component's OWN block grid (what non-interleaved scans walk)
+        cgrids.append((((ph + 7) // 8), ((pw + 7) // 8)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + _qz_luma() + b"\x01" + _qz_chroma())
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (samp[0][0] << 4) | samp[0][1], 0])
+        + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])
+        + bytes([3, (samp[2][0] << 4) | samp[2][1], 1]),
+    )
+    out += seg(0xC4, _PROG_DHT_COLOR)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        prev = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    sh, sv = samp[ci]
+                    _by_n, bx_n = grids[ci]
+                    for dy in range(sv):
+                        for dx in range(sh):
+                            v = int(
+                                zzs[ci][(my * sv + dy) * bx_n + mx * sh + dx, 0]
+                            )
+                            if refine:
+                                bw.put((v >> al) & 1, 1)
+                                continue
+                            d = v >> al
+                            diff = d - prev[ci]
+                            prev[ci] = d
+                            s = _size_of(diff)
+                            c, ln = _FLAT_DC_CODE[s]
+                            bw.put(c, ln)
+                            if s:
+                                bw.put(
+                                    diff if diff >= 0 else diff + (1 << s) - 1,
+                                    s,
+                                )
+        return bw.flush()
+
+    ahal = (0 << 4) | 1
+    out += seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, ahal])
+    ) + dc_scan(1, refine=False)
+    # per-component AC schedule: luma gets spectral bands + a 2→1→0
+    # chain on the low band; chroma a simple 1→0 approximation
+    ac_sched = [
+        (0, 1, 5, 0, 2), (0, 6, 63, 0, 1),
+        (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+        (0, 1, 5, 2, 1), (0, 1, 5, 1, 0), (0, 6, 63, 1, 0),
+        (1, 1, 63, 1, 0), (2, 1, 63, 1, 0),
+    ]
+    for ci, ss, se, ah, al in ac_sched:
+        bw = _BitWriter()
+        wr = _ProgACWriter(bw, _PROG_AC_CODE)
+        ch_blocks, cw_blocks = cgrids[ci]
+        _by_n, bx_n = grids[ci]
+        for by in range(ch_blocks):
+            for bx in range(cw_blocks):
+                vals = [
+                    int(v) for v in zzs[ci][by * bx_n + bx, ss : se + 1]
+                ]
+                if ah == 0:
+                    tv = [
+                        (abs(v) >> al) * (1 if v >= 0 else -1) for v in vals
+                    ]
+                    _encode_ac_first(wr, tv)
+                else:
+                    _encode_ac_refine(wr, vals, al)
+        wr.flush_eobrun()
+        ac_id = 0 if ci == 0 else 1  # (dc<<4)|ac; dc id unused in AC scans
+        out += seg(
+            0xDA, bytes([1, ci + 1, ac_id, ss, se, (ah << 4) | al])
+        ) + bw.flush()
+    out += seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, (1 << 4) | 0])
+    ) + dc_scan(0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice one scan's entropy data starting at ``pos``: returns the
+    restart-marker-split segments and the offset of the next marker."""
+    segs, seg_start, i = [], pos, pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(payload[seg_start:i])
+            seg_start = i + 2
+            i += 2
+            continue
+        break  # a real marker ends the scan
+    segs.append(payload[seg_start : i if i + 1 < n else n])
+    return segs, i
+
+
+def _decode_ac_first(
+    br: _BitReader, coefs, ss: int, se: int, al: int, eobrun: int,
+    read_sym, extend,
+) -> int:
+    """First AC scan for one block (coefs is the block's zigzag int32
+    view); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = read_sym(br)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        coefs[k] = extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(
+    br: _BitReader, coefs, ss: int, se: int, al: int, eobrun: int,
+    read_sym,
+) -> int:
+    """AC refinement for one block: already-nonzero coefficients absorb
+    one correction bit each; new coefficients land as ±1<<Al."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        c = int(coefs[k])
+        if br.bit() and ((abs(c) >> al) & 1) == 0:
+            coefs[k] = c + (p1 if c >= 0 else -p1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = read_sym(br)
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # rest of the block joins the EOB run below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan size must be 1")
+                newval = p1 if br.bit() else -p1
+            # advance over r zero-history positions, correcting the
+            # nonzero-history coefficients passed on the way
+            while k <= se:
+                if coefs[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coefs[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) JFIF decode: 1 component → (h, w) uint8 gray,
+    3 components (4:4:4/4:2:0/4:2:2) → (h, w, 3) uint8 RGB. Scans
+    accumulate into per-component coefficient planes; tables may be
+    redefined between scans; DRI/RSTn restarts reset DC predictors and
+    the EOB run per segment."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []
+    restart = 0
+    plane_coefs: list[np.ndarray] = []
+    grids: list[tuple[int, int]] = []
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    def read_sym_in(table: dict):
+        def rd(br: _BitReader) -> int:
+            code, l2 = 0, 0
+            while l2 <= 16:
+                code = (code << 1) | br.bit()
+                l2 += 1
+                if (l2, code) in table:
+                    return table[(l2, code)]
+            raise ValueError("invalid Huffman code")
+
+        return rd
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if m == 0xDB:
+            qtabs.update(_parse_dqt(body))
+        elif m == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                sf = body[7 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 15, body[8 + 3 * ci]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any((hmax % c[1]) or (vmax % c[2]) for c in comps):
+                raise ValueError("non-integer sampling ratios unsupported")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for _cid, sh, sv, _tq in comps:
+                by_n, bx_n = mcus_y * sv, mcus_x * sh
+                grids.append((by_n, bx_n))
+                plane_coefs.append(np.zeros((by_n * bx_n, 64), np.int32))
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("decode_jpeg_progressive needs SOF2")
+        elif m == 0xC4:
+            huff.update(_parse_dht(body))
+        elif m == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scomps = []  # (component index, dc table, ac table)
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                idx = next(
+                    i for i, c in enumerate(comps) if c[0] == cid
+                )
+                scomps.append((idx, tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, pos = _entropy_segments(payload, pos)
+
+            # MCU geometry for this scan: interleaved scans walk the
+            # padded MCU grid; single-component scans walk that
+            # component's OWN ceil(size/8) block grid in raster order
+            # (T.81 A.2.2 — the padded grid can be wider).
+            if ns == 1:
+                idx, _td, _ta = scomps[0]
+                _cid, sh, sv, _tq = comps[idx]
+                cw = (w * sh + hmax - 1) // hmax
+                ch = (h * sv + vmax - 1) // vmax
+                sw, sh_blocks = (cw + 7) // 8, (ch + 7) // 8
+                n_units = sw * sh_blocks
+            else:
+                if ss != 0:
+                    raise ValueError("interleaved AC scan is invalid")
+                n_units = mcus_x * mcus_y
+
+            seg_idx = 0
+            br = _BitReader(segs[0])
+            prev = [0] * len(comps)
+            eobrun = 0
+            unit_in_seg = 0
+            for u in range(n_units):
+                if restart and unit_in_seg == restart:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segs[seg_idx])
+                    prev = [0] * len(comps)
+                    eobrun = 0
+                    unit_in_seg = 0
+                if ns == 1:
+                    idx, td, ta = scomps[0]
+                    by_n, bx_n = grids[idx]
+                    blk = plane_coefs[idx][
+                        (u // sw) * bx_n + (u % sw)
+                    ]
+                    if ss == 0:
+                        if ah == 0:
+                            rd = read_sym_in(huff[(0, td)])
+                            s = rd(br)
+                            diff = extend(br.bits(s), s) if s else 0
+                            prev[idx] += diff
+                            blk[0] = prev[idx] << al
+                        else:
+                            if br.bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+                    elif ah == 0:
+                        eobrun = _decode_ac_first(
+                            br, blk, ss, se, al, eobrun,
+                            read_sym_in(huff[(1, ta)]), extend,
+                        )
+                    else:
+                        eobrun = _decode_ac_refine(
+                            br, blk, ss, se, al, eobrun,
+                            read_sym_in(huff[(1, ta)]),
+                        )
+                else:
+                    my, mx = u // mcus_x, u % mcus_x
+                    for idx, td, _ta in scomps:
+                        _cid, sh, sv, _tq = comps[idx]
+                        _by_n, bx_n = grids[idx]
+                        rd = read_sym_in(huff[(0, td)]) if ah == 0 else None
+                        for dy in range(sv):
+                            for dx in range(sh):
+                                blk = plane_coefs[idx][
+                                    (my * sv + dy) * bx_n + (mx * sh + dx)
+                                ]
+                                if ah == 0:
+                                    s = rd(br)
+                                    diff = (
+                                        extend(br.bits(s), s) if s else 0
+                                    )
+                                    prev[idx] += diff
+                                    blk[0] = prev[idx] << al
+                                else:
+                                    if br.bit():
+                                        blk[0] = int(blk[0]) | (1 << al)
+                unit_in_seg += 1
+            continue  # pos already advanced past the scan data
+    if h is None or not plane_coefs:
+        raise ValueError("JPEG missing SOF2/SOS")
+    planes = []
+    for ci, (_cid, sh, sv, tq) in enumerate(comps):
+        by_n, bx_n = grids[ci]
+        nat = np.zeros((by_n * bx_n, 64), np.int32)
+        nat[:, _ZIGZAG] = plane_coefs[ci]
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64) * qtabs[tq]
+        spatial = np.tensordot(
+            np.tensordot(blocks, _DCTM, axes=([1], [0])),
+            _DCTM,
+            axes=([1], [0]),
+        )
+        plane = (
+            spatial.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
+        plane = plane.repeat(vmax // sv, axis=0).repeat(hmax // sh, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.floor(planes[0] + 128.0 + 0.5), 0, 255).astype(
+            np.uint8
+        )
+    ycc = np.stack([np.floor(p + 128.0 + 0.5) for p in planes], axis=-1)
     return ycbcr_to_rgb(np.clip(ycc, 0, 255))
 
 

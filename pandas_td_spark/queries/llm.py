@@ -1550,3 +1550,95 @@ def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5i — progressive-JPEG round-trip (round 9): SOF2 spectral-selection /
+# successive-approximation entropy scheduling, the last JPEG stub made
+# real. Each doc synthesizes a 3x4 mosaic of constant 8x8 blocks with
+# EVEN gray values (the q249 exactness anchor: per-block DC quantizes
+# exactly, AC is zero), encodes it PROGRESSIVELY with restart_interval=4,
+# decodes through the general decode_jpeg dispatch, and ASSERTS
+# pixel-exact equality with the input before emitting closed-form
+# stats — so the driver's hash gate certifies the whole scan schedule:
+# interleavable DC first + refinement scans, EOB-run amortization across
+# the mosaic's all-zero AC bands, and DRI/RSTn resets in every scan.
+# The AC-dense random round-trips (where refinement carries real
+# correction bits) are pinned in tests/test_codecs.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q263_progressive_jpeg",
+    oracle="""
+    -- block b of the 3x4 mosaic is constant (doc_id*2 + 22*b) % 256;
+    -- the decode is asserted pixel-exact in the UDF, so the image mean
+    -- is the mean of the 12 block values and the corners are blocks 0/11
+    SELECT doc_id,
+           CAST(24 AS BIGINT) AS height,
+           CAST(32 AS BIGINT) AS width,
+           ROUND(list_avg(list_transform(range(12),
+                 j -> CAST((doc_id * 2 + 22 * j) % 256 AS DOUBLE))), 6)
+             AS mean_gray,
+           CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_tl,
+           CAST((doc_id * 2 + 242) % 256 AS DOUBLE) AS mean_br
+    FROM documents
+    """,
+)
+def q263_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize block mosaic → encode progressive JPEG (SOF2, DRI=4) →
+    REAL multi-scan decode → exact mean recovery."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_progressive_gray,
+    )
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        # the mosaic is a pure function of doc_id % 128 ((i*2) % 256 is
+        # the only doc-dependent term) — round-trip each distinct
+        # payload once per task (the q249/q250 batch pattern)
+        cache: dict = {}
+
+        def stats(key: int):
+            if key not in cache:
+                img = np.empty((24, 32), dtype=np.uint8)
+                for b in range(12):
+                    by, bx = divmod(b, 4)
+                    img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        key * 2 + 22 * b
+                    ) % 256
+                payload = encode_jpeg_progressive_gray(
+                    img, restart_interval=4
+                )
+                dec = decode_jpeg(payload)
+                assert (dec == img).all(), "progressive round-trip drift"
+                cache[key] = (
+                    dec.shape[0],
+                    dec.shape[1],
+                    round(float(dec.astype(np.float64).mean()), 6),
+                    float(dec[0, 0]),
+                    float(dec[-1, -1]),
+                )
+            return cache[key]
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, *stats(i % 128)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width",
+                    "mean_gray", "mean_tl", "mean_br",
+                ],
+            )
+
+    return d.mapInPandas(
+        _batches,
+        "doc_id long, height long, width long, "
+        "mean_gray double, mean_tl double, mean_br double",
+    )

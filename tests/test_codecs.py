@@ -325,7 +325,8 @@ def test_jpeg_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_gray(b"BMxxxx")
-    # progressive marker (SOF2) refused, stub fallback territory
+    # the baseline-gray fast path still refuses SOF2 (decode_jpeg is
+    # the entry that dispatches progressive to its own decoder)
     bad = (
         b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
         + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
@@ -693,3 +694,123 @@ def test_gif_decoder_rejects_garbage_blocks():
     payload[at] = 0x99  # neither extension, image, nor trailer
     with _pytest.raises(ValueError, match="unexpected block"):
         decode_gif(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_jpeg_gray_matches_quantized_reconstruction():
+    """decode(encode_progressive(x)) must equal the closed-form
+    reconstruct(quantize(x)) bit-for-bit — the entropy schedule
+    (spectral selection + successive approximation) is lossless."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+        jpeg_quantize_gray,
+        jpeg_reconstruct_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8), (12, 16), (17, 19), (33, 41)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        payload = encode_jpeg_progressive_gray(img)
+        ref = jpeg_reconstruct_gray(jpeg_quantize_gray(img), *shape)
+        assert (decode_jpeg_progressive(payload) == ref).all()
+        # the general entry dispatches SOF2 to the progressive decoder
+        assert (decode_jpeg(payload) == ref).all()
+
+
+def test_progressive_jpeg_gray_restart_intervals():
+    """DRI/RSTn in EVERY scan: DC predictors and EOB runs reset per
+    restart segment; all intervals reconstruct identically."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+        jpeg_quantize_gray,
+        jpeg_reconstruct_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (33, 41)).astype(np.uint8)
+    ref = jpeg_reconstruct_gray(jpeg_quantize_gray(img), 33, 41)
+    for ri in (1, 3, 7):
+        payload = encode_jpeg_progressive_gray(img, restart_interval=ri)
+        assert (decode_jpeg_progressive(payload) == ref).all()
+
+
+def test_progressive_jpeg_color_matches_baseline_decode():
+    """Progressive color carries the SAME quantized planes as the
+    baseline encoder, so both decodes must agree pixel-exactly — 4:4:4
+    and 4:2:0, including shapes where the padded MCU grid is wider than
+    the component's own block grid (36x20 at 2x2 sampling: luma blocks
+    5x3 vs padded 6x3 — the non-interleaved AC scans walk the smaller
+    grid)."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape, sub in [
+        ((16, 16), False),
+        ((17, 19), False),
+        ((36, 20), True),
+        ((33, 41), True),
+    ]:
+        img = rng.randint(0, 256, shape + (3,)).astype(np.uint8)
+        prog = decode_jpeg_progressive(
+            encode_jpeg_progressive_color(img, subsample=sub)
+        )
+        base = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+        assert prog.shape == shape + (3,)
+        assert (prog == base).all()
+
+
+def test_progressive_jpeg_media_features_real_decode():
+    """media_features on a progressive payload must run the REAL decode
+    (height/width head values), not the stub fallback."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        encode_jpeg_progressive_gray,
+        media_features,
+    )
+    from pandas_td_spark.operators.multimodal import stub_decoder
+
+    img = np.full((24, 40), 130, dtype=np.uint8)
+    payload = encode_jpeg_progressive_gray(img)
+    vec = media_features(payload)
+    assert vec[0] == 24.0 and vec[1] == 40.0
+    assert not (vec == stub_decoder(payload, 16)).all()
+
+
+def test_progressive_jpeg_rejects_arithmetic_and_truncation():
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+    )
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_progressive(b"GIF89a")
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive_gray(img))
+    # flip SOF2 to SOF9 (arithmetic sequential) — must refuse
+    at = payload.index(0xC2, 2)
+    assert payload[at - 1] == 0xFF
+    payload[at] = 0xC9
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_progressive(bytes(payload))
