@@ -2140,3 +2140,87 @@ def q259_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loss_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4z — distributed BPE tokenizer training (round 9): the Sennrich
+# word-frequency merge loop (operators/bpe.py). Each round's argmax
+# pair is fetched at model grain (one row — the kmeans-centroid
+# precedent; a fully-lazy chain was rejected: Catalyst tree plans grow
+# ~3^rounds) and folds back as a literal JVM string replace over the
+# vocabulary-grain word table; the oracle unrolls the same rounds as
+# CTEs (DuckDB replace shares the greedy left-to-right non-overlapping
+# semantics), so the merge table is hash-certified end-to-end. Scale:
+# corpus is touched once (word-frequency collapse); every round runs at
+# distinct-word grain with a map-side partial agg — no corpus re-scan.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+      SELECT '~' || array_to_string(string_split(w, ''), ' ~') AS word,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair FROM (
+        SELECT n,
+               unnest(list_transform(
+                 range(1, len(string_split(word, ' '))),
+                 i -> string_split(word, ' ')[i] || ' ' ||
+                      string_split(word, ' ')[i + 1])) AS pair
+        FROM {prev})
+      GROUP BY 1
+    ), t{r} AS MATERIALIZED (
+      SELECT pair, n_pair FROM p{r} ORDER BY n_pair DESC, pair ASC LIMIT 1
+    )"""
+        )
+        if r < n_merges:
+            parts.append(
+                f""", w{r} AS MATERIALIZED (
+      SELECT replace(word, (SELECT pair FROM t{r}),
+                     replace((SELECT pair FROM t{r}), ' ~', '')) AS word, n
+      FROM {prev}
+    )"""
+            )
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS rank,
+        replace(string_split(pair, ' ')[1], '~', '') AS lhs,
+        replace(string_split(pair, ' ')[2], '~', '') AS rhs,
+        replace(replace(pair, ' ~', ''), '~', '') AS merged,
+        n_pair FROM t{r}"""
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY rank"
+    )
+
+
+@query(
+    "q265_bpe_train",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    scale_note=(
+        "corpus collapses to (word, count) once; each of the 8 rounds is "
+        "a vocabulary-grain pair agg whose only driver traffic is the "
+        "1-row argmax (model grain, the kmeans precedent) — no corpus "
+        "re-scans"
+    ),
+)
+def q265_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges over the corpus vocabulary: (rank, lhs, rhs,
+    merged, n_pair) — the tokenizer-training merge table."""
+    from pandas_td_spark.operators.bpe import bpe_train, words_with_counts
+
+    words = words_with_counts(spread(spark.table("documents")))
+    return bpe_train(words, _BPE_MERGES)

@@ -1642,3 +1642,109 @@ def q263_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, height long, width long, "
         "mean_gray double, mean_tl double, mean_br double",
     )
+
+
+# ---------------------------------------------------------------------------
+# L2h — leakage-free split assignment (round 9): the standard
+# pretraining contamination guard. A doc-grain hash split LEAKS
+# near-duplicate content across train/val/test (two near-dup docs hash
+# independently); the fix is to split at CLUSTER grain — every doc
+# inherits the split of its near-dup component, so a cluster can never
+# straddle splits. The query emits both assignments plus the per-doc
+# leak flag under the naive split (component spans >1 naive split),
+# certifying the cluster labels, both hash splits, and the audit in one
+# hash-gated row set. At 100 TB: the pair/CC pipeline is the gated
+# near-dup plan (banded LSH above the exact threshold), the splits are
+# pure hashes (no shuffle), and the audit is one component-grain
+# aggregate joined back on the CC output's existing partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q264_split_leakage",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p0
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM e
+      UNION SELECT a, b FROM e
+      UNION SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), splits AS (
+      SELECT doc_id, component,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                    THEN 'val'
+                  ELSE 'test' END AS naive_split,
+             CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) <= 'cb'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) <= 'e5'
+                    THEN 'val'
+                  ELSE 'test' END AS safe_split
+      FROM labeled
+    ), audit AS (
+      SELECT component, COUNT(DISTINCT naive_split) AS n_naive
+      FROM splits GROUP BY component
+    )
+    SELECT s.doc_id, s.component, s.naive_split, s.safe_split,
+           a.n_naive > 1 AS leaked
+    FROM splits s JOIN audit a USING (component)
+    """,
+)
+def q264_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup components from the
+    shared CC pipeline, doc-grain vs component-grain md5 splits, and the
+    per-doc leak flag a naive split would incur."""
+    from pandas_td_spark.operators.cluster import collapse_near_dups
+
+    docs = spark.table("documents")
+    pairs = _near_dup_pairs_cached(spark).select("id_a", "id_b")
+    labeled = collapse_near_dups(docs, pairs).select("doc_id", "component")
+
+    def _split(col):
+        h = F.substring(F.md5(col.cast("string")), 1, 2)
+        return (
+            F.when(h <= "cb", "train")
+            .when(h <= "e5", "val")
+            .otherwise("test")
+        )
+
+    splits = labeled.select(
+        "doc_id",
+        "component",
+        _split(F.col("doc_id")).alias("naive_split"),
+        _split(F.col("component")).alias("safe_split"),
+    )
+    audit = splits.groupBy("component").agg(
+        F.countDistinct("naive_split").alias("n_naive")
+    )
+    # component-grain audit rides back on the split frame's own
+    # aggregation exchange (same key) — one shuffle, broadcast-free
+    return splits.join(audit, "component").select(
+        "doc_id",
+        "component",
+        "naive_split",
+        "safe_split",
+        (F.col("n_naive") > 1).alias("leaked"),
+    )

@@ -1050,3 +1050,77 @@ def test_bfs_bad_frontier_hint_raises(spark):
     )
     with pytest.raises(ValueError, match="frontier_hint"):
         bfs_levels(edges, source=1, frontier_hint="nope")
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Distributed BPE vs a direct Sennrich-style reference on a tiny
+    corpus: same merges, same counts, same greedy left-to-right apply."""
+    from pandas_td_spark.operators.bpe import bpe_train, words_with_counts
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest low newest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    # pure-python reference over (word, count)
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" "))
+    segs = {w: list(w) for w in vocab}
+    expected = []
+    for rank in range(1, 6):
+        pc = Counter()
+        for w, n in vocab.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        # tie-break: count DESC, then the marked-pair string ASC
+        best = min(pc.items(), key=lambda kv: (-kv[1], "~" + kv[0][0] + " ~" + kv[0][1]))
+        (a, b), n = best
+        expected.append((rank, a, b, a + b, n))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    got = [
+        tuple(r)
+        for r in bpe_train(words_with_counts(docs), 5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_exhaustion_and_single_letters(spark):
+    """Vocabulary that merges out before n_merges: fewer rows, no error;
+    single-letter words contribute nothing."""
+    from pandas_td_spark.operators.bpe import bpe_train, words_with_counts
+
+    docs = spark.createDataFrame([("a b ab ab",)], "text string")
+    rows = bpe_train(words_with_counts(docs), 10).collect()
+    # only one mergeable pair exists: ('a','b') inside "ab" (count 2)
+    assert len(rows) == 1
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["n_pair"]) == ("a", "b", 2)
+
+
+def test_bpe_marker_prevents_substring_false_merges(spark):
+    """After merging (a,b)->ab, the pair (b,a) must not match inside the
+    new 'ab' symbol — the ~ marker pins symbol boundaries."""
+    from pandas_td_spark.operators.bpe import bpe_train, words_with_counts
+
+    # 'abab': round 1 merges (a,b) twice -> [ab, ab]; the (b,a) bridge
+    # disappears because 'b a' inside '~ab ~ab' is not '~b ~a'
+    docs = spark.createDataFrame([("abab abab abab",)], "text string")
+    rows = [tuple(r) for r in bpe_train(words_with_counts(docs), 3).collect()]
+    assert rows[0][1:] == ("a", "b", "ab", 6)
+    assert rows[1][1:] == ("ab", "ab", "abab", 3)
+    assert len(rows) == 2
