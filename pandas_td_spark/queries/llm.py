@@ -1748,3 +1748,72 @@ def q264_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "safe_split",
         (F.col("n_naive") > 1).alias("leaked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5j — FLAC round-trip (round 9): REAL lossless compressed audio (Rice
+# coding + fixed predictors, xiph spec — no external library). Each doc
+# synthesizes a deterministic int16 sawtooth, encodes to FLAC, decodes
+# through all three integrity layers (CRC-8/CRC-16/MD5), ASSERTS
+# bit-exact equality and real compression, and emits closed-form PCM
+# stats — lossless means the oracle can state them from the input
+# directly. Sawtooth sums are integer/1024, so the 6dp rounding is
+# exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q266_flac_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(1024 AS BIGINT) AS n_samples,
+           ROUND(list_avg(list_transform(range(1024),
+                 t -> CAST(((doc_id % 240) * 7 + 3 * t) % 2048 - 1024
+                      AS DOUBLE))), 6) AS mean_pcm,
+           CAST(list_max(list_transform(range(1024),
+                 t -> ((doc_id % 240) * 7 + 3 * t) % 2048 - 1024))
+             AS BIGINT) AS max_pcm
+    FROM documents
+    """,
+)
+def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize sawtooth → FLAC encode → REAL decode (CRC+MD5
+    verified) → exact PCM stats."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        # payload is a pure function of doc_id % 240 — cache the codec
+        # round-trip per distinct waveform (q249/q262 batch pattern)
+        cache: dict = {}
+
+        def stats(key: int):
+            if key not in cache:
+                t = np.arange(1024, dtype=np.int64)
+                x = ((key * 7 + 3 * t) % 2048 - 1024).astype(np.int16)
+                payload = encode_flac(x, 8000)
+                y, rate = decode_flac(payload)
+                assert rate == 8000 and (y[:, 0] == x).all(), "flac drift"
+                assert len(payload) < x.nbytes, "flac failed to compress"
+                cache[key] = (
+                    len(x),
+                    round(float(y[:, 0].astype(np.float64).mean()), 6),
+                    int(y[:, 0].max()),
+                )
+            return cache[key]
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, *stats(i % 240)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "mean_pcm", "max_pcm"]
+            )
+
+    return d.mapInPandas(
+        _batches,
+        "doc_id long, n_samples long, mean_pcm double, max_pcm long",
+    )

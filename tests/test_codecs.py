@@ -814,3 +814,170 @@ def test_progressive_jpeg_rejects_arithmetic_and_truncation():
     payload[at] = 0xC9
     with _pytest.raises(ValueError, match="SOF2"):
         decode_jpeg_progressive(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# FLAC (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_lossless_roundtrip_all_shapes():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    rng = np.random.RandomState(5)
+    t = np.arange(9000)
+    cases = {
+        "tone": (6000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16),
+        "noise": rng.randint(-32768, 32767, 5000).astype(np.int16),
+        "const": np.full(5000, -123, np.int16),
+        "short": np.array([1, -1, 3], np.int16),
+        "stereo": np.stack(
+            [
+                (3000 * np.sin(2 * np.pi * 100 * t / 8000)).astype(np.int16),
+                (1000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(np.int16),
+            ],
+            axis=1,
+        ),
+    }
+    for name, x in cases.items():
+        p = encode_flac(x, 8000)
+        y, rate = decode_flac(p)
+        x2 = x[:, None] if x.ndim == 1 else x
+        assert rate == 8000 and y.shape == x2.shape, name
+        assert (y == x2).all(), name
+    # predictable audio actually compresses; noise hits the verbatim bound
+    tone_ratio = len(encode_flac(cases["tone"], 8000)) / cases["tone"].nbytes
+    noise_ratio = len(encode_flac(cases["noise"], 8000)) / cases["noise"].nbytes
+    assert tone_ratio < 0.5
+    assert noise_ratio < 1.05
+
+
+def test_flac_integrity_layers_reject_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    x = (1000 * np.sin(2 * np.pi * 50 * np.arange(2000) / 8000)).astype(
+        np.int16
+    )
+    good = encode_flac(x, 8000)
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF" + good[4:])
+    # flip one bit inside the first frame's entropy data: one of the
+    # integrity layers (CRC-8 / CRC-16 / MD5 / sync) must catch it
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0x10
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_flac_decoder_reads_lpc_partitions_escapes_and_wasted_bits():
+    """Hand-crafted stream exercising decoder paths our encoder never
+    writes: an LPC subframe (coefs [3], shift 1), a 5-bit-method Rice
+    residual with TWO partitions whose second is an escape (raw bits),
+    and a VERBATIM subframe with one wasted bit."""
+    import hashlib
+
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MSBWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _utf8_number,
+        decode_flac,
+    )
+
+    bs = 8
+    # frame 1 samples via the LPC recurrence x[i] = r[i] + (3*x[i-1] >> 1)
+    x1 = [5]
+    resid = [3, -2, 0, 7, -6, 1, 4]
+    for r in resid:
+        x1.append(r + ((3 * x1[-1]) >> 1))
+    # frame 2: even samples -> encode with wasted_bits=1 over 15-bit verbatim
+    x2 = [2, -4, 6, -8, 10, -12, 14, -16]
+    total = np.asarray(x1 + x2, dtype=np.int16)[:, None]
+
+    hdr = _MSBWriter()
+    hdr.put(bs, 16)
+    hdr.put(bs, 16)
+    hdr.put(0, 24)
+    hdr.put(0, 24)
+    hdr.put(8000, 20)
+    hdr.put(0, 3)  # 1 channel
+    hdr.put(15, 5)  # 16 bps
+    hdr.put(len(total), 36)
+    streaminfo = hdr.bytes() + hashlib.md5(
+        total.astype("<i2").tobytes()
+    ).digest()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    def frame(f_idx, body_writer):
+        head = bytearray(b"\xff\xf8")
+        head.append((0x07 << 4) | 0x00)
+        head.append((0 << 4) | (0x04 << 1))
+        head += _utf8_number(f_idx)
+        head += (bs - 1).to_bytes(2, "big")
+        head.append(_crc8_flac(bytes(head)))
+        bw = _MSBWriter()
+        body_writer(bw)
+        bw.align()
+        fr = bytes(head) + bw.bytes()
+        return fr + _crc16_flac(fr).to_bytes(2, "big")
+
+    def lpc_body(bw):
+        bw.put(0, 1)
+        bw.put(0b100000, 6)  # LPC order 1 (1xxxxx, order = xxxxx + 1)
+        bw.put(0, 1)  # no wasted bits
+        bw.put(x1[0] & 0xFFFF, 16)  # warmup
+        bw.put(3, 4)  # precision - 1 = 3 -> 4-bit coefs
+        bw.put(1, 5)  # shift
+        bw.put(3, 4)  # coef = 3
+        bw.put(1, 2)  # 5-bit rice method
+        bw.put(1, 4)  # partition order 1 -> 2 partitions of 4
+        # partition 1: param 2, residuals resid[0:3] (4 - order samples)
+        bw.put(2, 5)
+        for r in resid[:3]:
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            bw.put_unary(u >> 2)
+            bw.put(u & 3, 2)
+        # partition 2: escape, raw 6-bit residuals
+        bw.put(31, 5)
+        bw.put(6, 5)
+        for r in resid[3:]:
+            bw.put(r & 0x3F, 6)
+
+    def verbatim_wasted_body(bw):
+        bw.put(0, 1)
+        bw.put(0b000001, 6)  # VERBATIM
+        bw.put(1, 1)  # wasted-bits flag
+        bw.put_unary(0)  # unary 0 -> wasted = 1
+        for v in x2:
+            bw.put((v >> 1) & 0x7FFF, 15)
+
+    out += frame(0, lpc_body)
+    out += frame(1, verbatim_wasted_body)
+    y, rate = decode_flac(bytes(out))
+    assert rate == 8000
+    assert (y == total).all()
+
+
+def test_flac_media_features_real_decode():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import encode_flac, media_features
+    from pandas_td_spark.operators.multimodal import stub_decoder
+
+    x = (0.37 * 32767 * np.where(np.arange(8000) % 2 == 0, 1, -1)).astype(
+        np.int16
+    )
+    payload = encode_flac(x, 8000)
+    vec = media_features(payload)
+    q = np.floor(0.37 * 32767 + 0.5) / 32767
+    assert abs(vec[0] - 1.0) < 1e-9  # duration
+    assert abs(vec[1] - q) < 1e-4  # rms of the square wave
+    assert not (vec == stub_decoder(payload, 16)).all()
