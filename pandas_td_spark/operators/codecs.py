@@ -2988,3 +2988,24 @@ def _read_rice_residual(br: "_MSBReader", bs: int, order: int) -> list[int]:
             u = (q << param) | br.bits(param)
             out.append((u >> 1) ^ -(u & 1))
     return out
+
+
+def flac_chunk_extractor(payload: bytes, n_chunks: int) -> list[bytes]:
+    """REAL drop-in for ``multimodal.sample_frames`` over AUDIO: decode
+    the FLAC (all integrity layers verified), partition the PCM into
+    ``n_chunks`` CONTIGUOUS equal windows (audio chunking for ASR-style
+    pipelines wants a cover, not a sample — the remainder after
+    ``n // n_chunks`` is dropped), and hand each window on as a PCM16
+    WAV payload the downstream audio decoders consume unchanged."""
+    x, rate = decode_flac(payload)
+    n = x.shape[0]
+    if n == 0 or n_chunks <= 0:
+        return []
+    k = min(n_chunks, n)
+    step = n // k
+    return [
+        encode_wav_pcm16(
+            x[c * step : (c + 1) * step].astype(np.float64) / 32767.0, rate
+        )
+        for c in range(k)
+    ]

@@ -1817,3 +1817,97 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batches,
         "doc_id long, n_samples long, mean_pcm double, max_pcm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# L5k — audio chunking through the frame-sampling plumbing (round 9):
+# the AUDIO twin of q248/q261. Each doc synthesizes the q266 sawtooth as
+# FLAC; the real multimodal.sample_frames stage runs flac_chunk_extractor
+# (decode through CRC/MD5, partition the PCM into 4 contiguous windows,
+# hand each on as PCM16 WAV), and per-chunk means have closed forms —
+# FLAC is lossless and the WAV hand-off is int-exact, so the oracle
+# states chunk c's mean directly from the sawtooth definition.
+# ---------------------------------------------------------------------------
+@query(
+    "q267_audio_chunks",
+    oracle="""
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+           CAST(256 AS BIGINT) AS n_samples,
+           ROUND(list_avg(list_transform(range(c * 256, (c + 1) * 256),
+                 t -> CAST(((doc_id % 240) * 7 + 3 * t) % 2048 - 1024
+                      AS DOUBLE))), 6) AS mean_pcm
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(4)) AS c)
+    """,
+)
+def q267_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize FLAC sawtooth → REAL decode + contiguous 4-way chunk
+    (multimodal.sample_frames) → WAV decode → per-chunk PCM mean."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav,
+        encode_flac,
+        flac_chunk_extractor,
+    )
+    from pandas_td_spark.operators.multimodal import sample_frames
+
+    d = spark.table("documents").select("doc_id")
+
+    def _mk(it):
+        cache: dict = {}
+
+        def payload_of(key: int) -> bytes:
+            if key not in cache:
+                t = np.arange(1024, dtype=np.int64)
+                x = ((key * 7 + 3 * t) % 2048 - 1024).astype(np.int16)
+                cache[key] = encode_flac(x, 8000)
+            return cache[key]
+
+        for pdf in it:
+            rows = [
+                (int(i), payload_of(int(i) % 240)) for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(_mk, "doc_id long, payload binary")
+
+    _xcache: dict = {}
+
+    def _cached_extract(payload: bytes, n: int):
+        key = (payload, n)
+        if key not in _xcache:
+            _xcache[key] = flac_chunk_extractor(payload, n)
+        return _xcache[key]
+
+    chunks = sample_frames(payloads, n_frames=4, extract_fn=_cached_extract)
+
+    def _feat(it):
+        for pdf in it:
+            rows = []
+            for i, j, fp in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                y, _rate = decode_wav(bytes(fp))
+                m = y[:, 0]
+                ints = np.where(
+                    m >= 0,
+                    np.floor(m * 32767.0 + 0.5),
+                    np.ceil(m * 32767.0 - 0.5),
+                )
+                rows.append(
+                    (
+                        int(i), int(j), len(ints),
+                        round(float(ints.mean()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "n_samples", "mean_pcm"],
+            )
+
+    return chunks.mapInPandas(
+        _feat,
+        "doc_id long, chunk_idx long, n_samples long, mean_pcm double",
+    )

@@ -981,3 +981,27 @@ def test_flac_media_features_real_decode():
     assert abs(vec[0] - 1.0) < 1e-9  # duration
     assert abs(vec[1] - q) < 1e-4  # rms of the square wave
     assert not (vec == stub_decoder(payload, 16)).all()
+
+
+def test_flac_chunk_extractor_contiguous_exact():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav,
+        encode_flac,
+        flac_chunk_extractor,
+    )
+
+    x = ((np.arange(1030) * 3 + 7) % 2048 - 1024).astype(np.int16)
+    chunks = flac_chunk_extractor(encode_flac(x, 8000), 4)
+    assert len(chunks) == 4  # 1030 // 4 = 257 per chunk, remainder dropped
+    for c, p in enumerate(chunks):
+        y, rate = decode_wav(p)
+        m = y[:, 0]
+        ints = np.where(
+            m >= 0, np.floor(m * 32767 + 0.5), np.ceil(m * 32767 - 0.5)
+        ).astype(np.int64)
+        assert rate == 8000 and len(ints) == 257
+        assert (ints == x[c * 257 : (c + 1) * 257]).all()
+    # n_chunks > samples clamps; empty handled
+    assert len(flac_chunk_extractor(encode_flac(x[:3], 8000), 99)) == 3

@@ -84,6 +84,11 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q256_sequence_packing",    # source-partitioned ordered window, docs 10x
         "q258_bpe_pair_counts",     # char-pair explode 10x, bounded pair vocab
         "q260_gif_roundtrip",       # per-doc LZW codec mapInPandas, docs 10x
+        # round-9 additions: window-count q128 rewrite + the new family
+        "q263_progressive_jpeg",    # per-doc multi-scan codec, docs 10x
+        "q264_split_leakage",       # CC labels + hash splits + audit join
+        "q265_bpe_train",           # vocabulary-grain rounds (vocab constant)
+        "q266_flac_roundtrip",      # per-doc Rice codec, docs 10x
         "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x.
         # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
         # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
