@@ -863,3 +863,78 @@ def q255_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max("late_s").alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E11 — snapshot row-level diff (round 9): the CDC primitive between two
+# table states (yesterday's snapshot vs today's) — added / removed /
+# changed / unchanged row sets plus the value delta per class. The two
+# states derive deterministically from orders (state 1 = pre-1997
+# cutoff; state 2 = pre-1998 with simulated corrections on keys % 97
+# and simulated deletes on keys % 101), so the oracle states them
+# identically. Scale shape: ONE full-outer sort-merge join on the key —
+# both sides shuffle once (zero-shuffle when the snapshots are bucketed
+# by key, the layout a CDC pipeline would choose), then a 4-group
+# aggregate; never a row-by-row compare loop.
+# ---------------------------------------------------------------------------
+_DIFF_S1 = "o_orderdate < TIMESTAMP '1997-01-01'"
+_DIFF_S2 = (
+    "o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 101 <> 0"
+)
+#: prices ride as exact integer cents (o_totalprice is stored DOUBLE;
+#: ROUND(x*100) recovers the true cents on both engines) and state 2
+#: simulates corrections of +1.00 on keys % 97
+_DIFF_CENTS1 = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+_DIFF_CENTS2 = (
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) + "
+    "CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END"
+)
+
+
+@query(
+    "q268_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, {_DIFF_CENTS1} AS v FROM orders
+      WHERE {_DIFF_S1}
+    ), s2 AS (
+      SELECT o_orderkey AS k, {_DIFF_CENTS2} AS v FROM orders
+      WHERE {_DIFF_S2}
+    ), d AS (
+      SELECT COALESCE(s1.k, s2.k) AS k,
+             CASE WHEN s1.k IS NULL THEN 'added'
+                  WHEN s2.k IS NULL THEN 'removed'
+                  WHEN s1.v <> s2.v THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(s2.v, 0) - COALESCE(s1.v, 0) AS delta
+      FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(delta) AS BIGINT) AS delta_sum_cents
+    FROM d GROUP BY status
+    """,
+)
+def q268_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of two order-table snapshots: per-status row counts and
+    exact integer-cent value deltas from one full-outer key join."""
+    o = spark.table("orders")
+    s1 = o.where(F.expr(_DIFF_S1)).select(
+        F.col("o_orderkey").alias("k"), F.expr(_DIFF_CENTS1).alias("v1")
+    )
+    s2 = o.where(F.expr(_DIFF_S2)).select(
+        F.col("o_orderkey").alias("k"), F.expr(_DIFF_CENTS2).alias("v2")
+    )
+    d = s1.join(s2, "k", "full_outer").select(
+        F.when(F.col("v1").isNull(), "added")
+        .when(F.col("v2").isNull(), "removed")
+        .when(F.col("v1") != F.col("v2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (F.coalesce("v2", F.lit(0)) - F.coalesce("v1", F.lit(0))).alias(
+            "delta"
+        ),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("delta").cast("bigint").alias("delta_sum_cents"),
+    )

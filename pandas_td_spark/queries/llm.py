@@ -1766,10 +1766,10 @@ def q264_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(1024 AS BIGINT) AS n_samples,
            ROUND(list_avg(list_transform(range(1024),
-                 t -> CAST(((doc_id % 240) * 7 + 3 * t) % 2048 - 1024
+                 t -> CAST(((doc_id % 48) * 7 + 3 * t) % 2048 - 1024
                       AS DOUBLE))), 6) AS mean_pcm,
            CAST(list_max(list_transform(range(1024),
-                 t -> ((doc_id % 240) * 7 + 3 * t) % 2048 - 1024))
+                 t -> ((doc_id % 48) * 7 + 3 * t) % 2048 - 1024))
              AS BIGINT) AS max_pcm
     FROM documents
     """,
@@ -1785,8 +1785,9 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents").select("doc_id")
 
     def _batches(it):
-        # payload is a pure function of doc_id % 240 — cache the codec
-        # round-trip per distinct waveform (q249/q262 batch pattern)
+        # payload is a pure function of doc_id % 48 — cache the codec
+        # round-trip per distinct waveform (q249/q262 batch pattern;
+        # 48 classes keeps per-task encode work bounded like q262's 40)
         cache: dict = {}
 
         def stats(key: int):
@@ -1808,7 +1809,7 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                rows.append((i, *stats(i % 240)))
+                rows.append((i, *stats(i % 48)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_samples", "mean_pcm", "max_pcm"]
             )
@@ -1834,7 +1835,7 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
            CAST(256 AS BIGINT) AS n_samples,
            ROUND(list_avg(list_transform(range(c * 256, (c + 1) * 256),
-                 t -> CAST(((doc_id % 240) * 7 + 3 * t) % 2048 - 1024
+                 t -> CAST(((doc_id % 48) * 7 + 3 * t) % 2048 - 1024
                       AS DOUBLE))), 6) AS mean_pcm
     FROM documents
     CROSS JOIN (SELECT unnest(range(4)) AS c)
@@ -1867,7 +1868,7 @@ def q267_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in it:
             rows = [
-                (int(i), payload_of(int(i) % 240)) for i in pdf["doc_id"]
+                (int(i), payload_of(int(i) % 48)) for i in pdf["doc_id"]
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -1005,3 +1005,64 @@ def test_flac_chunk_extractor_contiguous_exact():
         assert (ints == x[c * 257 : (c + 1) * 257]).all()
     # n_chunks > samples clamps; empty handled
     assert len(flac_chunk_extractor(encode_flac(x[:3], 8000), 99)) == 3
+
+
+def test_flac_property_random_roundtrip():
+    """Hypothesis: ANY int16 signal (any length 1..2000, 1-2 channels)
+    must round-trip bit-exactly through FLAC."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.int16,
+            st.tuples(
+                st.integers(1, 2000), st.integers(1, 2)
+            ),
+            elements=st.integers(-32768, 32767),
+        ),
+        st.sampled_from([64, 256, 4096]),
+    )
+    def check(x, block):
+        y, rate = decode_flac(encode_flac(x, 8000, block=block))
+        assert rate == 8000
+        assert (y == x).all()
+
+    check()
+
+
+def test_progressive_jpeg_property_matches_reconstruction():
+    """Hypothesis: ANY uint8 gray image and restart interval — the
+    progressive decode equals reconstruct(quantize(x)) bit-for-bit."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+        jpeg_quantize_gray,
+        jpeg_reconstruct_gray,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 40), st.integers(1, 40)),
+            elements=st.integers(0, 255),
+        ),
+        st.sampled_from([0, 1, 5]),
+    )
+    def check(img, ri):
+        payload = encode_jpeg_progressive_gray(img, restart_interval=ri)
+        ref = jpeg_reconstruct_gray(jpeg_quantize_gray(img), *img.shape)
+        assert (decode_jpeg_progressive(payload) == ref).all()
+
+    check()
