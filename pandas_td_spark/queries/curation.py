@@ -2224,3 +2224,156 @@ def q265_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = words_with_counts(spread(spark.table("documents")))
     return bpe_train(words, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# L4aa — curation-funnel accounting (round 9): the end-to-end pretraining
+# curation pipeline as ONE composed plan — language filter → quality
+# rules → bag-of-words dedup (survivor = min doc_id) → benchmark
+# decontamination (q91's 5-gram mechanism) — reported as cumulative
+# per-stage doc/token counts. Plan shape: per-doc flags in a single
+# projection + one dedup window on the bag key + one broadcast
+# contamination semi-join, then ONE aggregate with conditional sums and
+# a 5-row unpivot. A chained-subquery funnel would re-scan per stage;
+# the flag form touches the corpus once (plus the tiny benchmark
+# broadcast) at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q269_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ') AS bow
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+               i -> array_to_string(
+                      (string_split(text, ' '))[i:i + 4], ' ')))
+               AS shingles
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 25
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE doc_id >= 25) c
+      JOIN bench USING (s)
+    ), flagged AS (
+      SELECT b.doc_id, b.toks,
+             b.lang = 'en' AS lang_ok,
+             b.lang = 'en' AND b.toks BETWEEN 12 AND 90
+               AND CAST(length(b.text) - (b.toks - 1) AS DOUBLE) / b.toks
+                   BETWEEN 2 AND 12 AS cum2
+      FROM base b
+    ), dedup AS (
+      SELECT f.doc_id, f.toks, f.lang_ok, f.cum2,
+             f.cum2 AND f.doc_id = MIN(CASE WHEN f.cum2 THEN f.doc_id END)
+               OVER (PARTITION BY b.bow) AS cum3
+      FROM flagged f JOIN base b USING (doc_id)
+    ), final AS (
+      SELECT d.*,
+             d.cum3 AND d.doc_id >= 25 AND ct.doc_id IS NULL AS cum4
+      FROM dedup d LEFT JOIN contaminated ct USING (doc_id)
+    ), wide AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(toks) AS BIGINT) AS t0,
+             CAST(COUNT(*) FILTER (WHERE lang_ok) AS BIGINT) AS d1,
+             CAST(COALESCE(SUM(toks) FILTER (WHERE lang_ok), 0) AS BIGINT) AS t1,
+             CAST(COUNT(*) FILTER (WHERE cum2) AS BIGINT) AS d2,
+             CAST(COALESCE(SUM(toks) FILTER (WHERE cum2), 0) AS BIGINT) AS t2,
+             CAST(COUNT(*) FILTER (WHERE cum3) AS BIGINT) AS d3,
+             CAST(COALESCE(SUM(toks) FILTER (WHERE cum3), 0) AS BIGINT) AS t3,
+             CAST(COUNT(*) FILTER (WHERE cum4) AS BIGINT) AS d4,
+             CAST(COALESCE(SUM(toks) FILTER (WHERE cum4), 0) AS BIGINT) AS t4
+      FROM final
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+      SELECT '0_all' AS stage, d0 AS n_docs, t0 AS n_tokens FROM wide
+      UNION ALL SELECT '1_lang', d1, t1 FROM wide
+      UNION ALL SELECT '2_quality', d2, t2 FROM wide
+      UNION ALL SELECT '3_dedup', d3, t3 FROM wide
+      UNION ALL SELECT '4_decontam', d4, t4 FROM wide
+    )
+    """,
+)
+def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative doc/token survival through the curation pipeline:
+    all → lang → quality → bow-dedup → decontaminated."""
+    from pandas_td_spark.operators.dedup import shingle_array
+
+    d = spread(spark.table("documents"))
+    toks = F.size(F.split("text", " "))
+    base = d.select(
+        "doc_id",
+        "lang",
+        toks.cast("bigint").alias("toks"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        ).alias("bow"),
+        F.length("text").alias("n_chars_t"),
+        shingle_array("text", 5).alias("shingles"),
+    )
+    bench = (
+        base.where(F.col("doc_id") < 25)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        base.where(F.col("doc_id") >= 25)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    lang_ok = F.col("lang") == "en"
+    mwl = (F.col("n_chars_t") - (F.col("toks") - 1)).cast("double") / F.col(
+        "toks"
+    )
+    cum2 = lang_ok & F.col("toks").between(12, 90) & mwl.between(2, 12)
+    flagged = base.select(
+        "doc_id", "toks", "bow", lang_ok.alias("lang_ok"), cum2.alias("cum2")
+    )
+    w = Window.partitionBy("bow")
+    dedup = flagged.withColumn(
+        "cum3",
+        F.col("cum2")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("cum2"), F.col("doc_id"))).over(w)
+        ),
+    )
+    final = dedup.join(F.broadcast(contaminated), "doc_id", "left").withColumn(
+        "cum4",
+        F.col("cum3") & (F.col("doc_id") >= 25) & F.col("is_cont").isNull(),
+    )
+    wide = final.agg(
+        F.count("*").alias("d0"),
+        F.sum("toks").alias("t0"),
+        *[
+            x
+            for i, c in enumerate(["lang_ok", "cum2", "cum3", "cum4"], 1)
+            for x in (
+                F.count(F.when(F.col(c), 1)).alias(f"d{i}"),
+                F.coalesce(
+                    F.sum(F.when(F.col(c), F.col("toks"))), F.lit(0)
+                ).alias(f"t{i}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{s}', d{i}, t{i}"
+        for i, s in enumerate(
+            ["0_all", "1_lang", "2_quality", "3_dedup", "4_decontam"]
+        )
+    )
+    return wide.selectExpr(
+        f"stack(5, {stack}) AS (stage, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
