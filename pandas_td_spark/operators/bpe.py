@@ -42,9 +42,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["words_with_counts", "bpe_train"]
 
-#: symbol-boundary marker: prefixed to every symbol so a merge pattern
-#: ("~a ~b") can only match at symbol boundaries (corpus words are
-#: filtered to [a-z]+, which can never contain the marker or a space)
+#: symbol-boundary marker: prefixed to every symbol, AND every word
+#: string carries one trailing space, so a merge pattern searched as
+#: "~a ~b " is anchored at BOTH ends — "~" stops a match starting
+#: mid-symbol, the trailing space stops the rhs matching a strict
+#: PREFIX of a longer symbol ("~c ~a " must not rewrite "~c ~ab ").
+#: Corpus words are filtered to [a-z]+, which can never contain the
+#: marker or a space.
 MARK = "~"
 
 
@@ -52,16 +56,18 @@ def words_with_counts(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Corpus → (word, n) frequency table with each word pre-segmented
-    into marked single-character symbols (``"~d ~a ~t ~a"``). One
-    explode + one word-grain aggregate; everything downstream runs at
-    vocabulary grain."""
+    into marked single-character symbols plus the trailing-space
+    anchor (``"~d ~a ~t ~a "``). One explode + one word-grain
+    aggregate; everything downstream runs at vocabulary grain."""
     w = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    marked = F.concat(F.lit(MARK), F.concat_ws(" " + MARK, F.split("w", "")))
+    marked = F.concat(
+        F.lit(MARK), F.concat_ws(" " + MARK, F.split("w", "")), F.lit(" ")
+    )
     return w.select(marked.alias("word"), "n")
 
 
@@ -77,7 +83,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
     cached.append(cur)
     rows: list[tuple] = []
     for r in range(1, n_merges + 1):
-        syms = F.split("word", " ")
+        syms = F.split(F.trim("word"), " ")
         pairs = F.transform(
             F.sequence(F.lit(1), F.size(syms) - 1),
             lambda i: F.concat_ws(
@@ -104,9 +110,14 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
         rows.append((r, lhs, rhs, merged.replace(MARK, ""), int(top["n_pair"])))
         if r < n_merges:
             # greedy left-to-right merge application = one JVM string
-            # replace of the literal argmax pair over the whole vocabulary
+            # replace of the literal argmax pair; the trailing space in
+            # BOTH pattern and replacement anchors the rhs symbol's end
+            # (every symbol, including the word's last, is followed by
+            # " " or the trailing anchor — never end-of-string)
             nxt = cur.select(
-                F.replace("word", F.lit(pair), F.lit(merged)).alias("word"),
+                F.replace(
+                    "word", F.lit(pair + " "), F.lit(merged + " ")
+                ).alias("word"),
                 "n",
             ).persist()
             cached.append(nxt)

@@ -300,9 +300,12 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
                 n = x.shape[0]
                 mono0 = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
                 f = {
+                    # same head semantics as wav_features: rms/peak/zcr
+                    # over the MONO DOWNMIX, so the same audio yields
+                    # identical features through either container
                     "duration_s": n / rate if rate else 0.0,
                     "rms": float(np.sqrt((mono0**2).mean())) if n else 0.0,
-                    "peak": float(np.abs(x).max()) if n else 0.0,
+                    "peak": float(np.abs(mono0).max()) if n else 0.0,
                     "zcr": float(
                         (np.diff(np.signbit(mono0)) != 0).mean()
                     ) if n > 1 else 0.0,
@@ -1792,23 +1795,30 @@ def encode_jpeg_progressive_color(
 
 def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Slice one scan's entropy data starting at ``pos``: returns the
-    restart-marker-split segments and the offset of the next marker."""
+    restart-marker-split segments and the offset of the next marker.
+    T.81 B.1.1.2 allows any number of 0xFF FILL bytes before a marker —
+    a fill run before RSTn stays inside the scan (segment boundary);
+    a fill run before any other marker ends the scan at the run's
+    first byte (the marker loop skips the fill)."""
     segs, seg_start, i = [], pos, pos
     n = len(payload)
     while i + 1 < n:
         if payload[i] != 0xFF:
             i += 1
             continue
-        nxt = payload[i + 1]
-        if nxt == 0x00:
-            i += 2
+        j = i + 1  # skip the optional 0xFF fill run to the marker byte
+        while j < n and payload[j] == 0xFF:
+            j += 1
+        nxt = payload[j] if j < n else 0xD9
+        if nxt == 0x00 and j == i + 1:
+            i += 2  # stuffed data byte, not a marker
             continue
         if 0xD0 <= nxt <= 0xD7:
             segs.append(payload[seg_start:i])
-            seg_start = i + 2
-            i += 2
+            seg_start = j + 1
+            i = j + 1
             continue
-        break  # a real marker ends the scan
+        break  # a real marker (after any fill) ends the scan
     segs.append(payload[seg_start : i if i + 1 < n else n])
     return segs, i
 
@@ -1929,6 +1939,10 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker sync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code byte
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         pos += 2
         if m == 0xD9:
@@ -1998,6 +2012,16 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                     raise ValueError("interleaved AC scan is invalid")
                 n_units = mcus_x * mcus_y
 
+            # per-SCAN Huffman readers (tables cannot change mid-scan —
+            # rebuilding the closure per block was pure allocation churn)
+            rd_dc = {
+                idx: read_sym_in(huff[(0, td)])
+                for idx, td, _ta in scomps
+                if ss == 0 and ah == 0
+            }
+            rd_ac = (
+                read_sym_in(huff[(1, scomps[0][2])]) if ss != 0 else None
+            )
             seg_idx = 0
             br = _BitReader(segs[0])
             prev = [0] * len(comps)
@@ -2013,15 +2037,14 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                     eobrun = 0
                     unit_in_seg = 0
                 if ns == 1:
-                    idx, td, ta = scomps[0]
+                    idx, _td, _ta = scomps[0]
                     by_n, bx_n = grids[idx]
                     blk = plane_coefs[idx][
                         (u // sw) * bx_n + (u % sw)
                     ]
                     if ss == 0:
                         if ah == 0:
-                            rd = read_sym_in(huff[(0, td)])
-                            s = rd(br)
+                            s = rd_dc[idx](br)
                             diff = extend(br.bits(s), s) if s else 0
                             prev[idx] += diff
                             blk[0] = prev[idx] << al
@@ -2030,27 +2053,24 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                                 blk[0] = int(blk[0]) | (1 << al)
                     elif ah == 0:
                         eobrun = _decode_ac_first(
-                            br, blk, ss, se, al, eobrun,
-                            read_sym_in(huff[(1, ta)]), extend,
+                            br, blk, ss, se, al, eobrun, rd_ac, extend,
                         )
                     else:
                         eobrun = _decode_ac_refine(
-                            br, blk, ss, se, al, eobrun,
-                            read_sym_in(huff[(1, ta)]),
+                            br, blk, ss, se, al, eobrun, rd_ac,
                         )
                 else:
                     my, mx = u // mcus_x, u % mcus_x
-                    for idx, td, _ta in scomps:
+                    for idx, _td, _ta in scomps:
                         _cid, sh, sv, _tq = comps[idx]
                         _by_n, bx_n = grids[idx]
-                        rd = read_sym_in(huff[(0, td)]) if ah == 0 else None
                         for dy in range(sv):
                             for dx in range(sh):
                                 blk = plane_coefs[idx][
                                     (my * sv + dy) * bx_n + (mx * sh + dx)
                                 ]
                                 if ah == 0:
-                                    s = rd(br)
+                                    s = rd_dc[idx](br)
                                     diff = (
                                         extend(br.bits(s), s) if s else 0
                                     )
@@ -2633,6 +2653,8 @@ class _MSBReader:
         self.bitpos = pos * 8
 
     def bits(self, k: int) -> int:
+        if self.bitpos + k > len(self.d) * 8:
+            raise ValueError("bitstream truncated")
         v = 0
         for _ in range(k):
             byte = self.d[self.bitpos >> 3]
@@ -2835,10 +2857,18 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     rate = ch = bps = total = None
     md5_expect = None
     while True:
+        if pos + 4 > len(payload):
+            # truncated metadata must surface as ValueError so
+            # media_features can stub-fall-back, never crash a task
+            raise ValueError("flac: truncated metadata")
         flags = payload[pos]
         ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
         body = payload[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise ValueError("flac: truncated metadata block")
         if (flags & 0x7F) == 0:  # STREAMINFO
+            if ln < 34:
+                raise ValueError("flac: short STREAMINFO")
             br = _MSBReader(body)
             br.bits(16)
             br.bits(16)

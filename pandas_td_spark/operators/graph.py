@@ -321,9 +321,14 @@ def release_cached(result: DataFrame) -> None:
     (tracked in ``result._graph_cached``). Call AFTER the terminal
     action has materialized — repeated BFS probes in a long session
     otherwise accumulate cached frontier/adjacency blocks (ADVICE r8).
-    No-op for frames from other operators. Non-blocking."""
+    No-op for frames from other operators; tolerates frames whose
+    SparkSession has since been stopped (best-effort eviction must
+    never fail the NEXT query). Non-blocking."""
     for df in getattr(result, "_graph_cached", []):
-        df.unpersist(False)
+        try:
+            df.unpersist(False)
+        except Exception:  # stopped session / dead JVM context
+            pass
 
 
 def kcore_peel(

@@ -1113,16 +1113,21 @@ def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # evict the PREVIOUS invocation's frontier caches (the adjacency is
     # the shared memoized edge cache, not re-persisted here) — bounds
-    # the cached-block footprint at one run in long sessions (ADVICE r8)
+    # the cached-block footprint at one run in long sessions (ADVICE
+    # r8). Keyed by session: a result left over from a stopped session
+    # is dropped, not unpersisted (release_cached also tolerates dead
+    # contexts, belt and braces).
     while _Q164_PREV:
-        release_cached(_Q164_PREV.pop())
+        prev_spark, prev_out = _Q164_PREV.pop()
+        if prev_spark is spark:
+            release_cached(prev_out)
     out = bfs_levels(
         source=1,
         max_depth=3,
         frontier_hint="broadcast",
         adjacency=_copurchase_adjacency(spark),
     )
-    _Q164_PREV.append(out)
+    _Q164_PREV.append((spark, out))
     return out
 
 

@@ -2160,7 +2160,11 @@ _BPE_MERGES = 8
 def _bpe_oracle(n_merges: int) -> str:
     parts = [
         """WITH w0 AS MATERIALIZED (
-      SELECT '~' || array_to_string(string_split(w, ''), ' ~') AS word,
+      -- trailing space anchors the END of the last symbol (the rhs of
+      -- a merge pattern must never match a strict prefix of a longer
+      -- symbol: '~c ~a ' may not rewrite '~c ~ab ')
+      SELECT '~' || array_to_string(string_split(w, ''), ' ~') || ' '
+               AS word,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE regexp_matches(w, '^[a-z]+$')
@@ -2174,9 +2178,9 @@ def _bpe_oracle(n_merges: int) -> str:
       SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair FROM (
         SELECT n,
                unnest(list_transform(
-                 range(1, len(string_split(word, ' '))),
-                 i -> string_split(word, ' ')[i] || ' ' ||
-                      string_split(word, ' ')[i + 1])) AS pair
+                 range(1, len(string_split(trim(word), ' '))),
+                 i -> string_split(trim(word), ' ')[i] || ' ' ||
+                      string_split(trim(word), ' ')[i + 1])) AS pair
         FROM {prev})
       GROUP BY 1
     ), t{r} AS MATERIALIZED (
@@ -2186,8 +2190,9 @@ def _bpe_oracle(n_merges: int) -> str:
         if r < n_merges:
             parts.append(
                 f""", w{r} AS MATERIALIZED (
-      SELECT replace(word, (SELECT pair FROM t{r}),
-                     replace((SELECT pair FROM t{r}), ' ~', '')) AS word, n
+      SELECT replace(word, (SELECT pair || ' ' FROM t{r}),
+                     replace((SELECT pair FROM t{r}), ' ~', '') || ' ')
+               AS word, n
       FROM {prev}
     )"""
             )

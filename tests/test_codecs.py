@@ -1066,3 +1066,54 @@ def test_progressive_jpeg_property_matches_reconstruction():
         assert (decode_jpeg_progressive(payload) == ref).all()
 
     check()
+
+
+def test_flac_truncated_payloads_raise_valueerror_and_stub_fallback():
+    """Truncated fLaC payloads must surface ValueError (never IndexError)
+    so media_features stub-falls-back instead of crashing the task."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_td_spark.operators.codecs import (
+        decode_flac,
+        encode_flac,
+        media_features,
+    )
+    from pandas_td_spark.operators.multimodal import stub_decoder
+
+    good = encode_flac(np.arange(500, dtype=np.int16), 8000)
+    for cut in (4, 8, 20, 40, len(good) // 2, len(good) - 3):
+        with _pytest.raises(ValueError):
+            decode_flac(good[:cut])
+    # the bare magic — the reported crash case
+    vec = media_features(b"fLaC")
+    assert (vec == stub_decoder(b"fLaC", 16)).all()
+
+
+def test_progressive_jpeg_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Insert fill runs before EOI and before an RSTn; the decode must be
+    unchanged."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+        jpeg_quantize_gray,
+        jpeg_reconstruct_gray,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    ref = jpeg_reconstruct_gray(jpeg_quantize_gray(img), 24, 24)
+    payload = encode_jpeg_progressive_gray(img, restart_interval=3)
+    b = bytearray(payload)
+    # fill before EOI
+    eoi = b.rindex(b"\xff\xd9")
+    b[eoi:eoi] = b"\xff\xff\xff"
+    # fill before the first restart marker (search after the first SOS)
+    for k in range(len(b) - 1):
+        if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7:
+            b[k:k] = b"\xff\xff"
+            break
+    assert (decode_jpeg_progressive(bytes(b)) == ref).all()

@@ -1124,3 +1124,21 @@ def test_bpe_marker_prevents_substring_false_merges(spark):
     assert rows[0][1:] == ("a", "b", "ab", 6)
     assert rows[1][1:] == ("ab", "ab", "abab", 3)
     assert len(rows) == 2
+
+
+def test_bpe_rhs_prefix_false_merge_regression(spark):
+    """Round-9 review regression: after merging (a,b)->ab, the later
+    pair (c,a) must NOT rewrite '~c ~ab' (whose rhs 'ab' has the
+    pattern's rhs 'a' as a strict PREFIX) — the trailing-space anchor
+    pins the rhs symbol's end. Reference corpus {'ab':5,'cab':1,'ca':1}
+    needs THREE merges: (a,b), (c,a), (c,ab)."""
+    from pandas_td_spark.operators.bpe import bpe_train, words_with_counts
+
+    docs = spark.createDataFrame(
+        [("ab ab ab ab ab cab ca",)], "text string"
+    )
+    rows = [tuple(r) for r in bpe_train(words_with_counts(docs), 4).collect()]
+    assert rows[0][1:] == ("a", "b", "ab", 6)
+    assert rows[1][1:] == ("c", "a", "ca", 1)
+    assert rows[2][1:] == ("c", "ab", "cab", 1)
+    assert len(rows) == 3  # vocabulary fully merged after round 3
