@@ -1117,3 +1117,24 @@ def test_progressive_jpeg_tolerates_fill_bytes_before_markers():
             b[k:k] = b"\xff\xff"
             break
     assert (decode_jpeg_progressive(bytes(b)) == ref).all()
+
+
+def test_flac_multibyte_frame_numbers_roundtrip():
+    """>127 frames exercises the multi-byte UTF-8 frame-number coding in
+    a real stream (313 frames at block=64), plus the pure-function
+    round-trip across the full width boundaries."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MSBReader,
+        _read_utf8_number,
+        _utf8_number,
+        decode_flac,
+        encode_flac,
+    )
+
+    x = (np.arange(20000) % 997 - 498).astype(np.int16)
+    y, _ = decode_flac(encode_flac(x, 8000, block=64))
+    assert (y[:, 0] == x).all()
+    for n in [0, 1, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 36) - 1]:
+        assert _read_utf8_number(_MSBReader(_utf8_number(n))) == n

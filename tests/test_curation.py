@@ -135,3 +135,56 @@ def test_dsir_enriches_target_and_is_deterministic(spark):
         .collect()
     )
     assert ids1 == ids2
+
+
+def test_q269_funnel_is_monotone_and_grounded(spark):
+    """Cumulative funnel invariants at sf0.001: stage counts and token
+    sums never increase, stage 0 equals the corpus, and every stage
+    stays non-negative."""
+    from pandas_td_spark.queries.registry import spark_queries
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in spark_queries()["q269_curation_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"0_all", "1_lang", "2_quality", "3_dedup",
+                         "4_decontam"}
+    n_docs = spark.table("documents").count()
+    assert rows["0_all"][0] == n_docs
+    order = ["0_all", "1_lang", "2_quality", "3_dedup", "4_decontam"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0] >= 0
+        assert rows[a][1] >= rows[b][1] >= 0
+    # every stage actually filters something on this fixture
+    assert rows["4_decontam"][0] < rows["0_all"][0]
+
+
+def test_q264_split_leakage_invariants(spark):
+    """The component-grain split can never leak: every near-dup
+    component lands in exactly one safe split, and every doc flagged
+    leaked belongs to a component whose naive splits really differ."""
+    from pandas_td_spark.queries.registry import spark_queries
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = spark_queries()["q264_split_leakage"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    n_leaked_docs = 0
+    for comp, members in by_comp.items():
+        safe = {m["safe_split"] for m in members}
+        assert len(safe) == 1, f"component {comp} leaked under safe split"
+        naive = {m["naive_split"] for m in members}
+        for m in members:
+            assert m["leaked"] == (len(naive) > 1)
+        if len(naive) > 1:
+            n_leaked_docs += len(members)
+    # the fixture's near-dup clusters make the naive split actually leak
+    assert n_leaked_docs > 0
