@@ -2318,17 +2318,23 @@ def q215_persistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("yr").orderBy(F.desc("rev"), "l_partkey")
         ),
     ).where(F.col("r") <= 10)
-    # distinct-year count as a lazy broadcast 1-row aggregate — the
-    # driver-side distinct().count() was an extra scheduled job
-    ny = yp.agg(F.count_distinct("yr").alias("__ny"))
+    # distinct-year count derived from the post-rank slice — identical
+    # by construction (every year contributes a rank-1 row) — as a
+    # whole-partition window over the <=10*n_years surviving rows, so
+    # the fact table is aggregated exactly ONCE. The previous form
+    # re-derived it from yp via a broadcast 1-row aggregate and paid a
+    # second full lineitem aggregate when AQE didn't reuse the exchange.
+    topk = ranked.withColumn(
+        "__ny", F.size(F.collect_set("yr").over(Window.partitionBy()))
+    )
     return (
-        ranked.groupBy("l_partkey")
+        topk.groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_years_in_topk"),
             F.sum("rev").cast("bigint").alias("total_rev_cents"),
             F.min("r").cast("bigint").alias("best_rank"),
+            F.first("__ny").alias("__ny"),
         )
-        .crossJoin(F.broadcast(ny))
         .where(F.col("n_years_in_topk") == F.col("__ny"))
         .drop("__ny")
     )

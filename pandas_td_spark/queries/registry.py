@@ -174,7 +174,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q199_tfidf_topk": 8,
     "q86_bm25": 8,
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
-    "q215_persistent_topk": 8,
+    "q215_persistent_topk": 10,  # r8: lazy broadcast ny; r10: ny from
+    # the post-rank slice via whole-partition window (one fact agg)
     "q128_ngram_novelty": 9,  # r8: 64-bit hashed shingle keys; r9: df
     # via whole-partition window count on the one exchange (no join —
     # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s)
