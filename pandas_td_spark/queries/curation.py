@@ -97,6 +97,15 @@ def _gram_stats(grams):
 # multiple projections, so the aggregate re-evaluates per reference) —
 # reverted in round 8. q108 keeps `_gram_stats` because there the struct
 # is consumed once per n and its warm A/B held (1.596 -> 1.516 s).
+# Round-10 re-A/B of q108 (tools/ab_q108.py, interleaved 5-round warm
+# protocol at sf0.1): row-local 1.19 s median vs exploded-tagged 1.16 s
+# vs hashed-exploded 1.38 s vs fraction-direct-finish 1.63 s — the
+# exploded form's ~3% warm edge costs two O(corpus-tokens) shuffles the
+# zero-shuffle row-local form doesn't have, so row-local stays. Floor
+# analysis: scan+split 0.11 s + base stats 0.22 s + 4 x ~0.25 s
+# sort/run-length per gram size = ~1.1 s of irreducible vectorized
+# compute at this SF/core count; sub-0.9 s isn't reachable in either
+# form without dropping a gram size.
 # ---------------------------------------------------------------------------
 @query(
     "q85_repetition_stats",
