@@ -222,6 +222,19 @@ def bfs_levels(
       Exhausted graphs just run empty, cheap rounds.
     - ``"shuffle"``: never broadcast (adversarially skewed graphs);
       per-round counts only serve the emptiness exit.
+    - ``"fused"``: the zero-overhead form for SHALLOW, bounded-fanout
+      probes (q164's 3-hop single-source shape): chained broadcast
+      probes with NO per-round dedup or visited-exclusion — the
+      candidate multiset is carried as paths and a single terminal
+      ``min(level)`` aggregate recovers BFS levels (exactly the
+      recursive-CTE-with-UNION shape SQL engines run). Zero persists,
+      zero driver actions, ONE shuffle total; per-round stage latency
+      (broadcast build + AQE re-plan + dedup aggregate, ~0.5 s/round
+      measured at sf0.1) collapses into one pipeline. The caller
+      promises candidates stay bounded: path count grows like
+      degree^depth, so this is for small max_depth on bounded-degree
+      graphs — deep or high-fanout traversals must use the dedup modes
+      above, which prune revisits every round.
     ``adjacency`` (mutually exclusive with ``edges``): a pre-built —
     ideally memoized/checkpointed — bidirectional ``(u, v)`` frame; a
     session running several BFS probes over one graph should
@@ -257,16 +270,33 @@ def bfs_levels(
     seed = spark.createDataFrame(
         [(source, 0)], "node bigint, level int"
     )
+    if frontier_hint not in ("auto", "broadcast", "shuffle", "fused"):
+        raise ValueError(f"bad frontier_hint {frontier_hint!r}")
     # depth 1: distinct undirected edges ⇒ the neighbor multiset of one
     # node is already a set, so a filter + projection suffices.
-    f1 = (
-        adj.where(F.col("u") == F.lit(source))
-        .select(F.col("v").alias("node"))
-        .persist()
+    f1 = adj.where(F.col("u") == F.lit(source)).select(
+        F.col("v").alias("node")
     )
+    if frontier_hint == "fused":
+        parts = [seed, f1.withColumn("level", F.lit(1))]
+        cur = f1
+        for depth in range(2, max_depth + 1):
+            cur = (
+                F.broadcast(cur)
+                .join(adj, cur["node"] == adj["u"])
+                .select(F.col("v").alias("node"))
+            )
+            parts.append(cur.withColumn("level", F.lit(depth)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.groupBy("node").agg(
+            F.min("level").cast("int").alias("level")
+        )
+        out._graph_cached = cached
+        return out
+    f1 = f1.persist()
     cached.append(f1)
-    if frontier_hint not in ("auto", "broadcast", "shuffle"):
-        raise ValueError(f"bad frontier_hint {frontier_hint!r}")
     actionless = frontier_hint == "broadcast"
     parts = [seed, f1.withColumn("level", F.lit(1))]
     visited = seed.select("node").unionAll(f1)

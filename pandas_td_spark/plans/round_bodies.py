@@ -27,9 +27,11 @@ __all__ = ["round_body", "ROUND_BODY_QUERIES"]
 
 
 def _bfs_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One BFS frontier-expansion round (operators/graph.py bfs_levels):
-    broadcast-frontier probe into the adjacency + fused max-marker dedup/
-    visited-exclusion aggregation (the small-frontier path q164 takes)."""
+    """One BFS frontier-expansion round as q164 runs it since r10
+    (operators/graph.py bfs_levels, frontier_hint='fused'): a chained
+    broadcast probe into the adjacency, NO per-round dedup — the
+    terminal min(level) aggregate recovers levels once at the end, so
+    the round body is a single BroadcastHashJoin."""
     from pandas_td_spark.queries.advanced import _copurchase_edges
 
     edges = _copurchase_edges(spark)
@@ -37,17 +39,10 @@ def _bfs_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     f1 = adj.where(F.col("u") == F.lit(1)).select(F.col("v").alias("node"))
-    seed = spark.createDataFrame([(1,)], "node bigint")
-    visited = seed.unionAll(f1)
-    cand = F.broadcast(f1).join(adj, f1["node"] == adj["u"]).select(
-        F.col("v").alias("node"), F.lit(0).alias("vis")
-    )
     return (
-        cand.unionAll(visited.select("node", F.lit(1).alias("vis")))
-        .groupBy("node")
-        .agg(F.max("vis").alias("v"))
-        .where(F.col("v") == 0)
-        .select("node")
+        F.broadcast(f1)
+        .join(adj, f1["node"] == adj["u"])
+        .select(F.col("v").alias("node"))
     )
 
 

@@ -1097,41 +1097,31 @@ def evict_edge_cache(spark=None, view_dir=None) -> None:
     FROM walk GROUP BY node
     """,
     scale_note=(
-        "each BFS round is one frontier probe + a fused dedup/visited "
-        "max-marker aggregation — one shuffle/round. This query runs "
-        "frontier_hint='broadcast' (a 3-hop single-source frontier is "
-        "degree-bounded), so the loop schedules ZERO driver actions and "
-        "one terminal job executes the whole expansion; unbounded-depth "
-        "or high-fanout callers use the default 'auto' mode (per-round "
-        "sized counts, shuffle join above 1M frontier rows)"
+        "a 3-hop single-source probe on a bounded-degree graph runs "
+        "frontier_hint='fused': chained broadcast probes with NO "
+        "per-round dedup and one terminal min(level) aggregate — zero "
+        "driver actions, zero persists, ONE shuffle total (r10: 1.44 s "
+        "-> 0.82 s warm; the per-round broadcast/AQE/dedup stage "
+        "latency was the cost, not data volume). Candidates are "
+        "carried as paths (bounded by degree^depth here); deep or "
+        "high-fanout traversals use the dedup modes ('auto' sizes "
+        "per-round counts, shuffle join above 1M frontier rows)"
     ),
 )
 def q164_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from part 1 through shared orders (≤3 hops) — the
-    distributed frontier BFS primitive."""
-    from pandas_td_spark.operators.graph import bfs_levels, release_cached
+    distributed frontier BFS primitive. Fused mode persists nothing,
+    so the per-run eviction bookkeeping earlier rounds needed (ADVICE
+    r8's _Q164_PREV list) is gone — the memoized adjacency is the only
+    cached frame, owned by the shared edge cache."""
+    from pandas_td_spark.operators.graph import bfs_levels
 
-    # evict the PREVIOUS invocation's frontier caches (the adjacency is
-    # the shared memoized edge cache, not re-persisted here) — bounds
-    # the cached-block footprint at one run in long sessions (ADVICE
-    # r8). Keyed by session: a result left over from a stopped session
-    # is dropped, not unpersisted (release_cached also tolerates dead
-    # contexts, belt and braces).
-    while _Q164_PREV:
-        prev_spark, prev_out = _Q164_PREV.pop()
-        if prev_spark is spark:
-            release_cached(prev_out)
-    out = bfs_levels(
+    return bfs_levels(
         source=1,
         max_depth=3,
-        frontier_hint="broadcast",
+        frontier_hint="fused",
         adjacency=_copurchase_adjacency(spark),
     )
-    _Q164_PREV.append((spark, out))
-    return out
-
-
-_Q164_PREV: list = []
 
 
 # ---------------------------------------------------------------------------

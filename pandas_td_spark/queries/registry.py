@@ -118,10 +118,12 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
-    "q164_bfs_levels": 9,  # r6: fused distinct; r8: actionless
+    "q164_bfs_levels": 10,  # r6: fused distinct; r8: actionless
     # broadcast-mode BFS (zero in-loop driver actions, persisted
     # adjacency); r9: persisted frames tracked + previous run evicted
-    # (same plan/values, no leaked cached blocks — ADVICE r8)
+    # (same plan/values, no leaked cached blocks — ADVICE r8); r10:
+    # frontier_hint='fused' — chained broadcast probes, terminal
+    # min(level), zero persists (1.44 -> 0.82 s warm)
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
     "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
     "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile

@@ -986,7 +986,7 @@ def test_bfs_frontier_hint_modes_agree_and_broadcast_is_actionless(spark):
     expected = {(1, 0), (2, 1), (3, 1), (4, 2), (5, 3)}
 
     results = {}
-    for hint in ("auto", "broadcast", "shuffle"):
+    for hint in ("auto", "broadcast", "shuffle", "fused"):
         df = bfs_levels(
             edges, source=1, max_depth=3, frontier_hint=hint
         )
@@ -1011,6 +1011,7 @@ def test_bfs_frontier_hint_modes_agree_and_broadcast_is_actionless(spark):
     assert results["auto"] == expected
     assert results["broadcast"] == expected
     assert results["shuffle"] == expected
+    assert results["fused"] == expected
 
 
 def test_bfs_release_cached_evicts_persisted_frames(spark):

@@ -487,7 +487,9 @@ def test_round_bodies_cover_checkpointed_iteratives(spark):
     from pandas_td_spark.sources.io import register_views
 
     expected = {
-        "q164_bfs_levels": ["HashAggregate", "BroadcastHashJoin"],
+        # r10 fused mode: the round body is a pure broadcast probe —
+        # dedup moved to the single terminal min(level) aggregate
+        "q164_bfs_levels": ["BroadcastHashJoin"],
         "q166_kcore": ["HashAggregate", "Join"],
         "q121_triangle_count": ["HashAggregate", "Join"],
         "q119_pagerank_transitions": ["HashAggregate", "Join", "Window"],
