@@ -19,12 +19,16 @@ walk + all five scanline filters), **Y4M video** (uncompressed C420
 container + real frame extraction) and **baseline JPEG** — grayscale
 AND 3-component color with 4:4:4/4:2:0 chroma, JFIF YCbCr transform,
 DRI/RSTn restart markers, all tables read from the file's own DQT/DHT
-(full marker/Huffman/DCT bitstream). Progressive JPEG, MP3 and
-compressed video genuinely need external codec libraries and REMAIN
-stubbed
-(``multimodal.stub_decoder``); :func:`media_features` dispatches on
-magic bytes and falls back to the stub for those, so the pipeline runs
-end-to-end on mixed corpora either way.
+(full marker/Huffman/DCT bitstream). Later rounds added **GIF** (LZW,
+frame extraction, r8), **IMA ADPCM** audio (r8), **progressive JPEG**
+(SOF2 spectral-selection/successive-approximation scans, r9) and
+**FLAC** (Rice-coded subframes incl. LPC, any partition order, r9).
+The remaining stub set is exactly: **MP3** and **compressed video
+(H.264-class)** — psychoacoustic/motion-compensated codecs that
+genuinely need external libraries (``multimodal.stub_decoder``);
+:func:`media_features` dispatches on magic bytes and falls back to the
+stub for those, so the pipeline runs end-to-end on mixed corpora
+either way.
 
 Feature extraction and resize are closed-form numpy (RMS/peak/ZCR/
 duration for audio; per-channel means + intensity histogram for images;

@@ -91,6 +91,27 @@ def shingle_array(text_col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
+#: modulus of the universal hash family (Mersenne prime 2^31 - 1): keeps
+#: every a*h + b product under 2^62 so the arithmetic is exact BIGINT in
+#: both Spark and any ANSI-SQL oracle engine.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a_i, b_i) multipliers of the seeded universal hash family
+    h_i(x) = (a_i*x + b_i) mod P. A fixed affine formula of (seed, i) —
+    not an RNG — so an oracle SQL built from the same list is identical
+    by construction."""
+    p = MINHASH_PRIME
+    return [
+        (
+            ((seed + 1) * 1000003 + i * 7919) % (p - 1) + 1,
+            ((seed + 1) * 998244353 + i * 104729) % p,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -102,20 +123,34 @@ def minhash_signatures(
     """Per-row MinHash signature as ``num_hashes`` BIGINT columns
     (``mh0..mh{k-1}``).
 
-    Plan shape: explode shingles → hash-aggregate ``min(xxhash64(s, seed+i))``
-    per id. Partial (map-side) aggregation collapses each doc's shingles to
-    one 32-slot record before the shuffle, so shuffle volume is
-    O(rows × num_hashes), independent of document length — the shape that
-    survives 100 TB. (A pure-expression nested-``transform`` variant was
-    measured 70× slower here: the signature subtree got re-evaluated per
-    band and fell out of whole-stage codegen.)
+    Hash family (r10): ONE md5 per distinct shingle folded to a 60-bit
+    int, reduced mod P = 2^31-1, then ``num_hashes`` exact affine mixes
+    (a_i*h + b_i) mod P — the classic universal family. Every step is
+    exact integer/md5 arithmetic an ANSI-SQL engine reproduces verbatim
+    (the q127/q131 seeded-md5 discipline), which makes banded-LSH
+    outputs oracle-checkable; it is also cheaper than the previous
+    32-seeded-xxhash64 form (one digest + 32 modmuls per shingle).
+
+    Plan shape: explode shingles → hash-aggregate ``min(h_i)`` per id.
+    Partial (map-side) aggregation collapses each doc's shingles to one
+    32-slot record before the shuffle, so shuffle volume is
+    O(rows × num_hashes), independent of document length — the shape
+    that survives 100 TB. (A pure-expression nested-``transform``
+    variant was measured 70× slower here: the signature subtree got
+    re-evaluated per band and fell out of whole-stage codegen.)
     """
+    base = (
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
     ex = spread(df).select(
         F.col(id_col), F.explode(shingle_array(text_col, shingle_n)).alias("s")
-    )
+    ).select(F.col(id_col), base.alias("h"))
     aggs = [
-        F.min(F.xxhash64("s", F.lit(seed + i))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
@@ -134,13 +169,23 @@ def lsh_candidate_pairs(
     band's key; the self-equi-join on (band_idx, band_key) is the only
     extra shuffle and its key space is uniform hashes → skew-free. Returns
     distinct candidate (id_a, id_b) with id_a < id_b.
+
+    Band keys are the r-slot STRUCTS themselves (r10), not a hash of
+    them: struct equality in the join is exact — no collision caveat —
+    and the candidate set becomes reproducible by a SQL oracle joining
+    on the same tuple.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_keys = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+            F.struct(
+                *[
+                    F.col(f"mh{b * r + j}").alias(f"h{j}")
+                    for j in range(r)
+                ]
+            )
             for b in range(bands)
         ]
     )

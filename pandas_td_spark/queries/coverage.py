@@ -176,10 +176,34 @@ def q39_td_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q63_smart_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TD ``smart_digest`` analogue: 12-hex-char stable digest. Values
     intentionally differ from TD's proprietary hash (documented in
-    functions/td.py); tests assert stability + collision-freedom on keys."""
+    functions/td.py); tests assert stability + collision-freedom on keys.
+    q271_smart_digest_md5 is the oracle-backed twin of this query shape."""
     c = spark.table("customer")
     return c.select(
         "c_custkey", smart_digest(F.col("c_name")).alias("digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 twin — the same digest query shape with an md5 core, so the digest
+# pipeline (project → hash → truncate) gets a FULL hash-match driver row
+# (VERDICT r9 #4). q63 keeps xxhash64 as the production API (cheaper per
+# row); this twin proves the plumbing end-to-end against DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q271_smart_digest_md5",
+    oracle="""
+    SELECT c_custkey, substring(md5(c_name), 1, 12) AS digest
+    FROM customer
+    """,
+)
+def q271_smart_digest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-hex-char md5 digest of customer names — q63's oracle-expressible
+    twin (both engines emit lowercase hex, so no normalization step)."""
+    c = spark.table("customer")
+    return c.select(
+        "c_custkey",
+        F.substring(F.md5(F.col("c_name")), 1, 12).alias("digest"),
     )
 
 

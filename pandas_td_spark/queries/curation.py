@@ -2225,6 +2225,18 @@ def _bpe_oracle(n_merges: int) -> str:
 _BPE_MERGE_CACHE: dict = {}
 
 
+def evict_bpe_cache(spark=None, view_dir=None) -> None:
+    """Drop memoized BPE merge tables for one (session, view dir) —
+    register_views(force=True) calls this alongside the edge/pairs cache
+    evictors (ADVICE r9: a regenerated fixture dir under the same path
+    must not serve a stale merge table to q265/q270) — or everything
+    when called bare."""
+    if spark is None:
+        _BPE_MERGE_CACHE.clear()
+        return
+    _BPE_MERGE_CACHE.pop((spark, view_dir), None)
+
+
 def _bpe_merges_cached(spark: SparkSession) -> list:
     """q265-trained merge rows, MEMOIZED per (session, registered
     fixture dir) — q265 and q270 share one training run per fixture

@@ -15,14 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_td_spark.operators.dedup import (
+    MINHASH_PRIME,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_params,
     normalized_text,
     simhash_pairs,
     verify_jaccard_on_pairs,
 )
-from pandas_td_spark.operators.similarity import cosine_topk, dot_sql, lsh_topk
+from pandas_td_spark.operators.similarity import (
+    bucket_sql,
+    cosine_topk,
+    dot_sql,
+    lsh_topk_exact,
+    plane_matrix,
+)
 from pandas_td_spark.queries.registry import query
 
 _DIM = 64
@@ -179,13 +187,74 @@ def q80_near_dup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L2 scale path — MinHash LSH candidates + exact verify (rows-only)
+# L2 scale path — MinHash LSH candidates + exact verify. Oracle-backed
+# since r10: the signature hash family is seeded-md5 universal hashing
+# (operators/dedup.py minhash_params), so the oracle below rebuilds the
+# EXACT signatures, band agreement, and verify — not an approximation.
 # ---------------------------------------------------------------------------
-@query("q53_minhash_lsh_pairs", oracle=None)
+_MH_PARAMS = minhash_params(32, 42)
+_Q53_SIG_COLS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(_MH_PARAMS)
+)
+_Q53_BANDS = " OR\n        ".join(
+    "("
+    + " AND ".join(f"a.mh{b * 4 + j} = b.mh{b * 4 + j}" for j in range(4))
+    + ")"
+    for b in range(8)
+)
+_Q53_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+           AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+), hx AS (
+  SELECT doc_id, s,
+         (('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME}) AS h
+  FROM ex
+), sig AS (
+  SELECT doc_id,
+         {_Q53_SIG_COLS}
+  FROM hx GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_Q53_BANDS}
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter,
+         any_value(ea.n_sh) AS na, any_value(eb.n_sh) AS nb
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM inter
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+"""
+
+
+@query(
+    "q53_minhash_lsh_pairs",
+    oracle=_Q53_ORACLE,
+    scale_note=(
+        "banded MinHash + exact verify — the approximate near-dup scale "
+        "path; candidate set is band-bounded, shuffle keys are uniform "
+        "signature tuples (skew-free). The oracle replays the identical "
+        "seeded-md5 universal hash family, so the hash match proves the "
+        "banding, not just the verify"
+    ),
+)
 def q53_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash (32 hashes, 8 bands × 4) candidates, exact-Jaccard
-    verified ≥ 0.6. xxhash64-based → no DuckDB oracle; recall vs
-    q52 asserted in tests/test_llm.py."""
+    verified ≥ 0.6. Seeded-md5 universal hash family → DuckDB oracle
+    reproduces signatures exactly; recall vs q52 additionally asserted
+    in tests/test_llm.py."""
     docs = spark.table("documents")
     cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8)
     return verify_jaccard_on_pairs(cand, docs, threshold=0.6)
@@ -240,14 +309,66 @@ def q55_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3 scale path — hyperplane-LSH bucketed top-k (rows-only)
+# L3 scale path — hyperplane-LSH bucketed top-k. Oracle-backed since r10:
+# sign bits run through the deterministic left-assoc dot chain against
+# the SAME Gaussian plane literals the oracle text carries (repr(float)
+# round-trips IEEE doubles exactly), so buckets, candidate sets, and
+# ranks match bit-for-bit (VERDICT r9 #4).
 # ---------------------------------------------------------------------------
-@query("q56_embedding_lsh_topk", oracle=None)
+_LSH_PLANES = plane_matrix(_DIM, 4, 8, seed=7)
+_Q56_BUCKETED = "\n    UNION ALL\n".join(
+    f"    SELECT vec_id, embedding, nrm, {t} AS table_idx,\n"
+    f"           {bucket_sql('embedding', _LSH_PLANES, 4, t)} AS bucket\n"
+    f"    FROM n"
+    for t in range(8)
+)
+_Q56_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_N_SQL}) AS nrm FROM embeddings
+  WHERE embedding IS NOT NULL
+), b AS (
+{_Q56_BUCKETED}
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm,
+         table_idx, bucket
+  FROM b WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+), cand AS (
+  SELECT DISTINCT q.q_id, c.vec_id AS n_id
+  FROM q JOIN b c USING (table_idx, bucket)
+  WHERE q.q_id <> c.vec_id
+), scored AS (
+  SELECT cand.q_id, cand.n_id,
+         ({dot_sql("qq.embedding", "cc.embedding", _DIM)})
+           / (qq.nrm * cc.nrm) AS cosine
+  FROM cand
+  JOIN n qq ON qq.vec_id = cand.q_id
+  JOIN n cc ON cc.vec_id = cand.n_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, n_id) AS BIGINT)
+           AS rnk
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query(
+    "q56_embedding_lsh_topk",
+    oracle=_Q56_ORACLE,
+    scale_note=(
+        "bucket equi-join bounds candidates to L*n/2^b per query — the "
+        "ANN scale path. Expression sign bits here for oracle parity; "
+        "at large n_tables*n_planes*dim prefer lsh_topk (Arrow-batched "
+        "matmul buckets, same planes)"
+    ),
+)
 def q56_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH (8 tables ×
     4 planes) + exact re-rank over the unioned candidates. Recall vs q55
-    asserted in tests/test_llm.py."""
-    return lsh_topk(
+    asserted in tests/test_llm.py; buckets/ranks oracle-checked."""
+    return lsh_topk_exact(
         spark.table("embeddings"),
         _QUERY_IDS,
         k=5,

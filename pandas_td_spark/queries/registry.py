@@ -185,16 +185,20 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # jaccard_pairs_auto — at fixture scales the plan is byte-identical
     # (exact prefix path below EXACT_PAIRS_MAX_DOCS), listed for the
     # fingerprint drift:
-    "q80_near_dup_prefix": 8,
-    "q235_dup_rate_by_source": 8,
-    "q65_near_dup_clusters": 8,
-    "q159_cluster_survivor": 8,
+    "q80_near_dup_prefix": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
+    "q235_dup_rate_by_source": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
+    "q65_near_dup_clusters": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
+    "q159_cluster_survivor": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
     # round 9 (ADVICE r8): frame extractors now pick evenly-spaced
     # indices that COVER the tail (round(j*(total-1)/(n-1)) instead of
     # j*(total//n)) — q248/q261 sample source frames {0,2,5,7} and their
     # oracles' closed-form offsets moved with them:
     "q248_y4m_frames": 9,
     "q261_gif_frames": 9,
+    # round 10: MinHash switched from seeded-xxhash64 to the seeded-md5
+    # universal family + struct band keys (oracle-expressible; q53 now
+    # has a full DuckDB oracle):
+    "q53_minhash_lsh_pairs": 10,
 }
 
 

@@ -39,3 +39,27 @@ def test_evict_edge_cache_unpersists(spark):
     e.count()
     evict_edge_cache()
     assert not _EDGE_CACHE
+
+
+def test_force_register_invalidates_bpe_merge_cache(spark):
+    """ADVICE r9: the q265/q270 merge-table memo must be evicted by
+    register_views(force=True) like the edge and pairs caches — a
+    regenerated fixture dir under the same path would otherwise serve a
+    stale merge table while the oracle recomputes from the new data."""
+    from pandas_td_spark.queries.curation import (
+        _BPE_MERGE_CACHE,
+        _bpe_merges_cached,
+    )
+    from pandas_td_spark.sources.io import _CURRENT_VIEWS, register_views
+
+    register_views(spark, SF_SMALL)
+    merges = _bpe_merges_cached(spark)
+    assert merges, "fixture corpus should train at least one merge"
+    key = (spark, _CURRENT_VIEWS.get(spark))
+    assert key in _BPE_MERGE_CACHE
+    register_views(spark, SF_SMALL, force=True)
+    assert key not in _BPE_MERGE_CACHE, (
+        "force=True must evict the memoized BPE merge table"
+    )
+    # and the consumer transparently retrains to the same table
+    assert _bpe_merges_cached(spark) == merges
