@@ -2615,8 +2615,12 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
 # little-endian PCM). decode(encode(x)) == x bit-for-bit — lossless by
 # construction, pinned in tests and by the q266 driver hash gate.
 # Scope: 16-bit PCM, 1-2 independent channels (no mid-side), fixed
-# 4096-sample blocks; LPC *encode* is out of scope (fixed predictors
-# are a complete, spec-valid encoder choice).
+# 4096-sample blocks. r10: the encoder also fits an LPC predictor per
+# block (autocorrelation → Levinson-Durbin → 14-bit quantized coefs,
+# residual computed with the decoder's exact integer >> arithmetic) and
+# emits an LPC subframe when it beats the best fixed order — so the
+# decoder's main branch is exercised through the encode-side hash gates
+# (q272), not only by property tests.
 # ---------------------------------------------------------------------------
 
 
@@ -2755,12 +2759,87 @@ def _zigzag_flac(r: np.ndarray) -> np.ndarray:
     return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
 
 
-def encode_flac(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
+def _lpc_quantized(s: np.ndarray, order: int, precision: int = 14):
+    """Levinson-Durbin LPC fit quantized to FLAC's integer predictor:
+    returns ``(qcoefs, shift)`` with each coef a signed ``precision``-bit
+    int, or None when the fit is degenerate (flat/short signal, unstable
+    recursion, all-zero quantization). The residual a caller derives
+    with the decoder's exact ``(Σ q·s) >> shift`` arithmetic round-trips
+    regardless of fit quality — quantization only affects SIZE."""
+    n = len(s)
+    if n <= order or order < 1:
+        return None
+    x = s.astype(np.float64)
+    ac = [float(np.dot(x[: n - k], x[k:])) for k in range(order + 1)]
+    if ac[0] <= 0.0:
+        return None
+    err = ac[0]
+    coefs = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - float(
+            np.dot(coefs[:i], [ac[i - j] for j in range(i)])
+        )
+        if err <= 0.0:
+            return None
+        k = acc / err
+        new = coefs.copy()
+        new[i] = k
+        for j in range(i):
+            new[j] = coefs[j] - k * coefs[i - 1 - j]
+        coefs = new
+        err *= 1.0 - k * k
+    cmax = float(np.abs(coefs).max())
+    if not np.isfinite(cmax) or cmax <= 0.0:
+        return None
+    import math
+
+    # shift so the largest coef uses the full signed precision range
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(
+        np.round(coefs * (1 << shift)).astype(np.int64), -lim, lim - 1
+    )
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(s: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Residual under the quantized predictor, using the decoder's exact
+    integer arithmetic: res[i] = s[i] - ((Σ q[j]·s[i-1-j]) >> shift).
+    numpy's ``>>`` on int64 is an arithmetic (floor) shift — identical
+    to the Python ``>>`` in decode_flac."""
+    order = len(q)
+    n = len(s)
+    pred = np.zeros(n - order, dtype=np.int64)
+    for j in range(order):
+        pred += q[j] * s[order - 1 - j : n - 1 - j]
+    return s[order:] - (pred >> shift)
+
+
+def _rice_cost(resid: np.ndarray):
+    """Zigzag + single-partition Rice parameter from the folded mean:
+    returns ``(u, param, bits)``."""
+    u = _zigzag_flac(resid)
+    mean = float(u.mean()) if len(u) else 0.0
+    param = 0
+    while (1 << (param + 1)) < mean + 1 and param < 14:
+        param += 1
+    bits = int((u >> param).sum()) + len(u) * (param + 1)
+    return u, param, bits
+
+
+def encode_flac(
+    x: np.ndarray, rate: int = 8000, block: int = 4096, lpc_order: int = 8
+) -> bytes:
     """16-bit PCM → FLAC. ``x``: (n,) mono or (n, ch) with ch ≤ 2.
     Per block and channel the encoder tries fixed predictor orders 0-4
-    (plus CONSTANT for flat blocks), keeps the cheapest, and Rice-codes
-    the residual in one partition with the parameter picked from the
-    zigzag mean; VERBATIM is the guaranteed fallback bound."""
+    (plus CONSTANT for flat blocks) AND an order-``lpc_order`` quantized
+    LPC fit (r10), keeps whichever Rice-codes smallest, and writes the
+    residual in one partition with the parameter picked from the zigzag
+    mean; VERBATIM is the guaranteed fallback bound. ``lpc_order=0``
+    disables the LPC candidate (the r9 fixed-only behavior)."""
     arr = np.asarray(x, dtype=np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -2823,17 +2902,49 @@ def encode_flac(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
             else:
                 warm = best_res[:best_order]
                 resid = best_res[best_order:]
-            u = _zigzag_flac(resid)
-            mean = float(u.mean()) if len(u) else 0.0
-            param = 0
-            while (1 << (param + 1)) < mean + 1 and param < 14:
-                param += 1
-            rice_bits = int((u >> param).sum()) + len(u) * (param + 1)
-            if 6 + 1 + best_order * 16 + 2 + 4 + 4 + rice_bits >= bs * 16:
+            u, param, rice_bits = _rice_cost(resid)
+            fixed_total = 6 + 1 + best_order * 16 + 2 + 4 + 4 + rice_bits
+            # LPC candidate: quantized Levinson-Durbin fit; residual uses
+            # the decoder's exact integer arithmetic so the round-trip is
+            # lossless no matter how good the fit is
+            lpc_pack = None
+            if lpc_order:
+                fit = _lpc_quantized(s, min(lpc_order, bs - 1))
+                if fit is not None:
+                    q, shift = fit
+                    lu, lparam, lbits = _rice_cost(
+                        _lpc_residual(s, q, shift)
+                    )
+                    lpc_total = (
+                        6 + 1 + len(q) * 16 + 4 + 5 + len(q) * 14
+                        + 2 + 4 + 4 + lbits
+                    )
+                    if lpc_total < fixed_total:
+                        lpc_pack = (q, shift, lu, lparam, lpc_total)
+            best_total = lpc_pack[4] if lpc_pack else fixed_total
+            if best_total >= bs * 16:
                 bw.put(0b000001, 6)  # VERBATIM
                 bw.put(0, 1)
                 for v in s:
                     bw.put(int(v) & 0xFFFF, 16)
+                continue
+            if lpc_pack:
+                q, shift, lu, lparam, _ = lpc_pack
+                order = len(q)
+                bw.put(0b100000 | (order - 1), 6)
+                bw.put(0, 1)  # no wasted bits
+                for v in s[:order]:
+                    bw.put(int(v) & 0xFFFF, 16)
+                bw.put(14 - 1, 4)  # coefficient precision - 1
+                bw.put(shift, 5)  # non-negative, so plain 5-bit write
+                for co in q:
+                    bw.put(int(co) & 0x3FFF, 14)
+                bw.put(0, 2)  # 4-bit rice parameters
+                bw.put(0, 4)  # partition order 0
+                bw.put(lparam, 4)
+                for uv in lu:
+                    bw.put_unary(int(uv) >> lparam)
+                    bw.put(int(uv) & ((1 << lparam) - 1), lparam)
                 continue
             bw.put(0b001000 | best_order, 6)
             bw.put(0, 1)
@@ -2851,10 +2962,16 @@ def encode_flac(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
     return bytes(out)
 
 
-def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+def decode_flac(
+    payload: bytes, return_subframe_types: bool = False
+) -> tuple:
     """FLAC → ((n, ch) int16, rate). Reads CONSTANT/VERBATIM/FIXED/LPC
     subframes, any Rice partition order, 4/5-bit parameters and escape
-    partitions; verifies header CRC-8, frame CRC-16 and stream MD5."""
+    partitions; verifies header CRC-8, frame CRC-16 and stream MD5.
+    With ``return_subframe_types=True`` also returns the list of raw
+    6-bit subframe type codes in stream order (0 CONSTANT, 1 VERBATIM,
+    8+o FIXED, 32+(o-1) LPC) — lets encode-side tests and queries PROVE
+    which predictor the encoder chose (q272)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -2891,6 +3008,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     if bps != 16:
         raise ValueError("flac: only 16-bit streams supported")
     chans: list[list[int]] = [[] for _ in range(ch)]
+    sft_seen: list[int] = []
     while pos < len(payload) and sum(len(c) for c in chans) < total * ch:
         br = _MSBReader(payload, pos)
         sync = br.bits(14)
@@ -2935,6 +3053,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             if br.bits(1):
                 raise ValueError("flac: bad subframe pad bit")
             sft = br.bits(6)
+            sft_seen.append(sft)
             wasted = 0
             if br.bits(1):  # wasted-bits flag: unary count - 1
                 wasted = br.unary() + 1
@@ -2991,6 +3110,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
         if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
             raise ValueError("flac: stream MD5 mismatch")
+    if return_subframe_types:
+        return out, int(rate), sft_seen
     return out, int(rate)
 
 

@@ -1133,7 +1133,13 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build side; per-key state is one count either way. (An earlier
     # "join only the df>1 subset via broadcast" variant was rejected:
     # the broadcast probe broke exchange reuse and recomputed the
-    # transform — 3.6 s.)
+    # transform — 3.6 s. An r10 "no-sort" variant — groupBy(s) with
+    # min(doc_id) attributing df==1 shingles back to their only owner,
+    # so no window/sort and no join-back — also lost: it needs the
+    # shingle pipeline evaluated twice (row-local n_shingles + the
+    # explode), measured 1.67 s/2.95 s warm at 1x/10x vs this form's
+    # 0.69/1.56; the sort on 8-byte keys is cheaper than a second
+    # transform pass.)
     n_docs = F.count("*").over(Window.partitionBy("s"))
     return (
         sh.withColumn("n_docs", n_docs)

@@ -1942,6 +1942,107 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5j2 — FLAC LPC round-trip (round 10, VERDICT r9 #8): each doc class
+# synthesizes a quantized-sinusoid INTEGER recurrence
+# s[0]=0, s[1]=6000, s[t] = ((c_k * s[t-1]) >> 14) - s[t-2] with
+# c_k = 20000 + (doc_id % 48)*200 — a marginally-stable 2-tap resonator
+# the fixed(0-4) predictors code poorly but an LPC fit nails (measured
+# 2.15x smaller). The encoder's LPC branch therefore wins on every
+# class, and the decoder's LPC branch runs through the driver hash gate,
+# not only property tests. The oracle replays the recurrence exactly:
+# (c*s)>>14 is floor(c*s/16384.0) (products < 2^31, double-exact), sums
+# stay BIGINT (no rounding ties), and n_lpc_subframes = 1 pins the
+# predictor choice — if the encoder ever stops picking LPC here, the
+# driver row goes red.
+# ---------------------------------------------------------------------------
+@query(
+    "q272_flac_lpc_roundtrip",
+    oracle="""
+    WITH RECURSIVE ks AS (
+      SELECT DISTINCT doc_id % 48 AS k FROM documents
+    ), gen(k, t, prev, cur, acc_sum, acc_max) AS (
+      SELECT k, 1, CAST(0 AS BIGINT), CAST(6000 AS BIGINT),
+             CAST(6000 AS BIGINT), CAST(6000 AS BIGINT)
+      FROM ks
+      UNION ALL
+      SELECT k, t + 1, cur,
+             CAST(floor((20000 + k * 200) * cur / 16384.0) AS BIGINT)
+               - prev,
+             acc_sum
+               + CAST(floor((20000 + k * 200) * cur / 16384.0) AS BIGINT)
+               - prev,
+             greatest(
+               acc_max,
+               CAST(floor((20000 + k * 200) * cur / 16384.0) AS BIGINT)
+                 - prev)
+      FROM gen WHERE t < 1023
+    ), stats AS (
+      SELECT k, acc_sum, acc_max FROM gen WHERE t = 1023
+    )
+    SELECT d.doc_id,
+           CAST(1024 AS BIGINT) AS n_samples,
+           CAST(s.acc_sum AS BIGINT) AS sum_pcm,
+           CAST(s.acc_max AS BIGINT) AS max_pcm,
+           CAST(1 AS BIGINT) AS n_lpc_subframes
+    FROM documents d JOIN stats s ON d.doc_id % 48 = s.k
+    """,
+)
+def q272_flac_lpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize resonator → FLAC encode (LPC wins) → REAL decode
+    (CRC+MD5 verified, subframe types reported) → exact PCM stats +
+    LPC-subframe count."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        cache: dict = {}
+
+        def stats(key: int):
+            if key not in cache:
+                c = 20000 + key * 200
+                s = [0, 6000]
+                for _ in range(2, 1024):
+                    s.append(((c * s[-1]) >> 14) - s[-2])
+                x = np.asarray(s, dtype=np.int16)
+                payload = encode_flac(x, 8000)
+                y, rate, types = decode_flac(
+                    payload, return_subframe_types=True
+                )
+                assert rate == 8000 and (y[:, 0] == x).all(), "flac drift"
+                assert len(payload) < x.nbytes, "flac failed to compress"
+                cache[key] = (
+                    len(x),
+                    int(y[:, 0].astype(np.int64).sum()),
+                    int(y[:, 0].max()),
+                    sum(1 for t in types if t & 0b100000),
+                )
+            return cache[key]
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, *stats(i % 48)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_pcm", "max_pcm",
+                    "n_lpc_subframes",
+                ],
+            )
+
+    return d.mapInPandas(
+        _batches,
+        "doc_id long, n_samples long, sum_pcm long, max_pcm long,"
+        " n_lpc_subframes long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5k — audio chunking through the frame-sampling plumbing (round 9):
 # the AUDIO twin of q248/q261. Each doc synthesizes the q266 sawtooth as
 # FLAC; the real multimodal.sample_frames stage runs flac_chunk_extractor

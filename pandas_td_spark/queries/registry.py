@@ -109,7 +109,8 @@ def _ensure_loaded() -> None:
 # silently rot (tests/test_registry_order.py pins both properties).
 _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q54_simhash_pairs": 2,  # rewritten round 2; only driver row is r1
-    "q56_embedding_lsh_topk": 7,  # r2 rewrite; r7 null-vector guard
+    "q56_embedding_lsh_topk": 10,  # r2 rewrite; r7 null-vector guard;
+    # r10 lsh_topk_exact (expression sign bits, full DuckDB oracle)
     "q61_range_join": 4,  # zero-join plan replaced the interval join
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
@@ -199,6 +200,11 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # universal family + struct band keys (oracle-expressible; q53 now
     # has a full DuckDB oracle):
     "q53_minhash_lsh_pairs": 10,
+    # round 10: encode_flac gained the LPC candidate (decode unchanged;
+    # FLAC is lossless so decoded values — and these rows — are
+    # identical; the sawtooth still picks FIXED so even the bytes match):
+    "q266_flac_roundtrip": 10,
+    "q267_audio_chunks": 10,
 }
 
 

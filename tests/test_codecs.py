@@ -1138,3 +1138,61 @@ def test_flac_multibyte_frame_numbers_roundtrip():
     assert (y[:, 0] == x).all()
     for n in [0, 1, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 36) - 1]:
         assert _read_utf8_number(_MSBReader(_utf8_number(n))) == n
+
+
+def test_flac_lpc_encoder_wins_on_resonator_and_roundtrips():
+    """r10: the encoder's LPC candidate must beat fixed predictors on a
+    2-tap resonator (the signal class LPC exists for), round-trip
+    bit-exactly, and compress better than the fixed-only form; a
+    fixed-friendly sawtooth must still choose FIXED (LPC only wins when
+    it is actually smaller)."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    def resonator(c, n=1024):
+        s = [0, 6000]
+        for _ in range(2, n):
+            s.append(((c * s[-1]) >> 14) - s[-2])
+        return np.asarray(s, dtype=np.int16)
+
+    for c in (20000, 24000, 29400):
+        x = resonator(c)
+        p = encode_flac(x, 8000)
+        y, rate, types = decode_flac(p, return_subframe_types=True)
+        assert rate == 8000 and (y[:, 0] == x).all()
+        assert any(t & 0b100000 for t in types), f"LPC not chosen (c={c})"
+        p0 = encode_flac(x, 8000, lpc_order=0)
+        y0, _ = decode_flac(p0)
+        assert (y0[:, 0] == x).all(), "fixed-only form must stay lossless"
+        assert len(p) < len(p0), "LPC subframe should compress better"
+
+    t = np.arange(1024, dtype=np.int64)
+    saw = ((7 + 3 * t) % 2048 - 1024).astype(np.int16)
+    _, _, saw_types = decode_flac(
+        encode_flac(saw, 8000), return_subframe_types=True
+    )
+    assert all((t >> 3) == 0b001 for t in saw_types), (
+        "sawtooth should still pick a FIXED predictor"
+    )
+
+
+def test_flac_lpc_robust_on_noise_silence_and_stereo():
+    """The LPC candidate must never break losslessness on signals where
+    the fit is poor or degenerate (noise → VERBATIM-or-whatever wins;
+    silence → CONSTANT; stereo handled per channel)."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(-32000, 32000, size=6000).astype(np.int16),
+        np.zeros(500, np.int16),
+        np.array([1, -1], np.int16),
+        rng.integers(-30000, 30000, size=(5000, 2)).astype(np.int16),
+    ]
+    for x in cases:
+        y, rate = decode_flac(encode_flac(x, 44100))
+        x2 = x[:, None] if x.ndim == 1 else x
+        assert (y == x2).all()
