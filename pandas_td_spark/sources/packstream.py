@@ -161,6 +161,37 @@ def _decode_file(path: str, kinds: Sequence[str]) -> Iterator[tuple]:
         yield tuple(vals)
 
 
+def _count_rows(path: str) -> int:
+    """Exact row count of one chunk by walking its self-describing tag
+    structure (no value materialization) — used to upgrade legacy
+    headers that lack per-chunk counts (ADVICE r9: amortized estimates
+    would otherwise propagate as if exact through every later append)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC:
+        raise ValueError(f"{path}: bad tdpack magic")
+    pos, n, rows = 4, len(data), 0
+    while pos < n:
+        (nf,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        for _ in range(nf):
+            tag = data[pos]
+            pos += 1
+            if tag == _T_NULL:
+                pass
+            elif tag in (_T_I64, _T_F64):
+                pos += 8
+            elif tag == _T_STR:
+                (ln,) = struct.unpack_from("<I", data, pos)
+                pos += 4 + ln
+            elif tag == _T_BOOL:
+                pos += 1
+            else:
+                raise ValueError(f"{path}: bad tag {tag} at {pos - 1}")
+        rows += 1
+    return rows
+
+
 class _ChunkPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -262,21 +293,16 @@ class _PackWriter(DataSourceWriter):
                     for c in survivors:
                         chunk_rows[c] = prev_rows.get(c, 0)
                 else:
-                    # legacy header without per-chunk counts: the stored
-                    # total is only trustworthy when every chunk survived;
-                    # amortize it evenly so the header stays upgradeable
-                    # (exact per-chunk counts resume on the next commit)
-                    n_prev = len(prev.get("chunks", []))
-                    total = (
-                        prev.get("rows", 0)
-                        if survivors and len(survivors) == n_prev
-                        else 0
-                    )
-                    for i, c in enumerate(survivors):
-                        share = total // len(survivors)
-                        if i == 0:
-                            share += total - share * len(survivors)
-                        chunk_rows[c] = share
+                    # legacy header without per-chunk counts: recount the
+                    # survivors by scanning their row structure once —
+                    # exact counts from here on, never estimates dressed
+                    # as facts (ADVICE r9; the earlier even-amortization
+                    # fabricated per-chunk numbers that then propagated
+                    # as exact through every subsequent append)
+                    for c in survivors:
+                        chunk_rows[c] = _count_rows(
+                            os.path.join(self.path, c)
+                        )
         header = {
             "fields": [
                 {"name": f.name, "kind": k}

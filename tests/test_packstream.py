@@ -316,3 +316,41 @@ def test_wire_format_property_round_trip():
                     assert gv == rv, (gv, rv)
 
     check()
+
+
+def test_legacy_header_upgrade_recounts_exact_per_chunk_rows(spark):
+    """ADVICE r9: upgrading a legacy header (no per-chunk counts) must
+    RECOUNT the surviving chunks from their row structure — exact values,
+    not an even amortization dressed as fact — including when a chunk has
+    vanished (where the old path zeroed every surviving count)."""
+    import json
+
+    d = tempfile.mkdtemp(prefix="tdpack_legacy_")
+    a = spark.range(90).select(F.col("id").alias("x"))
+    # 3 uneven chunks: 90 rows over repartition(3) is even, so skew it
+    a.repartition(3, F.col("x") % 7).write.format("tdpack").option(
+        "path", d
+    ).mode("overwrite").save()
+    hp = os.path.join(d, "_tdpack_schema.json")
+    with open(hp) as f:
+        hdr = json.load(f)
+    true_rows = dict(hdr["chunk_rows"])
+    assert len(set(true_rows.values())) > 1, "fixture should be uneven"
+    # simulate a legacy header: strip the per-chunk counts
+    del hdr["chunk_rows"]
+    with open(hp, "w") as f:
+        json.dump(hdr, f)
+    # and lose one chunk out-of-band (the old code zeroed ALL counts here)
+    victim = sorted(true_rows)[0]
+    os.remove(os.path.join(d, victim))
+    b = spark.range(100, 107).select(F.col("id").alias("x"))
+    b.repartition(1).write.format("tdpack").option("path", d).mode(
+        "append"
+    ).save()
+    with open(hp) as f:
+        hdr2 = json.load(f)
+    for c, n in true_rows.items():
+        if c != victim:
+            assert hdr2["chunk_rows"][c] == n, "recount must be exact"
+    back = spark.read.format("tdpack").option("path", d).load()
+    assert hdr2["rows"] == back.count() == 90 - true_rows[victim] + 7
