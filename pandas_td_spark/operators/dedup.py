@@ -439,24 +439,37 @@ def jaccard_pairs_auto(
     )
 
 
-def simhash64(text_col: str | Column = "text") -> Column:
-    """64-bit SimHash of the whitespace token bag.
+#: SimHash width (r10): 60 bits — the md5-hex-prefix token hash yields
+#: 60 exact bits in BOTH Spark and ANSI-SQL engines (15 hex chars), so
+#: signatures, blocks, and Hamming distances are oracle-reproducible.
+#: 4 blocks of 15 bits keep the Manku ham<=3 banding guarantee.
+SIMHASH_BITS = 60
 
-    Per token: xxhash64 → 64 bits; per bit: +1 if set else -1, summed over
-    tokens via ``F.aggregate`` (fold) into a 64-slot int array; final hash
-    sets bit i when slot i > 0. Entirely JVM-side expression work.
+
+def simhash64(text_col: str | Column = "text") -> Column:
+    """SimHash of the whitespace token bag (row-local fold form;
+    :func:`simhash_signatures` is the partial-agg form big corpora use).
+
+    Per token: md5-hex prefix → 60 bits (the seeded-md5 oracle
+    discipline); per bit: +1 if set else -1, summed over tokens via
+    ``F.aggregate`` (fold) into a 60-slot int array; final hash sets
+    bit i when slot i > 0. Entirely JVM-side expression work. (Kept
+    name for API stability; width is :data:`SIMHASH_BITS`.)
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(c, " ")
+    tok_hash = lambda w: F.conv(  # noqa: E731
+        F.substring(F.md5(w), 1, 15), 16, 10
+    ).cast("bigint")
     bitsums = F.aggregate(
         words,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, w: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
                 lambda i: F.when(
-                    F.call_function("shiftright", F.xxhash64(w), i)
+                    F.call_function("shiftright", tok_hash(w), i)
                     .bitwiseAND(F.lit(1)) == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1)),
@@ -467,7 +480,7 @@ def simhash64(text_col: str | Column = "text") -> Column:
     packed = F.aggregate(
         F.zip_with(
             bitsums,
-            F.sequence(F.lit(0), F.lit(63)),
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
             lambda s, i: F.when(
                 s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
             ).otherwise(
@@ -483,24 +496,31 @@ def simhash64(text_col: str | Column = "text") -> Column:
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-row 64-bit SimHash as a ``sig`` BIGINT column, computed in the
+    """Per-row 60-bit SimHash as a ``sig`` BIGINT column, computed in the
     explode → partial-aggregate shape (same scaling argument as
-    :func:`minhash_signatures`): per exploded token, ``getbit(xxhash64(w),
-    i)`` contributes ±1 to bit-slot i; 64 ``sum`` aggregates collapse
-    map-side; the final select packs sign bits into one BIGINT."""
+    :func:`minhash_signatures`): per exploded token, ``getbit(h, i)`` of
+    the md5-prefix token hash contributes ±1 to bit-slot i; 60 ``sum``
+    aggregates collapse map-side; the final select packs sign bits into
+    one BIGINT. The md5 token hash (r10) makes the signature — and the
+    banded pair set built on it — reproducible by a SQL oracle."""
     ex = spread(df).select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("w")
-    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
     sums = ex.groupBy(id_col).agg(
         *[
             F.sum(F.getbit("h", F.lit(i)) * 2 - 1).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     packed = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         term = F.when(
-            F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
         packed = term if packed is None else packed.bitwiseXOR(term)
     return sums.select(F.col(id_col), packed.alias("sig"))
@@ -511,28 +531,35 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    prefix_bits: int = 15,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Banded on ``4`` rotations of ``prefix_bits`` top bits (Manku et al.'s
-    table scheme): a pair within Hamming k of each other must agree on at
-    least one of the 4 16-bit blocks when k ≤ 3, so the equi-join on
-    (block_idx, block_value) bounds candidates without the O(n²) cross
-    join. Exact Hamming verify on candidates via bit_count(xor).
+    Banded on ``4`` blocks of ``prefix_bits`` bits (Manku et al.'s table
+    scheme; 15-bit blocks over the 60-bit md5 signature since r10): a
+    pair within Hamming k must agree exactly on at least one of the 4
+    blocks when k ≤ 3, so the equi-join on (block_idx, block_value)
+    bounds candidates without the O(n²) cross join. Exact Hamming
+    verify on candidates via bit_count(xor).
     """
     # One materialization of the signatures: the banded self-join
     # consumes `blocks` on BOTH sides, and without the cut the whole
-    # explode + 64-sum signature build runs twice (plan showed the
+    # explode + 60-sum signature build runs twice (plan showed the
     # Generate subtree duplicated, zero exchange reuse). The frame is
     # doc-grain (one 8-byte sig per doc) — bounded at any corpus size.
-    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    # ``sigs``: callers that run several probes over one corpus pass a
+    # memoized/checkpointed signature table instead (the edge-cache
+    # pattern; in production this is the materialized signature table
+    # every SimHash consumer starts from).
+    if sigs is None:
+        sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
     blocks = sigs.select(
         id_col,
         "sig",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(63 // prefix_bits)),
+                F.sequence(F.lit(0), F.lit((SIMHASH_BITS - 1) // prefix_bits)),
                 lambda b: F.call_function(
                     "shiftrightunsigned", F.col("sig"), b * F.lit(prefix_bits)
                 ).bitwiseAND(F.lit((1 << prefix_bits) - 1)),

@@ -108,7 +108,7 @@ def _ensure_loaded() -> None:
 # produced by the changed code) — no manual deletion, so the map can't
 # silently rot (tests/test_registry_order.py pins both properties).
 _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
-    "q54_simhash_pairs": 2,  # rewritten round 2; only driver row is r1
+    "q54_simhash_pairs": 10,  # r2 rewrite; r10 md5 60-bit family + full DuckDB oracle
     "q56_embedding_lsh_topk": 10,  # r2 rewrite; r7 null-vector guard;
     # r10 lsh_topk_exact (expression sign bits, full DuckDB oracle)
     "q61_range_join": 4,  # zero-join plan replaced the interval join
@@ -179,7 +179,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 10,  # r8: lazy broadcast ny; r10: ny from
     # the post-rank slice via whole-partition window (one fact agg)
-    "q128_ngram_novelty": 9,  # r8: 64-bit hashed shingle keys; r9: df
+    "q128_ngram_novelty": 10,  # r8: 64-bit hashed shingle keys; r9: df
     # via whole-partition window count on the one exchange (no join —
     # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s)
     # round-8 LSH gate: the shared pair cache now dispatches through
@@ -196,6 +196,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # oracles' closed-form offsets moved with them:
     "q248_y4m_frames": 9,
     "q261_gif_frames": 9,
+    # round 10 comment/docstring-only drifts (values and plans
+    # identical): q128 documents the rejected no-sort A/B variant
+    # in-body; q63's docstring points at its new md5 twin:
+    "q63_smart_digest": 10,
     # round 10: MinHash switched from seeded-xxhash64 to the seeded-md5
     # universal family + struct band keys (oracle-expressible; q53 now
     # has a full DuckDB oracle):
