@@ -86,9 +86,6 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     out_w = e.groupBy("src").agg(
         F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("ow")
     )
@@ -98,17 +95,31 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("f"))
         .localCheckpoint(eager=False)
     )
-    if (
-        small_graph_threshold > 0
-        and frac.count() <= small_graph_threshold
-    ):
-        return _driver_pagerank(
-            edges.sparkSession,
-            [(r.src, r.dst, r.f) for r in frac.collect()],
-            [r.node for r in nodes.collect()],
-            damping,
-            n_iter,
-        )
+    if small_graph_threshold > 0:
+        # ONE gating action: pull at most threshold+1 normalized edges.
+        # Fits → the whole fixpoint runs driver-side, with the node set
+        # derived from the collected edges (every node is a src or dst
+        # by construction). The previous gate spent FOUR actions
+        # (nodes.count, frac.count, frac.collect, nodes.collect), each
+        # re-running the upstream edge derivation — 19 scheduled jobs
+        # for q119's 36-edge transition graph.
+        head = frac.limit(small_graph_threshold + 1).collect()
+        if len(head) <= small_graph_threshold:
+            if not head:
+                return nodes.withColumn("rank", F.lit(0.0))
+            node_list = sorted(
+                {r.src for r in head} | {r.dst for r in head}
+            )
+            return _driver_pagerank(
+                edges.sparkSession,
+                [(r.src, r.dst, r.f) for r in head],
+                node_list,
+                damping,
+                n_iter,
+            )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for i in range(n_iter):

@@ -1715,19 +1715,37 @@ def _pois_case_sql(u: str) -> str:
     return f"CASE {branches} ELSE 6 END"
 
 
+#: universal-hash modulus for the per-replica uniforms (r10: ONE md5 per
+#: row + B exact affine mixes replaces B md5s per row — measured the md5
+#: as the dominant term at 16 replicas x 600k rows; same discipline as
+#: operators/dedup.py minhash_params)
+_BOOT_P = 2147483647
+
+
+def _boot_u_sql(b: str, h: str) -> str:
+    a = f"(({11 * 1000003}::BIGINT + {b} * 7919) % {_BOOT_P - 1} + 1)"
+    c = f"(({11 * 998244353}::BIGINT + {b} * 104729) % {_BOOT_P})"
+    return f"(((({a}) * {h} + {c}) % {_BOOT_P}) / {_BOOT_P}.0)"
+
+
 @query(
     "q167_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
+    WITH hx AS (
+      SELECT l_quantity,
+             (('0x' || substring(md5('{_BOOT_SEED}'
+                 || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+                 1, 15))::BIGINT % {_BOOT_P}) AS h
+      FROM lineitem
+    ), reps AS (
       SELECT b.b,
-             ({_pois_case_sql(f"(('0x' || substring(md5('{_BOOT_SEED}' || b.b || ':' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)")})
-               AS w,
+             ({_pois_case_sql(_boot_u_sql("b.b", "h"))}) AS w,
              l_quantity
-      FROM lineitem CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+      FROM hx CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
     ), means AS (
       SELECT b,
-             CAST(SUM(CAST(w * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-               / SUM(w) AS m
+             (CAST(SUM(CAST(round(w * l_quantity * 100) AS BIGINT))
+                   AS DOUBLE) / 100.0) / SUM(w) AS m
       FROM reps GROUP BY b
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
@@ -1738,43 +1756,54 @@ def _pois_case_sql(u: str) -> str:
     """,
     scale_note=(
         "B conditional weights on one scan — never B resampled copies; "
-        "the explode is the per-replica bookkeeping, weights are O(1)"
+        "the explode is the per-replica bookkeeping, and the row hash is "
+        "ONE md5 with B affine mixes, so per-row work stays O(B) cheap"
     ),
 )
 def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for mean lineitem quantity from 16 deterministic
-    Poisson(1) replicas — one scan, weights from seeded hash uniforms."""
+    Poisson(1) replicas — one scan, one md5 per row, per-replica uniforms
+    from exact affine mixes of the row hash."""
     li = spark.table("lineitem").select(
         "l_quantity",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
     )
-    # The x16 replica explode multiplies per-row hash work; a compact
+    # The x16 replica explode multiplies per-row work; a compact
     # parquet fixture arrives as ONE input split, which would serialize
     # all of it on one core. Spread the (narrow, pre-explode) rows across
     # the cluster first — at real scale the scan has many splits and this
     # round-robin shuffle of 2 small columns is noise.
     li = li.repartition(spark.sparkContext.defaultParallelism)
-    reps = li.select(
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_BOOT_SEED), F.col("rid").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BOOT_P
+    )
+    reps = li.withColumn("h", h).select(
         "l_quantity",
-        "rid",
+        "h",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_BOOT_SEED),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("rid").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(1152921504606846976.0)
+    a = (
+        F.lit(11 * 1000003).cast("bigint")
+        + F.col("b").cast("bigint") * 7919
+    ) % (_BOOT_P - 1) + 1
+    c = (
+        F.lit(11 * 998244353).cast("bigint")
+        + F.col("b").cast("bigint") * 104729
+    ) % _BOOT_P
+    u = ((a * F.col("h") + c) % _BOOT_P).cast("double") / F.lit(
+        float(_BOOT_P)
+    )
     # Materialize u as its own projection BEFORE the CASE chain: the chain
     # references it 6 times, and building the WHENs directly on the md5
     # expression object would inline 6 md5+conv evaluations per (row,
@@ -1788,10 +1817,19 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", w)
         .groupBy("b")
         .agg(
+            # exact BIGINT cents sum (quantity is integer-valued, w <= 6:
+            # products are exact doubles well under 2^53, so round->bigint
+            # is exact) — the decimal(28,6) buffer this replaces was the
+            # dominant agg cost over the 16x-exploded rows (r10 profile)
             (
-                F.sum(
-                    (F.col("w") * F.col("l_quantity")).cast("decimal(28,6)")
-                ).cast("double")
+                (
+                    F.sum(
+                        F.round(
+                            F.col("w") * F.col("l_quantity") * 100
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.lit(100.0)
+                )
                 / F.sum("w")
             ).alias("m")
         )

@@ -204,6 +204,13 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # universal family + struct band keys (oracle-expressible; q53 now
     # has a full DuckDB oracle):
     "q53_minhash_lsh_pairs": 10,
+    # round 10 perf rework (oracles updated in lockstep, both engines
+    # re-green at sf0.001/sf0.01):
+    "q167_bootstrap_ci": 10,  # one md5/row + affine per-replica mixes;
+    # bigint cents sum replaces the decimal buffer (1.75 -> 1.2 s)
+    "q119_pagerank_transitions": 10,  # small-graph gate is ONE
+    # limit+collect probe (node set derived from edges; was 4 actions
+    # re-running the events window — 19 jobs -> 8, 1.69 -> 1.1 s)
     # round 10: encode_flac gained the LPC candidate (decode unchanged;
     # FLAC is lossless so decoded values — and these rows — are
     # identical; the sawtooth still picks FIXED so even the bytes match):
