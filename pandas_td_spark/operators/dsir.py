@@ -168,14 +168,19 @@ def dsir_select(
     n_buckets: int = 1024,
     alpha: float = 0.5,
     seed: int = 23,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel top-``k`` importance resample (without replacement): rank by
     ``log_weight + Gumbel(seeded hash of id)`` and keep the top k. The
     noise makes selection a sample from the softmax of the weights rather
     than a hard argmax (the paper's resampling step), yet fully
     deterministic: u derives from xxhash64(id, seed) — a pure row
-    property, stable under any partitioning."""
-    w = dsir_weights(
+    property, stable under any partitioning. ``weights``: callers running
+    several resamples (or repeated runs) over one corpus pass the
+    memoized/checkpointed :func:`dsir_weights` table instead of refitting
+    (the materialized-feature-table pattern the module docstring
+    prescribes)."""
+    w = weights if weights is not None else dsir_weights(
         raw, target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, alpha=alpha, seed=seed,
     )

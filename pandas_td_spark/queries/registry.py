@@ -144,7 +144,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q158_basket_lift": 7,  # shared (o,p) checkpoint + lazy order total
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
-    "q117_dsir_select": 7,  # featurization counts materialized once (rows-only)
+    "q117_dsir_select": 10,  # r7 counts materialized once; r10 weight table memoized per fixture (rows-only, values identical)
     # round-7 NULL-payload guards (filters only; values identical on
     # null-free fixtures):
     # round-7 repeated-subtree perf pass (values identical; plans

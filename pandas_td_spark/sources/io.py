@@ -737,10 +737,18 @@ def register_views(
     # would otherwise serve checkpointed edges built from the OLD files
     try:
         from pandas_td_spark.queries.advanced import evict_edge_cache
-        from pandas_td_spark.queries.curation import evict_bpe_cache
+        from pandas_td_spark.queries.curation import (
+            evict_bpe_cache,
+            evict_dsir_cache,
+        )
         from pandas_td_spark.queries.llm import evict_pairs_cache
 
-        for evict in (evict_edge_cache, evict_pairs_cache, evict_bpe_cache):
+        for evict in (
+            evict_edge_cache,
+            evict_pairs_cache,
+            evict_bpe_cache,
+            evict_dsir_cache,
+        ):
             evict(spark, _CURRENT_VIEWS.get(spark))
             if force:
                 evict(spark, target)
