@@ -371,6 +371,15 @@ def kcore_peel(
     Returns surviving ``(node, deg)`` after the last round.
     ``materialize=False`` when the caller's edge frame is already
     checkpointed (the memoized edge cache).
+
+    Why per-round checkpoints stay (r10 A/B at sf0.1, 3 rounds, k=12):
+    unlike BFS, each peel round consumes the edge frame TWICE (degree
+    agg + survivor join), so a fully-lazy q164-style form duplicates
+    the round subtree 2^rounds times — measured 1.72-2.04 s vs this
+    form's 1.78 s (no win), and a lazy-persist variant was strictly
+    worse (2.4-2.8 s, 38 scheduled stages from the persist/broadcast
+    interplay). The peel is genuinely iterative data-volume work, not
+    scheduling overhead.
     """
     e = edges if not materialize else edges.localCheckpoint()
     for _ in range(rounds):
