@@ -13,8 +13,15 @@ importance weighting in a hashed n-gram feature space:
    ``sum_b count_b * ln(p_b / q_b)``;
 4. resample without replacement via the Gumbel top-k trick
    (log-weight + Gumbel noise), with the noise derived from a seeded
-   ``xxhash64`` of the doc id so selection is deterministic and
+   md5 of the doc id so selection is deterministic and
    partitioning-independent.
+
+r10: bucket and Gumbel hashing moved from xxhash64 to the seeded-md5
+discipline (q127/q131 family), which makes the WHOLE pipeline —
+featurization, both smoothed fits, scoring, resample — reproducible by
+an ANSI-SQL oracle; the per-bucket log-ratio is rounded to 9 dp before
+the exact decimal scoring sum, so cross-engine ln() ulp differences
+cannot reach the weights.
 
 Spark shape: ONE token explode feeds both distribution fits and the
 scoring join; the p/q ratio table is broadcast; the only wide shuffles are
@@ -55,7 +62,16 @@ def _bucketed_ngrams(
         F.explode(grams).alias("g"),
     ).select(
         "id",
-        F.pmod(F.xxhash64("g", F.lit(seed)), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("g"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
     )
 
 
@@ -174,24 +190,41 @@ def dsir_select(
     ``log_weight + Gumbel(seeded hash of id)`` and keep the top k. The
     noise makes selection a sample from the softmax of the weights rather
     than a hard argmax (the paper's resampling step), yet fully
-    deterministic: u derives from xxhash64(id, seed) — a pure row
+    deterministic: u derives from a seeded md5 of the id — a pure row
     property, stable under any partitioning. ``weights``: callers running
     several resamples (or repeated runs) over one corpus pass the
     memoized/checkpointed :func:`dsir_weights` table instead of refitting
     (the materialized-feature-table pattern the module docstring
-    prescribes)."""
+    prescribes). The reported ``gumbel_key`` is rounded to 9 dp (the llr
+    discipline); ordering uses the raw key."""
     w = weights if weights is not None else dsir_weights(
         raw, target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, alpha=alpha, seed=seed,
     )
     # u in (0,1): (hash mod M + 1) / (M + 2) keeps both endpoints open
     m = 1 << 40
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(m)) + 1
-    ) / F.lit(float(m + 2))
+    hh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"gum{seed + 1}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (F.pmod(hh, F.lit(m)) + 1) / F.lit(float(m + 2))
     gumbel = -F.log(-F.log(u))
     return (
         w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
+        .select(
+            id_col,
+            "log_weight",
+            F.round("gumbel_key", 9).alias("gumbel_key"),
+        )
     )

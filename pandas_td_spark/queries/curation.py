@@ -1050,7 +1050,77 @@ def _dsir_weights_cached(spark: SparkSession) -> DataFrame:
     return _DSIR_WEIGHTS_CACHE[key]
 
 
-@query("q117_dsir_select", oracle=None)
+# Oracle-backed since r10: bucket and Gumbel hashing use the seeded-md5
+# discipline, the per-bucket log-ratio is rounded to 9 dp before the
+# exact decimal scoring sum (so ln() ulp differences can't reach the
+# weights), and the SQL below replays featurization, both smoothed
+# fits, scoring, and the Gumbel top-150 verbatim.
+_DSIR_M = 1 << 40
+_Q117_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base
+), bx AS (
+  SELECT doc_id, lang,
+         (('0x' || substring(md5('23:' || g), 1, 15))::BIGINT % 1024)
+           AS bucket
+  FROM grams
+), spine AS (SELECT unnest(range(1024)) AS bucket),
+tcnt AS (
+  SELECT bucket, COUNT(*) AS n FROM bx
+  WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY bucket
+), ttot AS (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) AS tot FROM tcnt),
+p AS (
+  SELECT spine.bucket,
+         ln((COALESCE(tcnt.n, 0) + 0.5) / (ttot.tot + 512.0)) AS logp
+  FROM spine LEFT JOIN tcnt USING (bucket) CROSS JOIN ttot
+), rcnt AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM bx GROUP BY 1, 2
+), qcnt AS (SELECT bucket, SUM(cnt) AS n FROM rcnt GROUP BY bucket),
+qtot AS (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) AS tot FROM qcnt),
+q AS (
+  SELECT spine.bucket,
+         ln((COALESCE(qcnt.n, 0) + 0.5) / (qtot.tot + 512.0)) AS logq
+  FROM spine LEFT JOIN qcnt USING (bucket) CROSS JOIN qtot
+), ratio AS (
+  SELECT p.bucket, ROUND(p.logp - q.logq, 9) AS llr
+  FROM p JOIN q USING (bucket)
+), scored AS (
+  SELECT r.doc_id,
+         CAST(SUM(CAST(llr AS DECIMAL(28,9)) * CAST(cnt AS DECIMAL(9,0)))
+              AS DOUBLE) AS log_weight
+  FROM rcnt r JOIN ratio USING (bucket) GROUP BY 1
+), wts AS (
+  SELECT d.doc_id, COALESCE(s.log_weight, 0.0) AS log_weight
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), keyed AS (
+  SELECT doc_id, log_weight,
+         log_weight - ln(-ln(
+           ((('0x' || substring(md5('gum24:' || CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT % {_DSIR_M}) + 1) / {float(_DSIR_M + 2)!r}
+         )) AS gk
+  FROM wts
+)
+SELECT doc_id, log_weight, ROUND(gk, 9) AS gumbel_key
+FROM keyed ORDER BY gk DESC, doc_id LIMIT 150
+"""
+
+
+@query(
+    "q117_dsir_select",
+    oracle=_Q117_ORACLE,
+    scale_note=(
+        "one token explode, two 1024-bucket broadcast model tables, "
+        "TakeOrdered final — no quadratic stage; the oracle replays the "
+        "identical seeded-md5 featurization and Gumbel draw"
+    ),
+)
 def q117_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-150 Gumbel importance resample of documents toward an
     English-subset target distribution: one token explode, two
