@@ -2909,7 +2909,10 @@ def encode_flac(
             # lossless no matter how good the fit is
             lpc_pack = None
             if lpc_order:
-                fit = _lpc_quantized(s, min(lpc_order, bs - 1))
+                # subframe type encodes orders 1-32 only (0b1xxxxx is
+                # order-1 in 5 bits) — clamp so an oversized request can
+                # never write an undecodable stream
+                fit = _lpc_quantized(s, min(lpc_order, 32, bs - 1))
                 if fit is not None:
                     q, shift = fit
                     lu, lparam, lbits = _rice_cost(

@@ -458,18 +458,25 @@ def simhash64(text_col: str | Column = "text") -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(c, " ")
-    tok_hash = lambda w: F.conv(  # noqa: E731
-        F.substring(F.md5(w), 1, 15), 16, 10
-    ).cast("bigint")
-    bitsums = F.aggregate(
+    # hash each token ONCE up front: referencing the md5+conv expression
+    # inside the per-bit transform would inline it 60x per token (HOF
+    # lambdas get no common-subexpression elimination — the q167 lesson);
+    # folding over the materialized hash array keeps it one digest/token
+    hashes = F.transform(
         words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    bitsums = F.aggregate(
+        hashes,
         F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
                 lambda i: F.when(
-                    F.call_function("shiftright", tok_hash(w), i)
+                    F.call_function("shiftright", h, i)
                     .bitwiseAND(F.lit(1)) == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1)),

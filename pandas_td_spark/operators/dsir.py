@@ -217,7 +217,12 @@ def dsir_select(
         10,
     ).cast("bigint")
     u = (F.pmod(hh, F.lit(m)) + 1) / F.lit(float(m + 2))
-    gumbel = -F.log(-F.log(u))
+    # the NOISE is rounded to 9 dp BEFORE it enters the key, so the
+    # selection order — not just the reported value — is built from
+    # cross-engine-identical doubles (libm ln() is not bit-specified;
+    # without this the k-th/k+1-th boundary could flake on a 1-ulp
+    # disagreement). log_weight is already exact (decimal-summed llr).
+    gumbel = F.round(-F.log(-F.log(u)), 9)
     return (
         w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))

@@ -1101,10 +1101,10 @@ q AS (
   FROM documents d LEFT JOIN scored s USING (doc_id)
 ), keyed AS (
   SELECT doc_id, log_weight,
-         log_weight - ln(-ln(
+         log_weight + ROUND(-ln(-ln(
            ((('0x' || substring(md5('gum24:' || CAST(doc_id AS VARCHAR)),
                1, 15))::BIGINT % {_DSIR_M}) + 1) / {float(_DSIR_M + 2)!r}
-         )) AS gk
+         )), 9) AS gk
   FROM wts
 )
 SELECT doc_id, log_weight, ROUND(gk, 9) AS gumbel_key

@@ -1,12 +1,16 @@
 """LLM-data-pipeline operator queries (SURVEY.md §2.10 L1-L6, north star).
 
 Backed by ``operators/dedup.py`` and ``operators/similarity.py``. Oracles
-exist wherever DuckDB can reproduce the exact semantics (exact dedup,
+exist wherever DuckDB can reproduce the exact semantics: exact dedup,
 inverted-index Jaccard, brute-force cosine via the shared left-assoc dot
-chain); sketch-based operators (MinHash LSH, SimHash, hyperplane LSH)
-cannot be faithfully oracled in SQL (xxhash64 is Spark-specific) and are
-registered rows-only — their quality is asserted by recall tests against
-the exact paths in tests/test_llm.py.
+chain — and, since r10, the sketch family too: MinHash runs the seeded-md5
+universal hash family, SimHash the 60-bit md5 bit-vote family, and
+hyperplane LSH deterministic left-assoc sign chains against shared plane
+literals, so q53/q54/q56 carry FULL hash-match oracles that replay
+signatures/buckets, banding, and verify. Recall against the exact paths is
+additionally asserted in tests/test_llm.py. Still rows-only by nature:
+data-dependent iterative model state (k-means/IVF/PQ codebooks, MMR's
+greedy numpy loop) and Spark-native sketches (HLL approx_distinct).
 """
 
 from __future__ import annotations

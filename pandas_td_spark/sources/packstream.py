@@ -161,35 +161,14 @@ def _decode_file(path: str, kinds: Sequence[str]) -> Iterator[tuple]:
         yield tuple(vals)
 
 
-def _count_rows(path: str) -> int:
-    """Exact row count of one chunk by walking its self-describing tag
-    structure (no value materialization) — used to upgrade legacy
+def _count_rows(path: str, kinds: Sequence[str]) -> int:
+    """Exact row count of one chunk, by running the one canonical wire
+    parser (:func:`_decode_file`) and counting — used to upgrade legacy
     headers that lack per-chunk counts (ADVICE r9: amortized estimates
-    would otherwise propagate as if exact through every later append)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != _MAGIC:
-        raise ValueError(f"{path}: bad tdpack magic")
-    pos, n, rows = 4, len(data), 0
-    while pos < n:
-        (nf,) = struct.unpack_from("<I", data, pos)
-        pos += 4
-        for _ in range(nf):
-            tag = data[pos]
-            pos += 1
-            if tag == _T_NULL:
-                pass
-            elif tag in (_T_I64, _T_F64):
-                pos += 8
-            elif tag == _T_STR:
-                (ln,) = struct.unpack_from("<I", data, pos)
-                pos += 4 + ln
-            elif tag == _T_BOOL:
-                pos += 1
-            else:
-                raise ValueError(f"{path}: bad tag {tag} at {pos - 1}")
-        rows += 1
-    return rows
+    would otherwise propagate as if exact through every later append).
+    A one-time upgrade cost, so decoding values to count them is fine;
+    keeping a second tag-walk here would fork the format definition."""
+    return sum(1 for _ in _decode_file(path, kinds))
 
 
 class _ChunkPartition(InputPartition):
@@ -301,7 +280,7 @@ class _PackWriter(DataSourceWriter):
                     # as exact through every subsequent append)
                     for c in survivors:
                         chunk_rows[c] = _count_rows(
-                            os.path.join(self.path, c)
+                            os.path.join(self.path, c), self.kinds
                         )
         header = {
             "fields": [

@@ -284,6 +284,7 @@ def main():
         "B_frac_direct": variant_B,
         "D_hashed": variant_D,
         "C_exploded": variant_C,
+        "E_hashed_exploded": variant_E,
     }
     for name, fn in variants.items():
         times = []
@@ -294,7 +295,9 @@ def main():
         print(name, "cold", times[0], "warm", min(times[1:]))
     # cross-check values agree (A vs D vs C) at this sf
     a = q108_gopher_verdict(spark, sf).orderBy("doc_id").toPandas()
-    for name in ("B_frac_direct", "D_hashed", "C_exploded"):
+    for name in (
+        "B_frac_direct", "D_hashed", "C_exploded", "E_hashed_exploded"
+    ):
         b = variants[name](spark, sf).orderBy("doc_id").toPandas()
         same = a.equals(b)
         print(name, "values_match:", same)
