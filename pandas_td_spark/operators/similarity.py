@@ -575,6 +575,29 @@ def lsh_topk(
     return _lsh_rerank(n, query_ids, k, dim, id_col, vec)
 
 
+def lsh_index_exact(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """The LSH index frame (id, vec, __norm, buckets) with
+    EXPRESSION-evaluated sign bits — the materialized signature table a
+    production ANN session builds once per corpus and every probe reads.
+    The 32 fold-dots per vector are interpreter-evaluated (HOFs don't
+    codegen), which is exactly why callers should materialize/memoize
+    this frame rather than rebuild it per query."""
+    emb = emb.where(F.col(vec).isNotNull())
+    planes = plane_matrix(dim, n_planes, n_tables, seed)
+    buckets = F.array(
+        *[bucket_expr(vec, planes, n_planes, t) for t in range(n_tables)]
+    )
+    return _with_norm(emb.withColumn("buckets", buckets), dim, vec)
+
+
 def lsh_topk_exact(
     emb: DataFrame,
     query_ids: list[int],
@@ -585,6 +608,7 @@ def lsh_topk_exact(
     id_col: str = "vec_id",
     vec: str = "embedding",
     seed: int = 7,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`lsh_topk` with EXPRESSION-evaluated sign bits
     (:func:`bucket_expr`): every dot against a plane is the deterministic
@@ -592,16 +616,15 @@ def lsh_topk_exact(
     (:func:`bucket_sql`) reproduces buckets, candidates, and ranks
     bit-for-bit — the oracle-checkable form of the hyperplane-LSH path
     (VERDICT r9 #4). The UDF form stays the throughput default for wide
-    plane banks (one Arrow matmul per batch); this form's 32 fold-loops
-    are interpreter-evaluated per row, fine at bucket-build cost but
-    measurably slower for large n_tables·n_planes·dim."""
-    emb = emb.where(F.col(vec).isNotNull())
-    planes = plane_matrix(dim, n_planes, n_tables, seed)
-    buckets = F.array(
-        *[bucket_expr(vec, planes, n_planes, t) for t in range(n_tables)]
-    )
-    n = _with_norm(emb.withColumn("buckets", buckets), dim, vec).localCheckpoint()
-    return _lsh_rerank(n, query_ids, k, dim, id_col, vec)
+    plane banks (one Arrow matmul per batch). ``index``: a
+    memoized/checkpointed :func:`lsh_index_exact` frame — sessions
+    running several probes over one corpus pass it so the interpreted
+    bucket build runs once per corpus, not once per probe."""
+    if index is None:
+        index = lsh_index_exact(
+            emb, dim, n_planes, n_tables, id_col, vec, seed
+        ).localCheckpoint()
+    return _lsh_rerank(index, query_ids, k, dim, id_col, vec)
 
 
 def _lsh_rerank(
