@@ -1196,3 +1196,36 @@ def test_flac_lpc_robust_on_noise_silence_and_stereo():
         y, rate = decode_flac(encode_flac(x, 44100))
         x2 = x[:, None] if x.ndim == 1 else x
         assert (y == x2).all()
+
+
+def test_flac_lpc_property_lossless_on_arbitrary_signals():
+    """Hypothesis: the LPC candidate can never break losslessness, for
+    any int16 signal, channel count <= 2, length, or (clamped) order —
+    the residual is derived with the decoder's exact integer arithmetic,
+    so fit quality only affects size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import decode_flac, encode_flac
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=700,
+        ),
+        stereo=st.booleans(),
+        order=st.sampled_from([1, 2, 8, 16, 32, 64]),
+        block=st.sampled_from([64, 256, 4096]),
+    )
+    def check(data, stereo, order, block):
+        x = np.asarray(data, dtype=np.int16)
+        if stereo:
+            x = np.stack([x, x[::-1]], axis=1)
+        y, rate = decode_flac(encode_flac(x, 8000, block=block, lpc_order=order))
+        x2 = x[:, None] if x.ndim == 1 else x
+        assert rate == 8000 and (y == x2).all()
+
+    check()

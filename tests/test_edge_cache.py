@@ -63,3 +63,31 @@ def test_force_register_invalidates_bpe_merge_cache(spark):
     )
     # and the consumer transparently retrains to the same table
     assert _bpe_merges_cached(spark) == merges
+
+
+def test_force_register_invalidates_r10_model_caches(spark):
+    """The r10 memoized model/index tables (SimHash signatures, the
+    expression-bucket LSH index, DSIR weights) must share the eviction
+    contract: register_views(force=True) drops all of them."""
+    from pandas_td_spark.queries.curation import (
+        _DSIR_WEIGHTS_CACHE,
+        _dsir_weights_cached,
+    )
+    from pandas_td_spark.queries.llm import (
+        _LSH_INDEX_CACHE,
+        _SIMHASH_SIGS_CACHE,
+        _lsh_index_cached,
+        _simhash_sigs_cached,
+    )
+    from pandas_td_spark.sources.io import _CURRENT_VIEWS, register_views
+
+    register_views(spark, SF_SMALL)
+    assert _simhash_sigs_cached(spark).count() > 0
+    assert _lsh_index_cached(spark).count() > 0
+    assert _dsir_weights_cached(spark).count() > 0
+    key = (spark, _CURRENT_VIEWS.get(spark))
+    for cache in (_SIMHASH_SIGS_CACHE, _LSH_INDEX_CACHE, _DSIR_WEIGHTS_CACHE):
+        assert key in cache
+    register_views(spark, SF_SMALL, force=True)
+    for cache in (_SIMHASH_SIGS_CACHE, _LSH_INDEX_CACHE, _DSIR_WEIGHTS_CACHE):
+        assert key not in cache, "force=True must evict every model memo"
