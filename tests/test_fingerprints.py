@@ -21,6 +21,7 @@ from pandas_td_spark.queries.registry import (
     _latest_driver_round,
     all_queries,
     certified_fingerprints,
+    missing_fingerprints,
     source_fingerprint,
 )
 
@@ -28,17 +29,30 @@ from pandas_td_spark.queries.registry import (
 def test_fingerprints_file_present_and_fresh():
     fps = certified_fingerprints()
     assert fps, "FINGERPRINTS.json missing/empty — run tools/update_fingerprints.py"
-    latest = _latest_driver_round()
-    certified = {n for n in all_queries() if n in latest}
-    # every certified query should carry a record unless it was stale (no
-    # trustworthy fingerprint ever recorded for it yet)
-    missing = {
-        n
-        for n in certified
-        if n not in fps
-        and _IMPL_CHANGED_SINCE_LAST_CHECK.get(n, 0) <= latest[n][0]
+    missing = missing_fingerprints()
+    assert not missing, (
+        f"certified queries without fingerprints: {sorted(missing)} — "
+        "run tools/update_fingerprints.py (round-start step 0)"
+    )
+
+
+def test_fresh_driver_artifact_does_not_fail_freshness():
+    """Regression for the r9/r10 artifact-lag failure (VERDICT r10 #1): a
+    freshly-dropped CORRECTNESS_r{N}.json certifying a query introduced in
+    round N must NOT trip the freshness check — the round-start fingerprint
+    refresh can only run AFTER the artifact exists. Simulated with
+    synthetic inputs so the test is independent of the working tree's
+    artifact state."""
+    fps = {"q_old": {"sha": "aaaa", "round": 9}}
+    # q_new first certified by the brand-new r10 artifact: exempt.
+    latest = {"q_old": (10, "green"), "q_new": (10, "green")}
+    assert missing_fingerprints(fps, latest, {"q_old", "q_new"}) == set()
+    # but a query certified at-or-before the file's vintage with no record
+    # is still a genuine failure:
+    latest_stale = {"q_old": (10, "green"), "q_forgot": (9, "green")}
+    assert missing_fingerprints(fps, latest_stale, {"q_old", "q_forgot"}) == {
+        "q_forgot"
     }
-    assert not missing, f"certified queries without fingerprints: {sorted(missing)}"
 
 
 def test_no_silent_drift():
