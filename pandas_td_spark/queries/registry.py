@@ -234,6 +234,25 @@ def source_fingerprint(fn) -> str:
     access) the attribute names in ``co_names`` are resolved against the
     module so ``dedup.jaccard_pairs_prefix`` is still picked up."""
     import hashlib
+
+    blob = "\x00".join(
+        src for _, src in sorted(fingerprint_sources(fn).items())
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def fingerprint_sources(fn) -> dict[str, str]:
+    """The per-symbol source map ``source_fingerprint`` hashes — exposed
+    so tests can pin WHAT the fingerprint covers. Besides globals-resolved
+    names, the walk follows FUNCTION-LOCAL imports via a bytecode scan
+    (IMPORT_NAME/IMPORT_FROM): the repo's queries habitually do ``from
+    pandas_td_spark.operators.x import helper`` inside the body, which
+    never lands in ``__globals__`` — before round 11 those helpers were
+    invisible to drift detection (a q156 rank-helper rewrite would not
+    have moved q156's fingerprint: exactly the round-7 silent-drift
+    class)."""
+    import dis
+    import importlib
     import inspect
     import types
 
@@ -274,6 +293,39 @@ def source_fingerprint(fn) -> str:
                     mods.append(obj)
             elif callable(obj):
                 visit(obj)
+        # function-local imports: IMPORT_NAME gives the module,
+        # IMPORT_FROM the symbols pulled from it (STORE_FAST targets live
+        # in co_varnames, not co_names, so the globals walk above never
+        # sees them). Over-approximating by resolving every IMPORT_FROM
+        # symbol against every package-local IMPORT_NAME module is fine —
+        # fingerprints only need determinism and coverage.
+        def imports(code) -> tuple[list, set]:
+            ms, syms = [], set()
+            for ins in dis.get_instructions(code):
+                if (
+                    ins.opname == "IMPORT_NAME"
+                    and isinstance(ins.argval, str)
+                    and ins.argval.startswith("pandas_td_spark")
+                ):
+                    try:
+                        ms.append(importlib.import_module(ins.argval))
+                    except Exception:
+                        pass
+                elif ins.opname == "IMPORT_FROM":
+                    syms.add(ins.argval)
+            for c in code.co_consts:
+                if isinstance(c, types.CodeType):
+                    m2, s2 = imports(c)
+                    ms.extend(m2)
+                    syms.update(s2)
+            return ms, syms
+
+        try:
+            local_mods, local_syms = imports(f.__code__)
+        except (AttributeError, TypeError):
+            local_mods, local_syms = [], set()
+        mods.extend(local_mods)
+        names = names | local_syms
         for m in mods:  # attribute access through package-local modules
             for name in names:
                 obj = getattr(m, name, None)
@@ -281,8 +333,7 @@ def source_fingerprint(fn) -> str:
                     visit(obj)
 
     visit(fn)
-    blob = "\x00".join(sources[k] for k in sorted(sources))
-    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return sources
 
 
 def certified_fingerprints() -> dict:

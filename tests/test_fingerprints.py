@@ -91,6 +91,20 @@ def test_fingerprint_covers_shared_helpers():
     assert full != bare, "fingerprint did not include any helper sources"
 
 
+def test_fingerprint_covers_function_local_imports():
+    """q156 pulls with_global_ntile via a FUNCTION-LOCAL ``from ... import``
+    (never visible in __globals__); before round 11 a rank-helper rewrite
+    would not have moved q156's fingerprint — the exact silent-drift class
+    the system exists to catch. Pin that the bytecode import scan covers
+    it, transitively into the helper's own callees."""
+    from pandas_td_spark.queries.registry import fingerprint_sources
+
+    srcs = fingerprint_sources(all_queries()["q156_rfm_segments"].fn)
+    assert "pandas_td_spark.operators.ranking.with_global_ntile" in srcs
+    # transitive: the helper's internal callees are covered too
+    assert "pandas_td_spark.operators.ranking._boundary_buckets" in srcs
+
+
 def test_fingerprint_deterministic():
     q = all_queries()["q01_pricing_summary"]
     assert source_fingerprint(q.fn) == source_fingerprint(q.fn)
