@@ -761,8 +761,10 @@ def q129_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-population bins, the planner-statistics histogram shape.
     The global ntile runs DISTRIBUTED (operators/ranking.py two-phase
     rank: literal-boundary buckets + bucket-partitioned window +
-    broadcast offsets), not as a one-partition
-    window — the exact path stays viable at fact grain."""
+    broadcast offsets), not as a one-partition window — the exact path
+    stays viable at fact grain. (r11: the ``global_ntile_agg``
+    bounded-exchange form lost the local A/B — see q188's docstring —
+    and remains the documented swap for shuffle-bound scales.)"""
     from pandas_td_spark.operators.ranking import with_global_ntile
 
     o = spark.table("orders").select("o_totalprice", "o_orderkey")
@@ -1997,7 +1999,17 @@ def q188_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase rank) rather than as a one-partition ntile window — this
     is fact-grain input, and the exact path must not funnel the table
     through one task; the approx_percentile fence swap (q125 note)
-    remains the cheaper alternative when exactness is negotiable."""
+    remains the cheaper alternative when exactness is negotiable.
+
+    r11 A/B (same-session min-of-6, sf0.1): the rank path (one job, one
+    600 k-row exchange) measured 0.93 s vs 1.30 s for the
+    ``global_ntile_agg`` bounded-exchange form and 1.76 s for a
+    collect-driven 2-job variant — locally the extra scans/stages cost
+    more than the one exchange saves, so the rank path stays; at
+    shuffle-bound cluster scale ``global_ntile_agg`` is the documented
+    swap (its docstring carries the numbers). The marginals tail was
+    the real win: the old broadcast-join form spent two extra jobs vs
+    the whole-frame window over the 10-row bin frame (~-0.3 s)."""
     from pandas_td_spark.operators.ranking import with_global_ntile
 
     li = spark.table("lineitem")
@@ -2019,20 +2031,21 @@ def q188_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad").cast("double").alias("n_bad"),
         (F.count("*") - F.sum("bad")).cast("double").alias("n_good"),
     )
-    tot = cells.agg(
-        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    # marginals over the ≤10-row bin frame via a whole-frame window (one
+    # partition of B rows — bounded by the bin count, never by data);
+    # the broadcast-join form costs two extra jobs for the same values
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    totaled = cells.withColumn("tb", F.sum("n_bad").over(wt)).withColumn(
+        "tg", F.sum("n_good").over(wt)
     )
     bad_share = F.col("n_bad") / F.col("tb")
     good_share = F.col("n_good") / F.col("tg")
     woe = F.round(F.log(bad_share / good_share), 6)
-    return (
-        cells.join(F.broadcast(tot))
-        .select(
-            "bin",
-            "n",
-            woe.alias("woe"),
-            F.round((bad_share - good_share) * woe, 6).alias("iv_term"),
-        )
+    return totaled.select(
+        "bin",
+        "n",
+        woe.alias("woe"),
+        F.round((bad_share - good_share) * woe, 6).alias("iv_term"),
     )
 
 

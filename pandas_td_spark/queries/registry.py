@@ -126,16 +126,34 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # frontier_hint='fused' — chained broadcast probes, terminal
     # min(level), zero persists (1.44 -> 0.82 s warm)
     "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
-    "q205_quantile_normalization": 6,  # lazy literal-boundary rank, in-plan total
-    "q129_equidepth_histogram": 6,  # lazy literal-boundary rank/ntile
-    "q188_woe_binning": 6,  # lazy literal-boundary rank/ntile
+    "q205_quantile_normalization": 11,  # r6 lazy literal-boundary rank;
+    # r11 shared ranking.py refactor (_bin_from_rank extraction +
+    # __cnt in offsets — values identical, helper fingerprints moved)
+    "q129_equidepth_histogram": 11,  # r6 lazy rank/ntile; r11
+    # global_ntile_agg — only cut-straddling buckets windowed
+    "q188_woe_binning": 11,  # r6 lazy rank/ntile; r11 global_ntile_agg
+    # — no full-table exchange, bin-grain aggregation off the scan
+    # r11 ranking.py refactor drift (values/plans identical for these —
+    # with_global_ntile now routes its ntile arithmetic through the
+    # extracted _bin_from_rank; _offsets_frame gained __cnt):
+    "q156_rfm_segments": 11,
+    "q140_key_skew": 11,
+    "q221_lift_curve": 11,
+    # r11 binary WHEN-tree bucket expression (same bucket values, flat
+    # CaseWhen replaced by a log-depth tree — fixes the >127-boundary
+    # codegen cliff) reaches these through prefix-agg/row-number:
+    "q202_abc_classification": 11,
+    "q245_skyline": 11,
+    "q252_compaction_plan": 11,
+    "q255_out_of_order_audit": 11,
     "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
-    "q140_key_skew": 6,  # Gini rank now on the distributed two-phase rank
+    # (q140_key_skew's r6 Gini-rank entry superseded by its r11 row below)
     # (q156_rfm_segments also touched in r6 — call sites now pass the
     # opt-in small_threshold explicitly — but path, plan and values are
     # identical to its r5-certified form, so its green row still stands)
     # round 7:
-    "q202_abc_classification": 7,  # part-grain cumsum on distributed prefix agg
+    # (q202_abc_classification's r7 prefix-agg entry superseded by its
+    # r11 row below)
     "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
     "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
     "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)

@@ -351,3 +351,58 @@ def test_prefix_sum_nan_null_and_tie_keys(spark):
     assert [r.c for r in got.orderBy("i").collect()] == list(
         range(1, 3_001)
     )
+
+
+def test_global_ntile_agg_matches_rank_path(spark):
+    """global_ntile_agg (only cut-straddling buckets windowed) must be
+    value-identical to with_global_ntile + groupBy across bin counts,
+    ties, NULL keys, and the total-under-buckets (q=0) case."""
+    import random
+
+    from pandas_td_spark.operators.ranking import (
+        global_ntile_agg,
+        with_global_ntile,
+    )
+
+    random.seed(7)
+    rows = [(random.randint(0, 50), i, random.randint(0, 1)) for i in range(10_007)]
+    rows += [(None, 10_000_000 + j, 1) for j in range(13)]  # NULL keys
+    df = spark.createDataFrame(rows, "x int, k long, bad int").repartition(8)
+    spec = [
+        ("n", "count", None),
+        ("sb", "sum", "bad"),
+        ("mn", "min", "x"),
+        ("mx", "max", "k"),
+    ]
+    ref_aggs = [
+        F.count("*").alias("n"),
+        F.sum("bad").alias("sb"),
+        F.min("x").alias("mn"),
+        F.max("k").alias("mx"),
+    ]
+    for b in (1, 3, 10, 32):
+        ref = (
+            with_global_ntile(df, ["x", "k"], b, out="bin")
+            .groupBy("bin")
+            .agg(*ref_aggs)
+        )
+        got = global_ntile_agg(df, ["x", "k"], b, spec, out="bin")
+        # same names/types (nullability may differ: combine-of-partials)
+        assert got.schema.simpleString() == ref.schema.simpleString(), (
+            f"bins={b}"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), f"bins={b}"
+    # q=0 (fewer rows than bins) and the non-numeric-first-key fallback
+    tiny = spark.createDataFrame([(1, 1, 0), (2, 2, 1)], "x int, k long, bad int")
+    got = global_ntile_agg(tiny, ["x", "k"], 5, [("n", "count", None)], out="bin")
+    assert sorted((r.bin, r.n) for r in got.collect()) == [(1, 1), (2, 1)]
+    s = spark.createDataFrame([(str(i % 7), i) for i in range(100)], "s string, k long")
+    ref = (
+        with_global_ntile(s, ["s", "k"], 4, out="bin")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    got = global_ntile_agg(s, ["s", "k"], 4, [("n", "count", None)], out="bin")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
