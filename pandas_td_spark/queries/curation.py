@@ -947,7 +947,20 @@ def _topfrac_sql(n: int) -> str:
     """,
 )
 def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher rule booleans + the conjunction keep flag."""
+    """Per-document Gopher rule booleans + the conjunction keep flag.
+
+    CLOSED AT FLOOR (r11). Five variants have now been A/B'd across
+    rounds 7-11 (tools/ab_q108.py, warm = min of runs 2-3 at sf0.1):
+    row-local _gram_stats (this form) ~1.19 s, single-explode tagged
+    partial-agg ~1.16-1.20 s, hashed row-local ~2.9 s, hashed-exploded
+    ~1.47 s, fraction-direct ~1.84 s. The tagged-explode's occasional
+    ~3% warm edge costs two O(corpus-tokens) shuffles this zero-shuffle
+    form doesn't have — wrong trade at any scale above the fixture. The
+    floor decomposition (scan+split 0.11 s + base stats 0.22 s + 4 x
+    ~0.25 s vectorized run-length passes, one per gram size) is
+    irreducible without dropping a gram size; the plan is map-only and
+    scales with cores, so the remaining gap to DuckDB's single-process
+    0.34 s is a fixed local constant, not a scale risk."""
     d = spread(spark.table("documents"))
     w = _words()
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]

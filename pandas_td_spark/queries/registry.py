@@ -168,7 +168,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # round-7 repeated-subtree perf pass (values identical; plans
     # reshaped to cut duplicate corpus passes / driver actions):
     "q211_source_overlap": 7,  # fingerprint set checkpointed (3 consumers)
-    "q108_gopher_verdict": 7,  # four n-gram pipelines fused into one
+    "q108_gopher_verdict": 11,  # r7 fused pipelines; r11 docstring-only
+    # closed-at-floor note (values/plan identical)
     "q180_rrf_fusion": 7,  # corpus size as lazy broadcast, not d.count()
     "q238_wav_roundtrip": 7,
     "q62_multimodal_features": 7,
