@@ -1262,6 +1262,19 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode), measured 1.67 s/2.95 s warm at 1x/10x vs this form's
     # 0.69/1.56; the sort on 8-byte keys is cheaper than a second
     # transform pass.)
+    #
+    # 10x-ratio CLOSED (r11, third rejected variant): hashing the 8
+    # tokens directly — xxhash64(element_at(w,i)..element_at(w,i+7))
+    # inside the transform, no string allocation — measured 1.16/5.0 s
+    # at 1x/10x vs this form's 0.74/2.0 in the same session (8
+    # bounds-checked element_at calls per shingle cost more than one
+    # slice+concat+hash). The scale fit t ~= 0.42 + 0.114x decomposes
+    # as: job floor 0.09 s + scan/split/shingle-build map phase 0.35 s
+    # at 1x (latency-bound on 32 underfilled cores — it fills, not
+    # grows, with data) + the genuinely linear exchange/window/agg
+    # term. Cutting the 10x ratio under 2.5 needs a ~26% smaller
+    # per-row term; three variants failed to find one, and 2.96 on 10x
+    # data is comfortably sublinear — this is the intended shape.
     n_docs = F.count("*").over(Window.partitionBy("s"))
     return (
         sh.withColumn("n_docs", n_docs)

@@ -198,9 +198,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 10,  # r8: lazy broadcast ny; r10: ny from
     # the post-rank slice via whole-partition window (one fact agg)
-    "q128_ngram_novelty": 10,  # r8: 64-bit hashed shingle keys; r9: df
+    "q128_ngram_novelty": 11,  # r8: 64-bit hashed shingle keys; r9: df
     # via whole-partition window count on the one exchange (no join —
-    # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s)
+    # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s); r11
+    # comment-only closed-at-shape note (third rejected variant)
     # round-8 LSH gate: the shared pair cache now dispatches through
     # jaccard_pairs_auto — at fixture scales the plan is byte-identical
     # (exact prefix path below EXACT_PAIRS_MAX_DOCS), listed for the
