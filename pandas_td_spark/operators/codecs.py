@@ -2469,9 +2469,10 @@ def gif_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
 # step index (the spec's resync point — a corrupted block can't poison
 # the rest of the stream). Mono, 16-bit source. Deterministic both
 # directions: decode(encode(x)) is a pure function, pinned by golden
-# vectors + an SNR property in tests (no closed-form oracle — the
-# recurrence is sequential, so the q262 driver row is rows-only like
-# the sketch family).
+# vectors + an SNR property in tests, and — since r11 — by the q273
+# driver hash gate, whose recursive-CTE oracle replays this exact
+# state machine over an integer signal (q262's float-trig tone stays
+# rows-only; the quantizer recurrence itself is now oracle-certified).
 # ---------------------------------------------------------------------------
 _IMA_STEPS = [
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 __all__ = [
     "zscore_per_group",
@@ -74,7 +75,12 @@ def mad_outliers_per_group(
     )
 
 
-@pandas_udf("double")
+# NOTE: the return type must be a DataType INSTANCE, not the DDL string
+# "double" — pyspark parses string schemas through the active
+# SparkContext, so a string here makes importing this module require a
+# live session (observed r11: fingerprint coverage silently varied with
+# session state because the import failed in bare processes).
+@pandas_udf(DoubleType())
 def _geomean(v: pd.Series) -> float:  # grouped-agg pandas UDF (UDAF)
     import numpy as np
 

@@ -1712,11 +1712,14 @@ def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L5h — IMA ADPCM compressed-audio round-trip (round 8). The codec is
 # 4-bit DVI/IMA against the 89-step table in WAVE fmt 0x11 blocks (the
 # block header is the spec's resync point). Encode->decode is a pure
-# deterministic function but a SEQUENTIAL recurrence, so there is no SQL
-# oracle — rows-only driver row (like the sketch family); golden vectors
-# + an SNR floor are pinned in tests/test_codecs.py. Stats are emitted
-# at doc grain: compression ratio and quantization SNR per synthesized
-# tone.
+# deterministic function but a SEQUENTIAL recurrence over a float-trig
+# tone, so THIS row stays rows-only (a 1-ulp sin() difference between
+# numpy and the SQL engine would flip an int16 cast and diverge the
+# state machine); golden vectors + an SNR floor are pinned in
+# tests/test_codecs.py. Since r11 the codec itself IS hash-gated: q273
+# below replays the full quantizer state machine in a recursive-CTE
+# oracle over an integer signal. Stats are emitted at doc grain:
+# compression ratio and quantization SNR per synthesized tone.
 # ---------------------------------------------------------------------------
 @query("q262_adpcm_roundtrip", oracle=None)
 def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,6 +1778,146 @@ def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# L5h2 — IMA ADPCM EXACT round-trip (round 11, VERDICT r10 #6): the
+# hash-gated twin of q262. The per-sample quantizer state machine
+# (predictor + step index against the 89-entry table) is exactly the
+# recursive-CTE recurrence class the q191/q200/q272 oracles replay —
+# here the CTE carries (pred, idx) through all 504 post-header samples
+# and reproduces encode→decode bit-for-bit: the decoded stream IS the
+# encoder's predictor sequence, so sum/max of decoded PCM and the exact
+# integer sum of squared quantization errors are all CTE-computable.
+# The signal is a closed-form INTEGER sequence (no trig: a float sin
+# differing by 1 ulp between numpy and the SQL engine would flip an
+# int16 cast and diverge the state machine); 505 samples = exactly one
+# WAVE block (header sample + 504 nibbles, no pad), so the block resync
+# logic contributes no state resets and compressed_bytes has the
+# closed form 316 the oracle pins. If the codec's step table, index
+# rule, clamp, or nibble packing ever drifts, this row goes red.
+# ---------------------------------------------------------------------------
+def _ima_steps_sql() -> str:
+    from pandas_td_spark.operators.codecs import _IMA_STEPS
+
+    return "[" + ",".join(str(s) for s in _IMA_STEPS) + "]"
+
+
+@query(
+    "q273_adpcm_exact_roundtrip",
+    oracle=f"""
+    WITH RECURSIVE ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), gen(k, t, pred, idx, acc_sum, acc_max, acc_err) AS (
+      SELECT k, 0,
+             CAST((k*11) % 8192 - 4096 AS BIGINT), 0,
+             CAST((k*11) % 8192 - 4096 AS BIGINT),
+             CAST((k*11) % 8192 - 4096 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM ks
+      UNION ALL
+      SELECT k, tn, predn, idxn,
+             acc_sum + predn,
+             greatest(acc_max, predn),
+             acc_err + (x - predn) * (x - predn)
+      FROM (
+        SELECT k, tn, acc_sum, acc_max, acc_err, x,
+               greatest(-32768, least(32767,
+                 pred + CASE WHEN neg THEN -delta ELSE delta END))
+                 AS predn,
+               greatest(0, least(88, idx +
+                 [-1,-1,-1,-1,2,4,6,8][4*CAST(b4 AS INT)
+                   + 2*CAST(b2 AS INT) + CAST(b1 AS INT) + 1])) AS idxn
+        FROM (
+          SELECT *, stp // 8
+                 + CASE WHEN b4 THEN stp ELSE 0 END
+                 + CASE WHEN b2 THEN stp // 2 ELSE 0 END
+                 + CASE WHEN b1 THEN stp // 4 ELSE 0 END AS delta
+          FROM (
+            SELECT *, r4 >= stp // 2 AS b2,
+                   (r4 - CASE WHEN r4 >= stp // 2 THEN stp // 2 ELSE 0 END)
+                      >= stp // 4 AS b1
+            FROM (
+              SELECT *, ad >= stp AS b4,
+                     ad - CASE WHEN ad >= stp THEN stp ELSE 0 END AS r4
+              FROM (
+                SELECT *, abs(x - pred) AS ad, (x - pred) < 0 AS neg
+                FROM (
+                  SELECT k, t + 1 AS tn, pred, idx,
+                         acc_sum, acc_max, acc_err,
+                         CAST((k*11 + 5*(t+1)*(t+1)) % 8192 - 4096
+                              AS BIGINT) AS x,
+                         {{steps}}[idx + 1] AS stp
+                  FROM gen WHERE t < 504
+                )
+              )
+            )
+          )
+        )
+      )
+    ), stats AS (
+      SELECT k, acc_sum, acc_max, acc_err FROM gen WHERE t = 504
+    )
+    SELECT d.doc_id,
+           CAST(505 AS BIGINT) AS n_samples,
+           CAST(316 AS BIGINT) AS compressed_bytes,
+           s.acc_sum AS sum_pcm,
+           s.acc_max AS max_pcm,
+           s.acc_err AS sum_sq_err
+    FROM documents d JOIN stats s ON d.doc_id % 40 = s.k
+    """.replace("{steps}", _ima_steps_sql()),
+)
+def q273_adpcm_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize closed-form integer signal → IMA-ADPCM encode → REAL
+    decode → exact integer stats (sum/max PCM, sum of squared
+    quantization errors) that the recursive-CTE oracle replays
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_td_spark.operators.codecs import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    d = spark.table("documents").select("doc_id")
+
+    def _batches(it):
+        cache: dict = {}
+
+        def stats(k: int):
+            if k not in cache:
+                t = np.arange(505, dtype=np.int64)
+                x = (((k * 11 + 5 * t * t) % 8192) - 4096).astype(np.int16)
+                payload = encode_wav_ima_adpcm(x)
+                y, rate = decode_wav_ima_adpcm(payload)
+                assert rate == 8000 and len(y) == 505, "adpcm shape drift"
+                assert len(payload) == 316, "adpcm container drift"
+                err = x.astype(np.int64) - y.astype(np.int64)
+                cache[k] = (
+                    505,
+                    len(payload),
+                    int(y.astype(np.int64).sum()),
+                    int(y.max()),
+                    int((err * err).sum()),
+                )
+            return cache[k]
+
+        for pdf in it:
+            rows = [(int(i), *stats(int(i) % 40)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "compressed_bytes",
+                    "sum_pcm", "max_pcm", "sum_sq_err",
+                ],
+            )
+
+    return d.mapInPandas(
+        _batches,
+        "doc_id long, n_samples long, compressed_bytes long, "
+        "sum_pcm long, max_pcm long, sum_sq_err long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,20 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q245_skyline": 11,
     "q252_compaction_plan": 11,
     "q255_out_of_order_audit": 11,
+    # r11: operators/python_udfs.py is now importable WITHOUT a live
+    # SparkContext (_geomean's return type is a DataType instance, not
+    # a DDL string pyspark parses through the active context) — the
+    # import failure had made fingerprint coverage of the pandas-UDF
+    # family silently depend on session state. Values identical; the
+    # UDF-family fingerprints both changed (the _geomean fix) and
+    # WIDENED (their helpers are now always resolvable):
+    "q135_grouped_map_zscore": 11,
+    "q136_pandas_udaf_geomean": 11,
+    "q137_udtf_ngrams": 11,
+    "q149_capped_balance": 11,
+    "q191_ewma": 11,
+    "q200_cusum": 11,
+    "q217_debounce": 11,
     "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
     # (q140_key_skew's r6 Gini-rank entry superseded by its r11 row below)
     # (q156_rfm_segments also touched in r6 — call sites now pass the
