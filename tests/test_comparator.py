@@ -71,3 +71,54 @@ def test_int_vs_float_flags_even_when_values_equal():
     b = pd.DataFrame({"v": np.array([0.0, 1.0], dtype="float64")})
     problems = compare_frames(a, b)
     assert problems and "dtype col 'v'" in problems[0]
+
+
+def _perturb(value):
+    """A type-appropriate single-cell mutation (never a no-op)."""
+    from decimal import Decimal
+
+    if isinstance(value, bool):
+        return not value
+    if isinstance(value, Decimal):
+        return value + Decimal(1)
+    if isinstance(value, (int, float)) and not pd.isna(value):
+        return value + 1
+    if isinstance(value, str):
+        return value + "·"
+    return 0  # None / NaN / exotic → a concrete wrong value
+
+
+def test_perturbation_control_every_column_goes_red(spark):
+    """NEGATIVE CONTROL for the load-bearing instrument (VERDICT r10
+    #7): run a real query green against its oracle, then flip exactly
+    one cell per column and assert the gate goes red EVERY time — a
+    silent comparator regression (dropped column, lenient equality,
+    accidental float coercion) can never green a wrong answer again.
+    Also controls the rowcount and multiset dimensions (dropped row;
+    duplicated row at equal rowcount)."""
+    from pandas_td_spark.queries.registry import all_queries, spark_queries
+
+    name = "q01_pricing_summary"
+    q = all_queries()[name]
+    sdf = spark_queries()[name](spark, SF_SMALL).toPandas()
+    oracle = run_oracle(SF_SMALL, q.oracle)
+    assert compare_frames(sdf, oracle) == [], "precondition: green"
+    assert len(sdf) >= 2 and len(sdf.columns) >= 3, "fixture too small"
+    for col in sdf.columns:
+        mutated = sdf.copy()
+        i = int(mutated[col].first_valid_index() or 0)
+        mutated.at[i, col] = _perturb(mutated.at[i, col])
+        assert compare_frames(mutated, oracle), (
+            f"single-cell flip in {col!r} must go red"
+        )
+    # dropped row → rowcount red
+    assert compare_frames(
+        sdf.drop(index=[sdf.index[0]]).reset_index(drop=True), oracle
+    ), "dropped row must go red"
+    # duplicated row replacing another (rowcount unchanged) → value red
+    dup = sdf.copy()
+    dup.iloc[0] = dup.iloc[1]
+    assert compare_frames(dup, oracle), "row duplication must go red"
+    # renamed column → schema red
+    ren = sdf.rename(columns={sdf.columns[-1]: "__wrong_name"})
+    assert compare_frames(ren, oracle), "renamed column must go red"
