@@ -41,6 +41,12 @@ __all__ = [
 #: the id breaks ties, making the orientation a strict total order.
 _ID_BITS = 32
 
+#: hard depth gate for bfs_levels(frontier_hint="fused") — the fused
+#: candidate multiset is PATHS (no dedup before the terminal aggregate),
+#: so it grows like degree^depth; 4 hops covers the co-purchase /
+#: friends-of-friends class the mode exists for (ADVICE r10)
+_FUSED_MAX_DEPTH = 4
+
 
 def undirected_edges(df: DataFrame, a: str, b: str) -> DataFrame:
     """Normalize an edge list to distinct undirected edges ``(u, v)`` with
@@ -278,6 +284,18 @@ def bfs_levels(
         F.col("v").alias("node")
     )
     if frontier_hint == "fused":
+        # the fused candidate multiset carries PATHS, not nodes — it
+        # grows like degree^depth with no dedup until the terminal
+        # aggregate, so misuse must fail loudly (ADVICE r10): the
+        # docstring's shallow-traversal contract is now a hard gate;
+        # deep or high-fanout traversals belong to the sized/dedup modes
+        if max_depth > _FUSED_MAX_DEPTH:
+            raise ValueError(
+                f"frontier_hint='fused' is bounded to max_depth <= "
+                f"{_FUSED_MAX_DEPTH} (path multiset grows like "
+                f"degree^depth); use frontier_hint='auto' for deeper "
+                f"traversals"
+            )
         parts = [seed, f1.withColumn("level", F.lit(1))]
         cur = f1
         for depth in range(2, max_depth + 1):

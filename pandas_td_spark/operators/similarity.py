@@ -40,6 +40,7 @@ __all__ = [
     "bucket_array_udf",
     "lsh_topk",
     "lsh_topk_exact",
+    "lsh_index_exact",
     "ivf_topk",
     "pq_topk",
     "mmr_rerank",

@@ -1,0 +1,63 @@
+"""Shared LRU + storage-release discipline for memoized model frames.
+
+Several query families memoize a localCheckpoint()ed model table per
+(session, registered fixture dir) — dedup pair sets, SimHash signatures,
+LSH indexes (queries/llm.py), DSIR weights (queries/curation.py), BPE
+merges, the graph edge cache (queries/advanced.py). Before round 11 each
+cache capped growth with ``dict.clear()`` on overflow, which (a) dropped
+entries belonging to other LIVE (session, fixture) keys and (b) released
+the checkpointed RDD blocks only when the Python handles were eventually
+GC'd (ADVICE r10). This module centralizes the contract:
+
+* ``cache_put`` evicts LEAST-RECENTLY-USED entries (insertion order plus
+  ``cache_touch`` refreshes — plain dict ordering) until under the cap,
+  releasing each evicted frame's checkpoint storage eagerly;
+* ``release_checkpoint`` frees a local checkpoint's blocks through the
+  analyzed plan's ``LogicalRDD`` — ``DataFrame.unpersist()`` only clears
+  CacheManager entries and does nothing for checkpoints. A stopped or
+  torn-down SparkContext degrades to a no-op (the blocks died with it).
+"""
+
+from __future__ import annotations
+
+__all__ = ["release_checkpoint", "cache_touch", "cache_put", "cache_evict"]
+
+
+def release_checkpoint(df) -> None:
+    """Best-effort eager release of a localCheckpoint frame's RDD blocks
+    (verified against pyspark 4.1: persistent-RDD count drops to zero).
+    Tolerates dead contexts and non-checkpoint frames silently — eviction
+    must never fail a query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def cache_touch(cache: dict, key):
+    """Return ``cache[key]`` (or None) and mark it most-recently-used."""
+    df = cache.get(key)
+    if df is not None:
+        cache.pop(key)
+        cache[key] = df
+    return df
+
+
+def cache_put(cache: dict, key, df, cap: int = 8):
+    """Insert ``df`` under ``key``, LRU-evicting (with storage release)
+    down to ``cap`` entries. Returns ``df`` for chaining."""
+    while len(cache) >= cap:
+        release_checkpoint(cache.pop(next(iter(cache))))
+    cache[key] = df
+    return df
+
+
+def cache_evict(cache: dict, key=None) -> None:
+    """Release-and-drop one entry (``key``) or every entry (``None``)."""
+    if key is None:
+        for k in list(cache):
+            release_checkpoint(cache.pop(k))
+        return
+    df = cache.pop(key, None)
+    if df is not None:
+        release_checkpoint(df)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pandas_td_spark.operators.asof import asof_join
 from pandas_td_spark.operators.multimodal import featurize_binary, with_media_meta
+from pandas_td_spark.queries._model_cache import cache_evict, cache_touch
 from pandas_td_spark.queries.registry import query
 
 
@@ -969,6 +970,20 @@ _COPURCHASE_EDGES_SQL = """
 _EDGE_CACHE: dict = {}
 
 
+def _edge_cache_put(key, df):
+    """Group-safe overflow policy for the edge cache: entries under one
+    (session, fixture) are INTERDEPENDENT — the oriented frame is a lazy
+    plan over the edges CHECKPOINT, so releasing edges alone would leave
+    a truncated-lineage dangling frame. On overflow, evict the LRU
+    entry's whole group via evict_edge_cache (which releases checkpoint
+    blocks eagerly and drops all four sub-keys together)."""
+    while len(_EDGE_CACHE) >= 16:
+        oldest = next(iter(_EDGE_CACHE))
+        evict_edge_cache(oldest[0], oldest[1])
+    _EDGE_CACHE[key] = df
+    return df
+
+
 def distinct_order_parts(spark: SparkSession):
     """Distinct ``(o, p)`` order-part incidence rows, MEMOIZED per
     (session, registered fixture dir) and localCheckpointed (bounded:
@@ -980,15 +995,13 @@ def distinct_order_parts(spark: SparkSession):
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark), "op")
-    if key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
+    got = cache_touch(_EDGE_CACHE, key)
+    if got is not None:
+        return got
     li = spark.table("lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct().localCheckpoint()
-    if len(_EDGE_CACHE) >= 8:
-        evict_edge_cache()
-    _EDGE_CACHE[key] = li
-    return li
+    return _edge_cache_put(key, li)
 
 
 def _copurchase_edges(spark: SparkSession):
@@ -1003,18 +1016,16 @@ def _copurchase_edges(spark: SparkSession):
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
+    got = cache_touch(_EDGE_CACHE, key)
+    if got is not None:
+        return got
     li = distinct_order_parts(spark)
     pairs = li.alias("a").join(
         li.alias("b"),
         (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
     ).select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
     e = undirected_edges(pairs, "pa", "pb").localCheckpoint()
-    if len(_EDGE_CACHE) >= 8:
-        evict_edge_cache()
-    _EDGE_CACHE[key] = e
-    return e
+    return _edge_cache_put(key, e)
 
 
 def _copurchase_oriented(spark: SparkSession):
@@ -1028,11 +1039,11 @@ def _copurchase_oriented(spark: SparkSession):
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark), "oriented")
-    if key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
+    got = cache_touch(_EDGE_CACHE, key)
+    if got is not None:
+        return got
     o = orient_edges(_copurchase_edges(spark), materialize=False)
-    _EDGE_CACHE[key] = o
-    return o
+    return _edge_cache_put(key, o)
 
 
 def _copurchase_adjacency(spark: SparkSession):
@@ -1044,36 +1055,37 @@ def _copurchase_adjacency(spark: SparkSession):
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark), "adjacency")
-    if key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
+    got = cache_touch(_EDGE_CACHE, key)
+    if got is not None:
+        return got
     e = _copurchase_edges(spark)
     adj = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    _EDGE_CACHE[key] = adj
-    return adj
+    return _edge_cache_put(key, adj)
 
 
 def evict_edge_cache(spark=None, view_dir=None) -> None:
-    """Drop memoized edge/oriented checkpoints for one (session, view
-    dir) — register_views(force=True) calls this so a regenerated
-    fixture dir can't serve stale edges — or everything when called
-    bare. Popping the dict reference is sufficient: the checkpointed
-    RDD's blocks are reclaimed by the ContextCleaner once the frame is
-    unreachable (eager JVM-side release would need the internal
-    checkpointed RDD handle; DataFrame.rdd builds a NEW un-persisted
-    RDD, so unpersisting it would be a no-op)."""
+    """Drop memoized edge/oriented/adjacency checkpoints for one
+    (session, view dir) — register_views(force=True) calls this so a
+    regenerated fixture dir can't serve stale edges — or everything
+    when called bare. Checkpoint blocks are released EAGERLY through
+    the analyzed plan's LogicalRDD (_model_cache.release_checkpoint,
+    ADVICE r10 — DataFrame.rdd builds a NEW un-persisted RDD, but the
+    plan node holds the persisted one). r11 also fixes the keyed path
+    missing the "adjacency" sub-key."""
     keys = (
         [
             (spark, view_dir),
             (spark, view_dir, "oriented"),
             (spark, view_dir, "op"),
+            (spark, view_dir, "adjacency"),
         ]
         if spark is not None
         else list(_EDGE_CACHE)
     )
     for k in keys:
-        _EDGE_CACHE.pop(k, None)
+        cache_evict(_EDGE_CACHE, k)
 
 
 # ---------------------------------------------------------------------------

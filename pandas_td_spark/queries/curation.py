@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_td_spark.engine.session import spread
+from pandas_td_spark.queries._model_cache import (
+    cache_evict,
+    cache_put,
+    cache_touch,
+)
 from pandas_td_spark.queries.registry import query
 
 
@@ -1033,11 +1038,11 @@ _DSIR_WEIGHTS_CACHE: dict = {}
 def evict_dsir_cache(spark=None, view_dir=None) -> None:
     """Drop memoized DSIR weight tables for one (session, view dir) —
     register_views(force=True) calls this alongside the other derived-
-    state evictors — or everything when called bare."""
-    if spark is None:
-        _DSIR_WEIGHTS_CACHE.clear()
-        return
-    _DSIR_WEIGHTS_CACHE.pop((spark, view_dir), None)
+    state evictors — or everything when called bare. Checkpoint blocks
+    are released eagerly (_model_cache, ADVICE r10)."""
+    cache_evict(
+        _DSIR_WEIGHTS_CACHE, None if spark is None else (spark, view_dir)
+    )
 
 
 def _dsir_weights_cached(spark: SparkSession) -> DataFrame:
@@ -1050,17 +1055,18 @@ def _dsir_weights_cached(spark: SparkSession) -> DataFrame:
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key not in _DSIR_WEIGHTS_CACHE:
-        if len(_DSIR_WEIGHTS_CACHE) >= 8:
-            _DSIR_WEIGHTS_CACHE.clear()
+    got = cache_touch(_DSIR_WEIGHTS_CACHE, key)
+    if got is None:
         d = spark.table("documents")
         target = d.where(
             (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
         )
-        _DSIR_WEIGHTS_CACHE[key] = dsir_weights(
-            d, target
-        ).localCheckpoint()
-    return _DSIR_WEIGHTS_CACHE[key]
+        got = cache_put(
+            _DSIR_WEIGHTS_CACHE,
+            key,
+            dsir_weights(d, target).localCheckpoint(),
+        )
+    return got
 
 
 # Oracle-backed since r10: bucket and Gumbel hashing use the seeded-md5
@@ -2372,10 +2378,9 @@ def evict_bpe_cache(spark=None, view_dir=None) -> None:
     evictors (ADVICE r9: a regenerated fixture dir under the same path
     must not serve a stale merge table to q265/q270) — or everything
     when called bare."""
-    if spark is None:
-        _BPE_MERGE_CACHE.clear()
-        return
-    _BPE_MERGE_CACHE.pop((spark, view_dir), None)
+    cache_evict(
+        _BPE_MERGE_CACHE, None if spark is None else (spark, view_dir)
+    )
 
 
 def _bpe_merges_cached(spark: SparkSession) -> list:
@@ -2387,12 +2392,13 @@ def _bpe_merges_cached(spark: SparkSession) -> list:
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key not in _BPE_MERGE_CACHE:
-        if len(_BPE_MERGE_CACHE) >= 8:
-            _BPE_MERGE_CACHE.clear()
+    got = cache_touch(_BPE_MERGE_CACHE, key)
+    if got is None:
         words = words_with_counts(spread(spark.table("documents")))
-        _BPE_MERGE_CACHE[key] = bpe_train(words, _BPE_MERGES).collect()
-    return _BPE_MERGE_CACHE[key]
+        got = cache_put(
+            _BPE_MERGE_CACHE, key, bpe_train(words, _BPE_MERGES).collect()
+        )
+    return got
 
 
 @query(

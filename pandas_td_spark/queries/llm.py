@@ -35,6 +35,11 @@ from pandas_td_spark.operators.similarity import (
     lsh_topk_exact,
     plane_matrix,
 )
+from pandas_td_spark.queries._model_cache import (
+    cache_evict,
+    cache_put,
+    cache_touch,
+)
 from pandas_td_spark.queries.registry import query
 
 _DIM = 64
@@ -59,18 +64,16 @@ def _near_dup_pairs_cached(spark: SparkSession) -> DataFrame:
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key in _PAIRS_CACHE:
-        return _PAIRS_CACHE[key]
+    got = cache_touch(_PAIRS_CACHE, key)
+    if got is not None:
+        return got
     # size-gated (r8): exact prefix filter at fixture scales, banded
     # MinHash + exact verify above EXACT_PAIRS_MAX_DOCS — the gate's
     # count probe runs ONCE per cache fill, not per consumer
     pairs = jaccard_pairs_auto(
         spark.table("documents"), shingle_n=3, threshold=0.6
     ).localCheckpoint()
-    if len(_PAIRS_CACHE) >= 8:
-        _PAIRS_CACHE.clear()
-    _PAIRS_CACHE[key] = pairs
-    return pairs
+    return cache_put(_PAIRS_CACHE, key, pairs)
 
 
 _LSH_INDEX_CACHE: dict = {}
@@ -86,13 +89,16 @@ def _lsh_index_cached(spark: SparkSession) -> DataFrame:
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key not in _LSH_INDEX_CACHE:
-        if len(_LSH_INDEX_CACHE) >= 8:
-            _LSH_INDEX_CACHE.clear()
-        _LSH_INDEX_CACHE[key] = lsh_index_exact(
-            spark.table("embeddings"), dim=_DIM, n_planes=4, n_tables=8
-        ).localCheckpoint()
-    return _LSH_INDEX_CACHE[key]
+    got = cache_touch(_LSH_INDEX_CACHE, key)
+    if got is None:
+        got = cache_put(
+            _LSH_INDEX_CACHE,
+            key,
+            lsh_index_exact(
+                spark.table("embeddings"), dim=_DIM, n_planes=4, n_tables=8
+            ).localCheckpoint(),
+        )
+    return got
 
 
 _SIMHASH_SIGS_CACHE: dict = {}
@@ -107,27 +113,25 @@ def _simhash_sigs_cached(spark: SparkSession) -> DataFrame:
     from pandas_td_spark.sources.io import _CURRENT_VIEWS
 
     key = (spark, _CURRENT_VIEWS.get(spark))
-    if key not in _SIMHASH_SIGS_CACHE:
-        if len(_SIMHASH_SIGS_CACHE) >= 8:
-            _SIMHASH_SIGS_CACHE.clear()
-        _SIMHASH_SIGS_CACHE[key] = simhash_signatures(
-            spark.table("documents")
-        ).localCheckpoint()
-    return _SIMHASH_SIGS_CACHE[key]
+    got = cache_touch(_SIMHASH_SIGS_CACHE, key)
+    if got is None:
+        got = cache_put(
+            _SIMHASH_SIGS_CACHE,
+            key,
+            simhash_signatures(spark.table("documents")).localCheckpoint(),
+        )
+    return got
 
 
 def evict_pairs_cache(spark=None, view_dir=None) -> None:
     """Drop memoized pair/signature/index checkpoints for one (session,
     view dir) — register_views(force=True) calls this — or everything
-    when bare."""
-    if spark is None:
-        _PAIRS_CACHE.clear()
-        _SIMHASH_SIGS_CACHE.clear()
-        _LSH_INDEX_CACHE.clear()
-        return
-    _PAIRS_CACHE.pop((spark, view_dir), None)
-    _SIMHASH_SIGS_CACHE.pop((spark, view_dir), None)
-    _LSH_INDEX_CACHE.pop((spark, view_dir), None)
+    when bare. Eviction RELEASES each frame's checkpoint blocks eagerly
+    (_model_cache.release_checkpoint), not at Python GC (ADVICE r10)."""
+    key = None if spark is None else (spark, view_dir)
+    cache_evict(_PAIRS_CACHE, key)
+    cache_evict(_SIMHASH_SIGS_CACHE, key)
+    cache_evict(_LSH_INDEX_CACHE, key)
 
 
 # ---------------------------------------------------------------------------

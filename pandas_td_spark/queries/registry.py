@@ -108,9 +108,6 @@ def _ensure_loaded() -> None:
 # produced by the changed code) — no manual deletion, so the map can't
 # silently rot (tests/test_registry_order.py pins both properties).
 _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
-    "q54_simhash_pairs": 10,  # r2 rewrite; r10 md5 60-bit family + full DuckDB oracle
-    "q56_embedding_lsh_topk": 10,  # r2 rewrite; r7 null-vector guard;
-    # r10 lsh_topk_exact (expression sign bits, full DuckDB oracle)
     "q61_range_join": 4,  # zero-join plan replaced the interval join
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
@@ -119,13 +116,6 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
-    "q164_bfs_levels": 10,  # r6: fused distinct; r8: actionless
-    # broadcast-mode BFS (zero in-loop driver actions, persisted
-    # adjacency); r9: persisted frames tracked + previous run evicted
-    # (same plan/values, no leaked cached blocks — ADVICE r8); r10:
-    # frontier_hint='fused' — chained broadcast probes, terminal
-    # min(level), zero persists (1.44 -> 0.82 s warm)
-    "q121_triangle_count": 6,  # oriented-edge checkpoint shared via edge cache
     "q205_quantile_normalization": 11,  # r6 lazy literal-boundary rank;
     # r11 shared ranking.py refactor (_bin_from_rank extraction +
     # __cnt in offsets — values identical, helper fingerprints moved)
@@ -160,6 +150,26 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q191_ewma": 11,
     "q200_cusum": 11,
     "q217_debounce": 11,
+    # r11 model-cache discipline (queries/_model_cache.py): LRU eviction
+    # with EAGER checkpoint-block release replaces clear()-on-overflow
+    # across the pairs/sigs/index/DSIR/BPE/edge caches (ADVICE r10).
+    # Values and plans identical — only the memo bookkeeping changed:
+    "q54_simhash_pairs": 11,
+    "q56_embedding_lsh_topk": 11,
+    "q65_near_dup_clusters": 11,
+    "q80_near_dup_prefix": 11,
+    "q117_dsir_select": 11,
+    "q121_triangle_count": 11,
+    "q158_basket_lift": 11,
+    "q159_cluster_survivor": 11,
+    "q164_bfs_levels": 11,
+    "q165_degree_histogram": 11,
+    "q166_kcore": 11,
+    "q197_link_prediction": 11,
+    "q235_dup_rate_by_source": 11,
+    "q264_split_leakage": 11,
+    "q265_bpe_train": 11,
+    "q270_bpe_encode_stats": 11,
     "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
     # (q140_key_skew's r6 Gini-rank entry superseded by its r11 row below)
     # (q156_rfm_segments also touched in r6 — call sites now pass the
@@ -173,10 +183,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
     "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
-    "q158_basket_lift": 7,  # shared (o,p) checkpoint + lazy order total
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
-    "q117_dsir_select": 10,  # r7 counts materialized once; r10 weight table memoized per fixture (rows-only, values identical)
     # round-7 NULL-payload guards (filters only; values identical on
     # null-free fixtures):
     # round-7 repeated-subtree perf pass (values identical; plans
@@ -220,10 +228,6 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # jaccard_pairs_auto — at fixture scales the plan is byte-identical
     # (exact prefix path below EXACT_PAIRS_MAX_DOCS), listed for the
     # fingerprint drift:
-    "q80_near_dup_prefix": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
-    "q235_dup_rate_by_source": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
-    "q65_near_dup_clusters": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
-    "q159_cluster_survivor": 10,  # r8 gate; r10 minhash md5 family (exact path at fixture scale, values unchanged)
     # round 9 (ADVICE r8): frame extractors now pick evenly-spaced
     # indices that COVER the tail (round(j*(total-1)/(n-1)) instead of
     # j*(total//n)) — q248/q261 sample source frames {0,2,5,7} and their

@@ -14,7 +14,9 @@ def test_force_register_invalidates_edge_cache(spark):
 
     register_views(spark, SF_SMALL)
     e = _copurchase_edges(spark)
-    assert e.count() > 0
+    n = e.count()  # BEFORE eviction — r11 eviction releases checkpoint
+    # blocks eagerly, so stale handles are unusable afterwards (by design)
+    assert n > 0
     key = (spark, _CURRENT_VIEWS.get(spark))
     assert key in _EDGE_CACHE
     register_views(spark, SF_SMALL, force=True)
@@ -23,7 +25,7 @@ def test_force_register_invalidates_edge_cache(spark):
     )
     # and the consumer transparently rebuilds
     e2 = _copurchase_edges(spark)
-    assert e2.count() == e.count()
+    assert e2.count() == n
 
 
 def test_evict_edge_cache_unpersists(spark):
@@ -37,8 +39,14 @@ def test_evict_edge_cache_unpersists(spark):
     register_views(spark, SF_SMALL)
     e = _copurchase_edges(spark)
     e.count()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    assert before > 0, "edge build must have left checkpoint blocks"
     evict_edge_cache()
     assert not _EDGE_CACHE
+    # r11 (ADVICE r10): eviction releases the checkpoint RDD blocks
+    # EAGERLY, not at Python GC
+    assert jsc.getPersistentRDDs().size() < before
 
 
 def test_force_register_invalidates_bpe_merge_cache(spark):
