@@ -2537,25 +2537,28 @@ def q221_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("y").cast("bigint").alias("n_pos"),
     )
-    tot = agg.agg(
-        F.sum("n_pos").cast("bigint").alias("p"),
-        F.sum("n_rows").cast("bigint").alias("n"),
+    # marginals via whole-frame windows over the 10-row decile frame
+    # (bounded by the decile count, never by data) — the broadcast
+    # self-join form re-evaluated the aggregate subtree and spent two
+    # extra jobs for the same exact bigint sums (r11, q188's lesson)
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        agg.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_rows",
-            "n_pos",
-            (
-                F.sum("n_pos").over(Window.orderBy("decile")).cast("double")
-                / F.col("p")
-            ).alias("cum_gain"),
-            (
-                (F.col("n_pos").cast("double") / F.col("n_rows"))
-                / (F.col("p").cast("double") / F.col("n"))
-            ).alias("lift"),
-        )
+    totaled = agg.withColumn(
+        "p", F.sum("n_pos").over(w_all).cast("bigint")
+    ).withColumn("n", F.sum("n_rows").over(w_all).cast("bigint"))
+    return totaled.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        (
+            F.sum("n_pos").over(Window.orderBy("decile")).cast("double")
+            / F.col("p")
+        ).alias("cum_gain"),
+        (
+            (F.col("n_pos").cast("double") / F.col("n_rows"))
+            / (F.col("p").cast("double") / F.col("n"))
+        ).alias("lift"),
     )
 
 
