@@ -213,10 +213,13 @@ def _boundary_buckets(
 
 
 def _offsets_frame(bucketed: DataFrame) -> DataFrame:
-    """(__bkt, __cnt, __off, __nt) — per-bucket counts, running-sum
-    offsets AND the grand total, so ntile/consumers never re-aggregate
+    """(__bkt, __off, __nt) — running-sum offsets AND the grand total
+    over the per-bucket counts, so ntile/consumers never re-aggregate
     the source. ≤ buckets+2 rows: the single-partition windows are
-    bounded by cluster width, never by data."""
+    bounded by cluster width, never by data. (global_ntile_agg builds
+    its own counts+offsets frame because its aggregation must fuse the
+    caller's partials into the same pass — the shapes are deliberately
+    separate, not shared.)"""
     counts = bucketed.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
     w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__bkt").rowsBetween(
@@ -224,7 +227,6 @@ def _offsets_frame(bucketed: DataFrame) -> DataFrame:
     )
     return counts.select(
         "__bkt",
-        F.col("__cnt"),
         F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off"),
         F.sum("__cnt").over(w_all).cast("bigint").alias("__nt"),
     )

@@ -10,8 +10,14 @@ the checkpointed RDD blocks only when the Python handles were eventually
 GC'd (ADVICE r10). This module centralizes the contract:
 
 * ``cache_put`` evicts LEAST-RECENTLY-USED entries (insertion order plus
-  ``cache_touch`` refreshes — plain dict ordering) until under the cap,
-  releasing each evicted frame's checkpoint storage eagerly;
+  ``cache_touch`` refreshes — plain dict ordering) until under the cap.
+  Capacity eviction DROPS the reference only — callers may still hold
+  lazy plans built on the evicted checkpoint, so its blocks must stay
+  alive until Python GC (releasing here would fail those deferred
+  actions with unrecoverable truncated lineage);
+* ``cache_evict`` is EXPLICIT invalidation (register_views(force=True),
+  fixture regeneration): the data is wrong anyway, so it releases each
+  frame's checkpoint blocks eagerly via ``release_checkpoint``;
 * ``release_checkpoint`` frees a local checkpoint's blocks through the
   analyzed plan's ``LogicalRDD`` — ``DataFrame.unpersist()`` only clears
   CacheManager entries and does nothing for checkpoints. A stopped or
@@ -44,10 +50,13 @@ def cache_touch(cache: dict, key):
 
 
 def cache_put(cache: dict, key, df, cap: int = 8):
-    """Insert ``df`` under ``key``, LRU-evicting (with storage release)
-    down to ``cap`` entries. Returns ``df`` for chaining."""
+    """Insert ``df`` under ``key``, LRU-dropping down to ``cap`` entries.
+    Capacity drops do NOT release checkpoint blocks — a caller may still
+    hold a lazy frame over them (GC reclaims once every reference dies);
+    only explicit invalidation (``cache_evict``) releases eagerly.
+    Returns ``df`` for chaining."""
     while len(cache) >= cap:
-        release_checkpoint(cache.pop(next(iter(cache))))
+        cache.pop(next(iter(cache)))
     cache[key] = df
     return df
 

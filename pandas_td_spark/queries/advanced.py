@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from pandas_td_spark.operators.asof import asof_join
 from pandas_td_spark.operators.multimodal import featurize_binary, with_media_meta
-from pandas_td_spark.queries._model_cache import cache_evict, cache_touch
+from pandas_td_spark.queries._model_cache import (
+    cache_evict,
+    cache_put,
+    cache_touch,
+)
 from pandas_td_spark.queries.registry import query
 
 
@@ -971,17 +975,16 @@ _EDGE_CACHE: dict = {}
 
 
 def _edge_cache_put(key, df):
-    """Group-safe overflow policy for the edge cache: entries under one
-    (session, fixture) are INTERDEPENDENT — the oriented frame is a lazy
-    plan over the edges CHECKPOINT, so releasing edges alone would leave
-    a truncated-lineage dangling frame. On overflow, evict the LRU
-    entry's whole group via evict_edge_cache (which releases checkpoint
-    blocks eagerly and drops all four sub-keys together)."""
-    while len(_EDGE_CACHE) >= 16:
-        oldest = next(iter(_EDGE_CACHE))
-        evict_edge_cache(oldest[0], oldest[1])
-    _EDGE_CACHE[key] = df
-    return df
+    """Edge-cache insert. Entries under one (session, fixture) are
+    INTERDEPENDENT — the oriented frame is a lazy plan over the edges
+    CHECKPOINT — so overflow must never RELEASE blocks (a capacity drop
+    of the edges entry while a sibling entry or a caller-held plan still
+    references it would leave unrecoverable truncated lineage; the
+    round-11 pre-close review caught exactly that in the first draft).
+    cache_put drops the reference only; blocks live until GC. Eager
+    release happens solely in evict_edge_cache (EXPLICIT invalidation —
+    stale fixture data, whole group dropped at once)."""
+    return cache_put(_EDGE_CACHE, key, df, cap=16)
 
 
 def distinct_order_parts(spark: SparkSession):

@@ -117,12 +117,13 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
     "q205_quantile_normalization": 11,  # r6 lazy literal-boundary rank;
-    # r11 shared ranking.py refactor (_bin_from_rank extraction +
-    # __cnt in offsets — values identical, helper fingerprints moved)
-    "q129_equidepth_histogram": 11,  # r6 lazy rank/ntile; r11
-    # global_ntile_agg — only cut-straddling buckets windowed
-    "q188_woe_binning": 11,  # r6 lazy rank/ntile; r11 global_ntile_agg
-    # — no full-table exchange, bin-grain aggregation off the scan
+    # r11 shared ranking.py refactor (_bin_from_rank extraction, binary
+    # WHEN-tree buckets — values identical, helper fingerprints moved)
+    "q129_equidepth_histogram": 11,  # r6 lazy rank/ntile; r11 KEPT the
+    # rank path after the A/B rejected global_ntile_agg (docstring)
+    "q188_woe_binning": 11,  # r6 lazy rank/ntile; r11 kept the rank
+    # path (A/B rejected global_ntile_agg) + whole-frame-window
+    # marginals tail replacing the broadcast self-join (~-0.3 s warm)
     # r11 ranking.py refactor drift (values/plans identical for these —
     # with_global_ntile now routes its ntile arithmetic through the
     # extracted _bin_from_rank; _offsets_frame gained __cnt):
@@ -441,10 +442,42 @@ def _latest_driver_status() -> dict[str, str]:
     return {n: st for n, (_, st) in _latest_driver_round().items()}
 
 
+def _first_driver_round() -> dict[str, int]:
+    """Per-query EARLIEST round with any CORRECTNESS row — the query's
+    introduction point from the driver's perspective. Used to limit the
+    fresh-artifact fingerprint exemption to genuinely NEW queries (a
+    whole-suite artifact re-certifies everything at the newest round, so
+    the LATEST round cannot distinguish new from old)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    first: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            if name not in first or rnd < first[name]:
+                first[name] = rnd
+    return first
+
+
 def missing_fingerprints(
     fps: dict | None = None,
     latest: dict[str, tuple[int, str]] | None = None,
     queries: set[str] | None = None,
+    first: dict[str, int] | None = None,
 ) -> set[str]:
     """Driver-certified queries that SHOULD carry a FINGERPRINTS.json
     record but don't — the freshness check behind
@@ -454,7 +487,7 @@ def missing_fingerprints(
 
     * its stale-map entry is newer than its latest driver row (edited
       since certification — nothing trustworthy to record yet), or
-    * its latest driver row comes from an artifact NEWER than the
+    * its FIRST driver row comes from an artifact NEWER than the
       fingerprint file's vintage (the max ``round`` recorded in it). A
       freshly-dropped ``CORRECTNESS_r{N}.json`` certifies queries first
       introduced in round N before anyone can possibly have run
@@ -464,6 +497,10 @@ def missing_fingerprints(
       against a fresh artifact with zero manual steps, while the
       round-start refresh still records those queries the moment it runs
       (raising the vintage and re-arming the check for the next round).
+      The exemption keys on the EARLIEST round, not the latest (pre-close
+      review, r11): a whole-suite artifact re-certifies every query at
+      the newest round, which would otherwise blanket-exempt old queries
+      whose records were lost.
     """
     if fps is None:
         fps = certified_fingerprints()
@@ -471,6 +508,8 @@ def missing_fingerprints(
         latest = _latest_driver_round()
     if queries is None:
         queries = set(all_queries())
+    if first is None:
+        first = _first_driver_round()
     vintage = max(
         (rec.get("round", 0) for rec in fps.values() if isinstance(rec, dict)),
         default=0,
@@ -480,7 +519,7 @@ def missing_fingerprints(
         for n in queries
         if n in latest
         and n not in fps
-        and latest[n][0] <= vintage
+        and first.get(n, latest[n][0]) <= vintage
         and _IMPL_CHANGED_SINCE_LAST_CHECK.get(n, 0) <= latest[n][0]
     }
 

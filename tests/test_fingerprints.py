@@ -44,15 +44,23 @@ def test_fresh_driver_artifact_does_not_fail_freshness():
     synthetic inputs so the test is independent of the working tree's
     artifact state."""
     fps = {"q_old": {"sha": "aaaa", "round": 9}}
-    # q_new first certified by the brand-new r10 artifact: exempt.
+    # q_new FIRST certified by the brand-new r10 artifact: exempt.
     latest = {"q_old": (10, "green"), "q_new": (10, "green")}
-    assert missing_fingerprints(fps, latest, {"q_old", "q_new"}) == set()
-    # but a query certified at-or-before the file's vintage with no record
-    # is still a genuine failure:
+    first = {"q_old": 3, "q_new": 10}
+    assert missing_fingerprints(fps, latest, {"q_old", "q_new"}, first) == set()
+    # a query certified at-or-before the file's vintage with no record is
+    # a genuine failure:
     latest_stale = {"q_old": (10, "green"), "q_forgot": (9, "green")}
-    assert missing_fingerprints(fps, latest_stale, {"q_old", "q_forgot"}) == {
-        "q_forgot"
-    }
+    assert missing_fingerprints(
+        fps, latest_stale, {"q_old", "q_forgot"}, {"q_old": 3, "q_forgot": 2}
+    ) == {"q_forgot"}
+    # and so is an OLD query whose record was lost, even when a fresh
+    # whole-suite artifact re-certifies it at a round past the vintage
+    # (r11 review: the exemption keys on FIRST round, not latest):
+    latest_lost = {"q_old": (10, "green"), "q_lost": (10, "green")}
+    assert missing_fingerprints(
+        fps, latest_lost, {"q_old", "q_lost"}, {"q_old": 3, "q_lost": 4}
+    ) == {"q_lost"}
 
 
 def test_no_silent_drift():
@@ -103,6 +111,37 @@ def test_fingerprint_covers_function_local_imports():
     assert "pandas_td_spark.operators.ranking.with_global_ntile" in srcs
     # transitive: the helper's internal callees are covered too
     assert "pandas_td_spark.operators.ranking._boundary_buckets" in srcs
+
+
+def test_all_modules_import_without_session():
+    """The fingerprint walker's import scan SILENTLY skips modules that
+    fail to import, so an import-time SparkContext dependency (the r11
+    _geomean DDL-string bug) makes fingerprint coverage vary with
+    session state. Structurally prevent the class: every package module
+    must import in a bare subprocess with no Spark session."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib, pkgutil, pandas_td_spark\n"
+        "bad = []\n"
+        "for m in pkgutil.walk_packages(pandas_td_spark.__path__,"
+        " 'pandas_td_spark.'):\n"
+        "    try:\n"
+        "        importlib.import_module(m.name)\n"
+        "    except Exception as e:\n"
+        "        bad.append(f'{m.name}: {e}')\n"
+        "assert not bad, bad\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (
+        f"modules need a live session to import:\n{proc.stderr[-2000:]}"
+    )
 
 
 def test_fingerprint_deterministic():

@@ -38,12 +38,15 @@ def test_lru_eviction_order_and_touch():
     for i in range(4):
         cache_put(cache, i, _FakeFrame(log, i), cap=4)
     assert cache_touch(cache, 0)  # 0 becomes most-recently-used
-    cache_put(cache, 9, _FakeFrame(log, 9), cap=4)  # evicts LRU = 1, not 0
+    cache_put(cache, 9, _FakeFrame(log, 9), cap=4)  # drops LRU = 1, not 0
     assert list(cache) == [2, 3, 0, 9]
-    assert log == [1], "exactly the evicted entry must be released"
+    # capacity drops must NOT release storage: a caller may still hold a
+    # lazy plan over the dropped checkpoint (r11 review — releasing here
+    # would fail its deferred action with truncated lineage); GC reclaims
+    assert log == []
 
 
-def test_cap_releases_down_not_clear():
+def test_cap_drops_down_not_clear():
     log: list = []
     cache: dict = {}
     for i in range(8):
@@ -52,7 +55,7 @@ def test_cap_releases_down_not_clear():
     # one slot freed — the other 7 live entries survive (the old
     # clear()-on-overflow dropped entries of other live fixtures)
     assert len(cache) == 8 and 100 in cache and 0 not in cache
-    assert log == [0]
+    assert log == [], "capacity drop must not release (see above)"
 
 
 def test_evict_one_and_all_release():
