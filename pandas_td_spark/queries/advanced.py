@@ -2876,28 +2876,36 @@ def q226_wow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q229_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier rates of order totals per market segment."""
+    """Tukey-fence outlier rates of order totals per market segment.
+    q1/q3 come from exact percentile WINDOW functions over the segment
+    partition, so the join+scan runs ONCE and the follow-up fence count
+    groups on the already-seg-partitioned rows with no second exchange
+    — the aggregate-then-broadcast-self-join form re-ran the join for
+    the probe side (r11 A/B: 0.80 → 0.53 s warm, values identical).
+    Per-segment volumes must fit a window buffer — same bound the exact
+    percentile aggregate already imposed."""
+    from pyspark.sql import Window
+
     oc = spark.table("orders").join(
         spark.table("customer").select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(F.col("c_mktsegment").alias("seg"), "o_totalprice")
-    q = oc.groupBy("seg").agg(
-        F.percentile("o_totalprice", 0.25).alias("q1"),
-        F.percentile("o_totalprice", 0.75).alias("q3"),
+    w = Window.partitionBy("seg")
+    j = oc.select(
+        "seg",
+        "o_totalprice",
+        F.percentile("o_totalprice", 0.25).over(w).alias("q1"),
+        F.percentile("o_totalprice", 0.75).over(w).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
         F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
     )
-    return (
-        oc.join(F.broadcast(q), "seg")
-        .groupBy("seg", "q1", "q3")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias(
-                "n_outliers"
-            ),
-        )
+    return j.groupBy("seg", "q1", "q3").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
     )
 
 

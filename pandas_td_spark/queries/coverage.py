@@ -1853,20 +1853,30 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q183_grouped_ols",
     oracle="""
-    WITH s AS (
+    WITH c AS (
       SELECT l_returnflag,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
-                  AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(qc) AS BIGINT) AS sxc,
+             CAST(SUM(pc) AS BIGINT) AS syc,
+             CAST(SUM(qc * qc) AS BIGINT) AS sxxc,
+             CAST(SUM(qc * pc) AS BIGINT) AS sxyc
+      FROM c GROUP BY l_returnflag
+    ), s AS (
+      SELECT l_returnflag, nb,
+             CAST(nb AS DOUBLE) AS n,
+             CAST(sxc AS DOUBLE) / 100 AS sx,
+             CAST(syc AS DOUBLE) / 100 AS sy,
+             CAST(sxxc AS DOUBLE) / 10000 AS sxx,
+             CAST(sxyc AS DOUBLE) / 10000 AS sxy
+      FROM m
     )
     SELECT l_returnflag,
-           CAST(n AS BIGINT) AS n_rows,
+           nb AS n_rows,
            ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
            ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
                  / n, 6) AS intercept
@@ -1874,26 +1884,41 @@ def q167_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-returnflag least-squares fit price ~ quantity. Slope and
-    intercept derive from five exact decimal-summed statistics, so both
-    engines divide identical doubles — REGR_SLOPE/REGR_INTERCEPT parity
-    without their engine-specific accumulation order."""
+    """Per-returnflag least-squares fit price ~ quantity. The five
+    moments accumulate as EXACT BIGINT CENTS (the q198/q167 discipline
+    — r11: this replaced decimal(28,6) sums, whose BigDecimal-backed
+    accumulator measured 1.22 s vs 0.20 s for the long-adder codegen
+    path on the same scan); both engines then derive the same doubles
+    from the same integers (int64→double is correctly rounded and
+    identical in JVM/C++) and divide identically — REGR_SLOPE parity
+    without engine accumulation order. Exact while the summed products
+    stay under int64 (Σ qc·pc ≈ 7.5e15 at sf0.1; overflow ≈ sf100 —
+    swap back to decimal sums beyond that, same formula)."""
     li = spark.table("lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    d = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
-    s = li.groupBy("l_returnflag").agg(
-        F.count("*").cast("double").alias("n"),
-        d(q).alias("sx"),
-        d(p).alias("sy"),
-        d(q * q).alias("sxx"),
-        d(q * p).alias("sxy"),
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("nb"),
+        F.sum(qc).alias("sxc"),
+        F.sum(pc).alias("syc"),
+        F.sum(qc * qc).alias("sxxc"),
+        F.sum(qc * pc).alias("sxyc"),
+    )
+    s = m.select(
+        "l_returnflag",
+        "nb",
+        F.col("nb").cast("double").alias("n"),
+        (F.col("sxc").cast("double") / 100).alias("sx"),
+        (F.col("syc").cast("double") / 100).alias("sy"),
+        (F.col("sxxc").cast("double") / 10000).alias("sxx"),
+        (F.col("sxyc").cast("double") / 10000).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return s.select(
         "l_returnflag",
-        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("nb").alias("n_rows"),
         F.round(slope, 6).alias("slope"),
         F.round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6

@@ -144,6 +144,12 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # family silently depend on session state. Values identical; the
     # UDF-family fingerprints both changed (the _geomean fix) and
     # WIDENED (their helpers are now always resolvable):
+    # r11 late perf pass (oracles updated in lockstep, both engines
+    # re-green at sf0.001):
+    "q183_grouped_ols": 11,  # bigint-cents moments replace the
+    # BigDecimal-backed decimal(28,6) sums (1.23 -> ~0.35 s warm)
+    "q229_iqr_fences": 11,  # window-percentile fences — one join/scan,
+    # no broadcast self-join re-run (0.80 -> 0.53 s warm)
     "q135_grouped_map_zscore": 11,
     "q136_pandas_udaf_geomean": 11,
     "q137_udtf_ngrams": 11,
