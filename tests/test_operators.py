@@ -1143,3 +1143,18 @@ def test_bpe_rhs_prefix_false_merge_regression(spark):
     assert rows[1][1:] == ("c", "a", "ca", 1)
     assert rows[2][1:] == ("c", "ab", "cab", 1)
     assert len(rows) == 3  # vocabulary fully merged after round 3
+
+
+def test_bfs_fused_depth_gate(spark):
+    """frontier_hint='fused' carries candidate PATHS (no dedup before
+    the terminal aggregate, degree^depth growth) — deep traversals must
+    fail loudly instead of exploding at runtime (ADVICE r10)."""
+    import pytest
+
+    from pandas_td_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "u bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="fused.*max_depth"):
+        bfs_levels(edges, source=1, max_depth=9, frontier_hint="fused")

@@ -406,3 +406,43 @@ def test_global_ntile_agg_matches_rank_path(spark):
     )
     got = global_ntile_agg(s, ["s", "k"], 4, [("n", "count", None)], out="bin")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_first_match_expr_matches_linear_reference(spark):
+    """Property: the binary WHEN-tree bucket search equals the flat
+    linear scan it replaced (r11 — the flat CaseWhen fell off codegen
+    past ~127 branches), across random boundary lists, both directions,
+    values on/off/between boundaries."""
+    import random
+
+    from pandas_td_spark.operators.ranking import _first_match_expr
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n = rng.choice([1, 2, 7, 31, 130])
+        bounds = sorted(rng.sample(range(-10_000, 10_000), n))
+        xs = list(
+            {b for b in bounds}
+            | {b + 1 for b in bounds}
+            | {b - 1 for b in bounds}
+            | {rng.randint(-11_000, 11_000) for _ in range(40)}
+        )
+        df = spark.createDataFrame([(x,) for x in xs], "x int")
+        for desc in (False, True):
+            vals = list(reversed(bounds)) if desc else bounds
+
+            def ref(x):
+                for i, v in enumerate(vals):
+                    if (x > v) if desc else (x < v):
+                        return i
+                return len(vals)
+
+            got = {
+                r["x"]: r["b"]
+                for r in df.select(
+                    "x",
+                    _first_match_expr(F.col("x"), vals, desc=desc).alias("b"),
+                ).collect()
+            }
+            for x in xs:
+                assert got[x] == ref(x), (trial, n, desc, x)
