@@ -147,3 +147,21 @@ def test_all_modules_import_without_session():
 def test_fingerprint_deterministic():
     q = all_queries()["q01_pricing_summary"]
     assert source_fingerprint(q.fn) == source_fingerprint(q.fn)
+
+
+def test_first_driver_round_is_earliest_artifact():
+    """_first_driver_round (the fresh-artifact exemption's key) must
+    report the EARLIEST artifact mentioning each query, bounded above by
+    the latest round, and agree with a known round-1 row."""
+    from pandas_td_spark.queries.registry import (
+        _first_driver_round,
+        _latest_driver_round,
+    )
+
+    first = _first_driver_round()
+    latest = _latest_driver_round()
+    assert first, "no artifacts parsed"
+    assert set(latest) <= set(first)
+    assert all(first[n] <= latest[n][0] for n in latest)
+    # pinned against the committed round-1 artifact
+    assert first["q61_range_join"] == 1
