@@ -32,12 +32,41 @@ __all__ = ["release_checkpoint", "cache_touch", "cache_put", "cache_evict"]
 def release_checkpoint(df) -> None:
     """Best-effort eager release of a localCheckpoint frame's RDD blocks
     (verified against pyspark 4.1: persistent-RDD count drops to zero).
-    Tolerates dead contexts and non-checkpoint frames silently — eviction
-    must never fail a query."""
+    Tolerates dead contexts and non-checkpoint frames — eviction must
+    never fail a query. But (ADVICE r11) a failure on a frame whose
+    SparkContext is still LIVE means the private plan surface this walks
+    (queryExecution/analyzed/rdd) moved under us, silently degrading
+    eager release back to GC-timed release — warn once so the drift is
+    visible beyond the pinned-CI pyspark version."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import DataFrame
+
+            sc = SparkContext._active_spark_context
+            ctx_live = (
+                isinstance(df, DataFrame)  # lists/None fail by design
+                and sc is not None
+                and not sc._jsc.sc().isStopped()
+            )
+        except Exception:
+            ctx_live = False
+        if ctx_live and not release_checkpoint._warned:
+            release_checkpoint._warned = True
+            import warnings
+
+            warnings.warn(
+                "release_checkpoint failed on a live SparkContext — "
+                "eager checkpoint-block release degraded to GC-timed "
+                "release (pyspark private plan API drift?)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+
+release_checkpoint._warned = False
 
 
 def cache_touch(cache: dict, key):

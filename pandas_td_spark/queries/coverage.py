@@ -1892,8 +1892,13 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same integers (int64→double is correctly rounded and
     identical in JVM/C++) and divide identically — REGR_SLOPE parity
     without engine accumulation order. Exact while the summed products
-    stay under int64 (Σ qc·pc ≈ 7.5e15 at sf0.1; overflow ≈ sf100 —
-    swap back to decimal sums beyond that, same formula)."""
+    stay under int64 (Σ qc·pc ≈ 7.5e15 at sf0.1; overflow ≈ sf100).
+    ADVICE r11: with ansi off the wrap would be SILENT — wrong slopes,
+    green-looking rows — so the envelope is now ENFORCED: the aggregate
+    also carries max|qc|/max|pc|, and the 3-row tail asserts
+    n·max|qc·pc| < 2^62 (a sound upper bound on |Σ qc·pc|, evaluated in
+    doubles, so it cannot itself wrap). Out-of-envelope scale fails
+    loudly; swap to decimal sums beyond it, same formula."""
     li = spark.table("lineitem")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -1903,11 +1908,28 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pc).alias("syc"),
         F.sum(qc * qc).alias("sxxc"),
         F.sum(qc * pc).alias("sxyc"),
+        F.max(F.abs(qc)).alias("_mq"),
+        F.max(F.abs(pc)).alias("_mp"),
+    )
+    nd = F.col("nb").cast("double")
+    mq = F.col("_mq").cast("double")
+    mp = F.col("_mp").cast("double")
+    in_envelope = (nd * mq * F.greatest(mq, mp) < F.lit(float(2**62))) | (
+        F.col("nb") == 0
     )
     s = m.select(
         "l_returnflag",
         "nb",
-        F.col("nb").cast("double").alias("n"),
+        # assert_true -> NULL while in envelope, raises beyond it; the
+        # WHEN threads it through a 3-row projection at zero plan cost
+        F.when(
+            F.assert_true(
+                in_envelope,
+                "q183: bigint-cents moment envelope exceeded (~sf100) — "
+                "switch to decimal sums",
+            ).isNull(),
+            F.col("nb").cast("double"),
+        ).alias("n"),
         (F.col("sxc").cast("double") / 100).alias("sx"),
         (F.col("syc").cast("double") / 100).alias("sy"),
         (F.col("sxxc").cast("double") / 10000).alias("sxx"),

@@ -144,12 +144,6 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # family silently depend on session state. Values identical; the
     # UDF-family fingerprints both changed (the _geomean fix) and
     # WIDENED (their helpers are now always resolvable):
-    # r11 late perf pass (oracles updated in lockstep, both engines
-    # re-green at sf0.001):
-    "q183_grouped_ols": 11,  # bigint-cents moments replace the
-    # BigDecimal-backed decimal(28,6) sums (1.23 -> ~0.35 s warm)
-    "q229_iqr_fences": 11,  # window-percentile fences — one join/scan,
-    # no broadcast self-join re-run (0.80 -> 0.53 s warm)
     "q135_grouped_map_zscore": 11,
     "q136_pandas_udaf_geomean": 11,
     "q137_udtf_ngrams": 11,
@@ -157,6 +151,13 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q191_ewma": 11,
     "q200_cusum": 11,
     "q217_debounce": 11,
+    # r11 late perf pass (oracles updated in lockstep, both engines
+    # re-green at sf0.001):
+    # (q183_grouped_ols's r11 bigint-cents entry — replacing the
+    # BigDecimal-backed decimal(28,6) sums, 1.23 -> ~0.35 s warm —
+    # superseded by its r12 envelope-guard row below)
+    "q229_iqr_fences": 11,  # window-percentile fences — one join/scan,
+    # no broadcast self-join re-run (0.80 -> 0.53 s warm)
     # r11 model-cache discipline (queries/_model_cache.py): LRU eviction
     # with EAGER checkpoint-block release replaces clear()-on-overflow
     # across the pairs/sigs/index/DSIR/BPE/edge caches (ADVICE r10).
@@ -261,6 +262,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # identical; the sawtooth still picks FIXED so even the bytes match):
     "q266_flac_roundtrip": 10,
     "q267_audio_chunks": 10,
+    # round 12 (ADVICE r11): loud int64-envelope guard on the bigint-cent
+    # moments (values identical in-envelope; assert_true threaded through
+    # the 3-row tail):
+    "q183_grouped_ols": 12,
 }
 
 
