@@ -34,6 +34,63 @@ __all__ = ["pagerank"]
 _CHECKPOINT_EVERY = 5
 
 
+def _driver_pagerank_rounded(
+    spark, frac_rows, node_list, damping: float, n_iter: int, round_to: int
+) -> DataFrame:
+    """Exact replay of the ``round_to`` fixpoint (see :func:`pagerank`)
+    with ``decimal``: per-edge contributions quantize HALF_UP from the
+    double's SHORTEST ROUND-TRIP DECIMAL (``repr``), then sum exactly;
+    the iteration's float arithmetic is the identical IEEE op sequence
+    all three implementations share. Shortest-repr — not the exact
+    binary expansion — is load-bearing: Spark's ``F.round`` goes through
+    ``BigDecimal.valueOf`` = ``Double.toString`` (shortest repr) and
+    DuckDB's ``round`` was probed to agree, while the exact expansion of
+    e.g. ``round(r,12)*0.5`` is ``…x5499…9`` (just BELOW the half-way
+    point its shortest repr sits ON) — 12dp ranks times dyadic edge
+    fractions MANUFACTURE such ties every iteration, and quantizing the
+    exact expansion rounded them the other way (caught by
+    tests/test_operators.py::test_pagerank_round_to_paths_agree_exactly).
+    O(edges * n_iter) Python, so strictly for gate-sized graphs (q119's
+    transition graph is ~36 edges)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-round_to)
+
+    def q(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
+
+    nodes = sorted(node_list)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    edges = [(idx[r[0]], idx[r[1]], float(r[2])) for r in frac_rows]
+    has_out = [False] * n
+    for s, _, _ in edges:
+        has_out[s] = True
+    r_dec = [q(1.0 / n)] * n
+    rf = [float(d) for d in r_dec]
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        inflow = [Decimal(0)] * n
+        for s, d, f in edges:
+            inflow[d] += q(rf[s] * f)
+        dangling = sum(
+            (r_dec[i] for i in range(n) if not has_out[i]), Decimal(0)
+        )
+        dang_f = float(dangling)
+        r_dec = [
+            q(teleport + damping * (float(inflow[v]) + dang_f / n))
+            for v in range(n)
+        ]
+        rf = [float(d) for d in r_dec]
+    rows = [(nodes[i], rf[i]) for i in range(n)]
+    schema = (
+        "node string, rank double"
+        if nodes and isinstance(nodes[0], str)
+        else "node bigint, rank double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _driver_pagerank(
     spark, frac_rows, node_list, damping: float, n_iter: int
 ) -> DataFrame:
@@ -72,11 +129,23 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     small_graph_threshold: int = 200_000,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Iterate ``r' = (1-d)/N + d * (in-contributions + dangling/N)`` for
     ``n_iter`` rounds from the uniform start. Returns (node, rank); ranks
     sum to 1. Duplicate (src, dst) rows act as parallel edges (their
-    weights add)."""
+    weights add).
+
+    ``round_to`` (r12, the q273 playbook): quantize every rank to that
+    many decimals after each iteration AND each per-edge contribution
+    before its exact decimal sum. This makes the fixpoint a well-defined
+    function of the edge set — independent of summation order, engine,
+    and partitioning — so it replays bit-for-bit as an unrolled SQL CTE
+    (q119's DuckDB oracle). At 12 decimals the per-iteration perturbation
+    is ~1e-12 · edges — far below rank scale; ties at the quantization
+    boundary would need a double whose exact binary expansion hits
+    x.5e-12 exactly (the q57 dyadic-rational argument: effectively
+    impossible for products of full-precision doubles)."""
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
@@ -110,6 +179,15 @@ def pagerank(
             node_list = sorted(
                 {r.src for r in head} | {r.dst for r in head}
             )
+            if round_to is not None:
+                return _driver_pagerank_rounded(
+                    edges.sparkSession,
+                    [(r.src, r.dst, r.f) for r in head],
+                    node_list,
+                    damping,
+                    n_iter,
+                    round_to,
+                )
             return _driver_pagerank(
                 edges.sparkSession,
                 [(r.src, r.dst, r.f) for r in head],
@@ -120,48 +198,59 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if round_to is not None:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # shortest-repr quantize — must mirror _driver_pagerank_rounded
+        r0 = float(
+            Decimal(repr(1.0 / n)).quantize(
+                Decimal(1).scaleb(-round_to), rounding=ROUND_HALF_UP
+            )
+        )
+    else:
+        r0 = 1.0 / n
+    ranks = nodes.withColumn("rank", F.lit(r0))
     teleport = (1.0 - damping) / n
     for i in range(n_iter):
+        c = F.col("rank") * F.col("f")
+        if round_to is not None:
+            # contributions quantize, then sum exactly in decimal — the
+            # same value regardless of partitioning / add order
+            c = F.round(c, round_to).cast(f"decimal(38,{round_to})")
+        else:
+            c = c.cast("decimal(28,15)")
         contrib = (
             ranks.join(frac, ranks["node"] == frac["src"])
-            .select("dst", (F.col("rank") * F.col("f")).alias("c"))
+            .select("dst", c.alias("c"))
             .groupBy("dst")
-            .agg(
-                F.sum(F.col("c").cast("decimal(28,15)"))
-                .cast("double")
-                .alias("inflow")
-            )
+            .agg(F.sum("c").cast("double").alias("inflow"))
         )
         # Dangling nodes (no out-edges) leak their rank; redistribute it.
         # Kept INSIDE the plan as a broadcast 1-row aggregate — a driver
         # collect here would serialize every iteration on a blocking
         # action (15 extra driver round-trips per call).
+        dangle_scale = round_to if round_to is not None else 15
         dangling = (
             ranks.join(out_w, ranks["node"] == out_w["src"], "left_anti")
             .agg(
                 F.coalesce(
-                    F.sum(F.col("rank").cast("decimal(28,15)")).cast(
-                        "double"
-                    ),
+                    F.sum(
+                        F.col("rank").cast(f"decimal(28,{dangle_scale})")
+                    ).cast("double"),
                     F.lit(0.0),
                 ).alias("dm")
             )
         )
+        new_rank = F.lit(teleport) + F.lit(damping) * (
+            F.coalesce("inflow", F.lit(0.0))
+            + F.col("dm") / F.lit(float(n))
+        )
+        if round_to is not None:
+            new_rank = F.round(new_rank, round_to)
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+            .select("node", new_rank.alias("rank"))
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)

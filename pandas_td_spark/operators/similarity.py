@@ -965,6 +965,18 @@ def mmr_rerank(
     parallel across queries — the candidate generation, not the re-rank,
     is the 100 TB cost. Ties break on lowest n_id (argmax keeps the first
     maximum), making the output deterministic.
+
+    Cross-engine reproducibility (r12, the q273 playbook): every float
+    that feeds an ordering decision is bit-identical to the DuckDB
+    oracle's expression text. The relevance scores come from
+    :func:`cosine_topk`'s deterministic left-assoc chain; the pairwise
+    candidate similarities below therefore accumulate dim-by-dim
+    (left-assoc, matching ``dot_sql``) instead of ``unit @ unit.T``
+    (BLAS reassociates sums), and divide by the norm PRODUCT exactly as
+    the chain's ``dot/(nrm_i*nrm_j)`` does. The greedy scores are then
+    single IEEE mult/sub/max ops on identical doubles — identical in
+    numpy, Spark, and DuckDB, so q182 can carry a full unrolled-CTE
+    oracle with no tolerance.
     """
     cand = cosine_topk(emb, query_ids, k=pool, dim=dim, id_col=id_col, vec=vec)
     vecs = emb.select(
@@ -979,10 +991,15 @@ def mmr_rerank(
         m = np.stack(pdf["c_vec"].map(np.asarray).to_numpy()).astype(
             np.float64
         )
-        norms = np.linalg.norm(m, axis=1)
+        # left-assoc per-dim accumulation == dot_sql's (+ chain); the
+        # 0.0 init matches dot_chain's F.aggregate seed (adding +0.0
+        # to the first term is exact)
+        dots = np.zeros((len(pdf), len(pdf)))
+        for d in range(m.shape[1]):
+            dots += m[:, d, None] * m[None, :, d]
+        norms = np.sqrt(np.diagonal(dots).copy())
         norms[norms == 0.0] = 1.0
-        unit = m / norms[:, None]
-        sims = unit @ unit.T
+        sims = dots / np.outer(norms, norms)
         rel = pdf["cosine"].to_numpy()
         n = len(pdf)
         selected: list[int] = []

@@ -132,21 +132,24 @@ def _pagerank_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", (F.col("w") / F.col("ow")).alias("f")
     )
     ranks = nodes.withColumn("rank", F.lit(0.1))
+    # r12: q119 runs the operator's round_to=12 mode — contributions
+    # quantize (F.round) then sum exactly in decimal(38,12)
     contrib = (
         ranks.join(frac, ranks["node"] == frac["src"])
-        .select("dst", (F.col("rank") * F.col("f")).alias("c"))
-        .groupBy("dst")
-        .agg(
-            F.sum(F.col("c").cast("decimal(28,15)"))
-            .cast("double")
-            .alias("inflow")
+        .select(
+            "dst",
+            F.round(F.col("rank") * F.col("f"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
         )
+        .groupBy("dst")
+        .agg(F.sum("c").cast("double").alias("inflow"))
     )
     dangling = ranks.join(
         out_w, ranks["node"] == out_w["src"], "left_anti"
     ).agg(
         F.coalesce(
-            F.sum(F.col("rank").cast("decimal(28,15)")).cast("double"),
+            F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"),
             F.lit(0.0),
         ).alias("dm")
     )
@@ -155,10 +158,14 @@ def _pagerank_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dangling))
         .select(
             "node",
-            (
+            F.round(
                 F.lit(0.05)
                 + F.lit(0.85)
-                * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / F.lit(8.0))
+                * (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.col("dm") / F.lit(8.0)
+                ),
+                12,
             ).alias("rank"),
         )
     )

@@ -561,15 +561,81 @@ def q112_ip_to_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PageRank over the event-type transition graph — the iterative-fixpoint
 # operator (operators/pagerank.py). Edges: per-user consecutive event
 # transitions (lag over a tie-free composite key), weight = transition
-# count. Rows-only: a fixed-iteration fixpoint needs recursion with
-# aggregation, which DuckDB's recursive CTEs don't express; equivalence to
-# a numpy reference on a 200-node random graph is pinned in
-# tests/test_operators.py (max |err| < 1e-12).
+# count. Full oracle since r12 (the q273/q265 playbook): the query runs
+# the operator's ``round_to=12`` mode — each iteration quantizes ranks to
+# 12 decimals and sums 12dp-quantized contributions exactly in decimal —
+# which makes the fixpoint a well-defined function of the edge set, so
+# the oracle UNROLLS the 15 iterations as r1..r15 CTEs repeating the
+# identical double arithmetic + round/decimal-sum discipline. The
+# unrounded operator remains pinned against a numpy reference on a
+# 200-node random graph in tests/test_operators.py (max |err| < 1e-12),
+# which also bounds the perturbation the 12dp quantization introduces.
 # ---------------------------------------------------------------------------
-@query("q119_pagerank_transitions", oracle=None)
+_PR_DAMPING = 0.85
+_PR_ITERS = 15
+_PR_SCALE = 12
+
+
+def _q119_oracle(
+    n_iter: int = _PR_ITERS, d: float = _PR_DAMPING, s: int = _PR_SCALE
+) -> str:
+    its = []
+    prev = "r0"
+    for t in range(1, n_iter + 1):
+        its.append(
+            f"""r{t} AS MATERIALIZED (
+      SELECT g.node, g.n,
+             round((1.0 - {d!r}) / g.n + {d!r} * (
+               COALESCE(i.inflow, 0.0) + dg.dm / g.n), {s}) AS r
+      FROM g
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(round(p.r * e.f, {s}) AS DECIMAL(38,{s})))
+                    AS DOUBLE) AS inflow
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+      ) i ON i.node = g.node
+      CROSS JOIN (
+        SELECT COALESCE(CAST(SUM(CAST(p.r AS DECIMAL(28,{s}))) AS DOUBLE),
+                        0.0) AS dm
+        FROM {prev} p WHERE p.node NOT IN (SELECT src FROM edges)
+      ) dg
+    )"""
+        )
+        prev = f"r{t}"
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS k
+      FROM events
+    ), tr AS (
+      SELECT event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY k) AS src
+      FROM ev
+    ), w AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
+    ), ow AS (
+      SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS ow
+      FROM w GROUP BY src
+    ), edges AS MATERIALIZED (
+      SELECT w.src, w.dst, w.w / o.ow AS f FROM w JOIN ow o USING (src)
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), g AS MATERIALIZED (
+      SELECT node, (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS n
+      FROM nodes
+    ), r0 AS MATERIALIZED (
+      SELECT node, n, round(1.0 / n, {s}) AS r FROM g
+    ), {", ".join(its)}
+    SELECT node, round(r, 6) AS rank FROM {prev} ORDER BY node
+    """
+
+
+@query("q119_pagerank_transitions", oracle=_q119_oracle())
 def q119_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank of event types in the user-journey transition
-    graph: decimal-exact contribution sums make the fixpoint deterministic."""
+    graph: 12dp-quantized iterations (decimal-exact contribution sums)
+    make the fixpoint deterministic and oracle-replayable."""
     from pandas_td_spark.operators.pagerank import pagerank
     from pyspark.sql import Window as W
 
@@ -586,7 +652,13 @@ def q119_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
     )
-    pr = pagerank(trans, damping=0.85, n_iter=15, weight="weight")
+    pr = pagerank(
+        trans,
+        damping=_PR_DAMPING,
+        n_iter=_PR_ITERS,
+        weight="weight",
+        round_to=_PR_SCALE,
+    )
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 

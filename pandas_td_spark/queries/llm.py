@@ -757,13 +757,89 @@ def q159_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3g — MMR diversified re-rank (rows-only: greedy sequential selection
-# has no SQL equivalent; correctness pinned against a pure-numpy
-# reference in tests/test_llm.py)
+# L3g — MMR diversified re-rank. Full oracle since r12 (the q273
+# playbook: replay the bounded loop in SQL): the greedy selection is
+# k=5 steps, so it UNROLLS as 5 CTE stages — each picks the per-query
+# argmax of `lam*rel - (1-lam)*max_sim` (ROW_NUMBER, ties on lowest
+# n_id = numpy argmax-first), then folds the pick's similarity row into
+# the survivors' running max_sim with GREATEST. Every float feeding an
+# ordering decision is bit-identical across engines: rel is q55's
+# deterministic cosine chain, pairwise sims use the same left-assoc
+# dot_sql chain / norm product (mmr_rerank accumulates dim-by-dim to
+# match), and the greedy arithmetic is single IEEE ops on identical
+# doubles — no tolerance, no rounding.
 # ---------------------------------------------------------------------------
+_MMR_LAM = 0.7
+
+
+def _q182_oracle(k: int, pool: int, lam: float) -> str:
+    rel = f"{lam!r} * cosine"
+    penal = f"{lam!r} * cosine - {(1.0 - lam)!r} * max_sim"
+    steps = []
+    for t in range(1, k + 1):
+        score = rel if t == 1 else penal
+        src = "cand" if t == 1 else f"ms{t - 1}"
+        steps.append(
+            f"""s{t} AS (
+      SELECT q_id, n_id, mmr, CAST({t} AS BIGINT) AS sel_rank FROM (
+        SELECT q_id, n_id, {score} AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY {score} DESC, n_id) AS rn
+        FROM {src}) WHERE rn = 1
+    )"""
+        )
+        if t < k:
+            prev_ms = (
+                "s.s AS max_sim"
+                if t == 1
+                else "GREATEST(m.max_sim, s.s) AS max_sim"
+            )
+            src_ms = "cand m" if t == 1 else f"ms{t - 1} m"
+            steps.append(
+                f"""ms{t} AS (
+      SELECT m.q_id, m.n_id, m.cosine, {prev_ms}
+      FROM {src_ms}
+      JOIN s{t} ON s{t}.q_id = m.q_id AND m.n_id <> s{t}.n_id
+      JOIN sims s ON s.q_id = m.q_id AND s.i = s{t}.n_id
+                 AND s.j = m.n_id
+    )"""
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT q_id, n_id, mmr, sel_rank FROM s{t}" for t in range(1, k + 1)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding, sqrt({_N_SQL}) AS nrm FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm FROM n
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ), scored AS (
+      SELECT q_id, vec_id AS n_id, ({dot_sql("q_vec", "embedding", _DIM)})
+               / (q_norm * nrm) AS cosine
+      FROM q CROSS JOIN n WHERE q_id <> vec_id
+    ), cand AS (
+      SELECT q_id, n_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, n_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {pool}
+    ), sims AS (
+      SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+             ({dot_sql("x.embedding", "y.embedding", _DIM)})
+               / (x.nrm * y.nrm) AS s
+      FROM cand a
+      JOIN cand b ON a.q_id = b.q_id
+      JOIN n x ON x.vec_id = a.n_id
+      JOIN n y ON y.vec_id = b.n_id
+    ), {", ".join(steps)}
+    {union}
+    """
+
+
 @query(
     "q182_mmr_rerank",
-    oracle=None,
+    oracle=_q182_oracle(5, 20, _MMR_LAM),
     scale_note=(
         "greedy step is O(pool^2*dim) numpy per query group; candidate "
         "generation (cosine_topk / lsh_topk) dominates at scale"
@@ -775,7 +851,12 @@ def q182_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.similarity import mmr_rerank
 
     return mmr_rerank(
-        spark.table("embeddings"), _QUERY_IDS, k=5, pool=20, dim=_DIM
+        spark.table("embeddings"),
+        _QUERY_IDS,
+        k=5,
+        pool=20,
+        lam=_MMR_LAM,
+        dim=_DIM,
     )
 
 

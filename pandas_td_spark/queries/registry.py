@@ -254,9 +254,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # re-green at sf0.001/sf0.01):
     "q167_bootstrap_ci": 10,  # one md5/row + affine per-replica mixes;
     # bigint cents sum replaces the decimal buffer (1.75 -> 1.2 s)
-    "q119_pagerank_transitions": 10,  # small-graph gate is ONE
-    # limit+collect probe (node set derived from edges; was 4 actions
-    # re-running the events window — 19 jobs -> 8, 1.69 -> 1.1 s)
+    # (q119_pagerank_transitions's r10 one-probe-gate entry superseded
+    # by its r12 oracle-conversion row below)
     # round 10: encode_flac gained the LPC candidate (decode unchanged;
     # FLAC is lossless so decoded values — and these rows — are
     # identical; the sawtooth still picks FIXED so even the bytes match):
@@ -266,6 +265,13 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # moments (values identical in-envelope; assert_true threaded through
     # the 3-row tail):
     "q183_grouped_ols": 12,
+    # round 12 rows-only -> FULL oracle conversions (VERDICT r11 #2, the
+    # q273 playbook — bounded loops replayed as unrolled CTEs):
+    "q182_mmr_rerank": 12,  # pairwise sims now the left-assoc dot_sql
+    # chain (was BLAS matmul); greedy k=5 walk unrolled as s1..s5 CTEs
+    "q119_pagerank_transitions": 12,  # round_to=12 quantized fixpoint
+    # (shortest-repr HALF_UP everywhere); 15 iterations unrolled as
+    # MATERIALIZED r1..r15 CTEs
 }
 
 

@@ -751,6 +751,41 @@ def test_weighted_sample_is_length_biased(spark):
     assert sample.n_chars.mean() > 1.15 * corpus.n_chars.mean()
 
 
+def test_pagerank_round_to_paths_agree_exactly(spark):
+    """The q119 contract: with ``round_to`` set, the driver decimal
+    replay and the distributed F.round/decimal-sum fixpoint are the SAME
+    well-defined function — bit-identical ranks, any partitioning."""
+    import numpy as np
+
+    from pandas_td_spark.operators.pagerank import pagerank
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(src[keep], dst[keep])],
+        "src bigint, dst bigint",
+    )
+    drv = {
+        r.node: r.rank
+        for r in pagerank(edges, n_iter=15, round_to=12).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iter=15, round_to=12, small_graph_threshold=0
+        ).collect()
+    }
+    assert drv == dist  # exact float equality, not approx
+    # and quantization stays a perturbation, not a different answer:
+    exact = {
+        r.node: r.rank for r in pagerank(edges, n_iter=15).collect()
+    }
+    assert max(abs(drv[v] - exact[v]) for v in drv) < 1e-8
+    assert abs(sum(drv.values()) - 1.0) < 1e-6
+
+
 def test_graph_and_pagerank_edge_cases(spark):
     from pandas_td_spark.operators.graph import triangle_counts, undirected_edges
     from pandas_td_spark.operators.pagerank import pagerank
