@@ -272,6 +272,16 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q119_pagerank_transitions": 12,  # round_to=12 quantized fixpoint
     # (shortest-repr HALF_UP everywhere); 15 iterations unrolled as
     # MATERIALIZED r1..r15 CTEs
+    # round 12 perf pass (values identical; plans reshaped):
+    "q186_bigram_nll": 12,  # bigram-LM checkpoint now size-gated at
+    # 20k docs (r11's unconditional checkpoint was the 1.03->1.19 s
+    # regression; AQE broadcasts the tiny LM below the gate anyway)
+    "q118_kmeans_clusters": 12,  # one-probe driver Lloyd gate at 10k
+    # vectors (bit-identical to the distributed decimal fit, pinned);
+    # 2.5 -> 0.76 s warm at sf0.1, 10x audit still runs distributed
+    "q70_approx_distinct": 12,  # sketch the deduped (flag, partkey)
+    # pairs (HLL is duplicate-insensitive): kills the Expand/4-exchange
+    # mixed-distinct rewrite, 1.2 -> ~0.55 s warm
 }
 
 

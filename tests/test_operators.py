@@ -618,6 +618,11 @@ def test_kmeans_deterministic_and_converging(spark):
     i1 = kmeans_assign(emb, c1).agg(F.sum("sq_dist")).first()[0]
     i4 = a.agg(F.sum("sq_dist")).first()[0]
     assert i4 <= i1  # Lloyd never increases inertia
+    # r12 driver gate: the local Lloyd replay (default gate at fixture
+    # scale) and the distributed decimal fit are the SAME function —
+    # the int-unit exact sums mirror cast(x as decimal(28,12)) exactly
+    c_dist = kmeans_fit(emb, k=4, n_iter=4, small_fit_threshold=0)
+    assert np.array_equal(c, c_dist)
 
 
 def test_pagerank_matches_numpy_reference(spark):
@@ -749,6 +754,21 @@ def test_weighted_sample_is_length_biased(spark):
     # Probability ∝ n_chars ⇒ the sample mean length must exceed the
     # corpus mean decisively (docs vary ~10×; a uniform draw would not).
     assert sample.n_chars.mean() > 1.15 * corpus.n_chars.mean()
+
+
+def test_q70_hll_on_deduped_pairs_within_5pct(spark):
+    """q70's r12 plan sketches the DEDUPED (flag, partkey) pairs — an
+    HLL sketch is duplicate-insensitive, so accuracy vs the exact count
+    (carried in the same result) is unchanged: <= 5% everywhere."""
+    from pandas_td_spark.queries.registry import all_queries
+
+    register_views(spark, SF)
+    rows = (
+        all_queries()["q70_approx_distinct"].fn(spark, SF).collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts
 
 
 def test_pagerank_round_to_paths_agree_exactly(spark):
