@@ -390,14 +390,21 @@ def kcore_peel(
     ``materialize=False`` when the caller's edge frame is already
     checkpointed (the memoized edge cache).
 
-    Why per-round checkpoints stay (r10 A/B at sf0.1, 3 rounds, k=12):
-    unlike BFS, each peel round consumes the edge frame TWICE (degree
-    agg + survivor join), so a fully-lazy q164-style form duplicates
-    the round subtree 2^rounds times — measured 1.72-2.04 s vs this
-    form's 1.78 s (no win), and a lazy-persist variant was strictly
-    worse (2.4-2.8 s, 38 scheduled stages from the persist/broadcast
-    interplay). The peel is genuinely iterative data-volume work, not
-    scheduling overhead.
+    Why per-round EDGE checkpoints stay (r10 A/B at sf0.1, 3 rounds,
+    k=12): unlike BFS, each peel round consumes the edge frame TWICE
+    (degree agg + survivor join), so a fully-lazy q164-style form
+    duplicates the round subtree 2^rounds times — measured 1.72-2.04 s
+    vs this form's 1.78 s (no win), and a lazy-persist variant was
+    strictly worse (2.4-2.8 s, 38 scheduled stages from the
+    persist/broadcast interplay). The peel is genuinely iterative
+    data-volume work, not scheduling overhead.
+
+    Why the per-round KEEP checkpoint went (r12 A/B, same shape,
+    interleaved min-of-6): the survivor list derives from the
+    already-checkpointed edge frame, so its two join consumers recompute
+    at most one cheap agg over a cached RDD (often a ReusedExchange) —
+    while checkpointing it cost a blocking job per round. min 2.75 s
+    (ckpt) vs 1.89 s (lazy) at sf0.1.
     """
     e = edges if not materialize else edges.localCheckpoint()
     for _ in range(rounds):
@@ -407,7 +414,7 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
+        keep = deg.where(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.withColumnRenamed("node", "v"), "v")

@@ -282,6 +282,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q70_approx_distinct": 12,  # sketch the deduped (flag, partkey)
     # pairs (HLL is duplicate-insensitive): kills the Expand/4-exchange
     # mixed-distinct rewrite, 1.2 -> ~0.55 s warm
+    "q166_kcore": 12,  # per-round keep-checkpoint dropped (A/B: 2.75 ->
+    # 1.89 s; survivors recompute from the cached edge frame)
+    "q167_bootstrap_ci": 12,  # docstring-only: no-explode variant
+    # A/B-rejected (2.19 vs 1.20 s — wide agg buffers defeat codegen)
 }
 
 

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Regenerate the current round's measured section of BASELINE.md.
 
-Runs bench.py (Spark side, single-shot after warm-up — the driver's
-methodology) and a DuckDB comparator (median of 3 per oracle query), then
+Runs bench.py (Spark side, median of 3 after warm-up — symmetric with
+the comparator since r12) and a DuckDB comparator (median of 3 per oracle
+query), then
 rewrites everything below the marker line in BASELINE.md. Totals and the
 per-query table stay directly comparable across rounds.
 
@@ -139,8 +140,10 @@ def main() -> None:
         f"Totals: **Spark {spark_total:.1f} s over "
         f"{len(bench['queries'])} queries**; **DuckDB {dd_total:.2f} s** "
         f"over the {len(dd)} oracle-expressible queries "
-        "(median of 3; Spark single-shot after shared warm-up — the "
-        "driver's methodology).",
+        "(both sides median-of-3 after warm-up — METHODOLOGY CHANGE "
+        "r12: through r11 Spark was single-shot cold per query vs "
+        "DuckDB's warm median; r12 totals are not comparable to r11 "
+        "without bench.py's note. Cold totals stay in BENCH_LATEST.json).",
         "",
         "| query | spark_sec | duckdb_sec |",
         "|---|---|---|",
