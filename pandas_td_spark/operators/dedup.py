@@ -36,6 +36,7 @@ __all__ = [
     "simhash64",
     "simhash_signatures",
     "simhash_pairs",
+    "substring_run_pairs",
 ]
 
 
@@ -593,3 +594,155 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("bigint").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (suffix-array class): document pairs sharing a
+# contiguous word run of at least ``min_run`` words, with the EXACT
+# longest shared run length. The heavyweight next to the set-similarity
+# family for training corpora: near-identical boilerplate/quotes that
+# Jaccard dilutes in long documents (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the public algorithm
+# family; this is the bounded-candidate Spark formulation, not a port).
+# ---------------------------------------------------------------------------
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 12,
+    anchor_k: int = 9,
+    materialize_candidates: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, longest_run) for every pair sharing a word run of
+    >= ``min_run`` words — exact output, candidate-bounded plan.
+
+    **Candidates — winnowing anchors (deterministic completeness).**
+    Each doc emits winnowing fingerprints over ``anchor_k``-gram
+    xxhash64 values with window ``w = min_run - anchor_k + 1`` (the
+    q92/q110 selection, row-local / zero shuffle; xxhash64 instead of
+    q92's md5-prefix because anchors are INTERNAL here — the oracle
+    defines semantics independently via the quadratic join, so the
+    anchor hash only needs determinism, and xxhash64 costs a fraction
+    of md5 over the ~n-per-doc gram positions). The winnowing guarantee
+    (Schleimer et al. '03): any shared substring of length
+    >= w + k - 1 = ``min_run`` words contains a full w-window of shared
+    k-grams in BOTH docs, whose window-minimum hash VALUE is selected
+    on both sides — so every qualifying pair collides on some
+    fingerprint. Selection density is ~2/(w+1) per position, so the
+    anchor equi-join is candidate-bounded exactly like the LSH band
+    join (uniform hash keys, no all-pairs); false candidates (a shared
+    9-gram without a 12-word run) are removed by the exact verify.
+
+    **Verify — diagonal islands (exact).** For candidate pairs only,
+    join full ``min_run``-gram hashes of both docs (xxhash64 here, md5
+    in the oracle — only gram EQUALITY flows into the result, so any
+    injective-in-practice hash yields the identical match set); a
+    shared run of R words appears as R - min_run + 1 matches on one
+    (i - j) diagonal at consecutive i, so ``longest_run = min_run - 1 +
+    max island`` via the gaps-and-islands row_number trick — integer
+    arithmetic an ANSI oracle replays verbatim (q274's DuckDB twin
+    defines the same semantics with the UNBOUNDED quadratic gram join).
+
+    At 100 TB: anchors are doc-grain bounded arrays; the only data-wide
+    shuffles key on uniform md5 values. A fingerprint shared by d docs
+    fans out d^2 candidate rows — boilerplate-heavy corpora should cap
+    hot fingerprints with a document-frequency filter before the self
+    join (trading recall on runs made ONLY of boilerplate), same
+    playbook as the prefix filter's stopword bound."""
+    w = min_run - anchor_k + 1
+    assert w >= 1, "min_run must be >= anchor_k"
+    ws = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.size(ws) - (anchor_k - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.array_join(F.slice(ws, i, anchor_k), " ")),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__hs"))),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+        )
+    )
+    anchors = (
+        df.select(F.col(id_col).alias("id"), hs.alias("__hs"))
+        .select("id", F.explode(fps).alias("fp"))
+    )
+    if materialize_candidates:
+        # the self-join below would otherwise evaluate the winnowing
+        # expression subtree once per side — materialize the (id, fp)
+        # anchor rows (bounded ~2n/(w+1) per doc) so it runs once
+        anchors = anchors.localCheckpoint()
+    a, b = anchors.alias("a"), anchors.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    if materialize_candidates:
+        # pair-grain, bounded by colliding-fingerprint pairs (the
+        # _near_dup_pairs_cached discipline) — three consumers below
+        # (id pruning x2, match join) must not re-run the anchor join
+        cand = cand.localCheckpoint()
+    # exact verify on candidate docs ONLY: prune the corpus to ids that
+    # appear in some candidate pair BEFORE the min_run-gram explode, so
+    # verify cost follows the candidate set, never the corpus
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs_in = df.join(ids, df[id_col] == ids["id"], "left_semi")
+    # name the split array so the three references below share one
+    # evaluation (non-cheap named column: CollapseProject keeps it)
+    grams = (
+        docs_in.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+        )
+        .where(F.size(F.col("__ws")) >= min_run)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.size(F.col("__ws")) - (min_run - 1),
+                    ),
+                    lambda i: F.xxhash64(
+                        F.array_join(
+                            F.slice(F.col("__ws"), i, min_run), " "
+                        )
+                    ),
+                )
+            ).alias("p0", "g"),
+        )
+        .select("id", (F.col("p0") + 1).alias("i"), "g")
+    )
+    ga = grams.select(
+        F.col("id").alias("id_a"), F.col("i").alias("i"), "g"
+    )
+    gb = grams.select(
+        F.col("id").alias("id_b"), F.col("i").alias("j"), "g"
+    )
+    matches = cand.join(ga, "id_a").join(gb, ["id_b", "g"])
+    from pyspark.sql import Window as W
+
+    diag = (F.col("i") - F.col("j")).alias("diag")
+    win = W.partitionBy("id_a", "id_b", "diag").orderBy("i")
+    runs = (
+        matches.select("id_a", "id_b", diag, "i")
+        .withColumn("grp", F.col("i") - F.row_number().over(win))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count("*") + (min_run - 1)).alias("run"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run").cast("bigint").alias("longest_run"))
+        .where(F.col("longest_run") >= min_run)
+    )

@@ -2466,3 +2466,61 @@ def q267_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _feat,
         "doc_id long, chunk_idx long, n_samples long, mean_pcm double",
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — exact substring dedup (suffix-array class; operators/dedup.py::
+# substring_run_pairs). The missing heavyweight next to the Jaccard
+# near-dup family at training-data scale: boilerplate/quote overlap that
+# set similarity dilutes in long documents. Candidates come from
+# winnowing anchors (deterministic completeness for runs >= min_run),
+# verify is the exact diagonal-island longest-common-run — the oracle
+# below DEFINES the semantics with the unbounded quadratic 12-gram
+# self-join + the identical gaps-and-islands arithmetic, so the hash
+# match proves the anchor bound loses nothing.
+# ---------------------------------------------------------------------------
+_SUBSTR_RUN = 12
+
+
+@query(
+    "q274_substring_run_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(ws[i:i + {_SUBSTR_RUN - 1}], ' ')) AS g
+      FROM t, unnest(range(1, len(ws) - {_SUBSTR_RUN - 2})) AS u(i)
+      WHERE len(ws) >= {_SUBSTR_RUN}
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, b.i AS j
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT id_a, id_b, i - j AS diag, i,
+             i - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, i - j
+                                    ORDER BY i) AS grp
+      FROM m
+    ), runs AS (
+      SELECT id_a, id_b, COUNT(*) + {_SUBSTR_RUN - 1} AS run
+      FROM r GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b, CAST(MAX(run) AS BIGINT) AS longest_run
+    FROM runs GROUP BY id_a, id_b
+    HAVING MAX(run) >= {_SUBSTR_RUN}
+    """,
+    scale_note=(
+        "winnowing-anchor candidates (density ~2/(w+1), uniform md5 join "
+        "keys) + exact verify pruned to candidate docs — never the "
+        "quadratic gram join the oracle runs; boilerplate-heavy corpora "
+        "should df-cap hot fingerprints before the anchor self-join"
+    ),
+)
+def q274_substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an exact contiguous run of >= 12 words,
+    with the exact longest shared run length (winnowing anchors ->
+    diagonal-island verify)."""
+    from pandas_td_spark.operators.dedup import substring_run_pairs
+
+    return substring_run_pairs(
+        spark.table("documents"), min_run=_SUBSTR_RUN, anchor_k=9
+    )

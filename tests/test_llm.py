@@ -310,3 +310,39 @@ def test_jaccard_pairs_auto_gate_switches_and_stays_exact_verified(spark):
     assert high <= exact, f"false positives: {sorted(high - exact)[:5]}"
     recall = len(high) / len(exact)
     assert recall >= 0.95, f"gated-path recall {recall:.3f} < 0.95"
+
+
+def test_substring_run_pairs_exact_semantics(spark):
+    """Constructed corpus pins the operator's exactness at the
+    boundary: a shared 12-word run qualifies, 11 words does not, and
+    longest_run is the exact maximum (not just >= threshold), including
+    a doc pair whose overlap appears at different offsets."""
+    from pandas_td_spark.operators.dedup import substring_run_pairs
+
+    run12 = " ".join(f"r{i}" for i in range(12))
+    run11 = " ".join(f"s{i}" for i in range(11))
+    run20 = " ".join(f"t{i}" for i in range(20))
+    pad = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, f"{pad('a', 5)} {run12} {pad('b', 4)}"),
+            (2, f"{pad('c', 9)} {run12}"),
+            (3, f"{run11} {pad('d', 6)}"),
+            (4, f"{pad('e', 3)} {run11}"),
+            (5, f"{run20} {pad('f', 2)}"),
+            (6, f"{pad('g', 7)} {run20} {pad('h', 3)}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.longest_run
+        for r in substring_run_pairs(docs).collect()
+    }
+    assert got == {(1, 2): 12, (5, 6): 20}
+
+    # threshold sweep: the same corpus at min_run=11 admits the 11-run
+    got11 = {
+        (r.id_a, r.id_b): r.longest_run
+        for r in substring_run_pairs(docs, min_run=11, anchor_k=9).collect()
+    }
+    assert got11 == {(1, 2): 12, (3, 4): 11, (5, 6): 20}

@@ -89,7 +89,12 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         "q264_split_leakage",       # CC labels + hash splits + audit join
         "q265_bpe_train",           # vocabulary-grain rounds (vocab constant)
         "q266_flac_roundtrip",      # per-doc Rice codec, docs 10x
-        "q235_dup_rate_by_source"]  # shared pair checkpoint consumer, corpus 10x.
+        "q235_dup_rate_by_source",  # shared pair checkpoint consumer, corpus 10x
+        # round-12 addition: exact substring dedup
+        "q274_substring_run_pairs"]  # winnow anchors 10x; candidate pairs grow
+        # ~quadratically from the verbatim text replicas (see NB below), so
+        # this leg measures the verify under the worst-case duplication the
+        # fixture can produce — the anchors stay uniform-key bounded.
         # NB: the 10x replica repeats texts VERBATIM (doc_id shifted), so the
         # true Jaccard>=0.6 pair set grows ~quadratically (each doc gains 9
         # exact copies -> 45 intra-copy pairs per group + 100x the original
