@@ -24,15 +24,19 @@ frame extraction, r8), **IMA ADPCM** audio (r8), **progressive JPEG**
 (SOF2 spectral-selection/successive-approximation scans, r9) and
 **FLAC** (Rice-coded subframes incl. LPC, any partition order, r9).
 **MP3** gained its ENTROPY layer in r12 (frame/side-info/scalefactor
-framing + Huffman coding, bit-verified round-trip — see the MP3 section
-below); its numeric layer (requantization/IMDCT/synthesis filterbank)
-is the r13 follow-up, so :func:`media_features` still stubs MP3
-payloads. The remaining full-stub set is exactly **compressed video
-(H.264-class)** — motion-compensated codecs whose entropy layer (CABAC)
-is a genuinely larger engineering job (``multimodal.stub_decoder``);
-:func:`media_features` dispatches on magic bytes and falls back to the
-stub for those, so the pipeline runs end-to-end on mixed corpora
-either way.
+framing + Huffman coding, bit-verified round-trip) and, later the same
+round, its NUMERIC layer — requantization, alias-reduction
+butterflies, the exact-TDAC 36-point MDCT/IMDCT hybrid with sine
+window, and a 32-band pseudo-QMF polyphase filterbank (in-repo
+root-raised-cosine prototype; see the MP3 section for the one honest
+departure from Table B.3) — so :func:`media_features` now really
+decodes subset MP3 payloads (:func:`mp3_decode_pcm`) and stubs only
+out-of-subset streams. The remaining full-stub set is exactly
+**compressed video (H.264-class)** — motion-compensated codecs whose
+entropy layer (CABAC) is a genuinely larger engineering job
+(``multimodal.stub_decoder``); :func:`media_features` dispatches on
+magic bytes and falls back to the stub for those, so the pipeline runs
+end-to-end on mixed corpora either way.
 
 Feature extraction and resize are closed-form numpy (RMS/peak/ZCR/
 duration for audio; per-channel means + intensity histogram for images;
@@ -70,6 +74,16 @@ __all__ = [
     "decode_jpeg_progressive",
     "encode_flac",
     "decode_flac",
+    "mp3_encode_entropy",
+    "mp3_decode_entropy",
+    "mp3_requantize",
+    "mp3_alias_reduce",
+    "mp3_imdct_granule",
+    "mp3_mdct_granule",
+    "mp3_analysis_filterbank",
+    "mp3_synthesis_filterbank",
+    "mp3_encode_pcm",
+    "mp3_decode_pcm",
 ]
 
 
@@ -291,15 +305,44 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     """Drop-in ``decode_fn`` for ``multimodal.featurize_binary``:
-    REAL decode for WAV/FLAC/PPM/PGM/BMP/PNG/baseline-and-progressive-
-    JPEG/GIF (audio: duration/rms/peak/zcr + FFT band energies; image:
-    shape/channel stats + intensity histogram), stub fallback for
-    formats that need external codecs (MP3/H.264). Always returns
-    float32[out_dim]."""
+    REAL decode for WAV/FLAC/MP3(subset)/PPM/PGM/BMP/PNG/baseline-and-
+    progressive-JPEG/GIF (audio: duration/rms/peak/zcr + FFT band
+    energies; image: shape/channel stats + intensity histogram), stub
+    fallback for formats that need external codecs (H.264; MP3 streams
+    outside the implemented subset). Always returns float32[out_dim]."""
     from pandas_td_spark.operators.multimodal import stub_decoder
 
     try:
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" or (
+        if (
+            len(payload) >= 4
+            and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0
+            and payload[:2] != b"\xff\xd8"
+        ):
+            # MP3 frame sync (JPEG SOI excluded above). Subset decode;
+            # out-of-subset streams raise NotImplementedError -> stub.
+            mono, rate = mp3_decode_pcm(payload)
+            n = len(mono)
+            f = {
+                "duration_s": n / rate if rate else 0.0,
+                "rms": float(np.sqrt((mono**2).mean())) if n else 0.0,
+                "peak": float(np.abs(mono).max()) if n else 0.0,
+                "zcr": float(
+                    (np.diff(np.signbit(mono)) != 0).mean()
+                ) if n > 1 else 0.0,
+            }
+            head = [f["duration_s"], f["rms"], f["peak"], f["zcr"]]
+            n_bands = max(out_dim - len(head), 0)
+            if n_bands and n:
+                spec = np.abs(np.fft.rfft(mono))
+                bands = [
+                    float(b.mean()) if len(b) else 0.0
+                    for b in np.array_split(spec, n_bands)
+                ]
+            else:
+                bands = [0.0] * n_bands
+            vec = head + bands
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" or (
             payload[:4] == b"fLaC"
         ):
             if payload[:4] == b"fLaC":
@@ -358,7 +401,7 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             vec = head
         else:
             return stub_decoder(payload, out_dim)
-    except ValueError:
+    except (ValueError, NotImplementedError):
         return stub_decoder(payload, out_dim)
     return np.asarray(vec[:out_dim], dtype=np.float32)
 
@@ -3184,9 +3227,9 @@ def flac_chunk_extractor(payload: bytes, n_chunks: int) -> list[bytes]:
 # above. This round ships that layer: frame headers, mono side info,
 # scalefactor fields, and Huffman-coded spectral values, with an
 # in-repo encoder whose output the decoder bit-verifies round-trip
-# (tests/test_codecs.py). Requantization + IMDCT + the synthesis
-# filterbank (the numeric layer that turns these integers into PCM) are
-# the r13 follow-up.
+# (tests/test_codecs.py). The numeric layer that turns these integers
+# into PCM (requantization/IMDCT/synthesis filterbank) landed later the
+# same round — see the NUMERIC LAYER section below.
 #
 # PROVENANCE: structure and field widths follow ISO/IEC 11172-3 (public
 # spec) from memory. The container has no MP3 library and no network, so
@@ -3439,3 +3482,262 @@ def mp3_decode_entropy(payload: bytes) -> dict:
         np.zeros((0, 2, 576), dtype=np.int64),
         "side_info": sides,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP3 — NUMERIC LAYER (r12, continuing VERDICT r11 #5 past its scoped goal).
+#
+# Everything below is CLOSED-FORM spec math (ISO/IEC 11172-3 structure
+# from memory, public DSP theory for the filter banks) — no tabulated
+# data beyond the 8 published alias-reduction coefficients:
+#
+# - requantization  x = sign(ix)*|ix|^(4/3) * 2^((global_gain-210)/4)
+#   (subset: zero scalefactors — the sfb-geometry tables stay out, same
+#   honesty rule as the Huffman tables above);
+# - alias-reduction butterflies (the 8 ci constants are printed in every
+#   public description of the format; cs/ca derived);
+# - the 36-point MDCT/IMDCT hybrid layer with the sine window — an
+#   EXACT TDAC pair (Princen-Bradley), pytest-verified to reconstruct
+#   bit-for-float-bit through overlap-add;
+# - frequency inversion of odd samples in odd subbands;
+# - a 512-tap, 32-band cosine-modulated pseudo-QMF polyphase filterbank.
+#   THE ONE DELIBERATE DEPARTURE: the spec's synthesis window (Table
+#   B.3, 512 numbers with no closed form) cannot be transcribed from
+#   memory responsibly, so the prototype here is an IN-REPO closed-form
+#   design: a root-raised-cosine at T=64 (EXACTLY power-complementary
+#   about the band edge pi/64 — the property the spec window was
+#   numerically optimized for) with the standard (-1)^k*pi/4 CMFB
+#   phasing — near-perfect reconstruction (~59 dB cascade SNR,
+#   pytest-gated), deterministic, and self-consistent between
+#   mp3_encode_pcm / mp3_decode_pcm. Decoding a stream produced by a
+#   REAL encoder would be approximate; real streams are already refused
+#   at the entropy layer (unimplemented Huffman tables raise), so wrong
+#   samples still cannot escape.
+# ---------------------------------------------------------------------------
+
+#: the 8 published alias-reduction constants ci; cs/ca follow by formula
+_MP3_CI = np.array(
+    [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+)
+_MP3_CS = 1.0 / np.sqrt(1.0 + _MP3_CI**2)
+_MP3_CA = _MP3_CI / np.sqrt(1.0 + _MP3_CI**2)
+
+
+def mp3_requantize(spectra: np.ndarray, side_info: list) -> np.ndarray:
+    """Quantized spectra (n_frames, 2, 576 int) -> float xr via the
+    power law ``sign*|ix|^(4/3)*2^((global_gain-210)/4)``. Subset guard:
+    any nonzero scalefactor / preflag / scalefac_scale raises (their
+    full formula needs the scalefactor-band geometry tables)."""
+    spectra = np.asarray(spectra)
+    xr = np.empty(spectra.shape, dtype=np.float64)
+    for f in range(spectra.shape[0]):
+        for g in range(2):
+            gr = side_info[f]["granules"][g]
+            if (
+                any(gr.get("scalefac", []))
+                or gr.get("preflag")
+                or gr.get("scalefac_scale")
+            ):
+                raise NotImplementedError(
+                    "nonzero scalefactors need sfb geometry tables "
+                    "(outside the from-memory-safe subset)"
+                )
+            gain = 2.0 ** ((gr["global_gain"] - 210) / 4.0)
+            ix = spectra[f, g].astype(np.float64)
+            xr[f, g] = np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain
+    return xr
+
+
+def mp3_alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Alias-reduction butterflies across the 31 interior subband
+    boundaries of one granule (576,). Each (lo, hi) pair goes through
+    the rotation [cs, -ca; ca, cs] (decode direction); ``inverse=True``
+    applies the exact transpose (the encoder side). Returns a copy."""
+    out = np.array(xr, dtype=np.float64, copy=True)
+    ca = -_MP3_CA if inverse else _MP3_CA
+    for sb in range(1, 32):
+        lo = out[18 * sb - 1 - np.arange(8)].copy()
+        hi = out[18 * sb + np.arange(8)].copy()
+        out[18 * sb - 1 - np.arange(8)] = lo * _MP3_CS - hi * ca
+        out[18 * sb + np.arange(8)] = hi * _MP3_CS + lo * ca
+    return out
+
+
+def _mp3_mdct_basis() -> tuple[np.ndarray, np.ndarray]:
+    """(C, w): the 36x18 long-block MDCT cosine basis
+    C[i,k] = cos(pi/72 (2i+1+18)(2k+1)) and the sine window
+    w[i] = sin(pi/36 (i+0.5)) (Princen-Bradley: w_i^2 + w_{i+18}^2 = 1)."""
+    i = np.arange(36)[:, None]
+    k = np.arange(18)[None, :]
+    C = np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+    w = np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
+    return C, w
+
+
+_MP3_MDCT_C, _MP3_MDCT_W = _mp3_mdct_basis()
+
+
+def mp3_imdct_granule(
+    xr: np.ndarray, overlap: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One granule (576,) of 32x18 spectral lines -> (18, 32) subband
+    time samples via the long-block IMDCT + sine window + overlap-add,
+    plus the new (32, 18) overlap state. Includes frequency inversion
+    (odd samples of odd subbands negated)."""
+    X = np.asarray(xr, dtype=np.float64).reshape(32, 18)
+    # y (32, 36): windowed IMDCT; scale 4/36 makes MDCT->IMDCT->OLA exact
+    y = (X @ _MP3_MDCT_C.T) * _MP3_MDCT_W[None, :] * (4.0 / 36.0)
+    out = y[:, :18] + overlap  # (32, 18)
+    new_overlap = y[:, 18:].copy()
+    out[1::2, 1::2] *= -1.0  # frequency inversion
+    return out.T.copy(), new_overlap
+
+
+def mp3_mdct_granule(
+    sub: np.ndarray, prev: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Analysis twin of :func:`mp3_imdct_granule`: 18 new subband
+    samples (18, 32) + the previous granule's (32, 18) -> one granule
+    (576,) of MDCT lines, plus the carried state. Undoes frequency
+    inversion first, windows the 36-sample block, projects on C."""
+    s = np.array(sub, dtype=np.float64, copy=True)
+    s[1::2, 1::2] *= -1.0  # undo frequency inversion (self-inverse)
+    cur = s.T  # (32, 18)
+    block = np.concatenate([prev, cur], axis=1)  # (32, 36)
+    X = (block * _MP3_MDCT_W[None, :]) @ _MP3_MDCT_C  # (32, 18)
+    return X.reshape(576), cur.copy()
+
+
+def _mp3_pqmf_filters() -> tuple[np.ndarray, np.ndarray, float, int]:
+    """(H, G, gain, delay): 32x512 filter matrices of the cosine-
+    modulated pseudo-QMF, F[k,n] = p[n] cos(pi/32 (k+1/2)(n-255.5) +
+    (-1)^k pi/4). Analysis CORRELATES frames with F and synthesis
+    overlap-adds with the same F — in convolution terms that is the
+    classic CMFB pair with OPPOSITE phase rotations (time-reversing the
+    correlation filter negates the (-1)^k pi/4 term because p is
+    symmetric), which is what cancels adjacent-band aliasing.
+
+    Prototype: closed-form root-raised-cosine, T=64, rolloff 1 —
+    exactly power-complementary about the band edge pi/64 (the flatness
+    property ISO's Table B.3 window was numerically optimized for), so
+    the cascade is near-perfect reconstruction (~59 dB SNR on
+    band-limited input, pytest-gated) with zero tabulated data.
+    ``gain``/``delay`` are measured off the actual impulse response so
+    reconstruction is calibrated, not assumed (gain ~= 4*32)."""
+    t = (np.arange(512) - 255.5) / 64.0  # half-integers: no singularity
+    # RRC, rolloff a=1: h(t/T)= [sin(pi t(1-a)) + 4at cos(pi t(1+a))]
+    #                           / (pi t (1-(4at)^2)) / T
+    p = (4.0 * t * np.cos(2.0 * np.pi * t)) / (
+        np.pi * t * (1.0 - 16.0 * t * t) * 64.0
+    )
+    k = np.arange(32)[:, None]
+    phase = np.pi / 32.0 * (k + 0.5) * (np.arange(512) - 255.5)[None, :]
+    rot = ((-1.0) ** k) * (np.pi / 4.0)
+    F = p[None, :] * np.cos(phase + rot)
+    # calibrate: unit impulse through analysis+synthesis (uncalibrated)
+    imp = np.zeros(1536)
+    imp[512] = 1.0
+    frames = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([np.zeros(511), imp]), 512
+    )[::32]
+    S = frames @ F.T  # (m, 32)
+    rec = np.zeros(32 * S.shape[0] + 512)
+    for j in range(S.shape[0]):
+        rec[32 * j : 32 * j + 512] += S[j] @ F
+    peak = int(np.argmax(np.abs(rec)))
+    delay = peak - 511 - 512  # minus analysis pre-pad and impulse pos
+    gain = float(rec[peak])
+    return F, F, gain, delay
+
+
+_MP3_PQMF: tuple[np.ndarray, np.ndarray, float, int] | None = None
+
+
+def _pqmf() -> tuple[np.ndarray, np.ndarray, float, int]:
+    global _MP3_PQMF
+    if _MP3_PQMF is None:
+        _MP3_PQMF = _mp3_pqmf_filters()
+    return _MP3_PQMF
+
+
+def mp3_analysis_filterbank(pcm: np.ndarray) -> np.ndarray:
+    """Mono float samples -> (n_granule_rows, 32) critically-sampled
+    subband samples (one row per 32 input samples; input is left-padded
+    by 511 so row 0 sees only the first samples, trailing partial frame
+    dropped)."""
+    H, _, _, _ = _pqmf()
+    x = np.concatenate([np.zeros(511), np.asarray(pcm, dtype=np.float64)])
+    if len(x) < 512:
+        return np.zeros((0, 32))
+    frames = np.lib.stride_tricks.sliding_window_view(x, 512)[::32]
+    return frames @ H.T
+
+
+def mp3_synthesis_filterbank(sub: np.ndarray) -> np.ndarray:
+    """(m, 32) subband samples -> mono float samples, gain- and
+    delay-compensated against the measured impulse response of the
+    analysis+synthesis cascade (so analysis->synthesis is identity up
+    to the near-perfect-reconstruction error of the prototype)."""
+    _, G, gain, delay = _pqmf()
+    S = np.asarray(sub, dtype=np.float64)
+    m = S.shape[0]
+    rec = np.zeros(32 * m + 512)
+    for j in range(m):
+        rec[32 * j : 32 * j + 512] += S[j] @ G
+    out = rec / gain
+    start = delay + 511  # analysis pre-pad (511) + cascade delay
+    return out[start : start + 32 * m]
+
+
+def mp3_decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full subset decode: entropy layer -> requantize -> alias
+    reduction -> IMDCT hybrid layer -> polyphase synthesis. Returns
+    (float64 samples, sample_rate); 1152 samples per frame."""
+    d = mp3_decode_entropy(payload)
+    xr = mp3_requantize(d["spectra"], d["side_info"])
+    overlap = np.zeros((32, 18))
+    rows = []
+    for f in range(xr.shape[0]):
+        for g in range(2):
+            grain = mp3_alias_reduce(xr[f, g])
+            sub, overlap = mp3_imdct_granule(grain, overlap)
+            rows.append(sub)
+    if not rows:
+        return np.zeros(0), d["sample_rate"]
+    sub_all = np.concatenate(rows, axis=0)  # (18*n_granules, 32)
+    return mp3_synthesis_filterbank(sub_all), d["sample_rate"]
+
+
+def mp3_encode_pcm(
+    pcm: np.ndarray,
+    sample_rate: int = 48000,
+    bitrate_kbps: int = 96,
+    global_gain: int = 210,
+) -> bytes:
+    """Deterministic subset encoder: analysis filterbank -> MDCT ->
+    inverse alias butterflies -> ternary quantization (the entropy
+    subset codes |ix| <= 1, so each line carries sign(x) when
+    |x| >= gain/2) -> entropy layer. Deliberately crude (1.58 bits/line
+    ceiling) but exactly invertible THROUGH THE BITSTREAM: decode
+    recovers the ternary spectra bit-exactly, then reconstructs audio
+    at the fidelity the subset supports."""
+    sub = mp3_analysis_filterbank(np.asarray(pcm, dtype=np.float64))
+    n_gran = sub.shape[0] // 18
+    n_frames = n_gran // 2
+    if n_frames == 0:
+        raise ValueError("need at least 1152 + 512 input samples")
+    gain = 2.0 ** ((global_gain - 210) / 4.0)
+    prev = np.zeros((32, 18))
+    spectra = np.zeros((n_frames, 2, 576), dtype=np.int64)
+    for f in range(n_frames):
+        for g in range(2):
+            i = 2 * f + g
+            X, prev = mp3_mdct_granule(sub[18 * i : 18 * i + 18], prev)
+            X = mp3_alias_reduce(X, inverse=True)
+            spectra[f, g] = np.clip(np.round(X / gain), -1, 1).astype(np.int64)
+    return mp3_encode_entropy(
+        spectra,
+        sample_rate=sample_rate,
+        bitrate_kbps=bitrate_kbps,
+        global_gain=global_gain,
+    )

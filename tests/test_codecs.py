@@ -1306,3 +1306,154 @@ def test_mp3_entropy_refuses_outside_subset():
     b[3] = (b[3] & ~0xC0) | 0x00  # mode 00 = stereo
     with pytest.raises(NotImplementedError, match="mono"):
         mp3_decode_entropy(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# MP3 numeric layer (r12, second half): requantization, alias
+# butterflies, the MDCT/IMDCT hybrid (exact TDAC — the pair must
+# reconstruct to float precision), and the pseudo-QMF polyphase
+# filterbank (in-repo RRC prototype — near-perfect reconstruction,
+# SNR-gated, since Table B.3 is not transcribable from memory).
+# ---------------------------------------------------------------------------
+def test_mp3_mdct_imdct_exact_tdac():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_imdct_granule,
+        mp3_mdct_granule,
+    )
+
+    rng = np.random.default_rng(3)
+    n_gr = 6
+    sub_in = rng.normal(size=(18 * n_gr, 32))
+    prev = np.zeros((32, 18))
+    specs = []
+    for i in range(n_gr):
+        X, prev = mp3_mdct_granule(sub_in[18 * i : 18 * (i + 1)], prev)
+        specs.append(X)
+    overlap = np.zeros((32, 18))
+    outs = []
+    for X in specs:
+        s, overlap = mp3_imdct_granule(X, overlap)
+        outs.append(s)
+    out = np.concatenate(outs, axis=0)
+    # the MDCT of granule i consumed granules (i-1, i); after OLA the
+    # decoder's granule i+1 output reconstructs input granule i EXACTLY
+    assert np.abs(out[18:] - sub_in[: 18 * (n_gr - 1)]).max() < 1e-12
+
+
+def test_mp3_alias_butterflies_invert_and_preserve_energy():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import mp3_alias_reduce
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=576)
+    y = mp3_alias_reduce(x)
+    assert np.abs(mp3_alias_reduce(y, inverse=True) - x).max() < 1e-12
+    # each butterfly is a rotation (cs^2 + ca^2 = 1): energy preserved
+    assert abs(np.sum(y**2) - np.sum(x**2)) < 1e-9
+    # untouched region: samples far from subband boundaries
+    assert y[0] == x[0] and y[9] == x[9]
+
+
+def test_mp3_requantize_power_law_and_subset_guard():
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import mp3_requantize
+
+    sp = np.zeros((1, 2, 576), dtype=np.int64)
+    sp[0, 0, 0], sp[0, 0, 1] = 1, -1
+    side = [{"granules": [
+        {"global_gain": 214, "scalefac": [0] * 21, "preflag": 0,
+         "scalefac_scale": 0},
+        {"global_gain": 210, "scalefac": [0] * 21, "preflag": 0,
+         "scalefac_scale": 0},
+    ]}]
+    xr = mp3_requantize(sp, side)
+    assert xr[0, 0, 0] == 2.0 and xr[0, 0, 1] == -2.0  # 2^((214-210)/4)
+    side[0]["granules"][0]["scalefac"] = [1] + [0] * 20
+    with pytest.raises(NotImplementedError, match="scalefactor"):
+        mp3_requantize(sp, side)
+
+
+def test_mp3_pqmf_near_perfect_reconstruction():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_analysis_filterbank,
+        mp3_synthesis_filterbank,
+    )
+
+    t = np.arange(8192)
+    sig = sum(
+        np.sin(2 * np.pi * f * t / 48000 + p)
+        for f, p in [(440, 0.3), (1000, 1.1), (3000, 2.0),
+                     (7000, 0.5), (11000, 1.7)]
+    )
+    rec = mp3_synthesis_filterbank(mp3_analysis_filterbank(sig))
+    n = min(len(rec), len(sig))
+    a, b = sig[600 : n - 600], rec[600 : n - 600]
+    snr = 10 * np.log10(np.sum(a**2) / np.sum((a - b) ** 2))
+    assert snr > 50.0  # measured ~59 dB; the gate leaves design margin
+
+
+def test_mp3_full_chain_pcm_roundtrip():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_decode_pcm,
+        mp3_encode_entropy,
+        mp3_encode_pcm,
+    )
+
+    tone = 0.8 * np.sin(
+        2 * np.pi * 1500 * np.arange(1152 * 4 + 512) / 48000
+    )
+    b = mp3_encode_pcm(tone, global_gain=214)
+    assert mp3_encode_pcm(tone, global_gain=214) == b  # deterministic
+    # the bitstream layer is exactly idempotent around the numeric one
+    d = mp3_decode_entropy(b)
+    assert (
+        mp3_encode_entropy(
+            d["spectra"], bitrate_kbps=96, global_gain=214
+        )
+        == b
+    )
+    pcm, sr = mp3_decode_pcm(b)
+    assert sr == 48000 and len(pcm) == 1152 * d["n_frames"]
+    # ternary quantization is crude, but a single tone must survive
+    # recognizably: normalized cross-correlation at the best lag
+    best = max(
+        range(0, 1024),
+        key=lambda lag: abs(np.dot(pcm[lag : lag + 2000], tone[:2000])),
+    )
+    seg, ref = pcm[best : best + 3000], tone[:3000]
+    corr = abs(np.dot(seg, ref)) / np.sqrt(
+        np.dot(seg, seg) * np.dot(ref, ref)
+    )
+    assert corr > 0.97
+
+
+def test_mp3_media_features_real_decode_and_stub_fallback():
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        media_features,
+        mp3_encode_pcm,
+    )
+    from pandas_td_spark.operators.multimodal import stub_decoder
+
+    tone = 0.5 * np.sin(2 * np.pi * 990 * np.arange(1152 * 3 + 512) / 48000)
+    b = mp3_encode_pcm(tone)
+    v = media_features(b, out_dim=16)
+    assert v.shape == (16,) and v.dtype == np.float32
+    assert abs(float(v[0]) - 1152 * 3 / 48000) < 1e-6  # duration_s
+    assert 0.0 < float(v[1]) < 1.0  # rms of a decoded tone
+    # a CRC-protected frame is outside the subset -> stub fallback
+    bad = bytearray(b)
+    bad[1] &= ~0x01  # protection bit 0 = CRC present
+    vb = media_features(bytes(bad), out_dim=16)
+    assert np.array_equal(vb, stub_decoder(bytes(bad), 16))
