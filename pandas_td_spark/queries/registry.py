@@ -172,7 +172,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q159_cluster_survivor": 11,
     "q164_bfs_levels": 11,
     "q165_degree_histogram": 11,
-    "q166_kcore": 11,
+    # (q166_kcore's r11 entry superseded by its r12 row below)
     "q197_link_prediction": 11,
     "q235_dup_rate_by_source": 11,
     "q264_split_leakage": 11,
@@ -190,7 +190,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
     "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
-    "q186_bigram_nll": 7,  # lazy broadcast vocabulary size
+    # (q186_bigram_nll's r7 entry superseded by its r12 row below)
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
     "q152_data_quality": 7,  # try_divide pass_frac (empty-partition-safe)
     # round-7 NULL-payload guards (filters only; values identical on
@@ -208,7 +208,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q109_semdedup_pairs": 7,
     "q66_embedding_ivf_topk": 7,
     "q116_embedding_pq_topk": 7,
-    "q118_kmeans_clusters": 7,
+    # (q118_kmeans_clusters's r7 entry superseded by its r12 row below)
     # the round-7 end-of-round snapshot (c02951c) rewrote these AFTER the
     # closing sweep/bench and they were missed here — the hand-maintained
     # map demonstrably failed; test_fingerprints.py now derives staleness
@@ -252,8 +252,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q53_minhash_lsh_pairs": 10,
     # round 10 perf rework (oracles updated in lockstep, both engines
     # re-green at sf0.001/sf0.01):
-    "q167_bootstrap_ci": 10,  # one md5/row + affine per-replica mixes;
-    # bigint cents sum replaces the decimal buffer (1.75 -> 1.2 s)
+    # (q167_bootstrap_ci's r10 bigint-cents entry superseded by its r12
+    # row below)
     # (q119_pagerank_transitions's r10 one-probe-gate entry superseded
     # by its r12 oracle-conversion row below)
     # round 10: encode_flac gained the LPC candidate (decode unchanged;
