@@ -929,17 +929,56 @@ def q185_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension. Corpus mu/sigma are a 64-value aggregate collected
 # driver-side (bounded: one row x dim) and re-entered as LITERAL
 # arrays, so the normalize pass is pure JVM zip_with over one scan —
-# no second shuffle, no UDF. Exactness: decimal-summed moments, sigma
-# via sqrt of identical doubles, 6dp-rounded mu/sigma literals shared
-# with the oracle text.
+# no second shuffle, no UDF. FULL oracle since r12 (extending the
+# q119/q182 quantized-fixpoint playbook to the two-phase collect-then-
+# literal shape): the CTE recomputes the 6dp-rounded moments the driver
+# literalized — identical decimal sums -> identical doubles ->
+# identical round() targets — and the whitened norm is an EXPLICIT
+# 64-term left-associated chain in both engines (Spark's F.aggregate
+# fold and SQL's left-assoc `+` run the same IEEE op sequence, so the
+# doubles are bit-identical; no order-ambiguous SUM() touches floats).
 # ---------------------------------------------------------------------------
-@query("q193_embedding_whitening", oracle=None)
+def _q193_oracle() -> str:
+    n = "(SELECT COUNT(*) FROM embeddings)"
+    cases = ", ".join(
+        f"MAX(CASE WHEN d = {k} THEN w END) AS w{k}" for k in range(_DIM)
+    )
+    chain = " + ".join(f"w{k}*w{k}" for k in range(_DIM))
+    return f"""
+    WITH stats AS (
+      SELECT d,
+             round(CAST(SUM(CAST(CAST(embedding[d+1] AS DOUBLE)
+                                 AS DECIMAL(28,6))) AS DOUBLE) / {n}, 6)
+               AS mu,
+             CAST(SUM(CAST(CAST(embedding[d+1] AS DOUBLE)
+                           * CAST(embedding[d+1] AS DOUBLE)
+                           AS DECIMAL(28,6))) AS DOUBLE) / {n} AS ex2
+      FROM embeddings CROSS JOIN range({_DIM}) t(d)
+      GROUP BY d
+    ), ms AS (
+      SELECT d, mu,
+             round(sqrt(greatest(ex2 - mu*mu, 1e-12)), 6) AS sigma
+      FROM stats
+    ), wlines AS (
+      SELECT e.vec_id, m.d,
+             (CAST(e.embedding[m.d+1] AS DOUBLE) - m.mu) / m.sigma AS w
+      FROM embeddings e CROSS JOIN ms m
+    ), wv AS (
+      SELECT vec_id, {cases} FROM wlines GROUP BY vec_id
+    )
+    SELECT vec_id, w0, w1, w2, w3,
+           sqrt(0.0 + {chain}) AS white_norm
+    FROM wv
+    """
+
+
+@query("q193_embedding_whitening", oracle=_q193_oracle())
 def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitened embeddings (x - mu)/sigma per dimension; emits vec_id +
-    first-4-dims profile plus the whitened norm. Oracle omitted: the
-    two-phase collect-then-literal plan has no single-statement SQL
-    equivalent (a correlated variant would recompute moments per row);
-    value correctness is pinned in tests/test_llm.py against numpy."""
+    first-4-dims profile plus the whitened norm (explicit left-assoc
+    fold — see the exactness note above)."""
+    import math
+
     emb = spark.table("embeddings")
     n = emb.count()
     dim_stats = (
@@ -947,13 +986,19 @@ def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / n
+                # float -> DOUBLE first, THEN decimal: both engines then
+                # round the identical double to 6dp (a direct
+                # float->decimal cast would leave the tie behavior
+                # engine-specific)
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(28,6)")
+                ).cast("double")
+                / n
             ).alias("mu"),
             (
                 F.sum(
-                    (F.col("x").cast("double") * F.col("x")).cast(
-                        "decimal(28,6)"
-                    )
+                    (F.col("x").cast("double") * F.col("x").cast("double"))
+                    .cast("decimal(28,6)")
                 ).cast("double")
                 / n
             ).alias("ex2"),
@@ -963,10 +1008,12 @@ def q193_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # round mu ONCE and reuse it in the variance — centering with the
     # rounded literal but building sigma from the unrounded mean would
-    # whiten with inconsistent moments (E[(x-mu_r)^2] != ex2 - mu_u^2)
+    # whiten with inconsistent moments (E[(x-mu_r)^2] != ex2 - mu_u^2).
+    # math.sqrt, not ** 0.5: pow(x, 0.5) is not guaranteed to match the
+    # correctly-rounded sqrt() the SQL side computes.
     mu = [round(r.mu, 6) for r in dim_stats]
     sigma = [
-        round(max(r.ex2 - m * m, 1e-12) ** 0.5, 6)
+        round(math.sqrt(max(r.ex2 - m * m, 1e-12)), 6)
         for r, m in zip(dim_stats, mu)
     ]
     mu_arr = F.array(*[F.lit(m) for m in mu])

@@ -113,7 +113,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # changes, but the standing green predates the shipped code):
     "q138_hierarchy_rollup": 8,  # r5: depth-derived rounds; r8: probe
     # documented model-grain + answered from parquet footer stats
-    "q193_embedding_whitening": 5,  # sigma uses the rounded mu consistently
+    # (q193_embedding_whitening's r5 rounded-mu entry superseded by its
+    # r12 oracle-conversion row below)
     "q142_twap": 5,  # decimal sums for twap/naive_avg (same lesson)
     # round 6:
     "q205_quantile_normalization": 11,  # r6 lazy literal-boundary rank;
@@ -272,6 +273,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q119_pagerank_transitions": 12,  # round_to=12 quantized fixpoint
     # (shortest-repr HALF_UP everywhere); 15 iterations unrolled as
     # MATERIALIZED r1..r15 CTEs
+    "q193_embedding_whitening": 12,  # rows-only -> FULL oracle: moments
+    # recomputed in the CTE (double-then-decimal casts aligned), norm as
+    # an explicit left-assoc 64-term chain matching the F.aggregate fold
     # round 12 perf pass (values identical; plans reshaped):
     "q186_bigram_nll": 12,  # bigram-LM checkpoint now size-gated at
     # 20k docs (r11's unconditional checkpoint was the 1.03->1.19 s

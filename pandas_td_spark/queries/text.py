@@ -651,28 +651,23 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "p.w1", "p.w2"
     )
     # The bigram LM is a model artifact at bigram-VOCAB grain (bounded
-    # by vocabulary², practically far smaller than the corpus). SIZE-
-    # GATED materialization (r12, the jaccard_pairs_auto discipline):
-    # above the gate, checkpoint once — without the cut the LM's two
-    # consumers (the c1 fold and the scoring join) each re-run the full
-    # corpus explode + count shuffle, the wrong trade at 100 TB. At or
-    # below the gate the re-run explodes are cheaper than the blocking
-    # checkpoint round-trip: r11 shipped the unconditional checkpoint
-    # and regressed 1.03 -> 1.19 s warm (VERDICT r11 wrong #1); the r12
-    # A/B at sf0.1 (5k docs, 931 distinct bigrams, interleaved runs)
-    # measured eager 2.24/2.35, lazy 1.82/2.55, none 2.12/2.17 s with
-    # AQE auto-broadcasting the tiny LM either way — checkpoint buys
-    # nothing until the corpus dwarfs its explode cost. The COUNT probe
-    # is a documented model-grain action (it picks the plan; metadata-
-    # only under parquet aggregate pushdown).
+    # by vocabulary², practically far smaller than the corpus) —
+    # checkpoint it UNCONDITIONALLY: its two consumers (the c1 fold and
+    # the scoring join) would otherwise each re-run the full corpus
+    # explode + count shuffle, the wrong trade at every scale. History,
+    # because this flip-flopped: r12's first pass size-gated the
+    # checkpoint at 20k docs on an A/B that measured under ambient load
+    # (eager 2.24/2.35 vs none 2.12/2.17 — a wash), and the driver
+    # bench then showed the un-checkpointed plan at 2.5-3.1 s vs r11's
+    # 1.19. A clean interleaved A/B at sf0.1 (5k docs, 931 distinct
+    # bigrams, alternating same-session runs) measured none
+    # 2.18/2.34/1.98 vs eager 1.83/1.44/1.10 s — the checkpoint wins
+    # decisively even below the old gate, because two extra
+    # explode+shuffle corpus passes always cost more than blocking on a
+    # 931-row materialization.
     c12 = bg.groupBy("w1", "w2").agg(
         F.count("*").cast("double").alias("c12")
-    )
-    # probe the RAW table, not the spread() frame — count on the bare
-    # scan folds to parquet footer metadata; on the repartition it would
-    # pay a real exchange
-    if spark.table("documents").count() > 20_000:
-        c12 = c12.localCheckpoint()
+    ).localCheckpoint()
     # c1 folds from the materialized bigram counts — bigram-vocab
     # grain, not another corpus pass (integer counts in double: exact
     # in any order). A localCheckpoint of the raw bigram STREAM was
