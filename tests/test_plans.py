@@ -505,3 +505,22 @@ def test_round_bodies_cover_checkpointed_iteratives(spark):
         assert "Scan ExistingRDD" not in plan.split("== Physical Plan ==")[
             -1
         ].split("\n")[1], f"{name} round body must not START at a checkpoint"
+
+
+def test_r12_additions_plan_shapes(spark):
+    """Round-12 additions: q274's anchor/verify joins must stay
+    equi-join shaped (the quadratic gram join belongs to the ORACLE
+    only), and q275's doc-grain path must be a broadcast hash join of
+    the 40-row codec frame — never a shuffle keyed on the corpus."""
+    from pandas_td_spark.plans.explain import physical_plan
+
+    p274 = physical_plan(
+        spark_queries()["q274_substring_run_pairs"](spark, SF)
+    )
+    assert "BroadcastNestedLoopJoin" not in p274, p274
+    assert "CartesianProduct" not in p274, p274
+
+    q275 = spark_queries()["q275_mp3_entropy_roundtrip"](spark, SF)
+    p275 = physical_plan(q275)
+    assert has_broadcast_hash_join(q275), p275
+    assert "CartesianProduct" not in p275, p275
