@@ -30,6 +30,7 @@ __all__ = [
     "exact_dedup",
     "shingle_array",
     "minhash_signatures",
+    "minhash_band_rows",
     "verify_jaccard_on_pairs",
     "lsh_candidate_pairs",
     "jaccard_pairs",
@@ -156,6 +157,84 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _band_struct_array(num_hashes: int, bands: int) -> Column:
+    """The b-element array of r-slot band-key STRUCTS over signature
+    columns ``mh0..mh{k-1}`` — shared by the batch pair join, the static
+    band index, and the streaming row-local path, so all three collide
+    on identical keys by construction."""
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                *[
+                    F.col(f"mh{b * r + j}").alias(f"h{j}")
+                    for j in range(r)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Banded MinHash keys computed ENTIRELY ROW-LOCALLY: one output row
+    per (doc, band) with the same ``(band_idx, band_key)`` values as
+    :func:`lsh_candidate_pairs`'s shuffle-aggregated path (same md5-fold
+    base hash, same :func:`minhash_params` family, same band structs —
+    parity pinned in tests/test_streaming.py).
+
+    This is the STREAMING-SAFE form: append-mode Structured Streaming
+    cannot run the explode+groupBy signature plan mid-pipeline, while a
+    per-row projection carries no state at all. The trade: the batch
+    path's partial aggregation collapses shingles before the shuffle
+    (optimal for the all-pairs join), whereas here each row folds its
+    own shingle array ``num_hashes`` times — O(shingles x k) modmuls
+    inside one projection, no shuffle, which is exactly what a
+    per-document stream wants. ``extra_cols`` (e.g. the event-time
+    column) ride along untouched."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    base = F.transform(
+        shingle_array(text_col, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % MINHASH_PRIME,
+    )
+    # __hs is a non-cheap named column referenced k times: CollapseProject
+    # keeps the projection boundary, so the md5 fold runs once per row
+    hashed = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], base.alias("__hs")
+    )
+    def _mix(a: int, b: int):
+        # a closure per (a, b): transform()'s binder counts the lambda's
+        # parameters, so default-arg capture would read as a 3-arg HOF
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    mins = [
+        F.array_min(F.transform(F.col("__hs"), _mix(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    sig = hashed.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], *mins
+    )
+    return sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(_band_struct_array(num_hashes, bands)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -179,20 +258,11 @@ def lsh_candidate_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_keys = F.array(
-        *[
-            F.struct(
-                *[
-                    F.col(f"mh{b * r + j}").alias(f"h{j}")
-                    for j in range(r)
-                ]
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
         F.col(id_col),
-        F.posexplode(band_keys).alias("band_idx", "band_key"),
+        F.posexplode(_band_struct_array(num_hashes, bands)).alias(
+            "band_idx", "band_key"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -32,12 +32,16 @@ from pyspark.sql.types import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "DOCS_STREAM_SCHEMA",
     "events_stream",
+    "docs_stream",
     "tumbling_counts",
     "distinct_user_rollup",
     "sliding_counts",
     "sessionized_counts",
     "dedup_stream",
+    "lsh_band_index",
+    "known_near_dup_stream",
     "write_idempotent_parquet",
     "ProgressRecorder",
 ]
@@ -528,3 +532,108 @@ def ohlc_bars_stream(
             "volume",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 x L2 — streaming near-dup dedup against a corpus snapshot (r12).
+# The realistic 100 TB ingestion pattern: yesterday's corpus is a STATIC
+# banded-MinHash index (rebuilt by a batch job at whatever cadence);
+# today's crawl streams in, and every incoming document is flagged the
+# moment any of its band keys collides with the index. The banding runs
+# ROW-LOCALLY (operators/dedup.py::minhash_band_rows — the same
+# seeded-md5 family and band structs as the oracle-checked q53 batch
+# path, parity pinned in tests), the index join is stream-static
+# LEFT SEMI (stateless on the stream side), and the only state is the
+# per-doc dropDuplicatesWithinWatermark that collapses a doc's multiple
+# band hits to one verdict row — bounded by the watermark horizon.
+# ---------------------------------------------------------------------------
+
+#: documents-as-a-stream schema: the batch fixture's (doc_id, text) plus
+#: the arrival timestamp an ingestion pipeline always carries.
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def docs_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of document parquet files (DOCS_STREAM_SCHEMA)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def lsh_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch builder of the static near-dup index: the DISTINCT
+    (band_idx, band_key) set of a corpus snapshot. Runs the shuffle-
+    aggregated signature path (partial aggregation collapses shingles
+    map-side — the right batch shape), then drops doc ids: the streaming
+    consumer only needs membership. Persist with ``write_table`` at
+    whatever cadence the corpus rebuilds."""
+    from pandas_td_spark.operators.dedup import (
+        _band_struct_array,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    return sig.select(
+        F.posexplode(_band_struct_array(num_hashes, bands)).alias(
+            "band_idx", "band_key"
+        )
+    ).distinct()
+
+
+def known_near_dup_stream(
+    docs: DataFrame,
+    known_bands: DataFrame,
+    watermark: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming near-dup flagger: emits one (doc_id, ts) row per
+    incoming document whose banded MinHash collides with the static
+    index — the docs a training-data pipeline quarantines as likely
+    near-duplicates of the existing corpus (banded LSH gives the same
+    candidate semantics as the batch q53 path; a downstream batch verify
+    can re-check exact Jaccard on the flagged subset, exactly like the
+    batch dispatcher's verify stage).
+
+    Plan: row-local banding (no state) -> stream-static LEFT SEMI join
+    on (band_idx, band_key) (no state) -> dropDuplicatesWithinWatermark
+    on the id (the one stateful step, watermark-bounded) — so state is
+    O(flagged docs per horizon), independent of corpus and stream
+    volume."""
+    from pandas_td_spark.operators.dedup import minhash_band_rows
+
+    banded = minhash_band_rows(
+        docs.withWatermark("ts", watermark),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        extra_cols=("ts",),
+    )
+    hits = banded.join(
+        known_bands, ["band_idx", "band_key"], "left_semi"
+    ).select(id_col, "ts")
+    return hits.dropDuplicatesWithinWatermark([id_col])

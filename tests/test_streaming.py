@@ -655,3 +655,106 @@ def test_incremental_rollup_stream_matches_cold_rebuild(spark, staged):
     want = agg_of(spark.read.parquet(staged))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# T9 x L2 (r12): streaming near-dup dedup against a static band index.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def staged_docs(spark):
+    """Documents split into an INDEX half (even doc_id — the corpus
+    snapshot) and a STREAM half (odd doc_id + replayed copies of three
+    index docs under new ids/timestamps — planted known near-dups)."""
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    docs = spark.table("documents").select("doc_id", "source", "text")
+    index_half = docs.where(F.col("doc_id") % 2 == 0)
+    ts = F.to_timestamp(
+        F.lit("2024-01-01 00:00:00")
+    ) + F.make_interval(mins=(F.col("doc_id") % 120).cast("int"))
+    planted = (
+        index_half.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    stream_half = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(planted)
+        .select("doc_id", ts.alias("ts"), "source", "text")
+    )
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    stream_half.repartition(3).write.mode("overwrite").parquet(d)
+    return d, index_half
+
+
+def test_band_rows_parity_with_batch_signature_path(spark):
+    """minhash_band_rows (row-local, streaming-safe) must emit exactly
+    the (doc_id, band_idx, band_key) set of the shuffle-aggregated
+    batch path — same md5 fold, same affine family, same structs."""
+    from pandas_td_spark.operators.dedup import (
+        _band_struct_array,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    docs = spark.table("documents").limit(200)
+    batch = minhash_signatures(docs).select(
+        "doc_id",
+        F.posexplode(_band_struct_array(32, 8)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    local = minhash_band_rows(docs)
+    assert batch.exceptAll(local).count() == 0
+    assert local.exceptAll(batch).count() == 0
+
+
+def test_known_near_dup_stream_matches_batch_and_flags_planted(
+    spark, staged_docs
+):
+    from pandas_td_spark.operators.dedup import minhash_band_rows
+    from pandas_td_spark.streaming.jobs import (
+        docs_stream,
+        known_near_dup_stream,
+        lsh_band_index,
+    )
+
+    d, index_half = staged_docs
+    idx = lsh_band_index(index_half)
+    stream = docs_stream(spark, d, max_files_per_trigger=1)
+    # watermark must cover the fixture's full 2 h ts spread: with
+    # maxFilesPerTrigger=1 the watermark advances between micro-batches
+    # and a shorter horizon would (correctly) drop late files as late
+    # data — late-drop semantics are covered by the dedup_stream test
+    got = run_to_memory(
+        known_near_dup_stream(stream, idx, watermark="3 hours"),
+        _name(),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    # batch twin: distinct stream-half ids with any band in the index
+    batch_docs = spark.read.parquet(d)
+    want = {
+        r.doc_id
+        for r in minhash_band_rows(batch_docs, extra_cols=("ts",))
+        .join(idx, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert set(got["doc_id"]) == want
+    # every planted replay (verbatim copy of an index doc) is flagged
+    assert {i for i in want if i >= 1_000_000} == set(
+        got[got["doc_id"] >= 1_000_000]["doc_id"]
+    )
+    assert len({i for i in got["doc_id"] if i >= 1_000_000}) == 3
+    # one verdict row per flagged doc (the dropDuplicates collapsed the
+    # multi-band hits)
+    assert len(got) == len(set(got["doc_id"]))
