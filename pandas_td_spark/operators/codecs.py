@@ -303,6 +303,39 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(out)
 
 
+def _audio_feature_vec(
+    mono: np.ndarray,
+    rate: int,
+    out_dim: int,
+    head: list[float] | None = None,
+) -> list[float]:
+    """Shared audio feature block for every container branch of
+    :func:`media_features`: duration/rms/peak/zcr head over the mono
+    downmix + FFT band energies. A caller with a contract-pinned head
+    (WAV: wav_features' exact floats) passes it in; the band layout is
+    identical either way."""
+    n = len(mono)
+    if head is None:
+        head = [
+            n / rate if rate else 0.0,
+            float(np.sqrt((mono**2).mean())) if n else 0.0,
+            float(np.abs(mono).max()) if n else 0.0,
+            float((np.diff(np.signbit(mono)) != 0).mean())
+            if n > 1
+            else 0.0,
+        ]
+    n_bands = max(out_dim - len(head), 0)
+    if n_bands and n:
+        spec = np.abs(np.fft.rfft(mono))
+        bands = [
+            float(b.mean()) if len(b) else 0.0
+            for b in np.array_split(spec, n_bands)
+        ]
+    else:
+        bands = [0.0] * n_bands
+    return head + bands
+
+
 def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     """Drop-in ``decode_fn`` for ``multimodal.featurize_binary``:
     REAL decode for WAV/FLAC/MP3(subset)/PPM/PGM/BMP/PNG/baseline-and-
@@ -322,62 +355,30 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             # MP3 frame sync (JPEG SOI excluded above). Subset decode;
             # out-of-subset streams raise NotImplementedError -> stub.
             mono, rate = mp3_decode_pcm(payload)
-            n = len(mono)
-            f = {
-                "duration_s": n / rate if rate else 0.0,
-                "rms": float(np.sqrt((mono**2).mean())) if n else 0.0,
-                "peak": float(np.abs(mono).max()) if n else 0.0,
-                "zcr": float(
-                    (np.diff(np.signbit(mono)) != 0).mean()
-                ) if n > 1 else 0.0,
-            }
-            head = [f["duration_s"], f["rms"], f["peak"], f["zcr"]]
-            n_bands = max(out_dim - len(head), 0)
-            if n_bands and n:
-                spec = np.abs(np.fft.rfft(mono))
-                bands = [
-                    float(b.mean()) if len(b) else 0.0
-                    for b in np.array_split(spec, n_bands)
-                ]
-            else:
-                bands = [0.0] * n_bands
-            vec = head + bands
+            vec = _audio_feature_vec(mono, rate, out_dim)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" or (
             payload[:4] == b"fLaC"
         ):
             if payload[:4] == b"fLaC":
+                # same head semantics as wav_features: rms/peak/zcr
+                # over the MONO DOWNMIX, so the same audio yields
+                # identical features through either container
                 xi, rate = decode_flac(payload)
                 x = xi.astype(np.float64) / 32767.0
-                n = x.shape[0]
-                mono0 = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
-                f = {
-                    # same head semantics as wav_features: rms/peak/zcr
-                    # over the MONO DOWNMIX, so the same audio yields
-                    # identical features through either container
-                    "duration_s": n / rate if rate else 0.0,
-                    "rms": float(np.sqrt((mono0**2).mean())) if n else 0.0,
-                    "peak": float(np.abs(mono0).max()) if n else 0.0,
-                    "zcr": float(
-                        (np.diff(np.signbit(mono0)) != 0).mean()
-                    ) if n > 1 else 0.0,
-                }
+                mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
+                vec = _audio_feature_vec(mono, rate, out_dim)
             else:
+                # the WAV head stays pinned to wav_features (its exact
+                # float sequence is what the q238-family oracles replay)
                 f = wav_features(payload)
                 x, _ = decode_wav(payload)
-            mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
-            head = [
-                f["duration_s"], f["rms"], f["peak"], f["zcr"],
-            ]
-            n_bands = max(out_dim - len(head), 0)
-            if n_bands and len(mono):
-                spec = np.abs(np.fft.rfft(mono))
-                bands = [
-                    float(b.mean()) if len(b) else 0.0
-                    for b in np.array_split(spec, n_bands)
-                ]
-            else:
-                bands = [0.0] * n_bands
-            vec = head + bands
+                mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
+                vec = _audio_feature_vec(
+                    mono,
+                    0,
+                    out_dim,
+                    head=[f["duration_s"], f["rms"], f["peak"], f["zcr"]],
+                )
         elif (
             payload[:2] in (b"P6", b"P5", b"BM")
             or payload[:8] == _PNG_SIG
@@ -401,7 +402,10 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             vec = head
         else:
             return stub_decoder(payload, out_dim)
-    except (ValueError, NotImplementedError):
+    except (ValueError, NotImplementedError, IndexError):
+        # IndexError: sync-matching garbage can run a parser past its
+        # buffer (e.g. a payload whose first bytes mimic MP3 frame sync)
+        # — featurization must degrade to the stub, never crash the job
         return stub_decoder(payload, out_dim)
     return np.asarray(vec[:out_dim], dtype=np.float32)
 
@@ -3323,6 +3327,17 @@ def mp3_encode_entropy(
             tail = vals[2 * big_values :]
             nz = np.nonzero(tail)[0]
             n_quads = 0 if len(nz) == 0 else (int(nz[-1]) // 4) + 1
+            if n_quads * 4 > len(tail):
+                # the decoder's `i + 4 <= 576` guard can never read a
+                # trailing PARTIAL quad, so a nonzero there would be
+                # silently unreachable — refuse instead of emitting a
+                # stream that cannot round-trip (choose big_values with
+                # (576 - 2*big_values) % 4 == 0, or zero the tail end)
+                raise ValueError(
+                    "nonzero count1 value in an unencodable partial "
+                    "quad (2*big_values leaves a tail not divisible "
+                    "by 4)"
+                )
             for qdx in range(n_quads):
                 quad = [int(v) for v in tail[4 * qdx : 4 * qdx + 4]]
                 bits.append(_count1b_code(*[abs(v) for v in quad]))
@@ -3400,6 +3415,8 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             nonlocal bp
             if w == 0:
                 return 0
+            if bp + w > len(bits):
+                raise ValueError("truncated MP3 frame")
             v = int(bits[bp : bp + w], 2)
             bp += w
             return v
@@ -3426,6 +3443,10 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             gr["preflag"] = take(1)
             gr["scalefac_scale"] = take(1)
             gr["count1table_select"] = take(1)
+            if gr["big_values"] > 288:
+                # 9-bit field, but >288 pairs would overrun the 576
+                # spectral lines — corrupt stream, refuse cleanly
+                raise ValueError("big_values out of range")
             grs.append(gr)
         frame_spectra = []
         for g, gr in enumerate(grs):
@@ -3451,6 +3472,8 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                     while code not in inv_t1:
                         if len(code) > maxlen_t1:
                             raise ValueError("bad Huffman code")
+                        if bp >= len(bits):
+                            raise ValueError("truncated MP3 frame")
                         code += bits[bp]
                         bp += 1
                     x, y = inv_t1[code]

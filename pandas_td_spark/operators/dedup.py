@@ -794,6 +794,12 @@ def substring_run_pairs(
         )
         .select("id", (F.col("p0") + 1).alias("i"), "g")
     )
+    if materialize_candidates:
+        # grams feeds BOTH sides of the ga/gb join below — without a cut
+        # the explode subtree over candidate docs is planned (and run)
+        # once per side, doubling the verify-stage scan (the same
+        # re-evaluation hazard the anchors/cand checkpoints close)
+        grams = grams.localCheckpoint()
     ga = grams.select(
         F.col("id").alias("id_a"), F.col("i").alias("i"), "g"
     )

@@ -77,6 +77,13 @@ def _driver_kmeans(rows, k: int, n_iter: int) -> np.ndarray:
         ],
         dtype=np.int64,
     )
+    # int64 sums are exact only inside the envelope n * max|unit| < 2^62
+    # (the |x|~1 comment above is typical, not enforced) — outside it,
+    # numpy would WRAP SILENTLY (C semantics) and return wrong centroids
+    # where the distributed decimal fit stays exact. Fall back to exact
+    # arbitrary-precision Python-int sums there: slower, never wrong.
+    max_unit = int(np.abs(units).max(initial=0))
+    exact_int64 = max_unit * max(len(rows), 1) < 2**62
     for _ in range(n_iter):
         d = (A * A).sum(1)[:, None] - 2.0 * (A @ centers.T)
         cell = d.argmin(1)
@@ -86,7 +93,11 @@ def _driver_kmeans(rows, k: int, n_iter: int) -> np.ndarray:
             n = int(mask.sum())
             if n == 0:
                 continue
-            s = units[mask].sum(0, dtype=np.int64)
+            if exact_int64:
+                s = units[mask].sum(0, dtype=np.int64)
+            else:
+                s = [sum(int(u) for u in units[mask][:, j])
+                     for j in range(units.shape[1])]
             new[c] = np.array(
                 [int(u) / 10**12 for u in s], dtype=np.float64
             ) / n

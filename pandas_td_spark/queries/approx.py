@@ -35,7 +35,15 @@ def q70_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.6 s warm at sf0.1); the same shape a 100 TB run wants, since the
     distinct exchange carries |distinct pairs|, not the fact stream."""
     li = spark.table("lineitem")
-    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    # NULL partkeys must not count: countDistinct (the pre-r12 form) and
+    # the HLL sketch both skip NULL, so the distinct-pairs count(*) has
+    # to filter it explicitly or exact_parts drifts +1 on NULL-bearing
+    # input (r12 review)
+    pairs = (
+        li.select("l_returnflag", "l_partkey")
+        .where(F.col("l_partkey").isNotNull())
+        .distinct()
+    )
     return pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("exact_parts"),

@@ -1903,9 +1903,10 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE r11: with ansi off the wrap would be SILENT — wrong slopes,
     green-looking rows — so the envelope is now ENFORCED: the aggregate
     also carries max|qc|/max|pc|, and the 3-row tail asserts
-    n·max|qc·pc| < 2^62 (a sound upper bound on |Σ qc·pc|, evaluated in
-    doubles, so it cannot itself wrap). Out-of-envelope scale fails
-    loudly; swap to decimal sums beyond it, same formula."""
+    n·g² < 2^62 with g = max(|qc|, |pc|, 1) — a sound upper bound on
+    EVERY summed moment incl. the linear Σqc/Σpc (evaluated in doubles,
+    so it cannot itself wrap). Out-of-envelope scale fails loudly; swap
+    to decimal sums beyond it, same formula."""
     li = spark.table("lineitem")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -1919,11 +1920,14 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(pc)).alias("_mp"),
     )
     nd = F.col("nb").cast("double")
-    mq = F.col("_mq").cast("double")
-    mp = F.col("_mp").cast("double")
-    in_envelope = (nd * mq * F.greatest(mq, mp) < F.lit(float(2**62))) | (
-        F.col("nb") == 0
+    # g = max(mq, mp, 1): n*g^2 dominates EVERY summed moment —
+    # n*mq, n*mp (the g>=1 floor covers the linear sums when the other
+    # max is 0; a plain n*mq*max(mq,mp) bound missed Σpc when mq == 0),
+    # n*mq^2, and n*mq*mp
+    g = F.greatest(
+        F.col("_mq").cast("double"), F.col("_mp").cast("double"), F.lit(1.0)
     )
+    in_envelope = (nd * g * g < F.lit(float(2**62))) | (F.col("nb") == 0)
     s = m.select(
         "l_returnflag",
         "nb",
