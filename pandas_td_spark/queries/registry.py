@@ -165,18 +165,18 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # Values and plans identical — only the memo bookkeeping changed:
     "q54_simhash_pairs": 11,
     "q56_embedding_lsh_topk": 11,
-    "q65_near_dup_clusters": 11,
-    "q80_near_dup_prefix": 11,
+    # (q65_near_dup_clusters / q80_near_dup_prefix r11 entries
+    # superseded by their r12 rows below)
     "q117_dsir_select": 11,
     "q121_triangle_count": 11,
     "q158_basket_lift": 11,
-    "q159_cluster_survivor": 11,
+    # (q159_cluster_survivor's r11 entry superseded by its r12 row below)
     "q164_bfs_levels": 11,
     "q165_degree_histogram": 11,
     # (q166_kcore's r11 entry superseded by its r12 row below)
     "q197_link_prediction": 11,
-    "q235_dup_rate_by_source": 11,
-    "q264_split_leakage": 11,
+    # (q235_dup_rate_by_source / q264_split_leakage r11 entries
+    # superseded by their r12 rows below)
     "q265_bpe_train": 11,
     "q270_bpe_encode_stats": 11,
     "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
@@ -247,10 +247,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # identical): q128 documents the rejected no-sort A/B variant
     # in-body; q63's docstring points at its new md5 twin:
     "q63_smart_digest": 10,
-    # round 10: MinHash switched from seeded-xxhash64 to the seeded-md5
-    # universal family + struct band keys (oracle-expressible; q53 now
-    # has a full DuckDB oracle):
-    "q53_minhash_lsh_pairs": 10,
+    # (q53_minhash_lsh_pairs's r10 seeded-md5 entry superseded by its
+    # r12 row below)
     # round 10 perf rework (oracles updated in lockstep, both engines
     # re-green at sf0.001/sf0.01):
     # (q167_bootstrap_ci's r10 bigint-cents entry superseded by its r12
@@ -276,6 +274,17 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q193_embedding_whitening": 12,  # rows-only -> FULL oracle: moments
     # recomputed in the CTE (double-then-decimal casts aligned), norm as
     # an explicit left-assoc 64-term chain matching the F.aggregate fold
+    # round 12 shared-helper drift (operators/dedup.py: band-struct
+    # builder factored out for the streaming path, verify-stage gram
+    # checkpoint in substring_run_pairs) — values identical, plans
+    # identical except q274's halved verify subtree; q53/q65/q80
+    # re-verified green at sf0.01 the same session:
+    "q53_minhash_lsh_pairs": 12,
+    "q65_near_dup_clusters": 12,
+    "q80_near_dup_prefix": 12,
+    "q159_cluster_survivor": 12,
+    "q235_dup_rate_by_source": 12,
+    "q264_split_leakage": 12,
     # round 12 perf pass (values identical; plans reshaped):
     "q186_bigram_nll": 12,  # bigram-LM checkpoint now size-gated at
     # 20k docs (r11's unconditional checkpoint was the 1.03->1.19 s
