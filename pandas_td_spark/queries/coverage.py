@@ -1902,11 +1902,10 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay under int64 (Σ qc·pc ≈ 7.5e15 at sf0.1; overflow ≈ sf100).
     ADVICE r11: with ansi off the wrap would be SILENT — wrong slopes,
     green-looking rows — so the envelope is now ENFORCED: the aggregate
-    also carries max|qc|/max|pc|, and the 3-row tail asserts
-    n·g² < 2^62 with g = max(|qc|, |pc|, 1) — a sound upper bound on
-    EVERY summed moment incl. the linear Σqc/Σpc (evaluated in doubles,
-    so it cannot itself wrap). Out-of-envelope scale fails loudly; swap
-    to decimal sums beyond it, same formula."""
+    also carries max|qc|/max|pc|, and the 3-row tail asserts one sound
+    bound PER moment (n·mq, n·mp, n·mq², n·mq·mp all < 2^62 — evaluated
+    in doubles, so the guard cannot itself wrap). Out-of-envelope scale
+    fails loudly; swap to decimal sums beyond it, same formula."""
     li = spark.table("lineitem")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -1920,14 +1919,21 @@ def q183_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(pc)).alias("_mp"),
     )
     nd = F.col("nb").cast("double")
-    # g = max(mq, mp, 1): n*g^2 dominates EVERY summed moment —
-    # n*mq, n*mp (the g>=1 floor covers the linear sums when the other
-    # max is 0; a plain n*mq*max(mq,mp) bound missed Σpc when mq == 0),
-    # n*mq^2, and n*mq*mp
-    g = F.greatest(
-        F.col("_mq").cast("double"), F.col("_mp").cast("double"), F.lit(1.0)
-    )
-    in_envelope = (nd * g * g < F.lit(float(2**62))) | (F.col("nb") == 0)
+    mq = F.col("_mq").cast("double")
+    mp = F.col("_mp").cast("double")
+    # one sound bound PER moment: n*mq >= |Σqc|, n*mp >= |Σpc|,
+    # n*mq^2 >= Σqc^2, n*mq*mp >= |Σqc*pc|. The r11 single-expression
+    # guard n*mq*max(mq,mp) missed Σpc entirely when mq == 0, and the
+    # first r12 fix (n*max(mq,mp,1)^2) overshot by mp/mq (~2000x on
+    # TPC-H cents) and false-fired on valid sf0.1 data — per-moment
+    # checks are both sound and tight.
+    lim = F.lit(float(2**62))
+    in_envelope = (
+        (nd * mq < lim)
+        & (nd * mp < lim)
+        & (nd * mq * mq < lim)
+        & (nd * mq * mp < lim)
+    ) | (F.col("nb") == 0)
     s = m.select(
         "l_returnflag",
         "nb",
