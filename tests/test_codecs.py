@@ -1457,3 +1457,101 @@ def test_mp3_media_features_real_decode_and_stub_fallback():
     bad[1] &= ~0x01  # protection bit 0 = CRC present
     vb = media_features(bytes(bad), out_dim=16)
     assert np.array_equal(vb, stub_decoder(bytes(bad), 16))
+
+
+def test_mp3_entropy_property_random_roundtrip():
+    """Hypothesis: ANY ternary spectra shape the subset accepts (1-2
+    frames, any quad-aligned big_values, any gain/rate/bitrate combo
+    with integral frames) must round-trip bit-exactly AND re-encode to
+    the identical byte stream."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.int64,
+            st.tuples(st.integers(1, 2), st.just(2), st.just(576)),
+            elements=st.integers(-1, 1),
+        ),
+        # quad-aligned big_values (the partial-quad refusal is tested
+        # separately below); 320 kbps guarantees the frame budget
+        st.integers(0, 144).map(lambda v: 2 * v),
+        st.integers(0, 255),
+    )
+    def check(sp, big_values, gain):
+        b = mp3_encode_entropy(
+            sp, bitrate_kbps=320, global_gain=gain, big_values=big_values
+        )
+        d = mp3_decode_entropy(b)
+        assert np.array_equal(d["spectra"], sp)
+        assert d["side_info"][0]["granules"][0]["global_gain"] == gain
+        assert (
+            mp3_encode_entropy(
+                d["spectra"],
+                bitrate_kbps=320,
+                global_gain=gain,
+                big_values=big_values,
+            )
+            == b
+        )
+
+    check()
+
+
+def test_mp3_decode_property_never_crashes_on_mutations():
+    """Hypothesis: ANY byte mutation of a valid stream (and any random
+    prefix garbage) must either decode or refuse with the documented
+    ValueError/NotImplementedError — never IndexError/TypeError (the r12
+    review contract: corrupt streams refuse cleanly, and media_features
+    degrades to the stub)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_td_spark.operators.codecs import (
+        media_features,
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.default_rng(3)
+    base = bytearray(
+        mp3_encode_entropy(
+            rng.integers(-1, 2, size=(1, 2, 576)), bitrate_kbps=320
+        )
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, len(base) - 1), st.integers(0, 255)
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def check(mutations, truncate):
+        b = bytearray(base)
+        for pos, val in mutations:
+            b[pos] = val
+        if truncate:
+            b = b[: max(4, len(b) - 37)]
+        try:
+            mp3_decode_entropy(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the documented clean refusal
+        # media_features must ALWAYS produce a vector, whatever happened
+        v = media_features(bytes(b), out_dim=8)
+        assert v.shape == (8,)
+
+    check()
