@@ -31,12 +31,14 @@ window, and a 32-band pseudo-QMF polyphase filterbank (in-repo
 root-raised-cosine prototype; see the MP3 section for the one honest
 departure from Table B.3) — so :func:`media_features` now really
 decodes subset MP3 payloads (:func:`mp3_decode_pcm`) and stubs only
-out-of-subset streams. The remaining full-stub set is exactly
-**compressed video (H.264-class)** — motion-compensated codecs whose
-entropy layer (CABAC) is a genuinely larger engineering job
-(``multimodal.stub_decoder``); :func:`media_features` dispatches on
-magic bytes and falls back to the stub for those, so the pipeline runs
-end-to-end on mixed corpora either way.
+out-of-subset streams. **H.264** gained its STRUCTURAL layer late in
+r12 (operators/h264.py: Annex-B NAL framing with emulation prevention,
+Exp-Golomb, SPS/PPS/slice-prefix parsing — :func:`media_features` now
+emits real dims/profile/slice-histogram features for Annex-B streams);
+its ENTROPY and RECONSTRUCTION layers (CAVLC/CABAC residuals, motion
+compensation) remain the one honest stub — a genuinely larger
+engineering job — with the stub fallback keeping mixed-corpus
+pipelines running end-to-end either way.
 
 Feature extraction and resize are closed-form numpy (RMS/peak/ZCR/
 duration for audio; per-channel means + intensity histogram for images;
@@ -340,13 +342,32 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
     """Drop-in ``decode_fn`` for ``multimodal.featurize_binary``:
     REAL decode for WAV/FLAC/MP3(subset)/PPM/PGM/BMP/PNG/baseline-and-
     progressive-JPEG/GIF (audio: duration/rms/peak/zcr + FFT band
-    energies; image: shape/channel stats + intensity histogram), stub
-    fallback for formats that need external codecs (H.264; MP3 streams
-    outside the implemented subset). Always returns float32[out_dim]."""
+    energies; image: shape/channel stats + intensity histogram),
+    STRUCTURAL features for Annex-B H.264 (dims/profile/slice histogram
+    — operators/h264.py; the entropy layer stays stubbed), stub
+    fallback for everything else (including MP3/H.264 streams outside
+    their implemented subsets). Always returns float32[out_dim]."""
     from pandas_td_spark.operators.multimodal import stub_decoder
 
     try:
-        if (
+        if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+            # Annex-B H.264: STRUCTURAL features only (operators/h264.py
+            # — NAL framing, SPS dims, slice histogram; entropy decode
+            # stays stubbed, and out-of-subset streams raise -> stub)
+            from pandas_td_spark.operators.h264 import h264_stream_info
+
+            info = h264_stream_info(payload)
+            sc = info["slice_counts"]
+            vec = [
+                float(info["height"]), float(info["width"]),
+                float(info["n_nals"]),
+                float(sc.get("I", 0)), float(sc.get("P", 0)),
+                float(sc.get("B", 0)),
+                float(info["profile_idc"]), float(info["level_idc"]),
+                1.0 if info["entropy_mode"] == "cabac" else 0.0,
+            ]
+            vec += [0.0] * max(out_dim - len(vec), 0)
+        elif (
             len(payload) >= 4
             and payload[0] == 0xFF
             and payload[1] & 0xE0 == 0xE0

@@ -2706,3 +2706,124 @@ def _q275_classes() -> tuple:
             int((v != 0).sum()), int((v * fg).sum()),
         ))
     return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# L5k — H.264 structural layer EXACT round-trip (r12, late). Same
+# playbook as q275: 40 closed-form stream classes (dims via MB counts +
+# even cropping, I/P/B frame mixes, CAVLC/CABAC, baseline/main) are
+# emitted by the in-repo Annex-B encoder, re-parsed by the REAL
+# structural parser (NAL framing + emulation prevention + Exp-Golomb +
+# SPS/PPS/slice prefixes), and the integer stats come from the PARSED
+# stream — while the DuckDB oracle recomputes them from the class
+# definitions, INCLUDING the exact SPS RBSP byte length via Exp-Golomb
+# bit accounting (ue(v) costs 2*floor(log2(v+1))+1 bits; + stop bit,
+# byte alignment). Any drift in the ue/se writer, the SPS field
+# sequence, cropping arithmetic, or NAL framing flips an integer and
+# goes red. Model-grain: the 40 classes are driver numpy, broadcast-
+# joined (the q275 discipline).
+# ---------------------------------------------------------------------------
+@query(
+    "q276_h264_structural_roundtrip",
+    oracle="""
+    WITH ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), defs AS (
+      SELECT k,
+             1 + (k % 7) AS w_mbs,
+             1 + (k % 5) AS h_mbs,
+             k % 3 AS crop_r,
+             k % 2 AS crop_b,
+             1 + (k % 4) + (k % 2) AS n_slices,
+             k % 4 AS n_p,
+             k % 2 AS n_b,
+             CASE WHEN k % 3 = 0 THEN 77 ELSE 66 END AS profile,
+             30 + (k % 3) AS level_idc,
+             k % 2 AS cabac
+      FROM ks
+    ), bits AS (
+      SELECT *,
+             -- ue(v) = 2*floor(log2(v+1))+1 bits; fixed fields: 24
+             -- header + 3 flag bits (frame_mbs_only, direct_8x8, vui)
+             24
+             + 1  -- ue(0) sps_id
+             + 1  -- ue(0) log2_max_frame_num_minus4
+             + (2*CAST(floor(log2(2+1)) AS INT)+1)  -- ue(2) poc_type
+             + (2*CAST(floor(log2(1+1)) AS INT)+1)  -- ue(1) max_ref
+             + 1  -- gaps flag
+             + (2*CAST(floor(log2(w_mbs)) AS INT)+1)   -- ue(w_mbs-1)
+             + (2*CAST(floor(log2(h_mbs)) AS INT)+1)   -- ue(h_mbs-1)
+             + 1 + 1  -- frame_mbs_only, direct_8x8
+             + CASE WHEN crop_r + crop_b > 0
+                    THEN 1 + 1 + (2*CAST(floor(log2(crop_r+1)) AS INT)+1)
+                           + 1 + (2*CAST(floor(log2(crop_b+1)) AS INT)+1)
+                    ELSE 1 END  -- cropping flag (+ 4 ue's when set)
+             + 1  -- vui flag
+             AS sps_bits
+      FROM defs
+    )
+    SELECT d.doc_id,
+           CAST(b.w_mbs * 16 - 2 * b.crop_r AS BIGINT) AS width,
+           CAST(b.h_mbs * 16 - 2 * b.crop_b AS BIGINT) AS height,
+           CAST(2 + b.n_slices AS BIGINT) AS n_nals,
+           CAST(b.n_p AS BIGINT) AS n_p,
+           CAST(b.n_b AS BIGINT) AS n_b,
+           CAST(b.profile AS BIGINT) AS profile_idc,
+           CAST(b.level_idc AS BIGINT) AS level_idc,
+           CAST(b.cabac AS BIGINT) AS cabac,
+           CAST((b.sps_bits + 1 + 7) // 8 AS BIGINT) AS sps_rbsp_bytes
+    FROM documents d JOIN bits b ON b.k = d.doc_id % 40
+    """,
+    scale_note=(
+        "model-grain like q275: 40 stream classes built and parsed in "
+        "the driver (sub-ms numpy-free python), broadcast-joined onto "
+        "documents — the doc-grain path is a pure JVM hash join"
+    ),
+)
+def q276_h264_structural_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Emit Annex-B streams for 40 closed-form classes → REAL structural
+    parse → integer stats the SQL oracle recomputes from the definitions
+    (incl. exact Exp-Golomb bit accounting for the SPS RBSP length)."""
+    classes = spark.createDataFrame(
+        _q276_classes(),
+        "k long, width long, height long, n_nals long, n_p long, "
+        "n_b long, profile_idc long, level_idc long, cabac long, "
+        "sps_rbsp_bytes long",
+    )
+    d = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("k")
+    )
+    return d.join(F.broadcast(classes), "k").drop("k")
+
+
+@lru_cache(maxsize=1)
+def _q276_classes() -> tuple:
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_structural,
+        h264_split_nals,
+        h264_stream_info,
+    )
+
+    rows = []
+    for k in range(40):
+        width = 16 * (1 + k % 7) - 2 * (k % 3)
+        height = 16 * (1 + k % 5) - 2 * (k % 2)
+        frames = "I" + "P" * (k % 4) + "B" * (k % 2)
+        profile = 77 if k % 3 == 0 else 66
+        stream = encode_h264_structural(
+            width, height, frames,
+            profile=profile, level=30 + k % 3, cabac=bool(k % 2),
+        )
+        info = h264_stream_info(stream)
+        sps_rbsp = h264_split_nals(stream)[0]["rbsp"]
+        rows.append((
+            k, info["width"], info["height"], info["n_nals"],
+            info["slice_counts"].get("P", 0),
+            info["slice_counts"].get("B", 0),
+            info["profile_idc"], info["level_idc"],
+            1 if info["entropy_mode"] == "cabac" else 0,
+            len(sps_rbsp),
+        ))
+    return tuple(rows)
