@@ -132,15 +132,17 @@ def _escape_rbsp(rbsp: bytes) -> bytes:
 def _unescape_rbsp(data: bytes) -> bytes:
     out = bytearray()
     zeros = 0
-    i = 0
-    while i < len(data):
-        b = data[i]
-        if zeros >= 2 and b == 3 and i + 1 < len(data) and data[i + 1] <= 3:
-            zeros = 0  # emulation-prevention byte: drop it
+    for b in data:
+        # §7.4.1: after two zeros a 0x03 is ALWAYS the emulation-
+        # prevention byte (a conformant encoder only emits it before
+        # 00/01/02/03, so no lookahead is needed — and a trailing
+        # 00 00 03 at NAL end, e.g. escaped cabac_zero_words, must
+        # drop the 03 too)
+        if zeros >= 2 and b == 3:
+            zeros = 0
         else:
             out.append(b)
             zeros = zeros + 1 if b == 0 else 0
-        i += 1
     return bytes(out)
 
 
@@ -150,7 +152,9 @@ def h264_split_nals(payload: bytes) -> list[dict]:
     codes; raises ``ValueError`` when the payload does not begin with
     one (not an Annex-B stream)."""
     i = payload.find(_START3)
-    if i == -1 or i > 1 or any(payload[:i]):
+    # any number of leading_zero_8bits before the first start code is
+    # conformant (spec B.1.1); anything nonzero before it is not
+    if i == -1 or any(payload[:i]):
         raise ValueError("not an Annex-B H.264 stream")
     nals = []
     while i != -1:
@@ -250,22 +254,31 @@ def h264_parse_pps(rbsp: bytes) -> dict:
     }
 
 
-def h264_parse_slice_prefix(rbsp: bytes, sps: dict) -> dict:
+def h264_parse_slice_prefix(
+    rbsp: bytes, sps: dict, idr: bool = False
+) -> dict:
     """First syntax elements of a slice header: enough to classify the
-    picture (I/P/B) and read frame_num. Residual data beyond the prefix
-    is entropy-coded and NOT parsed (the honest boundary)."""
-    r = _ExpGolombReader(rbsp)
+    picture (I/P/B) and read frame_num (+ idr_pic_id on IDR NALs).
+    Residual data beyond the prefix is entropy-coded and NOT parsed
+    (the honest boundary) — only a bounded RBSP prefix is even
+    bit-expanded, so multi-megabyte slices cost O(1) here."""
+    # the prefix is < 30 bytes for any legal field values; never expand
+    # the (potentially huge) entropy-coded remainder into a bit string
+    r = _ExpGolombReader(rbsp[:64])
     first_mb = r.ue()
     slice_type = r.ue()
     pps_id = r.ue()
     frame_num = r.u(sps["log2_max_frame_num"])
-    return {
+    out = {
         "first_mb": first_mb,
         "slice_type": slice_type,
         "slice_letter": SLICE_TYPES.get(slice_type % 5, "?"),
         "pps_id": pps_id,
         "frame_num": frame_num,
     }
+    if idr:
+        out["idr_pic_id"] = r.ue()
+    return out
 
 
 def h264_stream_info(payload: bytes) -> dict:
@@ -273,7 +286,9 @@ def h264_stream_info(payload: bytes) -> dict:
     entropy mode, NAL-type counts and slice-type histogram. Raises the
     underlying ValueError/NotImplementedError for non-subset streams."""
     nals = h264_split_nals(payload)
-    sps = pps = None
+    sps = None
+    pps_by_id: dict[int, dict] = {}
+    referenced: set[int] = set()
     counts: dict[str, int] = {}
     slices: dict[str, int] = {}
     for n in nals:
@@ -282,21 +297,36 @@ def h264_stream_info(payload: bytes) -> dict:
         if n["type"] == 7:
             sps = h264_parse_sps(n["rbsp"])
         elif n["type"] == 8:
-            pps = h264_parse_pps(n["rbsp"])
+            p = h264_parse_pps(n["rbsp"])
+            pps_by_id[p["pps_id"]] = p
         elif n["type"] in (1, 5):
             if sps is None:
                 raise ValueError("slice before SPS")
-            s = h264_parse_slice_prefix(n["rbsp"], sps)
+            s = h264_parse_slice_prefix(n["rbsp"], sps, idr=n["type"] == 5)
+            referenced.add(s["pps_id"])
             slices[s["slice_letter"]] = slices.get(s["slice_letter"], 0) + 1
     if sps is None:
         raise ValueError("no SPS in stream")
+    # the entropy mode belongs to the PPS the slices actually REFERENCE
+    # — taking "the last PPS seen" would silently misreport multi-PPS
+    # streams (r12 review). With no slices, a single PPS speaks for the
+    # stream; ambiguity refuses rather than guessing.
+    ref = referenced if referenced else set(pps_by_id)
+    missing = ref - set(pps_by_id)
+    if missing:
+        raise ValueError(f"slices reference undeclared PPS ids {missing}")
+    modes = {pps_by_id[i]["entropy_coding_mode"] for i in ref}
+    if len(modes) > 1:
+        raise NotImplementedError(
+            "mixed CAVLC/CABAC across referenced PPSes"
+        )
     return {
         "width": sps["width"],
         "height": sps["height"],
         "profile_idc": sps["profile_idc"],
         "level_idc": sps["level_idc"],
         "entropy_mode": (
-            "cabac" if pps and pps["entropy_coding_mode"] else "cavlc"
+            "cabac" if modes and modes.pop() else "cavlc"
         ),
         "n_nals": len(nals),
         "nal_counts": counts,
@@ -379,14 +409,22 @@ def encode_h264_structural(
     emit(3, 7, sps_rbsp)
     emit(3, 8, pps_rbsp)
     letters = {"I": 2, "P": 0, "B": 1}
-    for fi, ft in enumerate(frame_types):
+    frame_num = 0
+    idr_count = 0
+    for ft in frame_types:
         if ft not in letters:
             raise ValueError(f"frame type {ft!r}: use I/P/B")
+        if ft == "I":
+            frame_num = 0  # §7.4.3: frame_num shall be 0 for IDR pics
         w = _ExpGolombWriter()
         w.ue(0)  # first_mb_in_slice
         w.ue(letters[ft])  # slice_type
         w.ue(0)  # pps_id
-        w.u(fi % 16, 4)  # frame_num (log2_max_frame_num = 4)
+        w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+        if ft == "I":
+            w.ue(idr_count % 65536)  # idr_pic_id (mandatory on type 5)
+            idr_count += 1
         slice_rbsp = w.rbsp() + slice_payload
         emit(3 if ft == "I" else 2, 5 if ft == "I" else 1, slice_rbsp)
+        frame_num += 1  # every pic here is a reference pic
     return bytes(out)

@@ -128,3 +128,47 @@ def test_h264_media_features_and_stub_fallback():
     assert np.array_equal(
         media_features(bytes(bad), 16), stub_decoder(bytes(bad), 16)
     )
+
+
+def test_r12_review_fixes():
+    """Post-review behaviors: leading_zero_8bits accepted; trailing
+    00 00 03 drops its emulation byte unconditionally; IDR slices carry
+    frame_num 0 + idr_pic_id; entropy mode follows the REFERENCED PPS."""
+    from pandas_td_spark.operators.h264 import (
+        _unescape_rbsp,
+        h264_parse_slice_prefix,
+    )
+
+    b = encode_h264_structural(64, 64, "I")
+    # spec B.1.1: any number of leading zero bytes before the start code
+    assert h264_stream_info(b"\x00\x00" + b)["n_nals"] == 3
+    # trailing escaped cabac_zero_words: 00 00 03 at NAL end -> 00 00
+    assert _unescape_rbsp(b"\xaa\x00\x00\x03") == b"\xaa\x00\x00"
+    # IDR conformance: frame_num 0 and a readable idr_pic_id on type 5
+    b = encode_h264_structural(64, 64, "PPIP")
+    nals = h264_split_nals(b)
+    sps = h264_parse_sps(nals[0]["rbsp"])
+    seen_idr = 0
+    for n in nals:
+        if n["type"] == 5:
+            s = h264_parse_slice_prefix(n["rbsp"], sps, idr=True)
+            assert s["frame_num"] == 0
+            assert s["idr_pic_id"] == seen_idr
+            seen_idr += 1
+    assert seen_idr == 1
+    # multi-PPS stream: the mode comes from the pps the slices
+    # reference; a conflicting UNREFERENCED pps must not flip it
+    cavlc = encode_h264_structural(64, 64, "I", cabac=False)
+    # append a second PPS (id 1, cabac) the slices never reference:
+    from pandas_td_spark.operators.h264 import _ExpGolombWriter
+
+    w = _ExpGolombWriter()
+    w.ue(1)  # pps_id 1
+    w.ue(0)
+    w.u(1, 1)  # CABAC
+    w.u(0, 1)
+    w.ue(0)
+    extra_pps = b"\x00\x00\x00\x01" + bytes([(3 << 5) | 8]) + w.rbsp()
+    assert (
+        h264_stream_info(cavlc + extra_pps)["entropy_mode"] == "cavlc"
+    )
