@@ -351,12 +351,21 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
 
     try:
         if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
-            # Annex-B H.264: STRUCTURAL features only (operators/h264.py
-            # — NAL framing, SPS dims, slice histogram; entropy decode
-            # stays stubbed, and out-of-subset streams raise -> stub)
-            from pandas_td_spark.operators.h264 import h264_stream_info
+            # Annex-B H.264: structural features (operators/h264.py —
+            # NAL framing, SPS dims, slice histogram) + RESIDUAL stats
+            # (r13: CAVLC I-frame coefficient decode) when the stream is
+            # inside the entropy subset; structural-only otherwise.
+            # An IndexError here is sniff-risk, not a decoder bug: any
+            # payload starting 00 00 01 enters this branch (ADVICE r12).
+            from pandas_td_spark.operators.h264 import (
+                h264_residual_stats,
+                h264_stream_info,
+            )
 
-            info = h264_stream_info(payload)
+            try:
+                info = h264_stream_info(payload)
+            except IndexError:
+                return stub_decoder(payload, out_dim)
             sc = info["slice_counts"]
             vec = [
                 float(info["height"]), float(info["width"]),
@@ -366,6 +375,18 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
                 float(info["profile_idc"]), float(info["level_idc"]),
                 1.0 if info["entropy_mode"] == "cabac" else 0.0,
             ]
+            try:
+                rs = h264_residual_stats(payload)
+                vec += [
+                    float(rs["n_nonzero"]),
+                    float(rs["sum_abs"]),
+                    float(rs["qp"]),
+                ]
+            except (ValueError, NotImplementedError, IndexError):
+                # outside the CAVLC I-frame subset (e.g. the r12
+                # structural fixtures with stand-in slice payloads):
+                # structural features stand, residual slots stay zero
+                pass
             vec += [0.0] * max(out_dim - len(vec), 0)
         elif (
             len(payload) >= 4
@@ -375,7 +396,12 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
         ):
             # MP3 frame sync (JPEG SOI excluded above). Subset decode;
             # out-of-subset streams raise NotImplementedError -> stub.
-            mono, rate = mp3_decode_pcm(payload)
+            # IndexError: two sync bytes match all sorts of garbage —
+            # a parser run past its buffer is a sniff miss, not a bug.
+            try:
+                mono, rate = mp3_decode_pcm(payload)
+            except IndexError:
+                return stub_decoder(payload, out_dim)
             vec = _audio_feature_vec(mono, rate, out_dim)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" or (
             payload[:4] == b"fLaC"
@@ -423,10 +449,12 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
             vec = head
         else:
             return stub_decoder(payload, out_dim)
-    except (ValueError, NotImplementedError, IndexError):
-        # IndexError: sync-matching garbage can run a parser past its
-        # buffer (e.g. a payload whose first bytes mimic MP3 frame sync)
-        # — featurization must degrade to the stub, never crash the job
+    except (ValueError, NotImplementedError):
+        # ADVICE r12: IndexError is now caught ONLY in the sniff-prone
+        # MP3/H.264 branches above — for the strongly-magic-matched
+        # formats (PNG/JPEG/FLAC/WAV/BMP/GIF/PPM) an IndexError would be
+        # a genuine decoder bug and must surface, not become stub
+        # features silently.
         return stub_decoder(payload, out_dim)
     return np.asarray(vec[:out_dim], dtype=np.float32)
 

@@ -1,11 +1,20 @@
-"""H.264/AVC (ISO/IEC 14496-10) — STRUCTURAL layer only (r12).
+"""H.264/AVC (ISO/IEC 14496-10) — structural layer (r12) + CAVLC
+residual layer for I-slices (r13).
 
 Through r11 compressed video was the one wholly-stubbed modality
 ("H.264-class codecs need CABAC — a genuinely larger engineering job",
-SURVEY §2.10 L5). That remains true for the ENTROPY and RECONSTRUCTION
-layers and they stay stubbed; this module makes the STRUCTURAL layer
-real, the part that is closed-form bitstream machinery of the same
-class as the MP3 entropy work in operators/codecs.py:
+SURVEY §2.10 L5). r12 made the STRUCTURAL layer real; r13 adds the
+CAVLC ENTROPY layer for I-frames (the VERDICT r12 #5 item): coeff_token
+/ total_zeros / run_before VLC tables, the §9.2.2 adaptive level
+machinery, the I_4x4/I_16x16 macroblock syntax with CBP + nC neighbor
+bookkeeping, an in-repo emitter (:func:`encode_h264_cavlc`) and the
+exact-coefficient decoder (:func:`h264_decode_cavlc_islice`). What
+remains stubbed and refuses cleanly: CABAC, inter prediction (P/B
+residuals), I_PCM, multi-slice pictures, and pixel reconstruction
+(prediction/transform — the decode target is the exact quantized
+coefficient surface, which is what media_features and the q277 gate
+consume). The structural layer is closed-form bitstream machinery of
+the same class as the MP3 entropy work in operators/codecs.py:
 
 - **Annex-B byte-stream framing**: start-code scan (3- and 4-byte),
   emulation-prevention unescape (00 00 03 xx -> 00 00 xx) and escape on
@@ -41,6 +50,11 @@ __all__ = [
     "h264_parse_slice_prefix",
     "h264_stream_info",
     "encode_h264_structural",
+    "cavlc_encode_block",
+    "cavlc_decode_block",
+    "encode_h264_cavlc",
+    "h264_decode_cavlc_islice",
+    "h264_residual_stats",
 ]
 
 _START3 = b"\x00\x00\x01"
@@ -130,19 +144,31 @@ def _escape_rbsp(rbsp: bytes) -> bytes:
 
 
 def _unescape_rbsp(data: bytes) -> bytes:
+    """§7.4.1: after two zeros a 0x03 is ALWAYS the emulation-prevention
+    byte (a conformant encoder only emits it before 00/01/02/03, so no
+    lookahead is needed — and a trailing 00 00 03 at NAL end, e.g.
+    escaped cabac_zero_words, must drop the 03 too).
+
+    r13 (ADVICE r12): scan with ``bytes.find`` instead of a per-byte
+    Python loop — payloads without ``00 00 03`` runs (the common case
+    for entropy-coded slice bodies) cost one C-speed scan and zero
+    copies, and payloads WITH runs cost O(#escapes) Python iterations,
+    not O(bytes). Equivalent to the old per-byte zeros-counter: every
+    ``00 00 03`` match has two zeros immediately before the 03 (the
+    counter's ``zeros >= 2`` state), dropping the 03 resets the counter
+    exactly as restarting the search after the match does, and matches
+    cannot overlap a dropped byte because the search resumes past it.
+    """
+    i = data.find(b"\x00\x00\x03")
+    if i == -1:
+        return data
     out = bytearray()
-    zeros = 0
-    for b in data:
-        # §7.4.1: after two zeros a 0x03 is ALWAYS the emulation-
-        # prevention byte (a conformant encoder only emits it before
-        # 00/01/02/03, so no lookahead is needed — and a trailing
-        # 00 00 03 at NAL end, e.g. escaped cabac_zero_words, must
-        # drop the 03 too)
-        if zeros >= 2 and b == 3:
-            zeros = 0
-        else:
-            out.append(b)
-            zeros = zeros + 1 if b == 0 else 0
+    start = 0
+    while i != -1:
+        out += data[start : i + 2]  # keep the two zeros
+        start = i + 3  # drop the 03
+        i = data.find(b"\x00\x00\x03", start)
+    out += data[start:]
     return bytes(out)
 
 
@@ -242,16 +268,43 @@ def h264_parse_sps(rbsp: bytes) -> dict:
 
 
 def h264_parse_pps(rbsp: bytes) -> dict:
-    """Picture parameter set prefix: ids + entropy mode (the CAVLC/CABAC
-    flag — the boundary of what this layer implements)."""
+    """Picture parameter set: ids + entropy mode, plus (r13, for the
+    CAVLC residual layer) the remaining §7.3.2.2 fields when present —
+    pic_init_qp and deblocking/constrained-intra flags. Legacy in-repo
+    fixtures carry only the 5-field prefix (the r12 structural subset);
+    for those the extended fields are absent from the result and the
+    ``full`` key is False. A full PPS needs >= 13 more payload bits, a
+    prefix-only PPS has at most the stop bit + 7 alignment zeros left,
+    so the two shapes cannot be confused."""
     r = _ExpGolombReader(rbsp)
-    return {
+    out = {
         "pps_id": r.ue(),
         "sps_id": r.ue(),
         "entropy_coding_mode": r.u(1),  # 0 = CAVLC, 1 = CABAC
         "bottom_field_pic_order": r.u(1),
         "num_slice_groups": r.ue() + 1,
+        "full": False,
     }
+    mark = r.pos
+    try:
+        out.update(
+            {
+                "num_ref_idx_l0": r.ue() + 1,
+                "num_ref_idx_l1": r.ue() + 1,
+                "weighted_pred": r.u(1),
+                "weighted_bipred_idc": r.u(2),
+                "pic_init_qp": r.se() + 26,
+                "pic_init_qs": r.se() + 26,
+                "chroma_qp_index_offset": r.se(),
+                "deblocking_control_present": r.u(1),
+                "constrained_intra_pred": r.u(1),
+                "redundant_pic_cnt_present": r.u(1),
+                "full": True,
+            }
+        )
+    except ValueError:
+        r.pos = mark  # 5-field prefix PPS (r12 in-repo subset)
+    return out
 
 
 def h264_parse_slice_prefix(
@@ -287,6 +340,7 @@ def h264_stream_info(payload: bytes) -> dict:
     underlying ValueError/NotImplementedError for non-subset streams."""
     nals = h264_split_nals(payload)
     sps = None
+    sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
     referenced: set[int] = set()
     counts: dict[str, int] = {}
@@ -296,13 +350,34 @@ def h264_stream_info(payload: bytes) -> dict:
         counts[name] = counts.get(name, 0) + 1
         if n["type"] == 7:
             sps = h264_parse_sps(n["rbsp"])
+            sps_by_id[sps["sps_id"]] = sps
         elif n["type"] == 8:
             p = h264_parse_pps(n["rbsp"])
             pps_by_id[p["pps_id"]] = p
         elif n["type"] in (1, 5):
             if sps is None:
                 raise ValueError("slice before SPS")
-            s = h264_parse_slice_prefix(n["rbsp"], sps, idr=n["type"] == 5)
+            # resolve the slice's SPS through its PPS's sps_id rather
+            # than "last SPS seen": a multi-SPS stream would otherwise
+            # silently misparse frame_num via a wrong
+            # log2_max_frame_num field width (ADVICE r12). The pps_id
+            # sits BEFORE frame_num in the header, so a cheap prefix
+            # read resolves it first.
+            r = _ExpGolombReader(n["rbsp"][:16])
+            r.ue()  # first_mb
+            r.ue()  # slice_type
+            ref_pps = pps_by_id.get(r.ue())
+            s_sps = sps
+            if ref_pps is not None:
+                s_sps = sps_by_id.get(ref_pps["sps_id"])
+                if s_sps is None:
+                    raise ValueError(
+                        f"PPS {ref_pps['pps_id']} references undeclared "
+                        f"SPS {ref_pps['sps_id']}"
+                    )
+            s = h264_parse_slice_prefix(
+                n["rbsp"], s_sps, idr=n["type"] == 5
+            )
             referenced.add(s["pps_id"])
             slices[s["slice_letter"]] = slices.get(s["slice_letter"], 0) + 1
     if sps is None:
@@ -320,6 +395,22 @@ def h264_stream_info(payload: bytes) -> dict:
         raise NotImplementedError(
             "mixed CAVLC/CABAC across referenced PPSes"
         )
+    # dimensions likewise come from the SPS(es) the referenced PPSes
+    # point at, not "last SPS seen" (ADVICE r12): with no PPS in the
+    # stream the lone SPS speaks; distinct referenced SPSes refuse.
+    ref_sps_ids = {pps_by_id[i]["sps_id"] for i in ref}
+    if ref_sps_ids:
+        missing_sps = ref_sps_ids - set(sps_by_id)
+        if missing_sps:
+            raise ValueError(
+                f"PPSes reference undeclared SPS ids {missing_sps}"
+            )
+        ref_spses = [sps_by_id[i] for i in sorted(ref_sps_ids)]
+        if any(ref_spses[0] != s for s in ref_spses[1:]):
+            raise NotImplementedError(
+                "multiple differing SPSes referenced by the stream"
+            )
+        sps = ref_spses[0]
     return {
         "width": sps["width"],
         "height": sps["height"],
@@ -428,3 +519,842 @@ def encode_h264_structural(
         emit(3 if ft == "I" else 2, 5 if ft == "I" else 1, slice_rbsp)
         frame_num += 1  # every pic here is a reference pic
     return bytes(out)
+
+
+# ===========================================================================
+# CAVLC residual layer (r13, VERDICT r12 #5) — the entropy decode for
+# I-slices that was the module's last honest stub. Same class of work as
+# the MP3 entropy layer in operators/codecs.py: static VLC tables +
+# closed-form bit machinery, no external library, exercised at MODEL
+# grain (bounded distinct stream classes, broadcast-joined — never
+# per-row Python over the corpus).
+#
+# Scope (everything else refuses with NotImplementedError):
+# - CAVLC only (entropy_coding_mode 0); CABAC stays stubbed — its
+#   arithmetic-coding state machine is the genuinely larger job.
+# - I-slices only (I_4x4 and I_16x16 macroblocks; I_PCM refuses).
+#   Inter prediction (P/B residuals, MVs, ref indices) refuses.
+# - 4:2:0 frame-coded streams (the structural subset).
+# - RESIDUAL COEFFICIENTS, not pixels: the transform/prediction
+#   reconstruction stays out of scope — the decode target is the exact
+#   quantized coefficient surface, which is what the round-trip gate
+#   and the media_features stats consume.
+#
+# PROVENANCE: the VLC tables below (coeff_token Table 9-5, total_zeros
+# Tables 9-7/9-8/9-9, run_before Table 9-10, the CBP mapping of Table
+# 9-4, and the §9.2.2 level machinery) are reproduced FROM MEMORY of
+# the public spec and are UNVERIFIED against a reference decoder (none
+# exists in this container). What the tests certify is structural
+# soundness (every table prefix-free and unambiguous) plus exact
+# encode->decode round-trips through the in-repo emitter; real-stream
+# parity additionally needs every table entry to match the spec, which
+# only a conformance stream could prove. Same honest claim as the
+# structural layer above and the MP3 subset.
+# ===========================================================================
+
+
+def _vlc(spec: str) -> dict:
+    """Parse a 'key:code key:code ...' table literal into {key: bits}."""
+    out = {}
+    for item in spec.split():
+        k, code = item.split(":")
+        out[int(k)] = code
+    return out
+
+
+# Table 9-5 coeff_token: key = total_coeff*4 + trailing_ones.
+# Context 0: 0 <= nC < 2
+_CT0 = _vlc("""
+0:1
+4:000101 5:01
+8:00000111 9:000100 10:001
+12:000000111 13:00000110 14:0000101 15:00011
+16:0000000111 17:000000110 18:00000101 19:000011
+20:00000000111 21:0000000110 22:000000101 23:0000100
+24:0000000001111 25:00000000110 26:0000000101 27:00000100
+28:0000000001011 29:0000000001110 30:00000000101 31:000000100
+32:0000000001000 33:0000000001010 34:0000000001101 35:0000000100
+36:00000000001111 37:00000000001110 38:0000000001001 39:00000000100
+40:00000000001011 41:00000000001010 42:00000000001101 43:0000000001100
+44:000000000001111 45:000000000001110 46:00000000001001 47:00000000001100
+48:000000000001011 49:000000000001010 50:000000000001101 51:00000000001000
+52:0000000000001111 53:000000000000001 54:000000000001001 55:000000000001100
+56:0000000000001011 57:0000000000001110 58:0000000000001101 59:000000000001000
+60:0000000000000111 61:0000000000001010 62:0000000000001001 63:0000000000001100
+64:0000000000000100 65:0000000000000110 66:0000000000000101 67:0000000000001000
+""")
+
+# Context 1: 2 <= nC < 4
+_CT1 = _vlc("""
+0:11
+4:001011 5:10
+8:000111 9:00111 10:011
+12:0000111 13:001010 14:001001 15:0101
+16:00000111 17:000110 18:000101 19:0100
+20:00000100 21:0000110 22:0000101 23:00110
+24:000000111 25:00000110 26:00000101 27:001000
+28:00000001111 29:000000110 30:000000101 31:000100
+32:00000001011 33:00000001110 34:00000001101 35:0000100
+36:000000001111 37:00000001010 38:00000001001 39:000000100
+40:000000001011 41:000000001110 42:000000001101 43:00000001100
+44:000000001000 45:000000001010 46:000000001001 47:00000001000
+48:0000000001111 49:0000000001110 50:0000000001101 51:000000001100
+52:0000000001011 53:0000000001010 54:0000000001001 55:0000000001100
+56:0000000000111 57:00000000001011 58:0000000000110 59:0000000001000
+60:00000000001001 61:00000000001000 62:00000000001010 63:0000000000001
+64:00000000000111 65:00000000000110 66:00000000000101 67:00000000000100
+""")
+
+# Context 2: 4 <= nC < 8. Entry 54 = (total 13, t1s 2) is a REPAIRED
+# codeword: the remembered value ('000000110') prefix-collided with the
+# (13,0)/(14,1) codes, so at least one of the three was misremembered;
+# '0000000000' is the unique free slot that keeps the table prefix-free
+# without touching the other 67 entries. Flagged for re-anchoring
+# against the spec (module provenance note).
+_CT2 = _vlc("""
+0:1111
+4:001111 5:1110
+8:001011 9:01111 10:1101
+12:001000 13:01100 14:01110 15:1100
+16:0001111 17:01010 18:01011 19:1011
+20:0001011 21:01000 22:01001 23:1010
+24:0001001 25:001110 26:001101 27:1001
+28:0001000 29:001010 30:001001 31:1000
+32:00001111 33:0001110 34:0001101 35:01101
+36:00001011 37:00001110 38:00001101 39:001100
+40:000001111 41:00001010 42:00001001 43:0001100
+44:000001011 45:000001110 46:000001101 47:00001100
+48:000001000 49:000001010 50:000001001 51:00001000
+52:0000001101 53:000000111 54:0000000000 55:000001100
+56:0000001001 57:0000001100 58:0000001011 59:0000001010
+60:0000000101 61:0000001000 62:0000000111 63:0000000110
+64:0000000001 65:0000000100 66:0000000011 67:0000000010
+""")
+
+# Chroma-DC context (nC == -1, 4:2:0: max 4 coefficients)
+_CTC = _vlc("""
+0:01
+4:000111 5:1
+8:000100 9:000110 10:001
+12:000011 13:0000011 14:0000010 15:000101
+16:000010 17:00000011 18:00000010 19:0000000
+""")
+
+# total_zeros, 4x4 blocks (Tables 9-7/9-8): [tc-1] -> {total_zeros: code}
+_TZ4 = [
+    _vlc("0:1 1:011 2:010 3:0011 4:0010 5:00011 6:00010 7:000011 8:000010"
+         " 9:0000011 10:0000010 11:00000011 12:00000010 13:000000011"
+         " 14:000000010 15:000000001"),
+    _vlc("0:111 1:110 2:101 3:100 4:011 5:0101 6:0100 7:0011 8:0010"
+         " 9:00011 10:00010 11:000011 12:000010 13:000001 14:000000"),
+    _vlc("0:0101 1:111 2:110 3:101 4:0100 5:0011 6:100 7:011 8:0010"
+         " 9:00011 10:00010 11:000001 12:00001 13:000000"),
+    _vlc("0:00011 1:111 2:0101 3:0100 4:110 5:101 6:100 7:0011 8:011"
+         " 9:0010 10:00010 11:00001 12:00000"),
+    _vlc("0:0101 1:0100 2:0011 3:111 4:110 5:101 6:100 7:011 8:0010"
+         " 9:00001 10:0001 11:00000"),
+    _vlc("0:000001 1:00001 2:111 3:110 4:101 5:100 6:011 7:010 8:0001"
+         " 9:001 10:000000"),
+    _vlc("0:000001 1:00001 2:101 3:100 4:011 5:11 6:010 7:0001 8:001"
+         " 9:000000"),
+    _vlc("0:000001 1:0001 2:00001 3:011 4:11 5:10 6:010 7:001 8:000000"),
+    _vlc("0:000001 1:000000 2:0001 3:11 4:10 5:001 6:01 7:00001"),
+    _vlc("0:00001 1:00000 2:001 3:11 4:10 5:01 6:0001"),
+    _vlc("0:0000 1:0001 2:001 3:010 4:1 5:011"),
+    _vlc("0:0000 1:0001 2:01 3:1 4:001"),
+    _vlc("0:000 1:001 2:1 3:01"),
+    _vlc("0:00 1:01 2:1"),
+    _vlc("0:0 1:1"),
+]
+
+# total_zeros, chroma DC 2x2 (Table 9-9, 4:2:0): [tc-1]
+_TZC = [
+    _vlc("0:1 1:01 2:001 3:000"),
+    _vlc("0:1 1:01 2:00"),
+    _vlc("0:1 1:0"),
+]
+
+# run_before (Table 9-10): [min(zeros_left, 7) - 1] -> {run: code};
+# runs >= 7 in the zl>6 column extend as '1' preceded by run-4 zeros.
+_RB = [
+    _vlc("0:1 1:0"),
+    _vlc("0:1 1:01 2:00"),
+    _vlc("0:11 1:10 2:01 3:00"),
+    _vlc("0:11 1:10 2:01 3:001 4:000"),
+    _vlc("0:11 1:10 2:011 3:010 4:001 5:000"),
+    _vlc("0:11 1:000 2:001 3:011 4:010 5:101 6:100"),
+    _vlc("0:111 1:110 2:101 3:100 4:011 5:010 6:001"),
+]
+
+# Table 9-4 (intra column): coded_block_pattern me(v) mapping,
+# code_num -> cbp. FROM MEMORY, UNVERIFIED (a bijection either way, so
+# round-trips are insensitive to assignment errors; real-stream parity
+# is not).
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+
+def _ct_table(nc: int) -> dict | None:
+    """coeff_token context for nC; None selects the nC>=8 6-bit FLC."""
+    if nc == -1:
+        return _CTC
+    if nc < 2:
+        return _CT0
+    if nc < 4:
+        return _CT1
+    if nc < 8:
+        return _CT2
+    return None
+
+
+class _VlcDecoder:
+    """Longest-is-bounded prefix decode over a {key: bits} table."""
+
+    def __init__(self, table: dict[int, str]) -> None:
+        self.by_code = {v: k for k, v in table.items()}
+        self.max_len = max(len(v) for v in table.values())
+
+    def read(self, r: "_ExpGolombReader") -> int:
+        code = ""
+        for _ in range(self.max_len):
+            code += "1" if r.u(1) else "0"
+            hit = self.by_code.get(code)
+            if hit is not None:
+                return hit
+        raise ValueError(f"invalid VLC codeword {code!r}")
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=None)
+def _decoder_for(table_id: int) -> _VlcDecoder:
+    tables = {
+        0: _CT0, 1: _CT1, 2: _CT2, 3: _CTC,
+    }
+    if table_id < 4:
+        return _VlcDecoder(tables[table_id])
+    if table_id < 4 + len(_TZ4):
+        return _VlcDecoder(_TZ4[table_id - 4])
+    if table_id < 4 + len(_TZ4) + len(_TZC):
+        return _VlcDecoder(_TZC[table_id - 4 - len(_TZ4)])
+    return _VlcDecoder(_RB[table_id - 4 - len(_TZ4) - len(_TZC)])
+
+
+def _tz_decoder(total_coeff: int, chroma_dc: bool) -> _VlcDecoder:
+    if chroma_dc:
+        return _decoder_for(4 + len(_TZ4) + total_coeff - 1)
+    return _decoder_for(4 + total_coeff - 1)
+
+
+def _rb_decoder(zeros_left: int) -> _VlcDecoder:
+    return _decoder_for(4 + len(_TZ4) + len(_TZC) + min(zeros_left, 7) - 1)
+
+
+def cavlc_encode_block(
+    w: "_ExpGolombWriter", coeffs: list[int], nc: int, max_coeff: int
+) -> int:
+    """Encode one residual block (coefficients in scan order, length
+    ``max_coeff``) per §9.2; returns total_coeff for the caller's nC
+    bookkeeping. ``nc`` selects the coeff_token context (-1 = chroma
+    DC)."""
+    if len(coeffs) != max_coeff:
+        raise ValueError("coeffs length must equal max_coeff")
+    nz = [(i, v) for i, v in enumerate(coeffs) if v]
+    total = len(nz)
+    if total > max_coeff:
+        raise ValueError("too many coefficients")
+    # trailing ones: up to 3 consecutive |v|==1 at the high-frequency end
+    t1s = 0
+    while t1s < min(3, total) and abs(nz[total - 1 - t1s][1]) == 1:
+        t1s += 1
+    table = _ct_table(nc)
+    if table is None:  # nC >= 8: 6-bit FLC, total 0 -> 000011
+        if total == 0:
+            w.u(3, 6)
+        else:
+            w.u(((total - 1) << 2) | t1s, 6)
+    else:
+        code = table.get(total * 4 + t1s)
+        if code is None:
+            raise ValueError(f"no coeff_token for ({total},{t1s})")
+        w.bits.append(code)
+    if total == 0:
+        return 0
+    # trailing-one signs, high-frequency first
+    for i in range(t1s):
+        w.u(1 if nz[total - 1 - i][1] < 0 else 0, 1)
+    # remaining levels, high-frequency first, adaptive suffix
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for idx in range(total - 1 - t1s, -1, -1):
+        level = nz[idx][1]
+        first = idx == total - 1 - t1s
+        level_code = 2 * abs(level) - 2 if level > 0 else 2 * abs(level) - 1
+        if first and t1s < 3:
+            level_code -= 2
+        if suffix_len == 0:
+            if level_code < 14:
+                w.bits.append("0" * level_code + "1")
+            elif level_code < 30:
+                w.bits.append("0" * 14 + "1")
+                w.u(level_code - 14, 4)
+            else:
+                rem = level_code - 30  # prefix 15 escape base
+                prefix = 15
+                while rem >= (1 << (prefix - 3)) and prefix < 32:
+                    rem = level_code - 30 - ((1 << (prefix - 2)) - 4096)
+                    prefix += 1
+                w.bits.append("0" * prefix + "1")
+                w.u(rem, prefix - 3)
+        else:
+            if level_code < (15 << suffix_len):
+                w.bits.append("0" * (level_code >> suffix_len) + "1")
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                rem = level_code - (15 << suffix_len)
+                prefix = 15
+                while rem >= (1 << (prefix - 3)) and prefix < 32:
+                    rem = (
+                        level_code
+                        - (15 << suffix_len)
+                        - ((1 << (prefix - 2)) - 4096)
+                    )
+                    prefix += 1
+                w.bits.append("0" * prefix + "1")
+                w.u(rem, prefix - 3)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros: zeros below the highest-frequency nonzero coefficient
+    total_zeros = nz[-1][0] + 1 - total
+    if total < max_coeff:
+        tz_table = _TZC[total - 1] if nc == -1 else _TZ4[total - 1]
+        code = tz_table.get(total_zeros)
+        if code is None:
+            raise ValueError("total_zeros out of range")
+        w.bits.append(code)
+    # run_before, high-frequency first (last run implied)
+    zeros_left = total_zeros
+    for idx in range(total - 1, 0, -1):
+        if zeros_left <= 0:
+            break
+        run = nz[idx][0] - nz[idx - 1][0] - 1
+        if zeros_left <= 6:
+            w.bits.append(_RB[zeros_left - 1][run])
+        elif run < 7:
+            w.bits.append(_RB[6][run])
+        else:
+            w.bits.append("0" * (run - 4) + "1")
+        zeros_left -= run
+    return total
+
+
+def cavlc_decode_block(
+    r: "_ExpGolombReader", nc: int, max_coeff: int
+) -> list[int]:
+    """Decode one residual block (inverse of :func:`cavlc_encode_block`);
+    returns the ``max_coeff`` coefficients in scan order."""
+    table = _ct_table(nc)
+    if table is None:
+        flc = r.u(6)
+        if flc == 3:
+            total, t1s = 0, 0
+        else:
+            total, t1s = (flc >> 2) + 1, flc & 3
+    else:
+        tid = {id(_CT0): 0, id(_CT1): 1, id(_CT2): 2, id(_CTC): 3}[id(table)]
+        key = _decoder_for(tid).read(r)
+        total, t1s = key >> 2, key & 3
+    if total == 0:
+        return [0] * max_coeff
+    if total > max_coeff:
+        raise ValueError("total_coeff exceeds block size")
+    levels: list[int] = []
+    for _ in range(t1s):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(total - t1s):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("level_prefix too long")
+        suffix_size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3
+        suffix = r.u(suffix_size) if suffix_size else 0
+        level_code = (min(15, prefix) << suffix_len) + suffix
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1s < 3:
+            level_code += 2
+        level = (
+            (level_code + 2) >> 1
+            if level_code % 2 == 0
+            else -((level_code + 1) >> 1)
+        )
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    total_zeros = 0
+    if total < max_coeff:
+        total_zeros = _tz_decoder(total, nc == -1).read(r)
+    # place coefficients: levels[] is high-frequency first
+    coeffs = [0] * max_coeff
+    zeros_left = total_zeros
+    pos = total + total_zeros - 1  # scan index of the highest-freq coeff
+    if pos >= max_coeff:
+        raise ValueError("total_zeros out of range")
+    for i, level in enumerate(levels):
+        coeffs[pos] = level
+        if i == total - 1:
+            break
+        run = 0
+        if zeros_left > 0:
+            if zeros_left <= 6:
+                run = _rb_decoder(zeros_left).read(r)
+            else:
+                # zl>6 column: 3-bit codes for runs 0..6; '000' opens
+                # the extension '1' preceded by run-4 zeros (run >= 7)
+                first3 = r.u(3)
+                if first3:
+                    run = 7 - first3
+                else:
+                    zeros = 3
+                    while r.u(1) == 0:
+                        zeros += 1
+                        if zeros > 20:
+                            raise ValueError("run_before too long")
+                    run = zeros + 4
+        zeros_left -= run
+        pos -= run + 1
+        if pos < 0:
+            raise ValueError("run_before underflow")
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# I-slice macroblock layer over the CAVLC block codec: mb_type /
+# intra-pred-mode / CBP / qp-delta syntax plus the §9.2.1 nC neighbor
+# bookkeeping (per-4x4 total_coeff grids for luma and each chroma
+# component). Decode target is the exact quantized coefficient surface;
+# prediction/transform reconstruction is out of scope by design.
+# ---------------------------------------------------------------------------
+
+
+def _blk_xy(blk: int) -> tuple[int, int]:
+    """Luma 4x4 block index (§6.4.3 inverse scan: 2x2 quadrants of 2x2
+    blocks) -> (x, y) in 4x4-sample units within the macroblock."""
+    q, w = blk >> 2, blk & 3
+    return ((q & 1) * 2 + (w & 1), (q >> 1) * 2 + (w >> 1))
+
+
+class _NcGrid:
+    """Per-4x4-block total_coeff bookkeeping for nC derivation (§9.2.1:
+    nC = (nA + nB + 1) >> 1 when both neighbors are in-frame, else the
+    available one, else 0)."""
+
+    def __init__(self) -> None:
+        self.tc: dict[tuple[int, int], int] = {}
+
+    def nc(self, gx: int, gy: int) -> int:
+        na = self.tc.get((gx - 1, gy)) if gx > 0 else None
+        nb = self.tc.get((gx, gy - 1)) if gy > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def put(self, gx: int, gy: int, total: int) -> None:
+        self.tc[(gx, gy)] = total
+
+
+def _mb16_cbp(mb_type: int) -> tuple[int, int, int]:
+    """I_16x16 mb_type (1..24) -> (pred_mode, cbp_chroma, cbp_luma)."""
+    m = mb_type - 1
+    return m & 3, (m >> 2) % 3, 15 if m >= 12 else 0
+
+
+def _iter_mb_blocks(
+    mb: int,
+    w_mbs: int,
+    is16: bool,
+    cbp_luma: int,
+    cbp_chroma: int,
+    luma_grid: "_NcGrid",
+    chroma_grids: "tuple[_NcGrid, _NcGrid]",
+):
+    """Yield the residual blocks of one macroblock in coding order as
+    (kind, comp, blk, max_coeff, nc_fn, put_fn): kind in
+    {'dc16','luma','chroma_dc','chroma_ac'}. nc is computed lazily at
+    coding time (the grid must reflect every previously-coded block)."""
+    mbx, mby = mb % w_mbs, mb // w_mbs
+
+    def luma_pos(blk: int) -> tuple[int, int]:
+        bx, by = _blk_xy(blk)
+        return mbx * 4 + bx, mby * 4 + by
+
+    if is16:
+        gx, gy = luma_pos(0)
+        yield ("dc16", 0, 0, 16, lambda: luma_grid.nc(gx, gy), None)
+        if cbp_luma:
+            for blk in range(16):
+                bgx, bgy = luma_pos(blk)
+                yield (
+                    "luma", 0, blk, 15,
+                    (lambda x=bgx, y=bgy: luma_grid.nc(x, y)),
+                    (lambda t, x=bgx, y=bgy: luma_grid.put(x, y, t)),
+                )
+        else:
+            for blk in range(16):
+                bgx, bgy = luma_pos(blk)
+                luma_grid.put(bgx, bgy, 0)
+    else:
+        for blk in range(16):
+            bgx, bgy = luma_pos(blk)
+            if cbp_luma & (1 << (blk >> 2)):
+                yield (
+                    "luma", 0, blk, 16,
+                    (lambda x=bgx, y=bgy: luma_grid.nc(x, y)),
+                    (lambda t, x=bgx, y=bgy: luma_grid.put(x, y, t)),
+                )
+            else:
+                luma_grid.put(bgx, bgy, 0)
+    if cbp_chroma >= 1:
+        for comp in range(2):
+            yield ("chroma_dc", comp, 0, 4, lambda: -1, None)
+    for comp in range(2):
+        g = chroma_grids[comp]
+        for blk in range(4):
+            cx, cy = mbx * 2 + (blk & 1), mby * 2 + (blk >> 1)
+            if cbp_chroma == 2:
+                yield (
+                    "chroma_ac", comp, blk, 15,
+                    (lambda x=cx, y=cy, gg=g: gg.nc(x, y)),
+                    (lambda t, x=cx, y=cy, gg=g: gg.put(x, y, t)),
+                )
+            else:
+                g.put(cx, cy, 0)
+
+
+def encode_h264_cavlc(
+    w_mbs: int,
+    h_mbs: int,
+    luma: "list[list[list[int]]]",
+    chroma: "list[list[list[list[int]]]]",
+    mb16: "list[bool]",
+    qp: int = 26,
+    level: int = 30,
+) -> bytes:
+    """Annex-B emitter for one IDR I-frame with REAL CAVLC residual
+    data. ``luma[mb][blk][ci]`` is the 16x16-coefficient luma surface
+    per macroblock (for I_16x16 MBs ci=0 routes to the DC block and
+    ci 1..15 to that block's AC levels — the spec's own partition);
+    ``chroma[mb][comp][blk][ci]`` likewise with ci=0 the chroma-DC
+    entry. CBP is DERIVED from coefficient nonzero-ness, so any surface
+    round-trips exactly. Single slice covering the frame, poc_type 2,
+    full-field PPS (pic_init_qp = ``qp``), baseline profile."""
+    n_mbs = w_mbs * h_mbs
+    if len(luma) != n_mbs or len(chroma) != n_mbs or len(mb16) != n_mbs:
+        raise ValueError("surface/mb16 length must equal w_mbs*h_mbs")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+
+    w = _ExpGolombWriter()
+    w.u(66, 8)  # baseline
+    w.u(0, 8)
+    w.u(level, 8)
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc_type 2
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8
+    w.u(0, 1)  # no cropping
+    w.u(0, 1)  # no VUI
+    sps_rbsp = w.rbsp()
+
+    w = _ExpGolombWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(0, 1)  # CAVLC
+    w.u(0, 1)
+    w.ue(0)  # one slice group
+    w.ue(0)  # num_ref_idx_l0_active_minus1
+    w.ue(0)  # num_ref_idx_l1_active_minus1
+    w.u(0, 1)  # weighted_pred
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(qp - 26)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present
+    w.u(0, 1)  # constrained_intra_pred
+    w.u(0, 1)  # redundant_pic_cnt_present
+    pps_rbsp = w.rbsp()
+
+    w = _ExpGolombWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pps_id
+    w.u(0, 4)  # frame_num (log2_max_frame_num = 4; 0 on IDR)
+    w.ue(0)  # idr_pic_id
+    w.u(0, 1)  # no_output_of_prior_pics
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(0)  # slice_qp_delta
+
+    luma_grid = _NcGrid()
+    chroma_grids = (_NcGrid(), _NcGrid())
+    for mb in range(n_mbs):
+        is16 = bool(mb16[mb])
+        any_luma_ac = any(
+            luma[mb][blk][ci] for blk in range(16) for ci in range(1, 16)
+        )
+        if is16:
+            cbp_luma = 15 if any_luma_ac else 0
+        else:
+            cbp_luma = 0
+            for blk in range(16):
+                if any(luma[mb][blk]):
+                    cbp_luma |= 1 << (blk >> 2)
+        any_cdc = any(chroma[mb][c][b][0] for c in range(2) for b in range(4))
+        any_cac = any(
+            chroma[mb][c][b][ci]
+            for c in range(2) for b in range(4) for ci in range(1, 16)
+        )
+        cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+        if is16:
+            # pred_mode 0 in the mb_type composition; the DC block is
+            # always coded for I_16x16 (an all-zero one costs one
+            # coeff_token with total 0)
+            w.ue(1 + 0 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+        else:
+            w.ue(0)  # I_4x4
+            for _ in range(16):
+                w.u(1, 1)  # prev_intra4x4_pred_mode_flag = 1
+        w.ue(mb % 4)  # intra_chroma_pred_mode
+        if not is16:
+            w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+        if is16 or cbp_luma or cbp_chroma:
+            w.se(0)  # mb_qp_delta
+        for kind, comp, blk, mc, nc_fn, put_fn in _iter_mb_blocks(
+            mb, w_mbs, is16, cbp_luma, cbp_chroma, luma_grid, chroma_grids
+        ):
+            if kind == "dc16":
+                coeffs = [luma[mb][b][0] for b in range(16)]
+            elif kind == "luma":
+                coeffs = (
+                    luma[mb][blk][1:] if mc == 15 else list(luma[mb][blk])
+                )
+            elif kind == "chroma_dc":
+                coeffs = [chroma[mb][comp][b][0] for b in range(4)]
+            else:
+                coeffs = chroma[mb][comp][blk][1:]
+            total = cavlc_encode_block(w, list(coeffs), nc_fn(), mc)
+            if put_fn is not None:
+                put_fn(total)
+    slice_rbsp = w.rbsp()
+
+    out = bytearray()
+    for ref_idc, ntype, rbsp in (
+        (3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, slice_rbsp)
+    ):
+        out.extend(b"\x00\x00\x00\x01")
+        out.append((ref_idc << 5) | ntype)
+        out.extend(_escape_rbsp(rbsp))
+    return bytes(out)
+
+
+def h264_decode_cavlc_islice(payload: bytes) -> dict:
+    """Decode the CAVLC I-frame subset back to exact coefficient
+    surfaces: ``{"w_mbs", "h_mbs", "qp", "mb16": [bool], "luma":
+    [mb][16][16], "chroma": [mb][2][4][16], "n_slices"}``. Refuses
+    (NotImplementedError) CABAC, non-I slices, I_PCM, multi-slice
+    pictures and prefix-only PPSes; corrupt bitstreams raise
+    ValueError."""
+    nals = h264_split_nals(payload)
+    sps_by_id: dict[int, dict] = {}
+    pps_by_id: dict[int, dict] = {}
+    out: dict | None = None
+    n_slices = 0
+    for n in nals:
+        if n["type"] == 7:
+            s = h264_parse_sps(n["rbsp"])
+            sps_by_id[s["sps_id"]] = s
+        elif n["type"] == 8:
+            p = h264_parse_pps(n["rbsp"])
+            pps_by_id[p["pps_id"]] = p
+        elif n["type"] in (1, 5):
+            r = _ExpGolombReader(n["rbsp"])
+            first_mb = r.ue()
+            slice_type = r.ue()
+            pps = pps_by_id.get(r.ue())
+            if pps is None:
+                raise ValueError("slice references undeclared PPS")
+            if not pps["full"]:
+                raise NotImplementedError(
+                    "prefix-only PPS (r12 structural fixtures) carries "
+                    "no pic_init_qp — residual decode needs a full PPS"
+                )
+            if pps["entropy_coding_mode"]:
+                raise NotImplementedError("CABAC entropy coding")
+            if slice_type % 5 != 2:
+                raise NotImplementedError(
+                    f"slice_type {slice_type}: only I slices"
+                )
+            sps = sps_by_id.get(pps["sps_id"])
+            if sps is None:
+                raise ValueError("PPS references undeclared SPS")
+            if first_mb != 0:
+                raise NotImplementedError("multi-slice pictures")
+            r.u(sps["log2_max_frame_num"])  # frame_num
+            if n["type"] == 5:
+                r.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.u(sps["log2_max_poc_lsb"])
+            if n["ref_idc"]:
+                if n["type"] == 5:
+                    r.u(1)
+                    r.u(1)
+                elif r.u(1):
+                    raise NotImplementedError(
+                        "adaptive ref pic marking"
+                    )
+            qp = pps["pic_init_qp"] + r.se()
+            if pps["deblocking_control_present"]:
+                if r.ue() != 1:
+                    r.se()
+                    r.se()
+            w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
+            n_mbs = w_mbs * h_mbs
+            luma = [
+                [[0] * 16 for _ in range(16)] for _ in range(n_mbs)
+            ]
+            chroma = [
+                [[[0] * 16 for _ in range(4)] for _ in range(2)]
+                for _ in range(n_mbs)
+            ]
+            mb16 = [False] * n_mbs
+            luma_grid = _NcGrid()
+            chroma_grids = (_NcGrid(), _NcGrid())
+            for mb in range(n_mbs):
+                mb_type = r.ue()
+                if mb_type == 25:
+                    raise NotImplementedError("I_PCM")
+                if mb_type > 25:
+                    raise ValueError(f"invalid I mb_type {mb_type}")
+                is16 = mb_type >= 1
+                mb16[mb] = is16
+                if is16:
+                    _pred, cbp_chroma, cbp_luma = _mb16_cbp(mb_type)
+                else:
+                    for _ in range(16):
+                        if not r.u(1):  # prev_intra4x4_pred_mode_flag
+                            r.u(3)  # rem_intra4x4_pred_mode
+                r.ue()  # intra_chroma_pred_mode
+                if not is16:
+                    code = r.ue()
+                    if code >= len(_CBP_INTRA):
+                        raise ValueError("invalid coded_block_pattern")
+                    cbp = _CBP_INTRA[code]
+                    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if is16 or cbp_luma or cbp_chroma:
+                    qp += r.se()  # mb_qp_delta
+                for kind, comp, blk, mc, nc_fn, put_fn in _iter_mb_blocks(
+                    mb, w_mbs, is16, cbp_luma, cbp_chroma,
+                    luma_grid, chroma_grids,
+                ):
+                    coeffs = cavlc_decode_block(r, nc_fn(), mc)
+                    if put_fn is not None:
+                        put_fn(sum(1 for v in coeffs if v))
+                    if kind == "dc16":
+                        for b in range(16):
+                            luma[mb][b][0] = coeffs[b]
+                    elif kind == "luma":
+                        if mc == 15:
+                            luma[mb][blk][1:] = coeffs
+                        else:
+                            luma[mb][blk] = coeffs
+                    elif kind == "chroma_dc":
+                        for b in range(4):
+                            chroma[mb][comp][b][0] = coeffs[b]
+                    else:
+                        chroma[mb][comp][blk][1:] = coeffs
+            # rbsp_slice_trailing_bits: stop bit + byte alignment
+            if r.u(1) != 1:
+                raise ValueError("missing rbsp_stop_one_bit")
+            tail = len(r.bits) - r.pos
+            if tail >= 8 or (r.u(tail) if tail else 0) != 0:
+                raise ValueError("trailing garbage after slice data")
+            n_slices += 1
+            if out is not None:
+                raise NotImplementedError(
+                    "multiple coded pictures per stream"
+                )
+            out = {
+                "w_mbs": w_mbs,
+                "h_mbs": h_mbs,
+                "qp": qp,
+                "mb16": mb16,
+                "luma": luma,
+                "chroma": chroma,
+            }
+    if out is None:
+        raise ValueError("no I slice in stream")
+    out["n_slices"] = n_slices
+    return out
+
+
+def h264_residual_stats(payload: bytes) -> dict:
+    """Integer stats over the decoded coefficient surface — the
+    media_features / q277 consumer: macroblock count, nonzero count,
+    |level| sum, signed sum, and a position-weighted checksum any SQL
+    engine can replay from a closed-form surface definition."""
+    d = h264_decode_cavlc_islice(payload)
+    n_mbs = d["w_mbs"] * d["h_mbs"]
+    n_nonzero = sum_vals = sum_abs = chk = 0
+    for mb in range(n_mbs):
+        for blk in range(16):
+            for ci in range(16):
+                v = d["luma"][mb][blk][ci]
+                if v:
+                    n_nonzero += 1
+                    sum_vals += v
+                    sum_abs += abs(v)
+                    chk += v * (1 + mb * 1000 + blk * 50 + ci)
+        for comp in range(2):
+            for blk in range(4):
+                for ci in range(16):
+                    v = d["chroma"][mb][comp][blk][ci]
+                    if v:
+                        n_nonzero += 1
+                        sum_vals += v
+                        sum_abs += abs(v)
+                        chk += v * (
+                            500000 + mb * 1000 + comp * 400 + blk * 50 + ci
+                        )
+    return {
+        "n_mbs": n_mbs,
+        "qp": d["qp"],
+        "n_mb16": sum(1 for b in d["mb16"] if b),
+        "n_nonzero": n_nonzero,
+        "sum_vals": sum_vals,
+        "sum_abs": sum_abs,
+        "chk": chk,
+    }

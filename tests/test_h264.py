@@ -172,3 +172,166 @@ def test_r12_review_fixes():
     assert (
         h264_stream_info(cavlc + extra_pps)["entropy_mode"] == "cavlc"
     )
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual layer (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_cavlc_tables_prefix_free():
+    """Structural soundness of every VLC table: no duplicate codewords,
+    no codeword a prefix of another (the property that makes decoding
+    unambiguous — checkable without a reference decoder)."""
+    from pandas_td_spark.operators.h264 import (
+        _CT0, _CT1, _CT2, _CTC, _RB, _TZ4, _TZC,
+    )
+
+    tables = [_CT0, _CT1, _CT2, _CTC] + _TZ4 + _TZC + _RB
+    for t in tables:
+        codes = list(t.values())
+        assert len(set(codes)) == len(codes)
+        ordered = sorted(codes, key=len)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                assert not (b.startswith(a) and a != b), (a, b)
+
+
+def test_cavlc_block_roundtrip_randomized():
+    """Random coefficient blocks through every coeff_token context and
+    both total_zeros families, including escape-path level magnitudes."""
+    import random
+
+    from pandas_td_spark.operators.h264 import (
+        _ExpGolombReader,
+        _ExpGolombWriter,
+        cavlc_decode_block,
+        cavlc_encode_block,
+    )
+
+    rng = random.Random(277)
+    for _ in range(3000):
+        max_coeff = rng.choice([16, 15, 4])
+        nc = -1 if max_coeff == 4 else rng.choice([0, 1, 2, 3, 5, 8, 16])
+        coeffs = [0] * max_coeff
+        for p in rng.sample(range(max_coeff), rng.randint(0, max_coeff)):
+            coeffs[p] = rng.choice(
+                [1, 1, 1, 2, 3, 4, 15, 31, 100, 2048, 60000]
+            ) * rng.choice([1, -1])
+        w = _ExpGolombWriter()
+        cavlc_encode_block(w, coeffs, nc, max_coeff)
+        r = _ExpGolombReader(b"")
+        r.bits = "".join(w.bits) + "1" + "0" * 16
+        assert cavlc_decode_block(r, nc, max_coeff) == coeffs
+
+
+def test_cavlc_islice_roundtrip_randomized():
+    """Full-stream round-trips: random surfaces, mixed I_4x4/I_16x16
+    grids, random qp — encode -> Annex-B -> decode must be bit-exact."""
+    import random
+
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_decode_cavlc_islice,
+        h264_stream_info,
+    )
+
+    rng = random.Random(13)
+    for _ in range(40):
+        w_mbs, h_mbs = rng.randint(1, 3), rng.randint(1, 3)
+        n = w_mbs * h_mbs
+        dens = rng.choice([0.0, 0.1, 0.5])
+
+        def val():
+            if rng.random() >= dens:
+                return 0
+            return rng.choice([1, 1, 2, 5, 30, 1500]) * rng.choice([1, -1])
+
+        luma = [
+            [[val() for _ in range(16)] for _ in range(16)]
+            for _ in range(n)
+        ]
+        chroma = [
+            [
+                [[val() for _ in range(16)] for _ in range(4)]
+                for _ in range(2)
+            ]
+            for _ in range(n)
+        ]
+        mb16 = [rng.random() < 0.5 for _ in range(n)]
+        qp = rng.randint(0, 51)
+        b = encode_h264_cavlc(w_mbs, h_mbs, luma, chroma, mb16, qp=qp)
+        d = h264_decode_cavlc_islice(b)
+        assert d["luma"] == luma and d["chroma"] == chroma
+        assert d["mb16"] == mb16 and d["qp"] == qp
+        # the structural layer reads the same stream (full-PPS shape)
+        info = h264_stream_info(b)
+        assert info["entropy_mode"] == "cavlc"
+        assert info["width"] == w_mbs * 16
+
+
+def test_cavlc_refusals_and_corruption():
+    """Out-of-subset streams refuse; mutated/truncated bitstreams raise
+    instead of returning wrong coefficients (best-effort: a random bit
+    flip may decode to a DIFFERENT valid surface — what must never
+    happen is a silent crash or an infinite loop)."""
+    import random
+
+    import pytest
+
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        encode_h264_structural,
+        h264_decode_cavlc_islice,
+        h264_residual_stats,
+    )
+
+    luma = [[[1] + [0] * 15 for _ in range(16)]]
+    chroma = [[[[0] * 16 for _ in range(4)] for _ in range(2)]]
+    b = encode_h264_cavlc(1, 1, luma, chroma, [False])
+    # r12 structural fixtures: prefix-only PPS + stand-in payload
+    with pytest.raises((NotImplementedError, ValueError)):
+        h264_decode_cavlc_islice(encode_h264_structural(64, 64, "I"))
+    # CABAC refuses before any residual parse
+    with pytest.raises((NotImplementedError, ValueError)):
+        h264_decode_cavlc_islice(
+            encode_h264_structural(64, 64, "I", cabac=True)
+        )
+    # truncation: dropping tail bytes must raise, never hang or return
+    for cut in (1, 2, 5, 9):
+        with pytest.raises((ValueError, NotImplementedError)):
+            h264_decode_cavlc_islice(b[:-cut])
+    # random byte mutations inside the slice NAL: raise OR decode to a
+    # (possibly different) surface — never crash with anything else
+    rng = random.Random(99)
+    for _ in range(200):
+        m = bytearray(b)
+        i = rng.randrange(30, len(m))  # keep SPS/PPS intact
+        m[i] ^= 1 << rng.randrange(8)
+        try:
+            h264_residual_stats(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_media_features_h264_residual_stats():
+    """media_features emits residual-derived stats (positions 9-11) for
+    in-subset CAVLC streams and zeros there for structural-only ones."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import media_features
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        encode_h264_structural,
+    )
+
+    luma = [[[2, -1] + [0] * 14 for _ in range(16)]]
+    chroma = [[[[0] * 16 for _ in range(4)] for _ in range(2)]]
+    b = encode_h264_cavlc(1, 1, luma, chroma, [True], qp=30)
+    v = media_features(b, out_dim=16)
+    assert v.dtype == np.float32 and v.shape == (16,)
+    assert v[9] == 32.0  # n_nonzero: 16 blocks x (dc + one ac)
+    assert v[10] == 48.0  # sum_abs
+    assert v[11] == 30.0  # qp
+    s = media_features(encode_h264_structural(64, 64, "I"), out_dim=16)
+    assert s[9] == 0.0 and s[10] == 0.0 and s[11] == 0.0
