@@ -405,6 +405,14 @@ def kcore_peel(
     at most one cheap agg over a cached RDD (often a ReusedExchange) —
     while checkpointing it cost a blocking job per round. min 2.75 s
     (ckpt) vs 1.89 s (lazy) at sf0.1.
+
+    r13 re-A/B (VERDICT r12 #4 — the driver's r12 battery showed q166
+    cold 2.0 -> 3.0 s coincident with the drop, so the call was
+    re-measured in a CLEAN session, interleaved x6 with a GC drain
+    before every run): lazy median 2.62 s / min 2.24 vs keep-checkpoint
+    median 2.90 / min 2.73 — the lazy form wins again and stays; the
+    battery regression was the r12 session-pressure artifact the
+    per-repeat bench drain now removes (bench.py r13 note).
     """
     e = edges if not materialize else edges.localCheckpoint()
     for _ in range(rounds):

@@ -764,6 +764,147 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_anchored(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_anchors: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with SEEDED INTEGER-GEOMETRY cells (r13, VERDICT r12 #9)
+    — the oracle-expressible sibling of :func:`semdedup_pairs`.
+
+    Instead of a learned k-means quantizer (whose BLAS-batched float
+    argmin is ULP-sensitive and therefore not replayable in another
+    engine), the cells are the Voronoi partition of ``n_anchors``
+    ANCHOR VECTORS — the rows with the smallest ``md5(id)`` (the
+    engine-portable seeded-sample idiom) — under EXACT integer geometry:
+    embeddings quantize to ``round(x * 1e6)`` bigints (float->double is
+    exact, both engines round half-away-from-zero, the product is one
+    IEEE op), and ``||xq - aq||^2`` sums 64 exact integer terms, so the
+    argmin (ties -> lower anchor rank) is bit-identical in ANY engine
+    and the whole pipeline — anchors, cells, within-cell pairs, the
+    left-assoc :func:`dot_chain` cosine — replays as plain SQL.
+
+    Same compare-plan economics as the paper's k-means cells (within-
+    cell quadratic only; raise ``n_anchors`` with corpus size), same
+    exact precision, same explicit recall trade for cross-cell pairs.
+    The learned-quantizer variant stays the production default where
+    cell balance matters more than oracle parity.
+
+    At 100 TB: the anchor probe collects ``n_anchors`` rows (bounded
+    model state, the kmeans-init contract); assignment is one
+    JVM-codegen pass; within-cell pairs shuffle on the cell key.
+    """
+    emb = emb.where(F.col(vec).isNotNull())
+    qi = emb.select(
+        F.col(id_col),
+        F.col(vec),
+        F.transform(
+            F.col(vec),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+        ).alias("__xq"),
+    )
+    anchors = (
+        qi.select(
+            id_col, "__xq", F.md5(F.col(id_col).cast("string")).alias("__m")
+        )
+        .orderBy("__m", id_col)
+        .limit(n_anchors)
+        .collect()
+    )
+    if not anchors:  # empty corpus: no cells, no pairs
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__xq"),
+                F.array(*[F.lit(int(v)) for v in a["__xq"]]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for a in anchors
+    ]
+    cell = F.array_min(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(i).alias("r"))
+                for i, d in enumerate(dists)
+            ]
+        )
+    )["r"]
+    nrm = F.sqrt(dot_chain(vec, vec, dim))
+    assigned = qi.select(
+        F.col(id_col), F.col(vec), cell.alias("__cell"), nrm.alias("__nrm")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("__va"),
+        F.col("__cell"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("__vb"),
+        F.col("__cell"),
+        F.col("__nrm").alias("__nb"),
+    )
+    cos = dot_chain("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def anchored_cell_sql(
+    dim: int = 64,
+    n_anchors: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """The DuckDB CTE prefix that replays :func:`semdedup_pairs_anchored`
+    cell assignment: emits ``cells(vec_id, cell)`` plus ``qi`` with the
+    quantized vectors. Kept beside the operator so the SQL and the Spark
+    plan evolve together."""
+    dist = " + ".join(
+        f"(q.xq[{d + 1}] - a.aq[{d + 1}]) * (q.xq[{d + 1}] - a.aq[{d + 1}])"
+        for d in range(dim)
+    )
+    return f"""
+    qi AS (
+      SELECT {id_col}, {vec},
+             list_transform({vec},
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS xq
+      FROM {table} WHERE {vec} IS NOT NULL
+    ), anch AS (
+      SELECT xq AS aq,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1
+               AS rnk
+      FROM qi
+      ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_anchors}
+    ), dists AS (
+      SELECT q.{id_col}, a.rnk, {dist} AS dist
+      FROM qi q CROSS JOIN anch a
+    ), cells AS (
+      SELECT {id_col}, rnk AS cell FROM (
+        SELECT {id_col}, rnk,
+               ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                  ORDER BY dist, rnk) AS rr
+        FROM dists
+      ) WHERE rr = 1
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou, Douze, Schmid: "Product Quantization for
 # Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN path.

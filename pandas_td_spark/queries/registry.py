@@ -299,6 +299,19 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # 1.89 s; survivors recompute from the cached edge frame)
     "q167_bootstrap_ci": 12,  # docstring-only: no-explode variant
     # A/B-rejected (2.19 vs 1.20 s — wide agg buffers defeat codegen)
+    # round 13 perf pass (oracles unchanged, re-green at sf0.001/0.01):
+    "q85_repetition_stats": 13,  # ONE tagged (n, g) explode feeds both
+    # gram stats — one Generate + one exchange instead of two chains
+    "q95_unigram_nll": 13,  # checkpoint the (doc, w) counts (the shared
+    # artifact), not the vocab table: the corpus explode runs once and
+    # the scoring join probes doc-vocab grain instead of token grain
+    "q236_decontaminate_spans": 13,  # broadcast the sparse starts frame
+    # into the rebuild join (corpus token arrays no longer shuffle)
+    # round 13 rows-only -> FULL oracle conversion (VERDICT r12 #9):
+    "q109_semdedup_pairs": 13,  # seeded integer-geometry anchor cells
+    # (semdedup_pairs_anchored) replace the learned-kmeans cells; the
+    # anchor selection, exact-bigint Voronoi assignment, and dot_chain
+    # cosine all replay in the DuckDB oracle
 }
 
 

@@ -346,3 +346,33 @@ def test_substring_run_pairs_exact_semantics(spark):
         for r in substring_run_pairs(docs, min_run=11, anchor_k=9).collect()
     }
     assert got11 == {(1, 2): 12, (3, 4): 11, (5, 6): 20}
+
+
+def test_semdedup_anchored_precision_and_recall(spark):
+    """The oracle-expressible anchored variant (r13): same precision
+    guarantee as the learned-kmeans path (every emitted pair is a true
+    exact-threshold pair) and comparable within-cell recall on the
+    fixture; cells must be a partition of the non-null vectors."""
+    from pandas_td_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        semdedup_pairs_anchored,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    emb = spark.table("embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_threshold_pairs(emb, 0.4).collect()
+    }
+    sd = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs_anchored(emb, 0.4, n_anchors=4).collect()
+    }
+    assert sd <= exact
+    # anchored Voronoi recall is LOWER than the learned-kmeans pin
+    # (0.5): anchors are raw data points, not fitted centroids, so cell
+    # boundaries split more true pairs — the price of oracle
+    # expressibility, carried by q109's full driver hash gate. Fixture
+    # value at sf0.001/k=4 is 0.36 (deterministic); pin the floor.
+    if exact:
+        assert len(sd & exact) / len(exact) >= 0.3

@@ -104,6 +104,43 @@ HEAD = ["q01_pricing_summary", "q02_revenue_by_nation", "q61_range_join",
         # plan: banded MinHash candidates + exact verify (the 1x leg at 5k
         # docs stays on the oracle-exact prefix filter).
 
+# r13 (VERDICT r12 #6): a PERTURBED 10x documents replica for q274 —
+# every word in replica i is suffixed "~i", so replicas share NO
+# 12-gram with each other or the original: the true shared-run pair
+# set grows exactly 10x (one isolated copy of the 1x pair set per
+# replica), isolating PLAN growth from the verbatim-replica fixture
+# artifact the main 10x leg documents above. Only documents differs;
+# the other tables come from the verbatim BIG dir.
+PERT = "/tmp/sf1x10_pert"
+if not os.path.isdir(PERT):
+    os.makedirs(PERT, exist_ok=True)
+    src = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = []
+    for i in range(10):
+        copies.append(
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit(f"~{i}")),
+                    ),
+                    " ",
+                ),
+            )
+        )
+    out_df = copies[0]
+    for c in copies[1:]:
+        out_df = out_df.unionByName(c)
+    out_df.write.mode("overwrite").parquet(f"{PERT}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        p = f"{BIG}/{t}.parquet"
+        (shutil.copytree(p, f"{PERT}/{t}.parquet", dirs_exist_ok=True)
+         if os.path.isdir(p) else shutil.copy(p, f"{PERT}/{t}.parquet"))
+
+
 def run(sf_dir, name):
     register_views(spark, sf_dir, force=True)
     t0 = time.time()
@@ -122,6 +159,14 @@ for name in HEAD:
     out[name] = {"t_1x": round(t1, 3), "t_10x": round(t10, 3),
                  "ratio": round(t10 / t1, 2)}
     print(name, out[name], flush=True)
+# q274 perturbed leg: same 1x base, distinct-text 10x corpus — the
+# ratio here is the plan's growth with linearly-growing TRUE output
+t1 = out["q274_substring_run_pairs"]["t_1x"]
+t10p = min(run(PERT, "q274_substring_run_pairs") for _ in range(3))
+out["q274_substring_run_pairs__perturbed10x"] = {
+    "t_1x": t1, "t_10x": round(t10p, 3), "ratio": round(t10p / t1, 2)}
+print("q274 perturbed:", out["q274_substring_run_pairs__perturbed10x"],
+      flush=True)
 with open("SCALE_LATEST.json", "w") as f:
     json.dump(out, f, indent=1)
     f.write("\n")
