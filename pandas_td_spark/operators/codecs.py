@@ -402,6 +402,8 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
                 mono, rate = mp3_decode_pcm(payload)
             except IndexError:
                 return stub_decoder(payload, out_dim)
+            if mono.ndim == 2:  # r13 stereo: mono-downmix head semantics,
+                mono = mono.mean(axis=1)  # same rule as WAV/FLAC
             vec = _audio_feature_vec(mono, rate, out_dim)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" or (
             payload[:4] == b"fLaC"
@@ -3277,7 +3279,9 @@ def flac_chunk_extractor(payload: bytes, n_chunks: int) -> list[bytes]:
 # libraries" alongside H.264; the verdict correctly called that
 # overstated — the entropy layer is spec-published bitstream structure +
 # Huffman tables, the same pure-python/numpy class as the JPEG/FLAC work
-# above. This round ships that layer: frame headers, mono side info,
+# above. This round ships that layer: frame headers, mono side info
+# (r13 adds plain two-channel stereo — per-channel side info + main
+# data; joint stereo's intensity/MS matrixing stays refused),
 # scalefactor fields, and Huffman-coded spectral values, with an
 # in-repo encoder whose output the decoder bit-verifies round-trip
 # (tests/test_codecs.py). The numeric layer that turns these integers
@@ -3326,12 +3330,16 @@ def mp3_encode_entropy(
     big_values: int = 288,
 ) -> bytes:
     """Encode quantized spectral values as a CBR MPEG-1 Layer III
-    bitstream (mono, no CRC, no bit reservoir, scalefactors zero).
+    bitstream (no CRC, no bit reservoir, scalefactors zero).
 
-    ``spectra``: int array (n_frames, 2, 576) with values in {-1, 0, 1}
-    — the amplitude range of Huffman table 1, the implemented subset.
-    The first ``2*big_values`` samples go through table 1 in every
-    region (one table for all three regions makes region_count fields
+    ``spectra``: int array (n_frames, 2, 576) for MONO, or — r13 —
+    (n_frames, 2, 2, 576) for STEREO (granule, channel, lines): plain
+    two-channel mode 0b00, each channel independently coded (no
+    intensity/MS joint coding — those are a lossy matrixing decision,
+    not bitstream machinery, and stay out of the subset). Values in
+    {-1, 0, 1} — the amplitude range of Huffman table 1. The first
+    ``2*big_values`` samples go through table 1 in every region (one
+    table for all three regions makes region_count fields
     decode-neutral — the decoder needs no scalefactor-band geometry
     yet); the remainder is coded as count1 table-B quadruples up to the
     last nonzero, and the implicit rzero tail is zero-filled by the
@@ -3339,8 +3347,16 @@ def mp3_encode_entropy(
     144*bps % sr == 0, e.g. 48 kHz / 96 kbps -> 288 bytes, padding=0).
     """
     spectra = np.asarray(spectra, dtype=np.int64)
-    if spectra.ndim != 3 or spectra.shape[1:] != (2, 576):
-        raise ValueError("spectra must be (n_frames, 2, 576)")
+    if spectra.ndim == 3 and spectra.shape[1:] == (2, 576):
+        nch = 1
+        spectra = spectra[:, :, None, :]  # (n, 2, 1, 576)
+    elif spectra.ndim == 4 and spectra.shape[1:] == (2, 2, 576):
+        nch = 2
+    else:
+        raise ValueError(
+            "spectra must be (n_frames, 2, 576) mono or "
+            "(n_frames, 2, 2, 576) stereo"
+        )
     if np.abs(spectra).max(initial=0) > 1:
         raise NotImplementedError(
             "entropy subset: |value| <= 1 (Huffman table 1); linbits "
@@ -3353,64 +3369,69 @@ def mp3_encode_entropy(
     if (144 * bitrate_kbps * 1000) % sample_rate:
         raise ValueError("pick sr/bitrate with an integral frame size")
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    mode = 0b11 if nch == 1 else 0b00  # single_channel / stereo
     header = (
         (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
         | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
-        | (0b11 << 6) | (0 << 4) | (0 << 3) | (1 << 2) | 0
+        | (mode << 6) | (0 << 4) | (0 << 3) | (1 << 2) | 0
     )
     out = bytearray()
     for f in range(spectra.shape[0]):
-        gr_bits = []
+        gr_bits = []  # main data order: (g0,ch0), (g0,ch1), (g1,ch0)…
         for g in range(2):
-            bits = []
-            vals = spectra[f, g]
-            for p in range(big_values):
-                x, y = int(vals[2 * p]), int(vals[2 * p + 1])
-                bits.append(_MP3_HUFF_T1[(abs(x), abs(y))])
-                if x != 0:
-                    bits.append("1" if x < 0 else "0")
-                if y != 0:
-                    bits.append("1" if y < 0 else "0")
-            # count1 quadruples cover up to the last nonzero; the
-            # implicit rzero tail carries no bits
-            tail = vals[2 * big_values :]
-            nz = np.nonzero(tail)[0]
-            n_quads = 0 if len(nz) == 0 else (int(nz[-1]) // 4) + 1
-            if n_quads * 4 > len(tail):
-                # the decoder's `i + 4 <= 576` guard can never read a
-                # trailing PARTIAL quad, so a nonzero there would be
-                # silently unreachable — refuse instead of emitting a
-                # stream that cannot round-trip (choose big_values with
-                # (576 - 2*big_values) % 4 == 0, or zero the tail end)
-                raise ValueError(
-                    "nonzero count1 value in an unencodable partial "
-                    "quad (2*big_values leaves a tail not divisible "
-                    "by 4)"
-                )
-            for qdx in range(n_quads):
-                quad = [int(v) for v in tail[4 * qdx : 4 * qdx + 4]]
-                bits.append(_count1b_code(*[abs(v) for v in quad]))
-                for v in quad:
-                    if v != 0:
-                        bits.append("1" if v < 0 else "0")
-            gr_bits.append("".join(bits))
-        side = []  # (value, width) fields, ISO order, mono layout
-        side.append((0, 9))   # main_data_begin: no reservoir
-        side.append((0, 5))   # private_bits
-        side.append((0, 4))   # scfsi: granule 1 re-reads nothing (zeros)
+            for ch in range(nch):
+                bits = []
+                vals = spectra[f, g, ch]
+                for p in range(big_values):
+                    x, y = int(vals[2 * p]), int(vals[2 * p + 1])
+                    bits.append(_MP3_HUFF_T1[(abs(x), abs(y))])
+                    if x != 0:
+                        bits.append("1" if x < 0 else "0")
+                    if y != 0:
+                        bits.append("1" if y < 0 else "0")
+                # count1 quadruples cover up to the last nonzero; the
+                # implicit rzero tail carries no bits
+                tail = vals[2 * big_values :]
+                nz = np.nonzero(tail)[0]
+                n_quads = 0 if len(nz) == 0 else (int(nz[-1]) // 4) + 1
+                if n_quads * 4 > len(tail):
+                    # the decoder's `i + 4 <= 576` guard can never read
+                    # a trailing PARTIAL quad, so a nonzero there would
+                    # be silently unreachable — refuse instead of
+                    # emitting a stream that cannot round-trip (choose
+                    # big_values with (576 - 2*big_values) % 4 == 0, or
+                    # zero the tail end)
+                    raise ValueError(
+                        "nonzero count1 value in an unencodable partial "
+                        "quad (2*big_values leaves a tail not divisible "
+                        "by 4)"
+                    )
+                for qdx in range(n_quads):
+                    quad = [int(v) for v in tail[4 * qdx : 4 * qdx + 4]]
+                    bits.append(_count1b_code(*[abs(v) for v in quad]))
+                    for v in quad:
+                        if v != 0:
+                            bits.append("1" if v < 0 else "0")
+                gr_bits.append("".join(bits))
+        side = []  # (value, width) fields, ISO order
+        side.append((0, 9))  # main_data_begin: no reservoir
+        side.append((0, 5 if nch == 1 else 3))  # private_bits
+        side.append((0, 4 * nch))  # scfsi per channel: all zeros
         for g in range(2):
-            side.append((len(gr_bits[g]), 12))  # part2_3_length (sf bits = 0)
-            side.append((big_values, 9))        # big_values
-            side.append((global_gain, 8))
-            side.append((0, 4))                 # scalefac_compress -> 0 bits
-            side.append((0, 1))                 # windows_switching_flag
-            for _ in range(3):
-                side.append((1, 5))             # table_select: table 1
-            side.append((0, 4))                 # region0_count
-            side.append((0, 3))                 # region1_count
-            side.append((0, 1))                 # preflag
-            side.append((0, 1))                 # scalefac_scale
-            side.append((1, 1))                 # count1table_select: B
+            for ch in range(nch):
+                pl = len(gr_bits[g * nch + ch])
+                side.append((pl, 12))            # part2_3_length (sf=0)
+                side.append((big_values, 9))     # big_values
+                side.append((global_gain, 8))
+                side.append((0, 4))              # scalefac_compress
+                side.append((0, 1))              # windows_switching_flag
+                for _ in range(3):
+                    side.append((1, 5))          # table_select: table 1
+                side.append((0, 4))              # region0_count
+                side.append((0, 3))              # region1_count
+                side.append((0, 1))              # preflag
+                side.append((0, 1))              # scalefac_scale
+                side.append((1, 1))              # count1table_select: B
         frame_bits = ["".join(format(v, f"0{w}b") for v, w in side)]
         frame_bits += gr_bits
         payload = "".join(frame_bits)
@@ -3425,14 +3446,18 @@ def mp3_encode_entropy(
 
 def mp3_decode_entropy(payload: bytes) -> dict:
     """Parse a (subset) MPEG-1 Layer III stream back to quantized
-    spectral values: header fields, mono side info, scalefactors, and
+    spectral values: header fields, side info, scalefactors, and
     Huffman-decoded (x, y) pairs / count1 quadruples, bit-exact.
 
-    Returns ``{"sample_rate", "bitrate_kbps", "n_frames", "spectra"
-    (n_frames, 2, 576 int64), "side_info" (per-frame list)}``. Raises
+    Returns ``{"sample_rate", "bitrate_kbps", "n_frames", "channels",
+    "spectra", "side_info"}`` — spectra is (n_frames, 2, 576) int64 for
+    mono (the r12 shape, unchanged) or (n_frames, 2, 2, 576) for
+    stereo/dual-channel (r13: each channel independently coded;
+    side_info granule entries become [ch0, ch1] lists). Raises
     ``NotImplementedError`` for streams outside the implemented subset
-    (stereo, windows switching, bit reservoir, Huffman tables other
-    than 0/1, count1 table A) — a clean refusal, never wrong samples."""
+    (JOINT stereo — intensity/MS matrixing, windows switching, bit
+    reservoir, Huffman tables other than 0/1, count1 table A) — a
+    clean refusal, never wrong samples."""
     if len(payload) < 4:
         raise ValueError("not an MP3 frame")
     pos = 0
@@ -3452,8 +3477,12 @@ def mp3_decode_entropy(payload: bytes) -> dict:
         br_idx, sr_idx = (head >> 12) & 0xF, (head >> 10) & 3
         if br_idx not in _MP3_BITRATES or sr_idx not in _MP3_SAMPLE_RATES:
             raise ValueError("bad bitrate/samplerate index")
-        if (head >> 6) & 3 != 0b11:
-            raise NotImplementedError("mono streams only (r12 subset)")
+        mode = (head >> 6) & 3
+        if mode == 0b01:
+            raise NotImplementedError(
+                "joint stereo (intensity/MS matrixing) not implemented"
+            )
+        nch = 1 if mode == 0b11 else 2  # stereo / dual channel
         br, sr = _MP3_BITRATES[br_idx], _MP3_SAMPLE_RATES[sr_idx]
         frame_len = 144 * br * 1000 // sr + ((head >> 9) & 1)
         frame = payload[pos + 4 : pos + frame_len]
@@ -3472,31 +3501,32 @@ def mp3_decode_entropy(payload: bytes) -> dict:
 
         if take(9):
             raise NotImplementedError("bit reservoir not implemented")
-        take(5)
-        scfsi = take(4)
+        take(5 if nch == 1 else 3)  # private_bits
+        scfsi = take(4 * nch)
         if scfsi:
             raise NotImplementedError(
                 "scfsi scalefactor sharing: outside the r12 subset"
             )
         grs = []
         for g in range(2):
-            gr = {
-                "part2_3_length": take(12), "big_values": take(9),
-                "global_gain": take(8), "scalefac_compress": take(4),
-            }
-            if take(1):
-                raise NotImplementedError("windows switching")
-            gr["table_select"] = [take(5) for _ in range(3)]
-            gr["region0_count"] = take(4)
-            gr["region1_count"] = take(3)
-            gr["preflag"] = take(1)
-            gr["scalefac_scale"] = take(1)
-            gr["count1table_select"] = take(1)
-            if gr["big_values"] > 288:
-                # 9-bit field, but >288 pairs would overrun the 576
-                # spectral lines — corrupt stream, refuse cleanly
-                raise ValueError("big_values out of range")
-            grs.append(gr)
+            for ch in range(nch):
+                gr = {
+                    "part2_3_length": take(12), "big_values": take(9),
+                    "global_gain": take(8), "scalefac_compress": take(4),
+                }
+                if take(1):
+                    raise NotImplementedError("windows switching")
+                gr["table_select"] = [take(5) for _ in range(3)]
+                gr["region0_count"] = take(4)
+                gr["region1_count"] = take(3)
+                gr["preflag"] = take(1)
+                gr["scalefac_scale"] = take(1)
+                gr["count1table_select"] = take(1)
+                if gr["big_values"] > 288:
+                    # 9-bit field, but >288 pairs would overrun the 576
+                    # spectral lines — corrupt stream, refuse cleanly
+                    raise ValueError("big_values out of range")
+                grs.append(gr)
         frame_spectra = []
         for g, gr in enumerate(grs):
             start = bp
@@ -3545,13 +3575,22 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             if bp - start != gr["part2_3_length"]:
                 raise ValueError("part2_3_length mismatch")
             frame_spectra.append(vals)
-        spectra.append(np.stack(frame_spectra))
-        sides.append({"scfsi": scfsi, "granules": grs})
+        fs = np.stack(frame_spectra)  # (2*nch, 576) in (g, ch) order
+        if nch == 2:
+            spectra.append(fs.reshape(2, 2, 576))
+            sides.append(
+                {"scfsi": scfsi, "granules": [grs[0:2], grs[2:4]]}
+            )
+        else:
+            spectra.append(fs)
+            sides.append({"scfsi": scfsi, "granules": grs})
         pos += frame_len
+        n_channels = nch
+    empty = np.zeros((0, 2, 576), dtype=np.int64)
     return {
         "sample_rate": sr, "bitrate_kbps": br, "n_frames": len(spectra),
-        "spectra": np.stack(spectra) if spectra else
-        np.zeros((0, 2, 576), dtype=np.int64),
+        "channels": n_channels if spectra else 0,
+        "spectra": np.stack(spectra) if spectra else empty,
         "side_info": sides,
     }
 
@@ -3597,26 +3636,36 @@ _MP3_CA = _MP3_CI / np.sqrt(1.0 + _MP3_CI**2)
 
 def mp3_requantize(spectra: np.ndarray, side_info: list) -> np.ndarray:
     """Quantized spectra (n_frames, 2, 576 int) -> float xr via the
-    power law ``sign*|ix|^(4/3)*2^((global_gain-210)/4)``. Subset guard:
-    any nonzero scalefactor / preflag / scalefac_scale raises (their
-    full formula needs the scalefactor-band geometry tables)."""
+    power law ``sign*|ix|^(4/3)*2^((global_gain-210)/4)``. Stereo (r13):
+    spectra (n_frames, 2, 2, 576) with per-channel granule side info.
+    Subset guard: any nonzero scalefactor / preflag / scalefac_scale
+    raises (their full formula needs the scalefactor-band geometry
+    tables)."""
     spectra = np.asarray(spectra)
     xr = np.empty(spectra.shape, dtype=np.float64)
+
+    def _one(gr, ix):
+        if (
+            any(gr.get("scalefac", []))
+            or gr.get("preflag")
+            or gr.get("scalefac_scale")
+        ):
+            raise NotImplementedError(
+                "nonzero scalefactors need sfb geometry tables "
+                "(outside the from-memory-safe subset)"
+            )
+        gain = 2.0 ** ((gr["global_gain"] - 210) / 4.0)
+        ix = ix.astype(np.float64)
+        return np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain
+
     for f in range(spectra.shape[0]):
         for g in range(2):
             gr = side_info[f]["granules"][g]
-            if (
-                any(gr.get("scalefac", []))
-                or gr.get("preflag")
-                or gr.get("scalefac_scale")
-            ):
-                raise NotImplementedError(
-                    "nonzero scalefactors need sfb geometry tables "
-                    "(outside the from-memory-safe subset)"
-                )
-            gain = 2.0 ** ((gr["global_gain"] - 210) / 4.0)
-            ix = spectra[f, g].astype(np.float64)
-            xr[f, g] = np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain
+            if spectra.ndim == 4:
+                for ch in range(spectra.shape[2]):
+                    xr[f, g, ch] = _one(gr[ch], spectra[f, g, ch])
+            else:
+                xr[f, g] = _one(gr, spectra[f, g])
     return xr
 
 
@@ -3764,9 +3813,28 @@ def mp3_synthesis_filterbank(sub: np.ndarray) -> np.ndarray:
 def mp3_decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     """Full subset decode: entropy layer -> requantize -> alias
     reduction -> IMDCT hybrid layer -> polyphase synthesis. Returns
-    (float64 samples, sample_rate); 1152 samples per frame."""
+    (float64 samples, sample_rate); 1152 samples per frame. Mono
+    streams return a 1-D array (the r12 shape); stereo streams (r13)
+    return (n_samples, 2) — each channel runs its own overlap and
+    filterbank state, exactly as two independent mono decodes."""
     d = mp3_decode_entropy(payload)
     xr = mp3_requantize(d["spectra"], d["side_info"])
+    if xr.ndim == 4:  # stereo: per-channel pipelines
+        chans = []
+        for ch in range(xr.shape[2]):
+            overlap = np.zeros((32, 18))
+            rows = []
+            for f in range(xr.shape[0]):
+                for g in range(2):
+                    grain = mp3_alias_reduce(xr[f, g, ch])
+                    sub, overlap = mp3_imdct_granule(grain, overlap)
+                    rows.append(sub)
+            if not rows:
+                return np.zeros((0, 2)), d["sample_rate"]
+            chans.append(
+                mp3_synthesis_filterbank(np.concatenate(rows, axis=0))
+            )
+        return np.stack(chans, axis=1), d["sample_rate"]
     overlap = np.zeros((32, 18))
     rows = []
     for f in range(xr.shape[0]):
@@ -3792,21 +3860,41 @@ def mp3_encode_pcm(
     |x| >= gain/2) -> entropy layer. Deliberately crude (1.58 bits/line
     ceiling) but exactly invertible THROUGH THE BITSTREAM: decode
     recovers the ternary spectra bit-exactly, then reconstructs audio
-    at the fidelity the subset supports."""
-    sub = mp3_analysis_filterbank(np.asarray(pcm, dtype=np.float64))
-    n_gran = sub.shape[0] // 18
-    n_frames = n_gran // 2
-    if n_frames == 0:
-        raise ValueError("need at least 1152 + 512 input samples")
+    at the fidelity the subset supports. Stereo (r13): pass
+    (n_samples, 2) — each channel encodes through its own filterbank/
+    MDCT state into the plain two-channel mode."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    if pcm.ndim == 2 and pcm.shape[1] == 2:
+        chans = [pcm[:, 0], pcm[:, 1]]
+    elif pcm.ndim == 1:
+        chans = [pcm]
+    else:
+        raise ValueError("pcm must be 1-D mono or (n, 2) stereo")
     gain = 2.0 ** ((global_gain - 210) / 4.0)
-    prev = np.zeros((32, 18))
-    spectra = np.zeros((n_frames, 2, 576), dtype=np.int64)
-    for f in range(n_frames):
-        for g in range(2):
-            i = 2 * f + g
-            X, prev = mp3_mdct_granule(sub[18 * i : 18 * i + 18], prev)
-            X = mp3_alias_reduce(X, inverse=True)
-            spectra[f, g] = np.clip(np.round(X / gain), -1, 1).astype(np.int64)
+    per_ch = []
+    n_frames = None
+    for x in chans:
+        sub = mp3_analysis_filterbank(x)
+        n_gran = sub.shape[0] // 18
+        n_frames = n_gran // 2
+        if n_frames == 0:
+            raise ValueError("need at least 1152 + 512 input samples")
+        prev = np.zeros((32, 18))
+        sp = np.zeros((n_frames, 2, 576), dtype=np.int64)
+        for f in range(n_frames):
+            for g in range(2):
+                i = 2 * f + g
+                X, prev = mp3_mdct_granule(sub[18 * i : 18 * i + 18], prev)
+                X = mp3_alias_reduce(X, inverse=True)
+                sp[f, g] = np.clip(
+                    np.round(X / gain), -1, 1
+                ).astype(np.int64)
+        per_ch.append(sp)
+    spectra = (
+        per_ch[0]
+        if len(per_ch) == 1
+        else np.stack(per_ch, axis=2)  # (n, 2, 2, 576)
+    )
     return mp3_encode_entropy(
         spectra,
         sample_rate=sample_rate,

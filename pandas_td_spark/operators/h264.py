@@ -53,6 +53,7 @@ __all__ = [
     "cavlc_encode_block",
     "cavlc_decode_block",
     "encode_h264_cavlc",
+    "encode_h264_cavlc_video",
     "h264_decode_cavlc_islice",
     "h264_residual_stats",
 ]
@@ -1068,9 +1069,29 @@ def encode_h264_cavlc(
     entry. CBP is DERIVED from coefficient nonzero-ness, so any surface
     round-trips exactly. Single slice covering the frame, poc_type 2,
     full-field PPS (pic_init_qp = ``qp``), baseline profile."""
+    return encode_h264_cavlc_video(
+        w_mbs, h_mbs, [(luma, chroma, mb16)], qp=qp, level=level
+    )
+
+
+def encode_h264_cavlc_video(
+    w_mbs: int,
+    h_mbs: int,
+    frames: "list[tuple]",
+    qp: int = 26,
+    level: int = 30,
+) -> bytes:
+    """All-intra multi-frame emitter (r13): one IDR I slice per
+    ``(luma, chroma, mb16)`` entry in ``frames`` — the shape an
+    intra-only screen-capture / fixture video has. One SPS + PPS,
+    idr_pic_id increments per picture, each slice carries its own nC
+    bookkeeping (neighbor state never crosses pictures)."""
     n_mbs = w_mbs * h_mbs
-    if len(luma) != n_mbs or len(chroma) != n_mbs or len(mb16) != n_mbs:
-        raise ValueError("surface/mb16 length must equal w_mbs*h_mbs")
+    if not frames:
+        raise ValueError("at least one frame required")
+    for luma, chroma, mb16 in frames:
+        if len(luma) != n_mbs or len(chroma) != n_mbs or len(mb16) != n_mbs:
+            raise ValueError("surface/mb16 length must equal w_mbs*h_mbs")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
 
@@ -1109,72 +1130,79 @@ def encode_h264_cavlc(
     w.u(0, 1)  # redundant_pic_cnt_present
     pps_rbsp = w.rbsp()
 
-    w = _ExpGolombWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pps_id
-    w.u(0, 4)  # frame_num (log2_max_frame_num = 4; 0 on IDR)
-    w.ue(0)  # idr_pic_id
-    w.u(0, 1)  # no_output_of_prior_pics
-    w.u(0, 1)  # long_term_reference_flag
-    w.se(0)  # slice_qp_delta
+    slice_rbsps = []
+    for idr_id, (luma, chroma, mb16) in enumerate(frames):
+        w = _ExpGolombWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices in picture)
+        w.ue(0)  # pps_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4; 0 on IDR)
+        w.ue(idr_id % 65536)  # idr_pic_id (changes between IDR pics)
+        w.u(0, 1)  # no_output_of_prior_pics
+        w.u(0, 1)  # long_term_reference_flag
+        w.se(0)  # slice_qp_delta
 
-    luma_grid = _NcGrid()
-    chroma_grids = (_NcGrid(), _NcGrid())
-    for mb in range(n_mbs):
-        is16 = bool(mb16[mb])
-        any_luma_ac = any(
-            luma[mb][blk][ci] for blk in range(16) for ci in range(1, 16)
-        )
-        if is16:
-            cbp_luma = 15 if any_luma_ac else 0
-        else:
-            cbp_luma = 0
-            for blk in range(16):
-                if any(luma[mb][blk]):
-                    cbp_luma |= 1 << (blk >> 2)
-        any_cdc = any(chroma[mb][c][b][0] for c in range(2) for b in range(4))
-        any_cac = any(
-            chroma[mb][c][b][ci]
-            for c in range(2) for b in range(4) for ci in range(1, 16)
-        )
-        cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
-        if is16:
-            # pred_mode 0 in the mb_type composition; the DC block is
-            # always coded for I_16x16 (an all-zero one costs one
-            # coeff_token with total 0)
-            w.ue(1 + 0 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
-        else:
-            w.ue(0)  # I_4x4
-            for _ in range(16):
-                w.u(1, 1)  # prev_intra4x4_pred_mode_flag = 1
-        w.ue(mb % 4)  # intra_chroma_pred_mode
-        if not is16:
-            w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
-        if is16 or cbp_luma or cbp_chroma:
-            w.se(0)  # mb_qp_delta
-        for kind, comp, blk, mc, nc_fn, put_fn in _iter_mb_blocks(
-            mb, w_mbs, is16, cbp_luma, cbp_chroma, luma_grid, chroma_grids
-        ):
-            if kind == "dc16":
-                coeffs = [luma[mb][b][0] for b in range(16)]
-            elif kind == "luma":
-                coeffs = (
-                    luma[mb][blk][1:] if mc == 15 else list(luma[mb][blk])
-                )
-            elif kind == "chroma_dc":
-                coeffs = [chroma[mb][comp][b][0] for b in range(4)]
+        luma_grid = _NcGrid()
+        chroma_grids = (_NcGrid(), _NcGrid())
+        for mb in range(n_mbs):
+            is16 = bool(mb16[mb])
+            any_luma_ac = any(
+                luma[mb][blk][ci]
+                for blk in range(16)
+                for ci in range(1, 16)
+            )
+            if is16:
+                cbp_luma = 15 if any_luma_ac else 0
             else:
-                coeffs = chroma[mb][comp][blk][1:]
-            total = cavlc_encode_block(w, list(coeffs), nc_fn(), mc)
-            if put_fn is not None:
-                put_fn(total)
-    slice_rbsp = w.rbsp()
+                cbp_luma = 0
+                for blk in range(16):
+                    if any(luma[mb][blk]):
+                        cbp_luma |= 1 << (blk >> 2)
+            any_cdc = any(
+                chroma[mb][c][b][0] for c in range(2) for b in range(4)
+            )
+            any_cac = any(
+                chroma[mb][c][b][ci]
+                for c in range(2) for b in range(4) for ci in range(1, 16)
+            )
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+            if is16:
+                # pred_mode 0 in the mb_type composition; the DC block
+                # is always coded for I_16x16 (an all-zero one costs
+                # one coeff_token with total 0)
+                w.ue(1 + 0 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+            else:
+                w.ue(0)  # I_4x4
+                for _ in range(16):
+                    w.u(1, 1)  # prev_intra4x4_pred_mode_flag = 1
+            w.ue(mb % 4)  # intra_chroma_pred_mode
+            if not is16:
+                w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+            if is16 or cbp_luma or cbp_chroma:
+                w.se(0)  # mb_qp_delta
+            for kind, comp, blk, mc, nc_fn, put_fn in _iter_mb_blocks(
+                mb, w_mbs, is16, cbp_luma, cbp_chroma,
+                luma_grid, chroma_grids,
+            ):
+                if kind == "dc16":
+                    coeffs = [luma[mb][b][0] for b in range(16)]
+                elif kind == "luma":
+                    coeffs = (
+                        luma[mb][blk][1:] if mc == 15 else list(luma[mb][blk])
+                    )
+                elif kind == "chroma_dc":
+                    coeffs = [chroma[mb][comp][b][0] for b in range(4)]
+                else:
+                    coeffs = chroma[mb][comp][blk][1:]
+                total = cavlc_encode_block(w, list(coeffs), nc_fn(), mc)
+                if put_fn is not None:
+                    put_fn(total)
+        slice_rbsps.append(w.rbsp())
 
     out = bytearray()
-    for ref_idc, ntype, rbsp in (
-        (3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, slice_rbsp)
-    ):
+    for ref_idc, ntype, rbsp in [(3, 7, sps_rbsp), (3, 8, pps_rbsp)] + [
+        (3, 5, s) for s in slice_rbsps
+    ]:
         out.extend(b"\x00\x00\x00\x01")
         out.append((ref_idc << 5) | ntype)
         out.extend(_escape_rbsp(rbsp))
@@ -1184,10 +1212,12 @@ def encode_h264_cavlc(
 def h264_decode_cavlc_islice(payload: bytes) -> dict:
     """Decode the CAVLC I-frame subset back to exact coefficient
     surfaces: ``{"w_mbs", "h_mbs", "qp", "mb16": [bool], "luma":
-    [mb][16][16], "chroma": [mb][2][4][16], "n_slices"}``. Refuses
-    (NotImplementedError) CABAC, non-I slices, I_PCM, multi-slice
-    pictures and prefix-only PPSes; corrupt bitstreams raise
-    ValueError."""
+    [mb][16][16], "chroma": [mb][2][4][16], "n_slices", "frames"}``.
+    Multi-frame all-intra streams decode every picture into
+    ``frames`` (a list of per-picture dicts; the top-level fields
+    mirror frame 0). Refuses (NotImplementedError) CABAC, non-I
+    slices, I_PCM, multi-slice PICTURES (first_mb != 0) and
+    prefix-only PPSes; corrupt bitstreams raise ValueError."""
     nals = h264_split_nals(payload)
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
@@ -1303,11 +1333,7 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
             if tail >= 8 or (r.u(tail) if tail else 0) != 0:
                 raise ValueError("trailing garbage after slice data")
             n_slices += 1
-            if out is not None:
-                raise NotImplementedError(
-                    "multiple coded pictures per stream"
-                )
-            out = {
+            frame = {
                 "w_mbs": w_mbs,
                 "h_mbs": h_mbs,
                 "qp": qp,
@@ -1315,6 +1341,20 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
                 "luma": luma,
                 "chroma": chroma,
             }
+            if out is None:
+                # top level mirrors frame 0 (the r13 single-frame shape)
+                out = dict(frame)
+                out["frames"] = [frame]
+            else:
+                # all-intra multi-frame stream (r13): every picture is a
+                # full-frame IDR I slice; dimensions are SPS-wide
+                if (frame["w_mbs"], frame["h_mbs"]) != (
+                    out["w_mbs"], out["h_mbs"]
+                ):
+                    raise NotImplementedError(
+                        "per-frame dimension change mid-stream"
+                    )
+                out["frames"].append(frame)
     if out is None:
         raise ValueError("no I slice in stream")
     out["n_slices"] = n_slices
@@ -1322,35 +1362,44 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
 
 
 def h264_residual_stats(payload: bytes) -> dict:
-    """Integer stats over the decoded coefficient surface — the
-    media_features / q277 consumer: macroblock count, nonzero count,
-    |level| sum, signed sum, and a position-weighted checksum any SQL
-    engine can replay from a closed-form surface definition."""
+    """Integer stats over the decoded coefficient surfaces — the
+    media_features / q277 consumer: per-frame macroblock count, nonzero
+    count, |level| sum, signed sum, and a position-weighted checksum any
+    SQL engine can replay from a closed-form surface definition.
+    Multi-frame (all-intra) streams aggregate across frames; the
+    per-frame checksum offset (``frame * 37_000_000``) is zero for frame
+    0, so single-frame stats are unchanged from the r13 gate values.
+    ``qp`` / ``n_mb16`` report frame 0 (SPS-constant grids make the
+    per-frame values available in ``h264_decode_cavlc_islice``)."""
     d = h264_decode_cavlc_islice(payload)
     n_mbs = d["w_mbs"] * d["h_mbs"]
     n_nonzero = sum_vals = sum_abs = chk = 0
-    for mb in range(n_mbs):
-        for blk in range(16):
-            for ci in range(16):
-                v = d["luma"][mb][blk][ci]
-                if v:
-                    n_nonzero += 1
-                    sum_vals += v
-                    sum_abs += abs(v)
-                    chk += v * (1 + mb * 1000 + blk * 50 + ci)
-        for comp in range(2):
-            for blk in range(4):
+    for fi, fr in enumerate(d["frames"]):
+        base = fi * 37_000_000
+        for mb in range(n_mbs):
+            for blk in range(16):
                 for ci in range(16):
-                    v = d["chroma"][mb][comp][blk][ci]
+                    v = fr["luma"][mb][blk][ci]
                     if v:
                         n_nonzero += 1
                         sum_vals += v
                         sum_abs += abs(v)
-                        chk += v * (
-                            500000 + mb * 1000 + comp * 400 + blk * 50 + ci
-                        )
+                        chk += v * (base + 1 + mb * 1000 + blk * 50 + ci)
+            for comp in range(2):
+                for blk in range(4):
+                    for ci in range(16):
+                        v = fr["chroma"][mb][comp][blk][ci]
+                        if v:
+                            n_nonzero += 1
+                            sum_vals += v
+                            sum_abs += abs(v)
+                            chk += v * (
+                                base + 500000 + mb * 1000
+                                + comp * 400 + blk * 50 + ci
+                            )
     return {
         "n_mbs": n_mbs,
+        "n_frames": len(d["frames"]),
         "qp": d["qp"],
         "n_mb16": sum(1 for b in d["mb16"] if b),
         "n_nonzero": n_nonzero,

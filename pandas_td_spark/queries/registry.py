@@ -122,9 +122,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # WHEN-tree buckets — values identical, helper fingerprints moved)
     "q129_equidepth_histogram": 11,  # r6 lazy rank/ntile; r11 KEPT the
     # rank path after the A/B rejected global_ntile_agg (docstring)
-    "q188_woe_binning": 11,  # r6 lazy rank/ntile; r11 kept the rank
-    # path (A/B rejected global_ntile_agg) + whole-frame-window
-    # marginals tail replacing the broadcast self-join (~-0.3 s warm)
+    # (q188_woe_binning's r11 entry — r6 lazy rank/ntile; r11 kept the
+    # rank path + whole-frame-window marginals — superseded by its r13
+    # closed-at-shape row below)
     # r11 ranking.py refactor drift (values/plans identical for these —
     # with_global_ntile now routes its ntile arithmetic through the
     # extracted _bin_from_rank; _offsets_frame gained __cnt):
@@ -189,7 +189,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # r11 row below)
     "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
     "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
-    "q95_unigram_nll": 7,  # lazy broadcast token total (no extra explode scan)
+    # (q95_unigram_nll's r7 entry superseded by its r13 row below)
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
     # (q186_bigram_nll's r7 entry superseded by its r12 row below)
     "q214_js_divergence": 7,  # lazy broadcast corpus total (empty-safe)
@@ -206,7 +206,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q62_multimodal_features": 7,
     "q64_embedding_near_dup": 7,
     "q55_embedding_topk": 7,
-    "q109_semdedup_pairs": 7,
+    # (q109_semdedup_pairs's r7 entry superseded by its r13
+    # oracle-conversion row below)
     "q66_embedding_ivf_topk": 7,
     "q116_embedding_pq_topk": 7,
     # (q118_kmeans_clusters's r7 entry superseded by its r12 row below)
@@ -217,15 +218,17 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q92_winnowing": 7,  # shared _winnow_fps rewrite (r7 snapshot commit)
     "q110_substring_overlap": 7,  # same shared _winnow_fps rewrite
     # round 8:
-    "q85_repetition_stats": 8,  # reverted to the r6 exploded form (the
-    # r7 row-local _gram_stats rewrite measured 6.6 s warm vs 1.07 s)
-    "q236_decontaminate_spans": 8,  # zero-token guard on the rebuild
+    # (q85_repetition_stats's r8 entry — revert to the r6 exploded form
+    # after the r7 row-local rewrite measured 6.6 s — superseded by its
+    # r13 single-explode row below)
+    # (q236_decontaminate_spans's r8 zero-token-guard entry superseded
+    # by its r13 broadcast-starts row below)
     # round-8 lazy-broadcast conversion of the residual driver actions
     # (values identical; the corpus scalar rides as a 1-row broadcast
     # aggregate instead of a driver-side count job):
     "q46_tfidf_top_terms": 8,
     "q199_tfidf_topk": 8,
-    "q86_bm25": 8,
+    # (q86_bm25's r8 entry superseded by its r13 floor-audit row below)
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 10,  # r8: lazy broadcast ny; r10: ny from
     # the post-rank slice via whole-partition window (one fact agg)
@@ -307,6 +310,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # the scoring join probes doc-vocab grain instead of token grain
     "q236_decontaminate_spans": 13,  # broadcast the sparse starts frame
     # into the rebuild join (corpus token arrays no longer shuffle)
+    "q188_woe_binning": 13,  # docstring-only: agg/packed-key variants
+    # re-A/B-rejected (2.37/1.82 vs 1.45-1.54 s); rank path is the floor
+    "q86_bm25": 13,  # docstring-only: floor audit (r12's 2.98 s was the
+    # battery artifact; plan pushdown verified, 0.67 s clean)
     # round 13 rows-only -> FULL oracle conversion (VERDICT r12 #9):
     "q109_semdedup_pairs": 13,  # seeded integer-geometry anchor cells
     # (semdedup_pairs_anchored) replace the learned-kmeans cells; the

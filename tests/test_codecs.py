@@ -1303,8 +1303,11 @@ def test_mp3_entropy_refuses_outside_subset():
         mp3_decode_entropy(b"\x00" * 64)
     sp = np.zeros((1, 2, 576), dtype=np.int64)
     b = bytearray(mp3_encode_entropy(sp))
-    b[3] = (b[3] & ~0xC0) | 0x00  # mode 00 = stereo
-    with pytest.raises(NotImplementedError, match="mono"):
+    # r13: mode 00 (stereo) is now IMPLEMENTED — flipping a mono-layout
+    # stream's header to stereo makes the side info misparse, which must
+    # surface as a clean refusal/parse error, never wrong samples
+    b[3] = (b[3] & ~0xC0) | 0x00  # mode 00 = stereo on mono-layout bits
+    with pytest.raises((NotImplementedError, ValueError)):
         mp3_decode_entropy(bytes(b))
 
 
@@ -1555,3 +1558,93 @@ def test_mp3_decode_property_never_crashes_on_mutations():
         assert v.shape == (8,)
 
     check()
+
+
+def test_mp3_stereo_entropy_roundtrip_bit_exact():
+    """r13: plain two-channel stereo (mode 0b00) — per-channel side
+    info (3 private bits, 8 scfsi bits, 4x 59-bit granule blocks) and
+    interleaved (granule, channel) main data round-trip bit-exactly;
+    mono streams keep the r12 shapes unchanged."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.default_rng(277)
+    sp = rng.integers(-1, 2, size=(3, 2, 2, 576)).astype(np.int64)
+    sp[:, :, :, 560:] = 0  # no partial count1 quad
+    b = mp3_encode_entropy(sp, bitrate_kbps=320, big_values=280)
+    d = mp3_decode_entropy(b)
+    assert d["channels"] == 2
+    assert d["spectra"].shape == (3, 2, 2, 576)
+    assert np.array_equal(d["spectra"], sp)
+    # per-channel side info: granules are [ch0, ch1] lists
+    g0 = d["side_info"][0]["granules"][0]
+    assert isinstance(g0, list) and len(g0) == 2
+    # mono unchanged (q275's shape)
+    spm = rng.integers(-1, 2, size=(1, 2, 576)).astype(np.int64)
+    spm[:, :, 560:] = 0
+    dm = mp3_decode_entropy(mp3_encode_entropy(spm, bitrate_kbps=320,
+                                               big_values=280))
+    assert dm["channels"] == 1 and dm["spectra"].shape == (1, 2, 576)
+    assert np.array_equal(dm["spectra"], spm)
+
+
+def test_mp3_stereo_pcm_chain_and_features():
+    """Stereo PCM encode -> bitstream -> decode: (n, 2) in, (n', 2)
+    out, each channel an independent filterbank pipeline; the decoded
+    channels must separate the planted per-channel tones, and
+    media_features downmixes like WAV/FLAC."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        media_features,
+        mp3_decode_pcm,
+        mp3_encode_pcm,
+    )
+
+    t = np.arange(6144)
+    x = np.stack(
+        [np.sin(2 * np.pi * 440 * t / 48000),
+         np.sin(2 * np.pi * 3000 * t / 48000)],
+        axis=1,
+    ) * 0.5
+    b = mp3_encode_pcm(x, bitrate_kbps=320, global_gain=160)
+    y, rate = mp3_decode_pcm(b)
+    assert rate == 48000 and y.ndim == 2 and y.shape[1] == 2
+    # channel separation: each decoded channel correlates with its own
+    # planted tone far more than with the other channel's
+    n = min(len(t), y.shape[0])
+    ref0 = np.sin(2 * np.pi * 440 * np.arange(n) / 48000)
+    ref1 = np.sin(2 * np.pi * 3000 * np.arange(n) / 48000)
+
+    def corr(a, b):
+        d = np.linalg.norm(a) * np.linalg.norm(b)
+        return abs(float(a @ b)) / d if d else 0.0
+
+    assert corr(y[:n, 0], ref0) > corr(y[:n, 0], ref1)
+    assert corr(y[:n, 1], ref1) > corr(y[:n, 1], ref0)
+    v = media_features(b, out_dim=16)
+    assert v.shape == (16,) and np.isfinite(v).all()
+
+
+def test_mp3_joint_stereo_refuses():
+    """mode 0b01 (joint stereo) must refuse — intensity/MS matrixing is
+    outside the subset; flipping the mode bits of a valid stereo stream
+    exercises the refusal."""
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    sp = np.zeros((1, 2, 2, 576), dtype=np.int64)
+    b = bytearray(mp3_encode_entropy(sp, bitrate_kbps=320))
+    # header byte 3: mode in bits 7..6 -> set to 01 (joint stereo)
+    b[3] = (b[3] & 0x3F) | 0x40
+    with pytest.raises(NotImplementedError, match="joint stereo"):
+        mp3_decode_entropy(bytes(b))

@@ -335,3 +335,50 @@ def test_media_features_h264_residual_stats():
     assert v[11] == 30.0  # qp
     s = media_features(encode_h264_structural(64, 64, "I"), out_dim=16)
     assert s[9] == 0.0 and s[10] == 0.0 and s[11] == 0.0
+
+
+def test_cavlc_multiframe_video_roundtrip():
+    """All-intra multi-frame streams (r13): every picture decodes into
+    frames[]; per-frame nC state is independent; stats aggregate with a
+    frame-offset checksum that leaves single-frame values unchanged."""
+    import random
+
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        encode_h264_cavlc_video,
+        h264_decode_cavlc_islice,
+        h264_residual_stats,
+    )
+
+    rng = random.Random(41)
+
+    def surf(n):
+        def val():
+            return rng.choice([0, 0, 0, 1, -1, 2, -3])
+
+        return (
+            [[[val() for _ in range(16)] for _ in range(16)]
+             for _ in range(n)],
+            [[[[val() for _ in range(16)] for _ in range(4)]
+              for _ in range(2)] for _ in range(n)],
+            [rng.random() < 0.5 for _ in range(n)],
+        )
+
+    frames = [surf(4) for _ in range(3)]
+    b = encode_h264_cavlc_video(2, 2, frames, qp=31)
+    d = h264_decode_cavlc_islice(b)
+    assert d["n_slices"] == 3 and len(d["frames"]) == 3
+    for fi, (luma, chroma, mb16) in enumerate(frames):
+        fr = d["frames"][fi]
+        assert fr["luma"] == luma
+        assert fr["chroma"] == chroma
+        assert fr["mb16"] == mb16
+        assert fr["qp"] == 31
+    st = h264_residual_stats(b)
+    assert st["n_frames"] == 3
+    # single-frame encode of frame 0 yields the same chk contribution
+    solo = h264_residual_stats(
+        encode_h264_cavlc(2, 2, *frames[0], qp=31)
+    )
+    f0_only = h264_residual_stats(encode_h264_cavlc_video(2, 2, frames[:1], qp=31))
+    assert solo == f0_only
