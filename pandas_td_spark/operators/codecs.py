@@ -3328,6 +3328,7 @@ def mp3_encode_entropy(
     bitrate_kbps: int = 96,
     global_gain: int = 210,
     big_values: int = 288,
+    block_type: int = 0,
 ) -> bytes:
     """Encode quantized spectral values as a CBR MPEG-1 Layer III
     bitstream (no CRC, no bit reservoir, scalefactors zero).
@@ -3424,11 +3425,23 @@ def mp3_encode_entropy(
                 side.append((big_values, 9))     # big_values
                 side.append((global_gain, 8))
                 side.append((0, 4))              # scalefac_compress
-                side.append((0, 1))              # windows_switching_flag
-                for _ in range(3):
-                    side.append((1, 5))          # table_select: table 1
-                side.append((0, 4))              # region0_count
-                side.append((0, 3))              # region1_count
+                if block_type:
+                    # r13: switched-window side-info variant (short /
+                    # start / stop); zero subblock gains keep the
+                    # numeric subset intact
+                    side.append((1, 1))          # windows_switching_flag
+                    side.append((block_type, 2))
+                    side.append((0, 1))          # mixed_block_flag
+                    for _ in range(2):
+                        side.append((1, 5))      # table_select: table 1
+                    for _ in range(3):
+                        side.append((0, 3))      # subblock_gain
+                else:
+                    side.append((0, 1))          # windows_switching_flag
+                    for _ in range(3):
+                        side.append((1, 5))      # table_select: table 1
+                    side.append((0, 4))          # region0_count
+                    side.append((0, 3))          # region1_count
                 side.append((0, 1))              # preflag
                 side.append((0, 1))              # scalefac_scale
                 side.append((1, 1))              # count1table_select: B
@@ -3453,11 +3466,16 @@ def mp3_decode_entropy(payload: bytes) -> dict:
     "spectra", "side_info"}`` — spectra is (n_frames, 2, 576) int64 for
     mono (the r12 shape, unchanged) or (n_frames, 2, 2, 576) for
     stereo/dual-channel (r13: each channel independently coded;
-    side_info granule entries become [ch0, ch1] lists). Raises
-    ``NotImplementedError`` for streams outside the implemented subset
-    (JOINT stereo — intensity/MS matrixing, windows switching, bit
-    reservoir, Huffman tables other than 0/1, count1 table A) — a
-    clean refusal, never wrong samples."""
+    side_info granule entries become [ch0, ch1] lists). The BIT
+    RESERVOIR is supported on decode (r13): ``main_data_begin`` points
+    back into a rolling main-data buffer fed by the previous frames'
+    post-side-info bytes (the spec bounds the pointer at 511 bytes, so
+    the buffer trims to a constant tail); a pointer reaching before the
+    captured stream refuses (``ValueError`` — a cut mid-reservoir).
+    Raises ``NotImplementedError`` for streams outside the implemented
+    subset (JOINT stereo — intensity/MS matrixing, windows switching,
+    Huffman tables other than 0/1, count1 table A) — a clean refusal,
+    never wrong samples."""
     if len(payload) < 4:
         raise ValueError("not an MP3 frame")
     pos = 0
@@ -3466,6 +3484,8 @@ def mp3_decode_entropy(payload: bytes) -> dict:
     sr = br = None
     inv_t1 = {v: k for k, v in _MP3_HUFF_T1.items()}
     maxlen_t1 = max(len(v) for v in _MP3_HUFF_T1.values())
+    res_bits = ""  # rolling tail of the main-data stream (reservoir)
+    res_base = 0  # absolute bit index of res_bits[0]
     while pos + 4 <= len(payload):
         head = int.from_bytes(payload[pos : pos + 4], "big")
         if head >> 21 != 0x7FF:
@@ -3486,7 +3506,10 @@ def mp3_decode_entropy(payload: bytes) -> dict:
         br, sr = _MP3_BITRATES[br_idx], _MP3_SAMPLE_RATES[sr_idx]
         frame_len = 144 * br * 1000 // sr + ((head >> 9) & 1)
         frame = payload[pos + 4 : pos + frame_len]
-        bits = "".join(format(b, "08b") for b in frame)
+        si_len = (17 if nch == 1 else 32)  # side info bytes, no CRC
+        if len(frame) < si_len:
+            raise ValueError("truncated MP3 frame")
+        bits = "".join(format(b, "08b") for b in frame[:si_len])
         bp = 0
 
         def take(w):
@@ -3499,8 +3522,7 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             bp += w
             return v
 
-        if take(9):
-            raise NotImplementedError("bit reservoir not implemented")
+        main_data_begin = take(9)
         take(5 if nch == 1 else 3)  # private_bits
         scfsi = take(4 * nch)
         if scfsi:
@@ -3514,11 +3536,26 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                     "part2_3_length": take(12), "big_values": take(9),
                     "global_gain": take(8), "scalefac_compress": take(4),
                 }
-                if take(1):
-                    raise NotImplementedError("windows switching")
-                gr["table_select"] = [take(5) for _ in range(3)]
-                gr["region0_count"] = take(4)
-                gr["region1_count"] = take(3)
+                if take(1):  # windows_switching_flag (r13: side info
+                    # variant PARSED; reconstruction of short blocks
+                    # still refuses at the numeric layer)
+                    gr["block_type"] = take(2)
+                    gr["mixed_block_flag"] = take(1)
+                    if gr["block_type"] == 0:
+                        raise ValueError(
+                            "block_type 0 with windows_switching_flag "
+                            "set is forbidden by the spec"
+                        )
+                    gr["table_select"] = [take(5) for _ in range(2)]
+                    gr["subblock_gain"] = [take(3) for _ in range(3)]
+                    # region counts are implicit for switched windows
+                    gr["region0_count"] = 8 if gr["block_type"] != 2 else 7
+                    gr["region1_count"] = 20 - gr["region0_count"]
+                else:
+                    gr["block_type"] = 0
+                    gr["table_select"] = [take(5) for _ in range(3)]
+                    gr["region0_count"] = take(4)
+                    gr["region1_count"] = take(3)
                 gr["preflag"] = take(1)
                 gr["scalefac_scale"] = take(1)
                 gr["count1table_select"] = take(1)
@@ -3527,10 +3564,31 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                     # spectral lines — corrupt stream, refuse cleanly
                     raise ValueError("big_values out of range")
                 grs.append(gr)
+        # main data rides the RESERVOIR: locate the start pointer in
+        # the rolling buffer BEFORE appending this frame's bytes
+        # (main_data_begin counts bytes back from this frame's own
+        # main-data start), then redirect take() to the buffer
+        abs_end = res_base + len(res_bits)
+        start_abs = abs_end - 8 * main_data_begin
+        if start_abs < res_base:
+            raise ValueError(
+                "bit reservoir underrun: main_data_begin points before "
+                "the captured stream (cut mid-reservoir)"
+            )
+        res_bits += "".join(format(b, "08b") for b in frame[si_len:])
+        bits = res_bits
+        bp = start_abs - res_base
         frame_spectra = []
         for g, gr in enumerate(grs):
             start = bp
             slen1, slen2 = _MP3_SLEN[gr["scalefac_compress"]]
+            if gr["block_type"] != 0 and (slen1 or slen2):
+                # short/start/stop blocks lay scalefactors out per
+                # window (3x per sfb) — only the zero-scalefactor case
+                # (0 bits either layout) is inside the subset
+                raise NotImplementedError(
+                    "nonzero scalefactors with switched windows"
+                )
             scf = [take(slen1) for _ in range(11)] if scfsi == 0 or g == 0 else []
             scf += [take(slen2) for _ in range(10)] if scfsi == 0 or g == 0 else []
             gr["scalefac"] = scf
@@ -3584,6 +3642,12 @@ def mp3_decode_entropy(payload: bytes) -> dict:
         else:
             spectra.append(fs)
             sides.append({"scfsi": scfsi, "granules": grs})
+        # trim the reservoir to the spec's reach: main_data_begin is a
+        # 9-bit byte count (<= 511), so the next frame can never point
+        # before the last 511 bytes of the buffer — constant memory
+        keep_from = max(0, len(res_bits) - 8 * 512)
+        res_base += keep_from
+        res_bits = res_bits[keep_from:]
         pos += frame_len
         n_channels = nch
     empty = np.zeros((0, 2, 576), dtype=np.int64)
@@ -3653,6 +3717,12 @@ def mp3_requantize(spectra: np.ndarray, side_info: list) -> np.ndarray:
             raise NotImplementedError(
                 "nonzero scalefactors need sfb geometry tables "
                 "(outside the from-memory-safe subset)"
+            )
+        if gr.get("block_type", 0):
+            raise NotImplementedError(
+                "switched-window (short/start/stop) reconstruction: "
+                "the entropy layer decodes these, the 12-point-MDCT "
+                "hybrid does not (honest boundary, r13)"
             )
         gain = 2.0 ** ((gr["global_gain"] - 210) / 4.0)
         ix = ix.astype(np.float64)

@@ -1648,3 +1648,75 @@ def test_mp3_joint_stereo_refuses():
     b[3] = (b[3] & 0x3F) | 0x40
     with pytest.raises(NotImplementedError, match="joint stereo"):
         mp3_decode_entropy(bytes(b))
+
+
+def test_mp3_bit_reservoir_decode_and_underrun():
+    """r13: main_data_begin > 0 decodes through the rolling reservoir
+    buffer — a handcrafted stream moves frame B's first 40 main-data
+    bytes into frame A's stuffing tail and points back at them; both
+    frames' spectra must round-trip bit-exactly. A stream cut
+    mid-reservoir (pointer before the captured bytes) refuses."""
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.default_rng(5)
+    spA = np.zeros((1, 2, 576), dtype=np.int64)
+    spB = rng.integers(-1, 2, size=(1, 2, 576)).astype(np.int64)
+    spB[:, :, 560:] = 0
+    a = bytearray(mp3_encode_entropy(spA, bitrate_kbps=320, big_values=0))
+    bb = bytearray(
+        mp3_encode_entropy(spB, bitrate_kbps=320, big_values=280)
+    )
+    frame_len, si, k = len(a), 17, 40
+    bmain = bytes(bb[4 + si:])
+    # B's first k main bytes ride the LAST k bytes of A's payload (the
+    # pointer counts back from the end of the preceding main data)
+    a[len(a) - k:] = bmain[:k]
+    rest = bmain[k:] + b"\x00" * k
+    bb[4 + si:] = rest[: frame_len - 4 - si]
+    sib = bytearray(bb[4: 4 + si])
+    sib[0] = (k >> 1) & 0xFF  # main_data_begin: 9 bits, MSB-first
+    sib[1] = (sib[1] & 0x7F) | ((k & 1) << 7)
+    bb[4: 4 + si] = sib
+    d = mp3_decode_entropy(bytes(a) + bytes(bb))
+    assert d["n_frames"] == 2
+    assert np.array_equal(d["spectra"][0], spA[0])
+    assert np.array_equal(d["spectra"][1], spB[0])
+    # frame B alone points into a reservoir that was never captured
+    with pytest.raises(ValueError, match="reservoir underrun"):
+        mp3_decode_entropy(bytes(bb))
+
+
+def test_mp3_switched_window_side_info_roundtrip():
+    """r13: windows_switching_flag side-info variant (block_type 1/2/3,
+    mixed flag, 2 table selects, 3 subblock gains) parses and the
+    spectra round-trip bit-exactly; short-block RECONSTRUCTION still
+    refuses at the numeric layer (12-point-MDCT hybrid not
+    implemented)."""
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_decode_pcm,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.default_rng(99)
+    sp = rng.integers(-1, 2, size=(2, 2, 576)).astype(np.int64)
+    sp[:, :, 560:] = 0
+    for bt in (1, 2, 3):
+        b = mp3_encode_entropy(sp, bitrate_kbps=320, big_values=280,
+                               block_type=bt)
+        d = mp3_decode_entropy(b)
+        assert np.array_equal(d["spectra"], sp), bt
+        gr = d["side_info"][0]["granules"][0]
+        assert gr["block_type"] == bt
+        assert gr["subblock_gain"] == [0, 0, 0]
+        with pytest.raises(NotImplementedError, match="switched-window"):
+            mp3_decode_pcm(b)
