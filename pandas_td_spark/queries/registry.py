@@ -314,6 +314,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # re-A/B-rejected (2.37/1.82 vs 1.45-1.54 s); rank path is the floor
     "q86_bm25": 13,  # docstring-only: floor audit (r12's 2.98 s was the
     # battery artifact; plan pushdown verified, 0.67 s clean)
+    "q208_proration": 13,  # docstring-only: floor decomposition (the
+    # plan is already broadcast-join + one exchange + minimal sorts)
     # round 13 rows-only -> FULL oracle conversion (VERDICT r12 #9):
     "q109_semdedup_pairs": 13,  # seeded integer-geometry anchor cells
     # (semdedup_pairs_anchored) replace the learned-kmeans cells; the
