@@ -859,28 +859,37 @@ def semdedup_pairs_anchored(
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("__xq"),
-                F.array(*[F.lit(int(v)) for v in a["__xq"]]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        for a in anchors
-    ]
-    cell = F.array_min(
-        F.array(
-            *[
-                F.struct(d.alias("d"), F.lit(i).alias("r"))
-                for i, d in enumerate(dists)
-            ]
-        )
-    )["r"]
-    assigned = qi.select(
-        F.col(id_col), F.col(vec), cell.alias("__cell")
+    # Assignment: vectorized Arrow batch argmin over EXACT int64
+    # geometry — engine-portable because integer arithmetic is
+    # order-free (identical to the JVM zip_with/aggregate fold and the
+    # oracle's 64-term integer chain), and np.argmin's first-minimum
+    # rule IS the lower-anchor-rank tie-break. Envelope guard: with
+    # |xq| < 2^25 every diff^2 <= 2^52 and a 64-term sum <= 2^58 —
+    # int64-exact with margin; beyond it the batch refuses rather than
+    # wrapping (the q183 loud-envelope discipline). A/B vs the 8-fold
+    # JVM expression in the r13 close-out; quantization rounds
+    # half-AWAY-FROM-ZERO to match Spark/DuckDB round().
+    anc = np.array([list(a["__xq"]) for a in anchors], dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        A = A * 1_000_000.0
+        Ai = (np.sign(A) * np.floor(np.abs(A) + 0.5)).astype(np.int64)
+        if max(np.abs(Ai).max(initial=0), np.abs(anc).max(initial=0)) >= (
+            1 << 25
+        ):
+            raise ValueError(
+                "anchored-cell envelope exceeded (|x*1e6| >= 2^25): "
+                "int64 distance sums would not be provably exact"
+            )
+        d = ((Ai[:, None, :] - anc[None, :, :]) ** 2).sum(2)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec), cell_of(F.col(vec)).alias("__cell")
     )
     # within-cell compare runs the SAME two-stage machinery as the
     # learned-kmeans variant: numpy-matmul candidates at 1e-9 slack in
