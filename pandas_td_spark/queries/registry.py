@@ -298,7 +298,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q70_approx_distinct": 12,  # sketch the deduped (flag, partkey)
     # pairs (HLL is duplicate-insensitive): kills the Expand/4-exchange
     # mixed-distinct rewrite, 1.2 -> ~0.55 s warm
-    "q166_kcore": 12,  # per-round keep-checkpoint dropped (A/B: 2.75 ->
+    # (q166_kcore's r12 keep-checkpoint entry superseded by its r13
+    # re-A/B row below)
+    # r12: per-round keep-checkpoint dropped (A/B: 2.75 ->
     # 1.89 s; survivors recompute from the cached edge frame)
     "q167_bootstrap_ci": 12,  # docstring-only: no-explode variant
     # A/B-rejected (2.19 vs 1.20 s — wide agg buffers defeat codegen)
@@ -316,6 +318,10 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # battery artifact; plan pushdown verified, 0.67 s clean)
     "q208_proration": 13,  # docstring-only: floor decomposition (the
     # plan is already broadcast-join + one exchange + minimal sorts)
+    "q166_kcore": 13,  # docstring-only: r13 clean re-A/B recorded in
+    # kcore_peel (lazy keep confirmed, 2.62 vs 2.90 median)
+    "q274_substring_run_pairs": 13,  # docstring-only: perturbed-replica
+    # 10x proof (ratio 1.74, pairs exactly 10x) recorded in-body
     # round 13 rows-only -> FULL oracle conversion (VERDICT r12 #9):
     "q109_semdedup_pairs": 13,  # seeded integer-geometry anchor cells
     # (semdedup_pairs_anchored) replace the learned-kmeans cells; the
