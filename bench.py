@@ -27,17 +27,20 @@ import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else float("nan")
+def calibrate(spark) -> dict[str, float]:
+    """Fixed-work load probes stamped into the artifact (VERDICT r13 #3):
+    lets future rounds tell ambient machine-speed swings from code
+    changes. Never allowed to kill the bench."""
+    try:
+        from tools.calibration import probes
 
-    from pandas_td_spark.engine.session import get_spark
-    from pandas_td_spark.queries.registry import spark_queries
+        return probes(spark)
+    except Exception as exc:  # noqa: BLE001 — calibration is best-effort
+        print(f"WARN: calibration failed: {exc}", file=sys.stderr)
+        return {}
 
-    spark = get_spark(app_name="pandas_td_spark_bench")
-    qs = spark_queries()
 
+def warm_up(spark, sf_dir: str, qs: dict) -> None:
     # warm-up: touch every fixture + exercise codegen once. The first
     # measured query otherwise absorbs whole-stage-codegen JIT + shuffle
     # service spin-up (round-1 driver bench: q01 4.8 s vs 2.3 s steady
@@ -88,6 +91,20 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception:
         pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else float("nan")
+
+    from pandas_td_spark.engine.session import get_spark
+    from pandas_td_spark.queries.registry import spark_queries
+
+    spark = get_spark(app_name="pandas_td_spark_bench")
+    qs = spark_queries()
+    warm_up(spark, sf_dir, qs)
+    calib_start = calibrate(spark)
 
     # MEDIAN-OF-N for EVERY query (r12 — METHODOLOGY CHANGE, do not read
     # the r12 total against r01-r11 totals without this note). Through
@@ -147,10 +164,16 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
 
+    calib_end = calibrate(spark)
     full = {
         "metric": "sum_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # fixed-work load probes at battery start + end (median-of-3;
+        # see tools/calibration.py). Compare across rounds before
+        # reading totals: a round whose probes run 1.5x slower is a
+        # slow machine window, not a regression.
+        "calibration": {"start": calib_start, "end": calib_end},
         "queries": timings,
         # first-run timings per query (VERDICT r7 #7: warm-only A/Bs were
         # blind to first-run codegen cost — the q85 regression's blind

@@ -623,9 +623,16 @@ def _driver_order(items: dict[str, Query]) -> list[str]:
         # within the standing-green group, OLDEST certification first —
         # the leftover driver budget refreshes the rows that have gone
         # longest unchecked instead of re-treading the alphabet (r8; the
-        # target steady state is no green older than ~4 rounds)
+        # target steady state is no green older than ~4 rounds). r14:
+        # age outranks rows_only INSIDE group 5 — the old key left the
+        # two rows-only greens certified in r1/r3 (q18, q83) permanently
+        # behind every full-oracle green, so their rows had gone 13/11
+        # rounds unrefreshed; a weaker check repeated beats a weak row
+        # rotting forever. Non-green groups keep oracle-backed first.
         age_rank = rnd_st[0] if group == 5 and rnd_st is not None else 0
-        return (group, rows_only, age_rank, name)
+        if group == 5:
+            return (group, age_rank, rows_only, name)
+        return (group, rows_only, 0, name)
 
     return sorted(items, key=key)
 

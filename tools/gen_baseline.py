@@ -1,11 +1,24 @@
 #!/usr/bin/env python
-"""Regenerate the current round's measured section of BASELINE.md.
+"""Regenerate the measured section of BASELINE.md — INTERLEAVED comparator.
 
-Runs bench.py (Spark side, median of 3 after warm-up — symmetric with
-the comparator since r12) and a DuckDB comparator (median of 3 per oracle
-query), then
-rewrites everything below the marker line in BASELINE.md. Totals and the
-per-query table stay directly comparable across rounds.
+METHODOLOGY CHANGE r14 (VERDICT r13 #1). Through r13 this tool ran the
+whole Spark phase (bench.py subprocess), then the whole DuckDB phase.
+This box has documented multi-hour ambient speed swings (the same frozen
+tree measured 155.3 s -> 219.6 s -> 164.7/177.2 s across four battery
+runs), so the two phases routinely landed in DIFFERENT machine windows
+and every per-query ratio mixed windows: the committed r13 table showed
+12 queries >2x where the same tree's healthy-window run showed 4 —
+neither list was evidence.
+
+Now each query is measured on BOTH engines back-to-back: Spark
+median-of-3 (per-repeat JVM GC drain, same as bench.py), then DuckDB
+median-of-3, immediately adjacent — every ratio is same-window by
+construction. The tool runs N full interleaved passes (default 2,
+``SPARK_GRAFT_BASELINE_PASSES``); the published table carries each
+pass's ratio so letter-list stability across passes is visible, and the
+headline reports the band across passes, not a single number.
+Fixed-work calibration probes (tools/calibration.py) run at the start
+and end of every pass and are stamped into COMPARE_LATEST.json.
 
 Usage: PYTHONPATH=. python tools/gen_baseline.py [sf_dir]
 """
@@ -15,150 +28,257 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import subprocess
 import sys
+import threading
 import time
 
 MARKER = "<!-- gen_baseline:table -->"
 
-
 DUCKDB_BUDGET_S = 120.0  # per-query watchdog: interrupt + skip beyond this
+RATIO_LETTER = 2.0  # per-query "letter" threshold (DuckDB >= 0.3 s only)
+RATIO_FLOOR_S = 0.3
 
 
-def duckdb_times(sf_dir: str) -> dict[str, float]:
-    import threading
-
+def make_duckdb(sf_dir: str):
     import duckdb
-
-    import __spark_entry__ as E
 
     from pandas_td_spark.sources.io import TABLES
 
-    def connect() -> "duckdb.DuckDBPyConnection":
-        c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
-        # an interrupted spill-heavy query (q166 at sf0.1 spilled 80 GB)
-        # must not fill the disk before the watchdog fires
-        c.execute("SET max_temp_directory_size='8GB'")
-        for t in TABLES:
-            c.execute(
-                f"CREATE OR REPLACE VIEW {t} AS "
-                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+    c = duckdb.connect()
+    c.execute("SET memory_limit='24GB'")
+    # an interrupted spill-heavy query (q166 at sf0.1 spilled 80 GB)
+    # must not fill the disk before the watchdog fires
+    c.execute("SET max_temp_directory_size='8GB'")
+    for t in TABLES:
+        c.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return c
+
+
+def duckdb_median3(con, sql: str, name: str):
+    """Median-of-3 with the r13 watchdog discipline. Returns
+    (median_or_None, connection) — the connection is replaced when the
+    watchdog fired so no pending interrupt leaks into the next query."""
+    import duckdb
+
+    runs = []
+    interrupted = False
+    for _ in range(3):
+        # The watchdog must never interrupt an IDLE connection: a
+        # Timer(con.interrupt) can fire after fetchall() returns but
+        # before cancel(), leaving a pending interrupt that aborts the
+        # NEXT query. The lock + flag make check-then-interrupt atomic
+        # against the main thread marking the query finished.
+        lock = threading.Lock()
+        state = {"running": True, "fired": False}
+
+        def _kill(c=con, lk=lock, st=state):
+            with lk:
+                if st["running"]:
+                    st["fired"] = True
+                    c.interrupt()
+
+        timer = threading.Timer(DUCKDB_BUDGET_S, _kill)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            runs.append(time.time() - t0)
+        except duckdb.Error as ex:
+            print(
+                f"  duckdb skip {name}: {type(ex).__name__} "
+                f"after {time.time() - t0:.0f}s",
+                file=sys.stderr,
             )
-        return c
-
-    con = connect()
-    out: dict[str, float] = {}
-    for name, sql in E.oracle_sql().items():
-        runs = []
-        interrupted = False
-        for _ in range(3):
-            # The watchdog must never interrupt an IDLE connection: a
-            # Timer(con.interrupt) can fire after fetchall() returns but
-            # before cancel(), leaving a pending interrupt that aborts
-            # the NEXT query and silently drops its baseline entry. The
-            # lock + flag make check-then-interrupt atomic against the
-            # main thread marking the query finished.
-            lock = threading.Lock()
-            state = {"running": True, "fired": False}
-
-            def _kill(c=con, lk=lock, st=state):
-                with lk:
-                    if st["running"]:
-                        st["fired"] = True
-                        c.interrupt()
-
-            timer = threading.Timer(DUCKDB_BUDGET_S, _kill)
-            timer.start()
-            t0 = time.time()
-            try:
-                con.execute(sql).fetchall()
-                runs.append(time.time() - t0)
-            except duckdb.Error as ex:
-                print(
-                    f"  duckdb skip {name}: {type(ex).__name__} "
-                    f"after {time.time() - t0:.0f}s",
-                    file=sys.stderr,
-                )
-                interrupted = True
-                break
-            finally:
-                with lock:
-                    state["running"] = False
-                timer.cancel()
-            if state["fired"]:
-                # belt-and-braces: if the timer did fire (even if the
-                # query won the race and returned), the connection may
-                # hold a pending interrupt — replace it.
-                interrupted = True
-                break
-        if interrupted:
-            # a partial runs list would publish a median over fewer
-            # samples than every other query; drop the entry instead,
-            # and reconnect so no pending interrupt leaks forward.
-            con.close()
-            con = connect()
-        elif runs:
-            out[name] = statistics.median(runs)
-    con.close()
-    return out
+            interrupted = True
+            break
+        finally:
+            with lock:
+                state["running"] = False
+            timer.cancel()
+        if state["fired"]:
+            interrupted = True
+            break
+    if interrupted:
+        return None, True
+    return (statistics.median(runs) if runs else None), False
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    bench_start = time.time()
-    subprocess.run(
-        [sys.executable, "bench.py"],
-        env={
-            **os.environ,
-            "SPARK_GRAFT_SF_DIR": sf_dir,
-            "PYTHONPATH": ".",
-        },
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    # bench.py's STDOUT truncates the per-query map to fit the driver's
-    # ~2 KB capture window; the complete map is the durable artifact it
-    # writes alongside — read that, never the stdout line. Freshness
-    # guard: if bench.py's artifact write failed (it warns and continues),
-    # a stale file from the previous round would silently become the new
-    # baseline — refuse instead.
-    if os.path.getmtime("BENCH_LATEST.json") < bench_start:
-        raise RuntimeError(
-            "BENCH_LATEST.json was not refreshed by this bench run "
-            "(write failed?) — refusing to publish stale timings"
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_PASSES", "2")))
+
+    import bench  # repo-root bench.py: shared warm-up + GC-drain idiom
+
+    from pandas_td_spark.engine.session import get_spark
+    from pandas_td_spark.queries.registry import spark_queries
+
+    spark = get_spark(app_name="pandas_td_spark_baseline")
+    qs = spark_queries()
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    names = sorted(qs)
+
+    def gc_drain() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+    def spark_median3(name: str) -> float:
+        ts = []
+        for _ in range(3):
+            gc_drain()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
+    bench.warm_up(spark, sf_dir, qs)
+
+    # per-pass results: {name: {"spark": s, "duckdb": d|None}}
+    all_passes: list[dict[str, dict]] = []
+    calibs: list[dict] = []
+    for p in range(passes):
+        calib_start = bench.calibrate(spark)
+        con = make_duckdb(sf_dir)
+        # one untimed DuckDB warm pass is unnecessary per query (views
+        # are trivial); the first timed triple's median absorbs any
+        # per-query compile, symmetric with Spark's in-pass analysis.
+        res: dict[str, dict] = {}
+        t_pass = time.time()
+        for name in names:
+            row: dict = {}
+            try:
+                row["spark"] = round(spark_median3(name), 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                print(f"FAIL spark {name}: {exc}", file=sys.stderr)
+                res[name] = {"spark": None, "duckdb": None}
+                continue
+            if name in oracles:
+                d, fired = duckdb_median3(con, oracles[name], name)
+                row["duckdb"] = round(d, 3) if d is not None else None
+                if fired:
+                    # reconnect so no pending interrupt leaks forward
+                    con.close()
+                    con = make_duckdb(sf_dir)
+            else:
+                row["duckdb"] = None
+            res[name] = row
+        con.close()
+        calib_end = bench.calibrate(spark)
+        calibs.append({"start": calib_start, "end": calib_end})
+        all_passes.append(res)
+        st = sum(r["spark"] for r in res.values() if r["spark"])
+        dt = sum(r["duckdb"] for r in res.values() if r["duckdb"])
+        print(
+            f"pass {p + 1}/{passes}: spark {st:.1f}s, duckdb {dt:.1f}s, "
+            f"wall {time.time() - t_pass:.0f}s",
+            flush=True,
         )
-    with open("BENCH_LATEST.json") as f:
-        bench = json.load(f)
-    dd = duckdb_times(sf_dir)
-    spark_total = sum(bench["queries"].values())
-    dd_total = sum(dd.values())
+
+    # --- aggregate: per-query same-window ratios per pass ---
+    def ratio(row) -> float | None:
+        if row.get("spark") and row.get("duckdb"):
+            return row["spark"] / row["duckdb"]
+        return None
+
+    # headline band: oracle-subset totals per pass (same-window by
+    # construction within each pass)
+    bands = []
+    for res in all_passes:
+        s = sum(
+            r["spark"]
+            for r in res.values()
+            if r["spark"] and r["duckdb"]
+        )
+        d = sum(r["duckdb"] for r in res.values() if r["duckdb"])
+        bands.append(round(s / d, 3) if d else None)
+
+    # letter list: >2x in EVERY pass where DuckDB >= 0.3 s (stable);
+    # queries over in SOME passes are listed separately (unstable)
+    stable, unstable = [], []
+    for name in names:
+        rs = []
+        for res in all_passes:
+            row = res.get(name, {})
+            if row.get("duckdb") and row["duckdb"] >= RATIO_FLOOR_S:
+                r = ratio(row)
+                if r is not None:
+                    rs.append(r)
+        if not rs:
+            continue
+        if all(r > RATIO_LETTER for r in rs):
+            stable.append((name, [round(r, 2) for r in rs]))
+        elif any(r > RATIO_LETTER for r in rs):
+            unstable.append((name, [round(r, 2) for r in rs]))
+
+    artifact = {
+        "sf_dir": sf_dir,
+        "passes": passes,
+        "methodology": "interleaved per-query Spark/DuckDB median-of-3 "
+        "(r14); every ratio same-window by construction",
+        "oracle_subset_ratio_band": bands,
+        "calibration": calibs,
+        "letters_stable": stable,
+        "letters_unstable": unstable,
+        "per_pass": all_passes,
+    }
+    with open("COMPARE_LATEST.json", "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+
+    last = all_passes[-1]
+    spark_total = sum(r["spark"] for r in last.values() if r["spark"])
+    dd_total = sum(r["duckdb"] for r in last.values() if r["duckdb"])
+    n_oracle = sum(1 for r in last.values() if r["duckdb"])
     lines = [
         MARKER,
         "",
-        f"Totals: **Spark {spark_total:.1f} s over "
-        f"{len(bench['queries'])} queries**; **DuckDB {dd_total:.2f} s** "
-        f"over the {len(dd)} oracle-expressible queries "
-        "(both sides median-of-3 after warm-up — METHODOLOGY CHANGE "
-        "r12: through r11 Spark was single-shot cold per query vs "
-        "DuckDB's warm median; r12 totals are not comparable to r11 "
-        "without bench.py's note. Cold totals stay in BENCH_LATEST.json).",
+        f"Totals (final pass): **Spark {spark_total:.1f} s over "
+        f"{sum(1 for r in last.values() if r['spark'])} queries**; "
+        f"**DuckDB {dd_total:.2f} s** over the {n_oracle} "
+        "oracle-expressible queries. METHODOLOGY r14: INTERLEAVED "
+        "per-query measurement (Spark median-of-3 with per-repeat GC "
+        "drain, then DuckDB median-of-3, back-to-back) — every "
+        "per-query ratio is same-window by construction; r13 and "
+        "earlier tables measured the two engines in separate phases "
+        "and are not per-query comparable. "
+        f"Oracle-subset ratio band across {passes} passes: "
+        f"**{bands}**. Stable >2x letters (all passes, DuckDB >= 0.3 s): "
+        f"{[n for n, _ in stable]}; unstable (some passes): "
+        f"{[n for n, _ in unstable]}. Calibration + per-pass detail: "
+        "COMPARE_LATEST.json.",
         "",
-        "| query | spark_sec | duckdb_sec |",
-        "|---|---|---|",
+        "| query | spark_sec | duckdb_sec | " +
+        " | ".join(f"ratio_p{i + 1}" for i in range(passes)) + " |",
+        "|---|---|---|" + "---|" * passes,
     ]
-    for name in sorted(bench["queries"]):
-        s = round(bench["queries"][name], 3)
-        d = round(dd[name], 3) if name in dd else ""
-        lines.append(f"| {name} | {s} | {d} |")
+    for name in names:
+        row = last.get(name, {})
+        s = row.get("spark")
+        d = row.get("duckdb")
+        rats = []
+        for res in all_passes:
+            r = ratio(res.get(name, {}))
+            rats.append(f"{r:.2f}" if r is not None else "")
+        lines.append(
+            f"| {name} | {s if s is not None else ''} | "
+            f"{d if d is not None else ''} | " + " | ".join(rats) + " |"
+        )
     text = open("BASELINE.md").read()
     head = text.split(MARKER)[0].rstrip()
     with open("BASELINE.md", "w") as fh:
         fh.write(head + "\n\n" + "\n".join(lines) + "\n")
     print(
-        f"BASELINE.md updated: spark {spark_total:.1f}s / "
-        f"{len(bench['queries'])} q, duckdb {dd_total:.2f}s / {len(dd)} q"
+        f"BASELINE.md updated: spark {spark_total:.1f}s, "
+        f"duckdb {dd_total:.2f}s / {n_oracle} q, band {bands}, "
+        f"stable letters {len(stable)}, unstable {len(unstable)}"
     )
 
 
