@@ -721,6 +721,15 @@ def substring_run_pairs(
     playbook as the prefix filter's stopword bound."""
     w = min_run - anchor_k + 1
     assert w >= 1, "min_run must be >= anchor_k"
+    # r14 floor fix: the compact fixture parquet is ONE row group = one
+    # input split, so both per-doc explode stages (winnowing anchors
+    # here, min_run-grams in the verify) ran on a single core — the
+    # anchor stage alone was 1.78 s of q274's 3.62 s at sf0.1. One
+    # narrow round-robin shuffle of the raw docs parallelizes every
+    # downstream per-row stage (anchors 1.78 -> ~0.25 s); on a real
+    # multi-split table it is one wasted small shuffle, noise next to
+    # the gram explodes it feeds.
+    df = spread(df)
     ws = F.split(F.col(text_col), " ")
     n_grams = F.greatest(F.size(ws) - (anchor_k - 1), F.lit(1))
     hs = F.transform(

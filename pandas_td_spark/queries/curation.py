@@ -520,19 +520,30 @@ _CONTAM_N = 5
 )
 def q91_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus docs sharing ≥1 distinct 5-gram with the benchmark slice
-    (doc_id < 25), with the count of shared 5-grams."""
+    (doc_id < 25), with the count of shared 5-grams.
+
+    FLOOR DECOMPOSITION (r14, sf0.1 warm median-of-3, same-window vs
+    DuckDB 0.81 s): shingle-regexp pass over the corpus 0.49 s (the
+    irreducible floor — the identical 5-gram extraction DuckDB spends
+    most of its time on too), +explode 0.65 s, full query 0.79 s →
+    ratio ~0.97x. The historical 2.0-2.6x letters were CROSS-WINDOW
+    artifacts plus one real bug fixed here: both branches used to hang
+    off one ``spread(documents)``, and Catalyst does NOT push a filter
+    below a round-robin ``Repartition`` — so the 25-doc bench branch
+    repartitioned and re-shingled all 5 000 docs (bench side alone:
+    0.89 s → 0.23 s). ``spread`` now wraps only the post-filter corpus
+    branch, where the per-row shingle work is what needs spreading.
+    """
     from pandas_td_spark.operators.dedup import shingle_array
 
-    d = spread(spark.table("documents")).select(
-        "doc_id", shingle_array("text", _CONTAM_N).alias("shingles")
-    )
+    docs = spark.table("documents")
     bench = (
-        d.where(F.col("doc_id") < 25)
-        .select(F.explode("shingles").alias("s"))
+        docs.where(F.col("doc_id") < 25)
+        .select(F.explode(shingle_array("text", _CONTAM_N)).alias("s"))
         .distinct()
     )
-    corpus = d.where(F.col("doc_id") >= 25).select(
-        "doc_id", F.explode("shingles").alias("s")
+    corpus = spread(docs.where(F.col("doc_id") >= 25)).select(
+        "doc_id", F.explode(shingle_array("text", _CONTAM_N)).alias("s")
     )
     return (
         corpus.join(F.broadcast(bench), "s")

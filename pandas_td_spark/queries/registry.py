@@ -320,8 +320,16 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # plan is already broadcast-join + one exchange + minimal sorts)
     "q166_kcore": 13,  # docstring-only: r13 clean re-A/B recorded in
     # kcore_peel (lazy keep confirmed, 2.62 vs 2.90 median)
-    "q274_substring_run_pairs": 13,  # docstring-only: perturbed-replica
-    # 10x proof (ratio 1.74, pairs exactly 10x) recorded in-body
+    # (q274's r13 docstring-only entry superseded by its r14 row below)
+    # round 14 perf pass (oracle unchanged, re-green at sf0.001/0.01):
+    "q274_substring_run_pairs": 14,  # spread() the operator input: the
+    # one-row-group fixture ran the winnowing-anchor explode on ONE
+    # core (1.78 s of 3.77); 3.77 -> 2.43 s, floor decomposition in
+    # the docstring (supersedes the r13 docstring-only entry)
+    "q91_contamination": 14,  # bench branch un-spread: Catalyst does
+    # not push a filter below round-robin Repartition, so the 25-doc
+    # benchmark side was repartitioning + re-shingling all docs
+    # (1.25 -> 0.79 s, below DuckDB's same-window 0.81 s)
     # round 13 rows-only -> FULL oracle conversion (VERDICT r12 #9):
     "q109_semdedup_pairs": 13,  # seeded integer-geometry anchor cells
     # (semdedup_pairs_anchored) replace the learned-kmeans cells; the
