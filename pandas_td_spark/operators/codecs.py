@@ -387,6 +387,26 @@ def media_features(payload: bytes, out_dim: int = 16) -> np.ndarray:
                 # structural fixtures with stand-in slice payloads):
                 # structural features stand, residual slots stay zero
                 pass
+            else:
+                # r14: REAL pixel stats when the stream also sits in
+                # the reconstruction subset (I_16x16 / I_4x4-DC modes
+                # with conforming neighbors): mean reconstructed luma
+                # and the clip count. Nonconforming-mode streams (the
+                # r13 fixtures' default V-on-top-row) keep zeros here
+                # while their residual slots above stand.
+                try:
+                    from pandas_td_spark.operators.h264 import (
+                        h264_pixel_stats,
+                    )
+
+                    ps = h264_pixel_stats(payload)
+                    npix = ps["w"] * ps["h"] * ps["n_frames"]
+                    vec += [
+                        float(ps["luma_sum"]) / float(npix),
+                        float(ps["n_clip"]),
+                    ]
+                except (ValueError, NotImplementedError, IndexError):
+                    pass
             vec += [0.0] * max(out_dim - len(vec), 0)
         elif (
             len(payload) >= 4

@@ -3036,3 +3036,275 @@ def _q277_classes() -> tuple:
             st["sum_vals"], st["sum_abs"], st["chk"],
         ))
     return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# L5m — H.264 PIXEL reconstruction EXACT round-trip (r14, VERDICT r13
+# #5). The q277 chain stopped at the quantized coefficient surface;
+# this gate drives the full decode-to-pixels path: closed-form DC +
+# zigzag-1-AC coefficient surfaces (all-I_16x16, DC luma prediction,
+# DC chroma prediction, per-class qp 20..31, one clip-forcing x997
+# family) are CAVLC-encoded by the in-repo emitter, decoded, ASSERTED
+# coefficient-exact, then RECONSTRUCTED — inverse 4x4 Hadamard (luma
+# DC), §8.5.10/11 DC scaling, §8.5.9 AC dequant, the §8.5.12 integer
+# inverse transform, 16x16-DC / chroma-DC intra prediction with the
+# cross-MB neighbor recurrence, and [0,255] clipping — while the DuckDB
+# oracle replays every stage in SQL: a literal 256-row Hadamard weight
+# lattice, floor-division arithmetic shifts, the IDCT's y-uniform
+# vertical-stripe form for zigzag-1 AC (exact because qp//6 >= 1 makes
+# every dequantized level even, so d >> 1 is lossless), the 16-pixel
+# bottom-row DC-prediction recurrence unrolled over the 2-MB column,
+# and the clip rails. Any drift anywhere — a V-table entry, a rounding
+# constant, the Hadamard sign pattern, the chroma QP map, prediction
+# availability — moves a checksum and goes red. Model-grain: 40 classes
+# in the driver, broadcast-joined onto docs (q275/q276/q277 playbook).
+# ---------------------------------------------------------------------------
+def _q278_had_lattice() -> str:
+    h4 = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+    zig = (
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+    )
+    vals = []
+    for b in range(16):
+        zi, zj = zig[b]
+        for by in range(4):
+            for bx in range(4):
+                vals.append(f"({b},{bx},{by},{h4[by][zi] * h4[bx][zj]})")
+    return ", ".join(vals)
+
+
+_Q278_ORACLE = f"""
+    WITH ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), defs AS (
+      SELECT k, 20 + (k % 12) AS qp,
+             (20 + (k % 12)) // 6 AS s, (20 + (k % 12)) % 6 AS m,
+             CASE WHEN (20 + k % 12) = 30 THEN 29
+                  WHEN (20 + k % 12) = 31 THEN 30
+                  ELSE 20 + (k % 12) END AS qpc
+      FROM ks
+    ), defs2 AS (
+      SELECT k, qp, s, m, qpc, qpc // 6 AS sc, qpc % 6 AS mc,
+             CASE WHEN k % 10 = 9 THEN 997
+                  ELSE (3 * (1 << (8 - s))) END AS dc_scale,
+             CASE WHEN k % 10 = 9 THEN 997
+                  ELSE (2 * (1 << (8 - (qpc // 6)))) END AS c_scale,
+             CASE m WHEN 0 THEN 10 WHEN 1 THEN 11 WHEN 2 THEN 13
+                    WHEN 3 THEN 14 WHEN 4 THEN 16 ELSE 18 END AS ls0,
+             CASE m WHEN 0 THEN 13 WHEN 1 THEN 14 WHEN 2 THEN 16
+                    WHEN 3 THEN 18 WHEN 4 THEN 20 ELSE 23 END AS ls2,
+             CASE (qpc % 6) WHEN 0 THEN 10 WHEN 1 THEN 11 WHEN 2 THEN 13
+                    WHEN 3 THEN 14 WHEN 4 THEN 16 ELSE 18 END AS lsc0
+      FROM defs
+    ), had(b, bx, by, w) AS (
+      VALUES {_q278_had_lattice()}
+    ), dcz AS (
+      SELECT d.k, mb.mb, b.b,
+             d.dc_scale * {_Q277_LUT_SQL.format(
+                 m="(d.k*5 + 7*mb.mb + 3*b.b) % 13")} AS v
+      FROM defs2 d CROSS JOIN range(2) mb(mb) CROSS JOIN range(16) b(b)
+    ), fs AS (
+      SELECT z.k, z.mb, h.bx, h.by, SUM(z.v * h.w) AS f
+      FROM dcz z JOIN had h ON h.b = z.b
+      GROUP BY z.k, z.mb, h.bx, h.by
+    ), dcy AS (
+      SELECT f.k, f.mb, f.bx, f.by,
+             CAST(floor((f.f * d.ls0 + (1 << (5 - d.s)))
+                        / CAST(1 << (6 - d.s) AS DOUBLE)) AS BIGINT) AS dcy
+      FROM fs f JOIN defs2 d USING (k)
+    ), acs AS (
+      SELECT d.k, mb.mb, blk.blk,
+             CASE WHEN d.k % 2 = 0 THEN
+               4 * {_Q277_LUT_SQL.format(
+                   m="(d.k*11 + 5*mb.mb + 2*blk.blk + 1) % 13")}
+               * d.ls2 * (1 << d.s)
+             ELSE 0 END AS a
+      FROM defs2 d CROSS JOIN range(2) mb(mb) CROSS JOIN range(16) blk(blk)
+    ), rpix AS (
+      SELECT a.k, a.mb, a.blk,
+             ((a.blk // 4) % 2) * 2 + (a.blk % 4) % 2 AS bx,
+             (a.blk // 8) * 2 + ((a.blk % 4) // 2) AS by,
+             x.x,
+             CAST(floor((y.dcy
+                  + CASE x.x WHEN 0 THEN a.a WHEN 1 THEN a.a // 2
+                             WHEN 2 THEN -(a.a // 2) ELSE -a.a END
+                  + 32) / 64.0) AS BIGINT) AS r
+      FROM acs a
+      JOIN dcy y ON y.k = a.k AND y.mb = a.mb
+       AND y.bx = ((a.blk // 4) % 2) * 2 + (a.blk % 4) % 2
+       AND y.by = (a.blk // 8) * 2 + ((a.blk % 4) // 2)
+      CROSS JOIN range(4) x(x)
+    ), pix0 AS (
+      SELECT k, blk, bx, by, x, 128 + r AS raw,
+             LEAST(255, GREATEST(0, 128 + r)) AS v
+      FROM rpix WHERE mb = 0
+    ), pred1 AS (
+      SELECT k, CAST(floor((SUM(v) + 8) / 16.0) AS BIGINT) AS p
+      FROM pix0 WHERE by = 3 GROUP BY k
+    ), pix1 AS (
+      SELECT r.k, r.blk, r.bx, r.by, r.x, p.p + r.r AS raw,
+             LEAST(255, GREATEST(0, p.p + r.r)) AS v
+      FROM rpix r JOIN pred1 p USING (k) WHERE r.mb = 1
+    ), lpix AS (
+      SELECT k, 0 AS mb, blk, bx, by, x, raw, v FROM pix0
+      UNION ALL
+      SELECT k, 1, blk, bx, by, x, raw, v FROM pix1
+    ), lstat AS (
+      SELECT k,
+             CAST(SUM(4 * v) AS BIGINT) AS luma_sum,
+             CAST(SUM(v * (4 * (1 + bx * 4 + x)
+                           + 16 * (4 * (mb * 16 + by * 4) + 6)))
+                  AS BIGINT) AS luma_chk,
+             CAST(SUM(CASE WHEN raw < 0 OR raw > 255 THEN 4 ELSE 0 END)
+                  AS BIGINT) AS luma_clip
+      FROM lpix GROUP BY k
+    ), cdc AS (
+      SELECT d.k, mb.mb, cp.cp, b.b,
+             CASE WHEN d.k % 3 = 0 THEN
+               d.c_scale * {_Q277_LUT_SQL.format(
+                   m="(d.k*3 + 17*mb.mb + 7*cp.cp + 5*b.b) % 13")}
+             ELSE 0 END AS v
+      FROM defs2 d CROSS JOIN range(2) mb(mb) CROSS JOIN range(2) cp(cp)
+      CROSS JOIN range(4) b(b)
+    ), cblk AS (
+      SELECT c.k, c.mb, c.cp, blk.blk, blk.blk % 2 AS bx,
+             blk.blk // 2 AS by,
+             CAST(floor(((
+               CASE blk.blk
+                 WHEN 0 THEN m00.v + m01.v + m10.v + m11.v
+                 WHEN 1 THEN m00.v - m01.v + m10.v - m11.v
+                 WHEN 2 THEN m00.v + m01.v - m10.v - m11.v
+                 ELSE m00.v - m01.v - m10.v + m11.v
+               END) * d.lsc0 * (1 << d.sc)) / 32.0) AS BIGINT) AS dcc
+      FROM (SELECT DISTINCT k, mb, cp FROM cdc) c
+      JOIN cdc m00 ON m00.k = c.k AND m00.mb = c.mb AND m00.cp = c.cp
+       AND m00.b = 0
+      JOIN cdc m01 ON m01.k = c.k AND m01.mb = c.mb AND m01.cp = c.cp
+       AND m01.b = 1
+      JOIN cdc m10 ON m10.k = c.k AND m10.mb = c.mb AND m10.cp = c.cp
+       AND m10.b = 2
+      JOIN cdc m11 ON m11.k = c.k AND m11.mb = c.mb AND m11.cp = c.cp
+       AND m11.b = 3
+      JOIN defs2 d ON d.k = c.k
+      CROSS JOIN range(4) blk(blk)
+    ), crblk AS (
+      SELECT k, mb, cp, blk, bx, by,
+             CAST(floor((dcc + 32) / 64.0) AS BIGINT) AS r
+      FROM cblk
+    ), cpix0 AS (
+      SELECT k, cp, blk, bx, by, 128 + r AS raw,
+             LEAST(255, GREATEST(0, 128 + r)) AS v
+      FROM crblk WHERE mb = 0
+    ), cpix1 AS (
+      SELECT r.k, r.cp, r.blk, r.bx, r.by, p.v + r.r AS raw,
+             LEAST(255, GREATEST(0, p.v + r.r)) AS v
+      FROM crblk r
+      JOIN cpix0 p ON p.k = r.k AND p.cp = r.cp AND p.bx = r.bx
+       AND p.by = 1
+      WHERE r.mb = 1
+    ), cpixall AS (
+      SELECT k, 0 AS mb, cp, bx, by, raw, v FROM cpix0
+      UNION ALL
+      SELECT k, 1, cp, bx, by, raw, v FROM cpix1
+    ), cstat AS (
+      SELECT k,
+             CAST(SUM(16 * v) AS BIGINT) AS chroma_sum,
+             CAST(SUM(v * (16 * (500000 + cp * 250000)
+                           + 16 * (8 * (mb * 8 + by * 4) + bx * 4)
+                           + 216)) AS BIGINT) AS chroma_chk,
+             CAST(SUM(CASE WHEN raw < 0 OR raw > 255 THEN 16 ELSE 0 END)
+                  AS BIGINT) AS chroma_clip
+      FROM cpixall GROUP BY k
+    )
+    SELECT doc.doc_id, CAST(d.qp AS BIGINT) AS qp,
+           l.luma_sum, l.luma_chk, c.chroma_sum, c.chroma_chk,
+           l.luma_clip + c.chroma_clip AS n_clip
+    FROM documents doc
+    JOIN defs2 d ON d.k = doc.doc_id % 40
+    JOIN lstat l ON l.k = doc.doc_id % 40
+    JOIN cstat c ON c.k = doc.doc_id % 40
+"""
+
+
+@query(
+    "q278_h264_pixel_roundtrip",
+    oracle=_Q278_ORACLE,
+    scale_note=(
+        "model-grain like q277: 40 pixel surfaces encoded/decoded/"
+        "reconstructed once in the driver, broadcast-joined onto "
+        "documents — corpus size never touches the codec or the "
+        "reconstruction loop"
+    ),
+)
+def q278_h264_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form coefficient surfaces → REAL CAVLC encode → decode →
+    assert coefficient-exact → REAL pixel reconstruction (dequant,
+    inverse Hadamard/IDCT, intra DC prediction, clip) → integer pixel
+    stats the SQL oracle replays stage by stage."""
+    classes = spark.createDataFrame(
+        _q278_classes(),
+        "k long, qp long, luma_sum long, luma_chk long, "
+        "chroma_sum long, chroma_chk long, n_clip long",
+    )
+    d = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("k")
+    )
+    return d.join(F.broadcast(classes), "k").drop("k")
+
+
+@lru_cache(maxsize=1)
+def _q278_classes() -> tuple:
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_decode_cavlc_islice,
+        h264_pixel_stats,
+    )
+
+    lut = _Q277_LUT
+    rows = []
+    for k in range(40):
+        n = 2  # one MB wide, two high: the top MB has no neighbors,
+        # the bottom MB exercises the cross-MB DC prediction recurrence
+        qp = 20 + k % 12
+        s = qp // 6
+        dc_scale = 997 if k % 10 == 9 else (3 << (8 - s))
+        qpc = qp if qp < 30 else (29, 30)[qp - 30]
+        c_scale = 997 if k % 10 == 9 else (2 << (8 - (qpc // 6)))
+        luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+        chroma = [
+            [[[0] * 16 for _ in range(4)] for _ in range(2)]
+            for _ in range(n)
+        ]
+        for mb in range(n):
+            for b in range(16):
+                luma[mb][b][0] = (
+                    dc_scale * lut[(k * 5 + 7 * mb + 3 * b) % 13]
+                )
+            if k % 2 == 0:
+                for blk in range(16):
+                    luma[mb][blk][1] = (
+                        4 * lut[(k * 11 + 5 * mb + 2 * blk + 1) % 13]
+                    )
+            if k % 3 == 0:
+                for cp in range(2):
+                    for b in range(4):
+                        chroma[mb][cp][b][0] = (
+                            c_scale
+                            * lut[(k * 3 + 17 * mb + 7 * cp + 5 * b) % 13]
+                        )
+        payload = encode_h264_cavlc(
+            1, 2, luma, chroma, [True] * n, qp=qp,
+            pred16=[2] * n, chroma_modes=[0] * n,
+        )
+        dec = h264_decode_cavlc_islice(payload)
+        assert dec["luma"] == luma, "h264 pixel-fixture luma drift"
+        assert dec["chroma"] == chroma, "h264 pixel-fixture chroma drift"
+        assert dec["pred16"] == [2] * n, "pred16 mode drift"
+        assert dec["chroma_mode"] == [0] * n, "chroma mode drift"
+        st = h264_pixel_stats(payload)
+        rows.append((
+            k, st["qp"], st["luma_sum"], st["luma_chk"],
+            st["chroma_sum"], st["chroma_chk"], st["n_clip"],
+        ))
+    return tuple(rows)

@@ -382,3 +382,183 @@ def test_cavlc_multiframe_video_roundtrip():
     )
     f0_only = h264_residual_stats(encode_h264_cavlc_video(2, 2, frames[:1], qp=31))
     assert solo == f0_only
+
+
+def test_pixel_reconstruction_zero_residual_is_neutral_gray():
+    """Zero coefficients + DC prediction everywhere -> every sample is
+    exactly 128 (the no-neighbor DC default propagates through the
+    cross-MB recurrence unchanged), no clipping, for BOTH MB types."""
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_reconstruct_islice,
+    )
+
+    n = 6  # 3x2 grid: interior MBs see top+left, edges see one/none
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    for mb16_pattern in ([True] * n, [False] * n, [m % 2 == 0 for m in range(n)]):
+        payload = encode_h264_cavlc(
+            3, 2, luma, chroma, mb16_pattern, qp=28,
+            pred16=[2] * n, chroma_modes=[0] * n,
+        )
+        r = h264_reconstruct_islice(payload)
+        fr = r["frames"][0]
+        assert all(v == 128 for row in fr["y"] for v in row)
+        assert all(v == 128 for row in fr["cb"] for v in row)
+        assert all(v == 128 for row in fr["cr"] for v in row)
+        assert fr["n_clip"] == 0
+
+
+def test_pixel_reconstruction_dc_shift_propagates():
+    """A pure luma-DC surface shifts every pixel by the same amount and
+    the second MB inherits the first's bottom row through DC
+    prediction: reconstruct and check against the closed-form value."""
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_reconstruct_islice,
+    )
+
+    qp = 26  # s=4, m=2 -> ls0=13: dcY = (f*13 + 2) >> 2
+    n = 2
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    for b in range(16):
+        luma[0][b][0] = 40 if b == 0 else 0  # DC-of-DC only: flat shift
+    payload = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=qp,
+        pred16=[2] * n, chroma_modes=[0] * n,
+    )
+    fr = h264_reconstruct_islice(payload)["frames"][0]
+    # f = H*c*H^T of a DC-only array is the constant 40 everywhere
+    dcy = (40 * 13 + 2) >> 2  # 130
+    res = (dcy + 32) >> 6  # 2
+    v0 = 128 + res
+    assert all(v == v0 for row in fr["y"][:16] for v in row)
+    # MB1: DC pred = mean of MB0's bottom row = v0; zero residual
+    assert all(v == v0 for row in fr["y"][16:] for v in row)
+
+
+def test_pixel_reconstruction_mode_conformance():
+    """V/H/Plane prediction without the required neighbors must refuse
+    with ValueError (nonconforming stream), and an in-subset stream
+    with V prediction on a NON-top MB must succeed and copy the top
+    row."""
+    import pytest
+
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_reconstruct_islice,
+    )
+
+    n = 2
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    # V on the top MB of a 1-wide column: no top neighbor -> refuse
+    bad = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[0, 0], chroma_modes=[0] * n,
+    )
+    with pytest.raises(ValueError, match="V prediction"):
+        h264_reconstruct_islice(bad)
+    # DC on top, V below: legal; MB1 copies MB0's bottom row (128s)
+    ok = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[2, 0], chroma_modes=[0] * n,
+    )
+    fr = h264_reconstruct_islice(ok)["frames"][0]
+    assert all(v == 128 for row in fr["y"] for v in row)
+    # H without left neighbor refuses too
+    bad_h = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[1, 2], chroma_modes=[0] * n,
+    )
+    with pytest.raises(ValueError, match="H prediction"):
+        h264_reconstruct_islice(bad_h)
+    # chroma Plane without both edges refuses
+    bad_c = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[2, 2], chroma_modes=[3, 0],
+    )
+    with pytest.raises(ValueError, match="chroma Plane"):
+        h264_reconstruct_islice(bad_c)
+
+
+def test_pixel_reconstruction_h_and_plane_modes_on_wide_grid():
+    """On a 2-wide grid the right MB can use H (left neighbor exists):
+    with zero residual everywhere H copies the left MB's right column;
+    Plane over flat borders predicts the border value."""
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_reconstruct_islice,
+        _Plane,
+        _pred16,
+        _pred_chroma,
+    )
+
+    n = 4  # 2x2
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    payload = encode_h264_cavlc(
+        2, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[2, 1, 0, 3], chroma_modes=[0, 1, 2, 3],
+    )
+    fr = h264_reconstruct_islice(payload)["frames"][0]
+    assert all(v == 128 for row in fr["y"] for v in row)
+    assert all(v == 128 for row in fr["cb"] for v in row)
+    # direct unit check: Plane over a linear ramp border reproduces it
+    pl = _Plane(32, 32)
+    for y in range(32):
+        for x in range(32):
+            pl.px[y][x] = 50 + 2 * x + 3 * y
+    pred = _pred16(pl, 16, 16, 3)
+    for y in range(16):
+        for x in range(16):
+            want = 50 + 2 * (16 + x) + 3 * (16 + y)
+            assert abs(pred[y][x] - want) <= 2, (x, y, pred[y][x], want)
+    cpred = _pred_chroma(pl, 8, 8, 3)
+    for y in range(8):
+        for x in range(8):
+            want = 50 + 2 * (8 + x) + 3 * (8 + y)
+            assert abs(cpred[y][x] - want) <= 2
+
+
+def test_pixel_stats_and_media_features_pixel_slots():
+    """h264_pixel_stats is deterministic; media_features exposes mean
+    luma + clip count for in-subset streams and leaves the slots zero
+    for the r13 default-mode (nonconforming V-on-top) streams."""
+    from pandas_td_spark.operators.codecs import media_features
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_pixel_stats,
+    )
+
+    n = 2
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    luma[0][0][0] = 40
+    ok = encode_h264_cavlc(
+        1, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[2] * n, chroma_modes=[0] * n,
+    )
+    st = h264_pixel_stats(ok)
+    assert st == h264_pixel_stats(ok)
+    assert st["luma_sum"] > 0 and st["chroma_sum"] == 128 * 2 * 8 * 16
+    v = media_features(ok, 16)
+    assert v[12] > 0  # mean luma
+    assert v[13] == 0.0  # no clipping in this fixture
+    # r13 default modes: V prediction on the top row -> pixel slots 0,
+    # residual slots still populated
+    legacy = encode_h264_cavlc(1, 2, luma, chroma, [True] * n, qp=26)
+    lv = media_features(legacy, 16)
+    assert lv[9] >= 1.0  # n_nonzero residual slot
+    assert lv[12] == 0.0 and lv[13] == 0.0
