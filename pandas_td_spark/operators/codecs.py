@@ -3329,6 +3329,71 @@ _MP3_SAMPLE_RATES = {0: 44100, 1: 48000, 2: 32000}
 #: string. UNVERIFIED transcription (see provenance note above).
 _MP3_HUFF_T1 = {(0, 0): "1", (0, 1): "001", (1, 0): "01", (1, 1): "000"}
 
+
+def _canonical_code(lengths: "dict[tuple[int, int], int]") -> dict:
+    """Canonical prefix code from a (symbol -> bit length) map: sort by
+    (length, symbol), assign incrementing left-justified codewords.
+    Kraft-complete length sets (all of ours sum to exactly 1) yield a
+    complete prefix-free code. Used for MP3 tables 2/3 (r14): the
+    LENGTH arrays below are from-memory spec transcriptions (their
+    Kraft sums coming out at exactly 1.0 is the internal consistency
+    check); the CODE STRINGS are canonical reconstructions, NOT claimed
+    bit-identical to ISO's — the encoder only emits and the decoder
+    only accepts these, so round-trips are exact and a real-encoder
+    stream can at worst mis-decode into a part2_3_length mismatch
+    (ValueError), never wrong samples silently."""
+    assert (
+        sum(2.0 ** -v for v in lengths.values()) == 1.0
+    ), "length table not Kraft-complete"
+    out: dict = {}
+    code = 0
+    prev_len = 0
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev_len
+        out[sym] = format(code, f"0{ln}b")
+        code += 1
+        prev_len = ln
+    return out
+
+
+#: ISO B.7 tables 2 and 3 (x, y <= 2, no linbits) — code lengths from
+#: memory (UNVERIFIED), codewords canonical (see _canonical_code).
+_MP3_HUFF_T2 = _canonical_code({
+    (0, 0): 1, (0, 1): 3, (0, 2): 6,
+    (1, 0): 3, (1, 1): 3, (1, 2): 5,
+    (2, 0): 5, (2, 1): 5, (2, 2): 6,
+})
+_MP3_HUFF_T3 = _canonical_code({
+    (0, 0): 2, (0, 1): 2, (0, 2): 6,
+    (1, 0): 3, (1, 1): 2, (1, 2): 5,
+    (2, 0): 5, (2, 1): 5, (2, 2): 6,
+})
+
+#: table_select -> (code map, max |value|); table 0 is the all-zero
+#: pseudo-table (no bits)
+_MP3_HUFF_TABLES = {
+    1: (_MP3_HUFF_T1, 1),
+    2: (_MP3_HUFF_T2, 2),
+    3: (_MP3_HUFF_T3, 2),
+}
+
+#: long-block scalefactor-band boundaries (23 edges = 22 sfbs; the last
+#: band 21 takes no scalefactor) per MPEG-1 sample rate — public-spec
+#: tables from memory, UNVERIFIED (same posture as the Huffman data;
+#: both sides of every oracle share these constants)
+_MP3_SFB_LONG = {
+    44100: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576),
+    48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576),
+    32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 576),
+}
+
+#: preflag pretab for long-block sfbs 0..20 (UNVERIFIED from memory)
+_MP3_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+               3, 2)
+
 #: count1 table B: every (v, w, x, y) quadruple coded in 4 bits as the
 #: ones-complement of its binary packing. UNVERIFIED transcription.
 def _count1b_code(v: int, w: int, x: int, y: int) -> str:
@@ -3349,9 +3414,22 @@ def mp3_encode_entropy(
     global_gain: int = 210,
     big_values: int = 288,
     block_type: int = 0,
+    table_select: int = 1,
+    scalefac_compress: int = 0,
+    scalefactors: "list[int] | None" = None,
+    scalefac_scale: int = 0,
+    preflag: int = 0,
 ) -> bytes:
     """Encode quantized spectral values as a CBR MPEG-1 Layer III
-    bitstream (no CRC, no bit reservoir, scalefactors zero).
+    bitstream (no CRC, no bit reservoir).
+
+    r14: ``table_select`` picks Huffman table 1, 2 or 3 for every
+    big-values region (2/3 carry |value| <= 2); ``scalefactors`` (21
+    long-block sfb values fitting ``scalefac_compress``'s slen widths),
+    ``scalefac_scale`` and ``preflag`` emit the real part2 bits and
+    side-info fields the requantizer consumes. Switched-window frames
+    (``block_type``) still require all-zero scalefactor bits (the
+    per-window short layout is outside the subset).
 
     ``spectra``: int array (n_frames, 2, 576) for MONO, or — r13 —
     (n_frames, 2, 2, 576) for STEREO (granule, channel, lines): plain
@@ -3378,13 +3456,47 @@ def mp3_encode_entropy(
             "spectra must be (n_frames, 2, 576) mono or "
             "(n_frames, 2, 2, 576) stereo"
         )
-    if np.abs(spectra).max(initial=0) > 1:
+    if table_select not in _MP3_HUFF_TABLES:
         raise NotImplementedError(
-            "entropy subset: |value| <= 1 (Huffman table 1); linbits "
-            "escape tables are the r13 follow-up"
+            f"Huffman table {table_select}: tables 1-3 implemented "
+            "(linbits escape tables stay outside the subset)"
+        )
+    huff, vmax = _MP3_HUFF_TABLES[table_select]
+    if np.abs(spectra).max(initial=0) > vmax:
+        raise NotImplementedError(
+            f"entropy subset: |value| <= {vmax} for Huffman table "
+            f"{table_select}; linbits escape tables are not implemented"
+        )
+    if np.abs(spectra[:, :, :, 2 * big_values:]).max(initial=0) > 1:
+        raise ValueError(
+            "count1 region values must be in {-1, 0, 1} (quadruple "
+            "coding); raise big_values to cover larger lines"
         )
     if not 0 <= big_values <= 288:
         raise ValueError("big_values in [0, 288]")
+    slen1, slen2 = _MP3_SLEN[scalefac_compress]
+    if scalefactors is None:
+        scalefactors = [0] * 21
+    if len(scalefactors) != 21:
+        raise ValueError("scalefactors must list 21 long-block sfbs")
+    for i, sf in enumerate(scalefactors):
+        w = slen1 if i < 11 else slen2
+        if sf < 0 or sf >= (1 << w):
+            raise ValueError(
+                f"scalefactor {sf} at sfb {i} does not fit slen {w} "
+                f"(scalefac_compress {scalefac_compress})"
+            )
+    scf_bits = "".join(
+        format(sf, f"0{slen1 if i < 11 else slen2}b")
+        if (slen1 if i < 11 else slen2)
+        else ""
+        for i, sf in enumerate(scalefactors)
+    )
+    if block_type and scf_bits:
+        raise NotImplementedError(
+            "nonzero scalefactor bits with switched windows: the "
+            "per-window short layout is outside the subset"
+        )
     br_idx = {v: k for k, v in _MP3_BITRATES.items()}[bitrate_kbps]
     sr_idx = {v: k for k, v in _MP3_SAMPLE_RATES.items()}[sample_rate]
     if (144 * bitrate_kbps * 1000) % sample_rate:
@@ -3401,11 +3513,12 @@ def mp3_encode_entropy(
         gr_bits = []  # main data order: (g0,ch0), (g0,ch1), (g1,ch0)…
         for g in range(2):
             for ch in range(nch):
-                bits = []
+                bits = [scf_bits]  # part2: scalefactors lead the
+                # granule's main data (r14 — nonzero scalefactors)
                 vals = spectra[f, g, ch]
                 for p in range(big_values):
                     x, y = int(vals[2 * p]), int(vals[2 * p + 1])
-                    bits.append(_MP3_HUFF_T1[(abs(x), abs(y))])
+                    bits.append(huff[(abs(x), abs(y))])
                     if x != 0:
                         bits.append("1" if x < 0 else "0")
                     if y != 0:
@@ -3441,10 +3554,11 @@ def mp3_encode_entropy(
         for g in range(2):
             for ch in range(nch):
                 pl = len(gr_bits[g * nch + ch])
-                side.append((pl, 12))            # part2_3_length (sf=0)
+                side.append((pl, 12))            # part2_3_length
+                # (includes the scalefactor part2 bits since r14)
                 side.append((big_values, 9))     # big_values
                 side.append((global_gain, 8))
-                side.append((0, 4))              # scalefac_compress
+                side.append((scalefac_compress, 4))
                 if block_type:
                     # r13: switched-window side-info variant (short /
                     # start / stop); zero subblock gains keep the
@@ -3453,17 +3567,17 @@ def mp3_encode_entropy(
                     side.append((block_type, 2))
                     side.append((0, 1))          # mixed_block_flag
                     for _ in range(2):
-                        side.append((1, 5))      # table_select: table 1
+                        side.append((table_select, 5))
                     for _ in range(3):
                         side.append((0, 3))      # subblock_gain
                 else:
                     side.append((0, 1))          # windows_switching_flag
                     for _ in range(3):
-                        side.append((1, 5))      # table_select: table 1
+                        side.append((table_select, 5))
                     side.append((0, 4))          # region0_count
                     side.append((0, 3))          # region1_count
-                side.append((0, 1))              # preflag
-                side.append((0, 1))              # scalefac_scale
+                side.append((preflag, 1))
+                side.append((scalefac_scale, 1))
                 side.append((1, 1))              # count1table_select: B
         frame_bits = ["".join(format(v, f"0{w}b") for v, w in side)]
         frame_bits += gr_bits
@@ -3502,8 +3616,11 @@ def mp3_decode_entropy(payload: bytes) -> dict:
     spectra = []
     sides = []
     sr = br = None
-    inv_t1 = {v: k for k, v in _MP3_HUFF_T1.items()}
-    maxlen_t1 = max(len(v) for v in _MP3_HUFF_T1.values())
+    inv_tabs = {
+        t: ({v: k for k, v in tab.items()},
+            max(len(v) for v in tab.values()))
+        for t, (tab, _) in _MP3_HUFF_TABLES.items()
+    }
     res_bits = ""  # rolling tail of the main-data stream (reservoir)
     res_base = 0  # absolute bit index of res_bits[0]
     while pos + 4 <= len(payload):
@@ -3614,9 +3731,10 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             gr["scalefac"] = scf
             vals = np.zeros(576, dtype=np.int64)
             for t in gr["table_select"]:
-                if t not in (0, 1):
+                if t not in (0,) and t not in inv_tabs:
                     raise NotImplementedError(
-                        f"Huffman table {t}: outside the r12 subset"
+                        f"Huffman table {t}: tables 0-3 implemented, "
+                        "linbits escape tables refused"
                     )
             i = 0
             for p in range(gr["big_values"]):
@@ -3625,15 +3743,16 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                 if gr["table_select"][0] == 0:
                     x = y = 0
                 else:
+                    inv, maxlen = inv_tabs[gr["table_select"][0]]
                     code = ""
-                    while code not in inv_t1:
-                        if len(code) > maxlen_t1:
+                    while code not in inv:
+                        if len(code) > maxlen:
                             raise ValueError("bad Huffman code")
                         if bp >= len(bits):
                             raise ValueError("truncated MP3 frame")
                         code += bits[bp]
                         bp += 1
-                    x, y = inv_t1[code]
+                    x, y = inv[code]
                 if x and take(1):
                     x = -x
                 if y and take(1):
@@ -3718,35 +3837,48 @@ _MP3_CS = 1.0 / np.sqrt(1.0 + _MP3_CI**2)
 _MP3_CA = _MP3_CI / np.sqrt(1.0 + _MP3_CI**2)
 
 
-def mp3_requantize(spectra: np.ndarray, side_info: list) -> np.ndarray:
+def mp3_requantize(
+    spectra: np.ndarray, side_info: list, sample_rate: int = 48000
+) -> np.ndarray:
     """Quantized spectra (n_frames, 2, 576 int) -> float xr via the
-    power law ``sign*|ix|^(4/3)*2^((global_gain-210)/4)``. Stereo (r13):
-    spectra (n_frames, 2, 2, 576) with per-channel granule side info.
-    Subset guard: any nonzero scalefactor / preflag / scalefac_scale
-    raises (their full formula needs the scalefactor-band geometry
-    tables)."""
+    long-block power law
+    ``sign*|ix|^(4/3) * 2^((global_gain-210)/4)
+    * 2^(-(1+scalefac_scale)*(scalefac[sfb]+preflag*pretab[sfb])/2)``
+    with the per-sample-rate scalefactor-band geometry (r14 — through
+    r13 any nonzero scalefactor refused; the geometry and pretab tables
+    are in-repo now, UNVERIFIED-from-memory like the Huffman data).
+    Stereo (r13): spectra (n_frames, 2, 2, 576) with per-channel
+    granule side info. Lines at/past the last band edge carry no
+    scalefactor (band 21)."""
     spectra = np.asarray(spectra)
     xr = np.empty(spectra.shape, dtype=np.float64)
+    edges = _MP3_SFB_LONG.get(sample_rate)
+    if edges is None:
+        raise ValueError(f"no sfb geometry for sample rate {sample_rate}")
 
     def _one(gr, ix):
-        if (
-            any(gr.get("scalefac", []))
-            or gr.get("preflag")
-            or gr.get("scalefac_scale")
-        ):
-            raise NotImplementedError(
-                "nonzero scalefactors need sfb geometry tables "
-                "(outside the from-memory-safe subset)"
-            )
         if gr.get("block_type", 0):
+            if any(gr.get("scalefac", [])) or gr.get("preflag"):
+                raise NotImplementedError(
+                    "nonzero scalefactors with switched windows "
+                    "(short-block sfb geometry outside the subset)"
+                )
             raise NotImplementedError(
                 "switched-window (short/start/stop) reconstruction: "
                 "the entropy layer decodes these, the 12-point-MDCT "
                 "hybrid does not (honest boundary, r13)"
             )
         gain = 2.0 ** ((gr["global_gain"] - 210) / 4.0)
+        scf = gr.get("scalefac") or [0] * 21
+        pre = gr.get("preflag", 0)
+        ss = 1 + gr.get("scalefac_scale", 0)
+        fac = np.ones(576, dtype=np.float64)
+        for b in range(21):
+            s = scf[b] + pre * _MP3_PRETAB[b]
+            if s:
+                fac[edges[b]:edges[b + 1]] = 2.0 ** (-0.5 * ss * s)
         ix = ix.astype(np.float64)
-        return np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain
+        return np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain * fac
 
     for f in range(spectra.shape[0]):
         for g in range(2):
@@ -3908,7 +4040,7 @@ def mp3_decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     return (n_samples, 2) — each channel runs its own overlap and
     filterbank state, exactly as two independent mono decodes."""
     d = mp3_decode_entropy(payload)
-    xr = mp3_requantize(d["spectra"], d["side_info"])
+    xr = mp3_requantize(d["spectra"], d["side_info"], d["sample_rate"])
     if xr.ndim == 4:  # stereo: per-channel pipelines
         chans = []
         for ch in range(xr.shape[2]):

@@ -3308,3 +3308,233 @@ def _q278_classes() -> tuple:
             st["chroma_sum"], st["chroma_chk"], st["n_clip"],
         ))
     return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# L5n — MP3 nonzero-scalefactor + Huffman-tables-2/3 EXACT round-trip
+# (r14, VERDICT r13 #6: the two in-reach MP3 boundaries). Extends the
+# q275 gate past its zero-scalefactor / table-1 subset: 40 classes emit
+# |value| <= 2 spectra through Huffman tables 2/3 (canonical codewords
+# from Kraft-complete remembered length tables — see
+# operators/codecs.py provenance), REAL scalefactor part2 bits under
+# every scalefac_compress 1..15, scalefac_scale, and preflag/pretab;
+# the decoder round-trips the spectra bit-exactly and the requantizer
+# applies the long-block sfb-geometry power law. The DuckDB oracle
+# recomputes (a) part2_3_length from the code-length model + sign bits
+# + slen accounting, and (b) an INTEGER exponent checksum: for every
+# nonzero line, eq = (global_gain-210) - 2*(1+ss)*(scf[sfb] +
+# preflag*pretab[sfb]) recovered on the Spark side from the ACTUAL
+# requantized floats via round(4*log2(|xr|/|ix|^(4/3))) — so the sfb
+# boundary table, the scalefactor layout, and the requantization
+# formula are all pinned end-to-end in exact integers while the
+# irrational power law itself stays pytest-gated. Model-grain like
+# q275/q277/q278.
+# ---------------------------------------------------------------------------
+_Q279_LUT_SQL = (
+    "CASE ({m}) WHEN 1 THEN 1 WHEN 2 THEN -1 WHEN 3 THEN 2 "
+    "WHEN 5 THEN -2 WHEN 6 THEN 1 WHEN 8 THEN -1 WHEN 9 THEN 2 "
+    "WHEN 11 THEN 1 WHEN 12 THEN -2 WHEN 14 THEN 1 "
+    "WHEN 15 THEN -1 WHEN 16 THEN 2 ELSE 0 END"
+)
+_Q279_LUT = (0, 1, -1, 2, 0, -2, 1, 0, -1, 2, 0, 1, -2, 0, 1, -1, 2)
+
+
+def _q279_sql_parts() -> dict:
+    from pandas_td_spark.operators.codecs import (
+        _MP3_PRETAB,
+        _MP3_SFB_LONG,
+        _MP3_SLEN,
+    )
+
+    edges = _MP3_SFB_LONG[48000]
+    sfb = ", ".join(
+        f"({b},{edges[b]},{edges[b + 1]},{_MP3_PRETAB[b]})"
+        for b in range(21)
+    )
+    slen1 = "CASE sfc " + " ".join(
+        f"WHEN {i} THEN {_MP3_SLEN[i][0]}" for i in range(16)
+    ) + " END"
+    slen2 = "CASE sfc " + " ".join(
+        f"WHEN {i} THEN {_MP3_SLEN[i][1]}" for i in range(16)
+    ) + " END"
+    t2l = {(0, 0): 1, (0, 1): 3, (0, 2): 6, (1, 0): 3, (1, 1): 3,
+           (1, 2): 5, (2, 0): 5, (2, 1): 5, (2, 2): 6}
+    t3l = {(0, 0): 2, (0, 1): 2, (0, 2): 6, (1, 0): 3, (1, 1): 2,
+           (1, 2): 5, (2, 0): 5, (2, 1): 5, (2, 2): 6}
+    a2 = " ".join(
+        f"WHEN {x * 3 + y} THEN {t2l[(x, y)]}"
+        for x in range(3) for y in range(3)
+    )
+    a3 = " ".join(
+        f"WHEN {x * 3 + y} THEN {t3l[(x, y)]}"
+        for x in range(3) for y in range(3)
+    )
+    hlen = (f"CASE WHEN t = 2 THEN (CASE ax*3+ay {a2} END) "
+            f"ELSE (CASE ax*3+ay {a3} END) END")
+    return {"sfb": sfb, "slen1": slen1, "slen2": slen2, "hlen": hlen}
+
+
+_Q279_P = _q279_sql_parts()
+
+_Q279_ORACLE = f"""
+    WITH ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), defs AS (
+      SELECT k, 2 + k % 2 AS t, 1 + k % 15 AS sfc, k % 2 AS ss,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS pre,
+             200 + k % 12 AS gg, 320 + 16 * (k % 8) AS bound
+      FROM ks
+    ), defs2 AS (
+      SELECT k, t, sfc, ss, pre, gg, bound,
+             {_Q279_P["slen1"]} AS slen1, {_Q279_P["slen2"]} AS slen2
+      FROM defs
+    ), sfb(b, lo, hi, pretab) AS (
+      VALUES {_Q279_P["sfb"]}
+    ), scf AS (
+      SELECT d.k, s.b, s.lo, s.hi, s.pretab,
+             (d.k + 3 * s.b + d.t)
+               % (1 << (CASE WHEN s.b < 11 THEN d.slen1
+                              ELSE d.slen2 END)) AS sf
+      FROM defs2 d CROSS JOIN sfb s
+    ), lines AS (
+      SELECT d.k, g.g, l.l,
+             CASE WHEN l.l < d.bound THEN
+               {_Q279_LUT_SQL.format(
+                   m="(d.k*7 + 11*g.g + l.l*(l.l+3)) % 17")}
+             ELSE 0 END AS v
+      FROM defs2 d CROSS JOIN range(2) g(g) CROSS JOIN range(576) l(l)
+    ), pairs AS (
+      SELECT n.k, n.g, n.l // 2 AS p, d.t,
+             MAX(CASE WHEN n.l % 2 = 0 THEN abs(n.v) END) AS ax,
+             MAX(CASE WHEN n.l % 2 = 1 THEN abs(n.v) END) AS ay
+      FROM lines n JOIN defs2 d USING (k)
+      GROUP BY n.k, n.g, n.l // 2, d.t
+    ), hbits AS (
+      SELECT k, g,
+             SUM(({_Q279_P["hlen"]})
+                 + CASE WHEN ax > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN ay > 0 THEN 1 ELSE 0 END) AS bits
+      FROM pairs GROUP BY k, g
+    ), part23 AS (
+      SELECT h.k,
+             CAST(SUM(h.bits + 11 * d.slen1 + 10 * d.slen2) AS BIGINT)
+               AS part23
+      FROM hbits h JOIN defs2 d USING (k) GROUP BY h.k
+    ), eq AS (
+      SELECT n.k, n.g, n.l, n.v,
+             (d.gg - 210)
+             - 2 * (1 + d.ss)
+               * COALESCE(s.sf + d.pre * s.pretab, 0) AS eqv
+      FROM lines n
+      JOIN defs2 d USING (k)
+      LEFT JOIN scf s ON s.k = n.k AND n.l >= s.lo AND n.l < s.hi
+      WHERE n.v <> 0
+    ), agg AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+             CAST(SUM(v) AS BIGINT) AS sum_vals,
+             CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(SUM(eqv * (1 + g * 1000000 + l)) AS BIGINT) AS eq_chk
+      FROM eq GROUP BY k
+    )
+    SELECT doc.doc_id, p.part23, a.n_nonzero, a.sum_vals, a.sum_abs,
+           a.eq_chk
+    FROM documents doc
+    JOIN part23 p ON p.k = doc.doc_id % 40
+    JOIN agg a ON a.k = doc.doc_id % 40
+"""
+
+
+@query(
+    "q279_mp3_scalefactor_roundtrip",
+    oracle=_Q279_ORACLE,
+    scale_note=(
+        "model-grain like q275: 40 spectra encoded/decoded/requantized "
+        "once in the driver, broadcast-joined onto documents"
+    ),
+)
+def q279_mp3_scalefactor_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form |v|<=2 spectra → REAL MP3 entropy encode (Huffman
+    tables 2/3, nonzero scalefactors, preflag, scalefac_scale) → decode
+    → assert bit-exact → requantize through the sfb geometry → integer
+    part2_3/exponent stats the SQL oracle replays."""
+    classes = spark.createDataFrame(
+        _q279_classes(),
+        "k long, part23 long, n_nonzero long, sum_vals long, "
+        "sum_abs long, eq_chk long",
+    )
+    d = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("k")
+    )
+    return d.join(F.broadcast(classes), "k").drop("k")
+
+
+@lru_cache(maxsize=1)
+def _q279_classes() -> tuple:
+    import math
+
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MP3_SLEN,
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+        mp3_requantize,
+    )
+
+    rows = []
+    for k in range(40):
+        t = 2 + k % 2
+        sfc = 1 + k % 15
+        slen1, slen2 = _MP3_SLEN[sfc]
+        scf = [
+            (k + 3 * i + t) % (1 << (slen1 if i < 11 else slen2))
+            for i in range(21)
+        ]
+        ss = k % 2
+        pre = 1 if k % 3 == 0 else 0
+        gg = 200 + k % 12
+        bound = 320 + 16 * (k % 8)
+        sp = np.zeros((1, 2, 576), dtype=np.int64)
+        for g in range(2):
+            for ln in range(bound):
+                sp[0, g, ln] = _Q279_LUT[
+                    (k * 7 + 11 * g + ln * (ln + 3)) % 17
+                ]
+        payload = mp3_encode_entropy(
+            sp, sample_rate=48000, bitrate_kbps=192, global_gain=gg,
+            big_values=288, table_select=t, scalefac_compress=sfc,
+            scalefactors=scf, scalefac_scale=ss, preflag=pre,
+        )
+        d = mp3_decode_entropy(payload)
+        assert (d["spectra"] == sp).all(), "mp3 scalefactor spectra drift"
+        for g in range(2):
+            gr = d["side_info"][0]["granules"][g]
+            assert gr["scalefac"] == scf, "scalefactor field drift"
+            assert gr["preflag"] == pre and gr["scalefac_scale"] == ss
+            assert gr["table_select"] == [t] * 3
+        xr = mp3_requantize(d["spectra"], d["side_info"], 48000)
+        part23 = sum(
+            d["side_info"][0]["granules"][g]["part2_3_length"]
+            for g in range(2)
+        )
+        eq_chk = 0
+        for g in range(2):
+            for ln in range(576):
+                ix = int(sp[0, g, ln])
+                if ix == 0:
+                    continue
+                # recover the integer quarter-log2 exponent from the
+                # ACTUAL requantized float: the power law contributes
+                # |ix|^(4/3) exactly, the rest is 2^(eq/4)
+                ratio = abs(xr[0, g, ln]) / (abs(ix) ** (4.0 / 3.0))
+                eq_chk += round(4 * math.log2(ratio)) * (
+                    1 + g * 1_000_000 + ln
+                )
+        rows.append((
+            k, part23, int((sp != 0).sum()), int(sp.sum()),
+            int(np.abs(sp).sum()), eq_chk,
+        ))
+    return tuple(rows)

@@ -1376,8 +1376,32 @@ def test_mp3_requantize_power_law_and_subset_guard():
     ]}]
     xr = mp3_requantize(sp, side)
     assert xr[0, 0, 0] == 2.0 and xr[0, 0, 1] == -2.0  # 2^((214-210)/4)
+    # r14: nonzero scalefactors now requantize via the sfb geometry —
+    # line 0 sits in sfb 0, scf 1 / scalefac_scale 0 -> factor 2^-0.5
     side[0]["granules"][0]["scalefac"] = [1] + [0] * 20
-    with pytest.raises(NotImplementedError, match="scalefactor"):
+    xr2 = mp3_requantize(sp, side)
+    assert abs(xr2[0, 0, 0] - 2.0 * 2.0 ** -0.5) < 1e-12
+    # line 4 is sfb 1 (48 kHz edges 4..8): untouched by sfb-0's factor
+    sp[0, 0, 4] = 1
+    assert mp3_requantize(sp, side)[0, 0, 4] == 2.0
+    # scalefac_scale doubles the exponent step
+    side[0]["granules"][0]["scalefac_scale"] = 1
+    assert abs(mp3_requantize(sp, side)[0, 0, 0] - 2.0 * 0.5) < 1e-12
+    # preflag adds pretab (sfb 11 has pretab 1): check via a line in it
+    side2 = [{"granules": [
+        {"global_gain": 210, "scalefac": [0] * 21, "preflag": 1,
+         "scalefac_scale": 0},
+        {"global_gain": 210, "scalefac": [0] * 21, "preflag": 0,
+         "scalefac_scale": 0},
+    ]}]
+    sp2 = np.zeros((1, 2, 576), dtype=np.int64)
+    sp2[0, 0, 60] = 1  # 48 kHz sfb 11 spans lines 60..72
+    assert abs(
+        mp3_requantize(sp2, side2)[0, 0, 60] - 2.0 ** -0.5
+    ) < 1e-12
+    # short blocks with nonzero scalefactors still refuse
+    side[0]["granules"][0]["block_type"] = 2
+    with pytest.raises(NotImplementedError, match="switched windows"):
         mp3_requantize(sp, side)
 
 
@@ -1720,3 +1744,56 @@ def test_mp3_switched_window_side_info_roundtrip():
         assert gr["subblock_gain"] == [0, 0, 0]
         with pytest.raises(NotImplementedError, match="switched-window"):
             mp3_decode_pcm(b)
+
+
+def test_mp3_tables23_scalefactor_randomized_roundtrip():
+    """r14 surface: Huffman tables 2/3 (|v| <= 2), every
+    scalefac_compress, scalefac_scale, preflag — randomized spectra
+    round-trip bit-exactly and the part2_3_length accounting includes
+    the scalefactor part2 bits."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MP3_SLEN,
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(12):
+        t = 2 + trial % 2
+        sfc = rng.randint(0, 16)
+        slen1, slen2 = _MP3_SLEN[sfc]
+        scf = [
+            int(rng.randint(0, 1 << (slen1 if i < 11 else slen2)))
+            for i in range(21)
+        ]
+        sp = np.zeros((2, 2, 576), dtype=np.int64)
+        bound = int(rng.randint(50, 400))
+        sp[:, :, :bound] = rng.randint(-2, 3, size=(2, 2, bound))
+        payload = mp3_encode_entropy(
+            sp, bitrate_kbps=192, big_values=288, table_select=t,
+            scalefac_compress=sfc, scalefactors=scf,
+            scalefac_scale=int(rng.randint(0, 2)),
+            preflag=int(rng.randint(0, 2)),
+        )
+        d = mp3_decode_entropy(payload)
+        assert (d["spectra"] == sp).all()
+        gr = d["side_info"][0]["granules"][0]
+        assert gr["scalefac"] == scf
+        assert gr["part2_3_length"] >= 11 * slen1 + 10 * slen2
+
+
+def test_mp3_canonical_tables_are_prefix_free():
+    from pandas_td_spark.operators.codecs import _MP3_HUFF_TABLES
+
+    for t, (tab, vmax) in _MP3_HUFF_TABLES.items():
+        codes = list(tab.values())
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            for b in codes:
+                if a is not b:
+                    assert not b.startswith(a), (t, a, b)
+        assert set(tab) == {
+            (x, y) for x in range(vmax + 1) for y in range(vmax + 1)
+        }
