@@ -2539,3 +2539,114 @@ def q240_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(
         spark.table("orders"), _STATS_SPECS, string_type="STRING"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped Holt-Winters forecasting (r14, VERDICT r13 #9 — the q191/q200
+# sequential-walk family). Daily revenue per order priority smoothed by
+# additive triple exponential smoothing with all coefficients 1/2:
+# dyadic weights make every multiply exact in IEEE doubles (q191's
+# FMA-immunity argument), so the DuckDB oracle replays the walk
+# bit-for-float-bit as a recursive CTE that carries the 7-step seasonal
+# ring as a LIST column. x is an exact DECIMAL day-sum cast once to
+# DOUBLE on both sides so the series itself is engine-identical.
+# ---------------------------------------------------------------------------
+_HW_SERIES_SQL = """
+      SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY d) AS rn, x
+      FROM (
+        SELECT o_orderpriority AS grp, o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 AS x
+        FROM orders GROUP BY 1, 2
+      )
+"""
+
+_HW_WALK_SQL = f"""
+    WITH RECURSIVE seq AS ({_HW_SERIES_SQL}
+    ), walk(grp, rn, l, b, slist, season, fitted) AS (
+      SELECT grp, rn, x, CAST(0 AS DOUBLE),
+             [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0],
+             CAST(0 AS DOUBLE), x
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.rn,
+             0.5 * (s.x - w.slist[1]) + 0.5 * (w.l + w.b),
+             0.5 * ((0.5 * (s.x - w.slist[1]) + 0.5 * (w.l + w.b)) - w.l)
+               + 0.5 * w.b,
+             list_append(w.slist[2:],
+               0.5 * (s.x
+                      - (0.5 * (s.x - w.slist[1]) + 0.5 * (w.l + w.b)))
+                 + 0.5 * w.slist[1]),
+             0.5 * (s.x - (0.5 * (s.x - w.slist[1]) + 0.5 * (w.l + w.b)))
+               + 0.5 * w.slist[1],
+             w.l + w.b + w.slist[1]
+      FROM walk w JOIN seq s ON s.grp = w.grp AND s.rn = w.rn + 1
+    )
+"""
+
+
+@query(
+    "q280_holt_winters",
+    oracle=_HW_WALK_SQL + """
+    SELECT grp AS priority, rn, l AS level, b AS trend, season, fitted
+    FROM walk
+    """,
+    scale_note=(
+        "one shuffle on the series key then a linear per-key python "
+        "walk (CPU-bound stage repartitioned to core count); series "
+        "count scales out, series length is the sequential dimension "
+        "on any engine — the oracle's recursive CTE walks the same "
+        "recurrence"
+    ),
+)
+def q280_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority daily-revenue Holt-Winters smoothing states
+    (level/trend/season + one-step-ahead fitted), m=7, dyadic
+    coefficients — raw doubles, bit-identical to the recursive-CTE
+    oracle."""
+    from pandas_td_spark.operators.forecast import holt_winters
+
+    daily = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    return holt_winters(daily, "priority", ["d"], "x", m=7).select(
+        "priority", "rn", "level", "trend", "season", "fitted"
+    )
+
+
+@query(
+    "q281_hw_forecast",
+    oracle=_HW_WALK_SQL + """
+    , last AS (
+      SELECT grp, l, b, slist,
+             row_number() OVER (PARTITION BY grp ORDER BY rn DESC) AS rr
+      FROM walk
+    )
+    SELECT grp AS priority, h.h AS h,
+           l + h.h * b + slist[((h.h - 1) % 7) + 1] AS yhat
+    FROM last CROSS JOIN range(1, 15) h(h)
+    WHERE rr = 1
+    """,
+    scale_note="q280's walk + a per-group h-expansion (model grain)",
+)
+def q281_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day-ahead forecasts per priority from the final Holt-Winters
+    state: level + h*trend + cyclic seasonal carry-forward."""
+    from pandas_td_spark.operators.forecast import holt_winters_forecast
+
+    daily = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    return holt_winters_forecast(
+        daily, "priority", ["d"], "x", m=7, horizon=14
+    ).select("priority", "h", "yhat")

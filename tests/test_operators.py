@@ -1213,3 +1213,58 @@ def test_bfs_fused_depth_gate(spark):
     )
     with pytest.raises(ValueError, match="fused.*max_depth"):
         bfs_levels(edges, source=1, max_depth=9, frontier_hint="fused")
+
+
+def test_holt_winters_constant_series_and_forecast(spark):
+    """Contract invariants on a constant series: level == the constant
+    at every step, trend == 0, season == 0, fitted == constant, and
+    every h-step forecast equals the constant (dyadic coefficients make
+    all of this EXACT, not approximate)."""
+    import pandas as pd
+
+    from pandas_td_spark.operators.forecast import (
+        holt_winters,
+        holt_winters_forecast,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 30 + ["b"] * 30,
+            "d": list(range(30)) * 2,
+            "x": [100.0] * 30 + [-8.5] * 30,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = holt_winters(df, "k", ["d"], "x", m=7).toPandas()
+    assert len(out) == 60
+    for k, want in (("a", 100.0), ("b", -8.5)):
+        g = out[out["k"] == k]
+        assert (g["level"] == want).all()
+        assert (g["trend"] == 0.0).all()
+        assert (g["fitted"] == want).all()
+    fc = holt_winters_forecast(df, "k", ["d"], "x", m=7, horizon=14)
+    fp = fc.toPandas()
+    assert len(fp) == 28
+    assert (fp[fp["k"] == "a"]["yhat"] == 100.0).all()
+    assert (fp[fp["k"] == "b"]["yhat"] == -8.5).all()
+
+
+def test_holt_winters_tracks_linear_trend(spark):
+    """On x_t = c + g*t the trend state converges toward g and the
+    one-step-ahead fitted error shrinks (smoothing actually smooths)."""
+    import pandas as pd
+
+    from pandas_td_spark.operators.forecast import holt_winters
+
+    xs = [10.0 + 3.0 * t for t in range(60)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["s"] * 60, "d": range(60), "x": xs})
+    )
+    out = (
+        holt_winters(df, "k", ["d"], "x", m=7)
+        .toPandas()
+        .sort_values("rn")
+    )
+    assert abs(out["trend"].iloc[-1] - 3.0) < 0.2
+    tail_err = (out["fitted"].iloc[-10:] - pd.Series(xs[-10:]).values).abs()
+    assert tail_err.max() < 1.5
