@@ -322,6 +322,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # kcore_peel (lazy keep confirmed, 2.62 vs 2.90 median)
     # (q274's r13 docstring-only entry superseded by its r14 row below)
     # round 14 perf pass (oracle unchanged, re-green at sf0.001/0.01):
+    "q178_sole_returner": 14,  # two lineitem distincts fused into one
+    # pair-grain aggregate + one order-grain aggregate (2.80 -> 0.98 s;
+    # the interleaved comparator's 6.9x stable letter)
     "q274_substring_run_pairs": 14,  # spread() the operator input: the
     # one-row-group fixture ran the winnowing-anchor explode on ONE
     # core (1.78 s of 3.77); 3.77 -> 2.43 s, floor decomposition in

@@ -1803,33 +1803,34 @@ def q178_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY supplier with a returned line. The inequality-correlated NOT
     EXISTS becomes: orders with exactly one distinct returning supplier
     (a count at order grain) — turning the anti self-join into one
-    aggregate, the decorrelation a 100x fact table needs."""
+    aggregate, the decorrelation a 100x fact table needs.
+
+    r14 fusion (the interleaved comparator's first stable-letter find,
+    6.9x same-window): the old plan ran TWO distincts over lineitem
+    (all pairs + returned pairs) — two scans, two pair-grain exchanges,
+    then an order-grain semi-join. Both distincts collapse into ONE
+    pair-grain aggregate carrying ``max(returnflag='R')``, and the
+    multi/sole tests become one order-grain aggregate over it (n_supp,
+    n_ret = sum of the pair flags, ret_supp = the flagged supplier) —
+    one scan, one pair exchange with map-side combine, one order
+    exchange, no semi-join. 2.80 -> 0.98 s warm at sf0.1 (values
+    verified identical against the oracle); at 100 TB it halves the
+    shuffled bytes on the fact's widest grain."""
     l = spark.table("lineitem")
-    edges = l.select("l_orderkey", "l_suppkey").distinct()
-    returned = (
-        l.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
     )
-    multi = (
-        edges.groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_supp"))
-        .where(F.col("n_supp") >= 2)
-        .select("l_orderkey")
-    )
-    sole = (
-        returned.groupBy("l_orderkey")
-        .agg(
-            F.count("*").alias("n_ret"),
-            F.max("l_suppkey").alias("l_suppkey"),
-        )
-        .where(F.col("n_ret") == 1)
-        .select("l_orderkey", "l_suppkey")
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("ret").alias("n_ret"),
+        F.max(F.when(F.col("ret") == 1, F.col("l_suppkey"))).alias(
+            "ret_supp"
+        ),
     )
     s = spark.table("supplier")
     return (
-        sole.join(multi, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+        .join(F.broadcast(s), F.col("ret_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

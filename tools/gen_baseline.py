@@ -189,16 +189,39 @@ def main() -> None:
         return None
 
     # headline band: oracle-subset totals per pass (same-window by
-    # construction within each pass)
-    bands = []
-    for res in all_passes:
-        s = sum(
-            r["spark"]
-            for r in res.values()
-            if r["spark"] and r["duckdb"]
+    # construction within each pass). TWO views: raw, and trimmed of
+    # ORACLE-OUTLIER queries — rows where DuckDB is >10x slower than
+    # Spark. There the oracle is a deliberately naive spec replay (the
+    # q280/q281 recursive-CTE walks run ~75 s against Spark's 0.5 s;
+    # q274's unbounded quadratic join is the same class), so the row
+    # measures the ORACLE's pain, not engine quality — leaving it in
+    # flatters the engine total dishonestly.
+    def pass_bands(res):
+        pairs = {
+            n: r for n, r in res.items() if r["spark"] and r["duckdb"]
+        }
+        s = sum(r["spark"] for r in pairs.values())
+        d = sum(r["duckdb"] for r in pairs.values())
+        trimmed = {
+            n: r
+            for n, r in pairs.items()
+            if r["duckdb"] <= 10 * r["spark"]
+        }
+        st = sum(r["spark"] for r in trimmed.values())
+        dt = sum(r["duckdb"] for r in trimmed.values())
+        outliers = sorted(set(pairs) - set(trimmed))
+        return (
+            round(s / d, 3) if d else None,
+            round(st / dt, 3) if dt else None,
+            outliers,
         )
-        d = sum(r["duckdb"] for r in res.values() if r["duckdb"])
-        bands.append(round(s / d, 3) if d else None)
+
+    bands, bands_trimmed, outlier_sets = [], [], []
+    for res in all_passes:
+        b, bt, out = pass_bands(res)
+        bands.append(b)
+        bands_trimmed.append(bt)
+        outlier_sets.append(out)
 
     # letter list: >2x in EVERY pass where DuckDB >= 0.3 s (stable);
     # queries over in SOME passes are listed separately (unstable)
@@ -224,6 +247,8 @@ def main() -> None:
         "methodology": "interleaved per-query Spark/DuckDB median-of-3 "
         "(r14); every ratio same-window by construction",
         "oracle_subset_ratio_band": bands,
+        "oracle_subset_ratio_band_trimmed": bands_trimmed,
+        "oracle_outliers": outlier_sets,
         "calibration": calibs,
         "letters_stable": stable,
         "letters_unstable": unstable,
@@ -250,7 +275,10 @@ def main() -> None:
         "earlier tables measured the two engines in separate phases "
         "and are not per-query comparable. "
         f"Oracle-subset ratio band across {passes} passes: "
-        f"**{bands}**. Stable >2x letters (all passes, DuckDB >= 0.3 s): "
+        f"**{bands}** raw / **{bands_trimmed}** with oracle-outlier "
+        f"rows trimmed (DuckDB >10x Spark = the oracle's naive spec "
+        f"replay is the bottleneck, not the engine: {outlier_sets}). "
+        "Stable >2x letters (all passes, DuckDB >= 0.3 s): "
         f"{[n for n, _ in stable]}; unstable (some passes): "
         f"{[n for n, _ in unstable]}. Calibration + per-pass detail: "
         "COMPARE_LATEST.json.",
@@ -277,7 +305,8 @@ def main() -> None:
         fh.write(head + "\n\n" + "\n".join(lines) + "\n")
     print(
         f"BASELINE.md updated: spark {spark_total:.1f}s, "
-        f"duckdb {dd_total:.2f}s / {n_oracle} q, band {bands}, "
+        f"duckdb {dd_total:.2f}s / {n_oracle} q, band {bands} "
+        f"(trimmed {bands_trimmed}), "
         f"stable letters {len(stable)}, unstable {len(unstable)}"
     )
 
