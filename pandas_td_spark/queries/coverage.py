@@ -2551,13 +2551,19 @@ def q240_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ring as a LIST column. x is an exact DECIMAL day-sum cast once to
 # DOUBLE on both sides so the series itself is engine-identical.
 # ---------------------------------------------------------------------------
+# the series starts at 1997-01-01: the full 1992-1998 span costs the
+# recursive-CTE oracle ~90 s at any SF (the recursion DEPTH, ~2400
+# iterations, is the cost driver — row width is negligible), which ate
+# most of the comparator watchdog budget; ~580 days x 5 groups is the
+# same exactness gate at a third of the oracle cost
 _HW_SERIES_SQL = """
       SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY d) AS rn, x
       FROM (
         SELECT o_orderpriority AS grp, o_orderdate AS d,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
                  AS x
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY 1, 2
       )
 """
 
@@ -2608,6 +2614,7 @@ def q280_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").alias("d"),
@@ -2641,6 +2648,7 @@ def q281_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").alias("d"),
