@@ -3387,8 +3387,17 @@ _MP3_SFB_LONG = {
     48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
             128, 156, 190, 230, 276, 330, 384, 576),
     32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
-            156, 194, 240, 296, 364, 448, 576),
+            156, 194, 240, 296, 364, 448, 550, 576),
 }
+
+# Contract check: every sample rate must carry 23 edges (22 sfbs) ending
+# at 576 — a short row silently smears the last scalefactor over the
+# scalefactor-free band-21 region (caught for 32 kHz in round 15).
+for _sr, _edges in _MP3_SFB_LONG.items():
+    assert len(_edges) == 23 and _edges[-1] == 576, (
+        f"_MP3_SFB_LONG[{_sr}] must have 23 edges ending at 576, "
+        f"got {len(_edges)}")
+del _sr, _edges
 
 #: preflag pretab for long-block sfbs 0..20 (UNVERIFIED from memory)
 _MP3_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
@@ -3736,6 +3745,17 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                         f"Huffman table {t}: tables 0-3 implemented, "
                         "linbits escape tables refused"
                     )
+            if gr["big_values"] and len(set(gr["table_select"])) > 1:
+                # the decode loop below applies table_select[0] to every
+                # big_values pair (the in-repo encoder emits one table
+                # everywhere); mixed region tables from a real encoder
+                # would mis-decode — the part2_3_length backstop is not
+                # guaranteed to fire — so refuse instead of guessing
+                raise NotImplementedError(
+                    f"mixed region Huffman tables "
+                    f"{sorted(set(gr['table_select']))}: "
+                    "one-table-everywhere subset only"
+                )
             i = 0
             for p in range(gr["big_values"]):
                 # all regions use the same decoded table in the subset

@@ -1689,12 +1689,12 @@ def _pred_chroma(
         ]
     if mode != 0:
         raise ValueError(f"invalid intra chroma prediction mode {mode}")
-    # DC: each 4x4 sub-block averages specific neighbor runs. Corner
-    # block (0,0) uses top+left when both exist; blocks (1,0)/(0,1)
-    # prefer their own edge (top / left) falling back to the other;
-    # (1,1) prefers top then left. Sub-block preference order is from
-    # public-spec memory (UNVERIFIED) — with single-edge availability
-    # (all this module's fixtures) every rule collapses to that edge.
+    # DC: each 4x4 sub-block averages specific neighbor runs. Spec
+    # §8.3.4.1 groups blocks (0,0) and (4,4): both edges available ->
+    # (tsum+lsum+4)>>3; blocks (1,0)/(0,1) prefer their own edge (top /
+    # left) falling back to the other. With single-edge availability
+    # every rule collapses to that edge; the 2x2-MB-grid fixture in
+    # test_h264.py exercises the both-edges interior path.
     top, left = y0 > 0, x0 > 0
     out = [[0] * 8 for _ in range(8)]
     for by in range(2):
@@ -1729,10 +1729,16 @@ def _pred_chroma(
                     else ((tsum + 2) >> 2 if top else 128)
                 )
             else:
-                dc = (
-                    (tsum + 2) >> 2 if top
-                    else ((lsum + 2) >> 2 if left else 128)
-                )
+                # spec §8.3.4.1 groups block (4,4) with (0,0): both
+                # edges available -> full (tsum+lsum+4)>>3 average
+                if top and left:
+                    dc = (tsum + lsum + 4) >> 3
+                elif top:
+                    dc = (tsum + 2) >> 2
+                elif left:
+                    dc = (lsum + 2) >> 2
+                else:
+                    dc = 128
             for y in range(4):
                 for x in range(4):
                     out[by * 4 + y][bx * 4 + x] = dc

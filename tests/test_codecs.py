@@ -1797,3 +1797,63 @@ def test_mp3_canonical_tables_are_prefix_free():
         assert set(tab) == {
             (x, y) for x in range(vmax + 1) for y in range(vmax + 1)
         }
+
+
+def test_mp3_32khz_sfb_geometry_and_contract():
+    """ADVICE r15 (high): the 32 kHz long-block table was missing the
+    550 edge, smearing sfb-20's scalefactor over the scalefactor-free
+    band-21 region (lines 550-575). Every _MP3_SFB_LONG row must have
+    23 edges ending at 576; at 32 kHz a nonzero scf[20] scales line
+    500 (sfb 20: 448..549) but NOT line 560 (band 21)."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MP3_SFB_LONG,
+        mp3_requantize,
+    )
+
+    for sr, edges in _MP3_SFB_LONG.items():
+        assert len(edges) == 23 and edges[-1] == 576, sr
+        assert list(edges) == sorted(edges)
+    assert _MP3_SFB_LONG[32000][20:] == (448, 550, 576)
+    sp = np.zeros((1, 2, 576), dtype=np.int64)
+    sp[0, 0, 500] = 1  # sfb 20 at 32 kHz
+    sp[0, 0, 560] = 1  # band 21: no scalefactor applies
+    side = [{"granules": [
+        {"global_gain": 210, "scalefac": [0] * 20 + [1], "preflag": 0,
+         "scalefac_scale": 0},
+        {"global_gain": 210, "scalefac": [0] * 21, "preflag": 0,
+         "scalefac_scale": 0},
+    ]}]
+    xr = mp3_requantize(sp, side, sample_rate=32000)
+    assert abs(xr[0, 0, 500] - 2.0 ** -0.5) < 1e-12
+    assert xr[0, 0, 560] == 1.0  # pre-fix this was scaled too
+
+
+def test_mp3_mixed_region_tables_refuse():
+    """ADVICE r15 (low): the decode loop applies table_select[0] to
+    every big_values pair; a stream whose regions select DIFFERENT
+    implemented tables must refuse (NotImplementedError), not
+    mis-decode behind the part2_3_length backstop."""
+    import numpy as np
+    import pytest
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    sp = np.zeros((2, 2, 576), dtype=np.int64)
+    sp[:, :, :100] = 1
+    payload = bytearray(mp3_encode_entropy(
+        sp, bitrate_kbps=192, big_values=288, table_select=2,
+    ))
+    assert (mp3_decode_entropy(bytes(payload))["spectra"] == sp).all()
+    # mono long-block side info: mdb 9 + priv 5 + scfsi 4 + (12+9+8+4)
+    # + wsf 1 = 52 bits, then three 5-bit table_selects; region 1's
+    # field ends at bit 61 after the 4-byte header -> byte 7, mask
+    # 0x04. 2 (00010) ^ lsb -> 3 (00011): both tables implemented,
+    # only the MIX is outside the subset.
+    payload[4 + 7] ^= 0x04
+    with pytest.raises(NotImplementedError, match="mixed region"):
+        mp3_decode_entropy(bytes(payload))

@@ -562,3 +562,50 @@ def test_pixel_stats_and_media_features_pixel_slots():
     lv = media_features(legacy, 16)
     assert lv[9] >= 1.0  # n_nonzero residual slot
     assert lv[12] == 0.0 and lv[13] == 0.0
+
+
+def test_chroma_dc_interior_mb_both_edges():
+    """ADVICE r15 fix: intra chroma DC on an INTERIOR macroblock (both
+    neighbors available) must group sub-block (1,1) with (0,0) — full
+    (tsum+lsum+4)>>3 average — per spec §8.3.4.1, not top-only. A 2x2
+    MB grid with distinct flat chroma shifts in the top-right (a=131)
+    and bottom-left (b=135) MBs makes the two formulas disagree:
+    top-only would give 131 in the (1,1) sub-block, the both-edge
+    average gives 133."""
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_reconstruct_islice,
+    )
+
+    n = 4  # 2x2 grid: MB3 is interior for chroma (top=MB1, left=MB2)
+    luma = [[[0] * 16 for _ in range(16)] for _ in range(n)]
+    chroma = [
+        [[[0] * 16 for _ in range(4)] for _ in range(2)] for _ in range(n)
+    ]
+    # qp=26 -> qpc=26, ls=13, s=4. A lone block-0 DC coeff c makes the
+    # butterfly emit f00=f01=f10=f11=c, i.e. a FLAT per-MB shift of
+    # ((((c*13)<<4)>>5)+32)>>6: c=32 -> +3, c=64 -> +7.
+    chroma[1][0][0][0] = 32  # MB1 cb: 131
+    chroma[2][0][0][0] = 64  # MB2 cb: 135
+    payload = encode_h264_cavlc(
+        2, 2, luma, chroma, [True] * n, qp=26,
+        pred16=[2] * n, chroma_modes=[0] * n,
+    )
+    fr = h264_reconstruct_islice(payload)["frames"][0]
+    cb = fr["cb"]
+    # MB0 flat 128; MB1 flat 131; MB2 flat 135 (single-edge DC chains)
+    assert all(cb[y][x] == 128 for y in range(8) for x in range(8))
+    assert all(cb[y][x] == 131 for y in range(8) for x in range(8, 16))
+    assert all(cb[y][x] == 135 for y in range(8, 16) for x in range(8))
+    # MB3 interior, zero residual: pixels ARE the DC predictions.
+    a, b_ = 131, 135
+    both = (4 * a + 4 * b_ + 4) >> 3  # 133
+    quad = {(0, 0): both, (1, 0): a, (0, 1): b_, (1, 1): both}
+    for (bx, by), want in quad.items():
+        got = {
+            cb[8 + by * 4 + y][8 + bx * 4 + x]
+            for y in range(4) for x in range(4)
+        }
+        assert got == {want}, (bx, by, got, want)
+    # cr untouched: flat 128 everywhere including the interior MB
+    assert all(v == 128 for row in fr["cr"] for v in row)

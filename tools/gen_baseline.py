@@ -59,8 +59,9 @@ def make_duckdb(sf_dir: str):
 
 def duckdb_median3(con, sql: str, name: str):
     """Median-of-3 with the r13 watchdog discipline. Returns
-    (median_or_None, connection) — the connection is replaced when the
-    watchdog fired so no pending interrupt leaks into the next query."""
+    (median_or_None, watchdog_fired) — when ``watchdog_fired`` is True
+    the caller is responsible for discarding ``con`` and reconnecting,
+    so no pending interrupt leaks into the next query."""
     import duckdb
 
     runs = []
@@ -163,6 +164,12 @@ def main() -> None:
             if name in oracles:
                 d, fired = duckdb_median3(con, oracles[name], name)
                 row["duckdb"] = round(d, 3) if d is not None else None
+                if row["duckdb"] is None:
+                    # annotate WHY the cell is blank (r15): these are
+                    # oracle-outlier rows — the naive spec-replay SQL
+                    # (recursive-CTE walks, unbounded joins) blew the
+                    # per-query budget/temp cap, not the engine
+                    row["duckdb_note"] = "oracle-outlier (budget/spill)"
                 if fired:
                     # reconnect so no pending interrupt leaks forward
                     con.close()
@@ -222,6 +229,13 @@ def main() -> None:
         bands.append(b)
         bands_trimmed.append(bt)
         outlier_sets.append(out)
+    # bands are REPORTED as [min, max] (r15 fix: per-pass order printed
+    # e.g. [2.267, 2.081], reading as a reversed interval); per-pass
+    # values stay available in per_pass for anyone who wants the order
+    bands = sorted(b for b in bands if b is not None) or [None]
+    bands_trimmed = sorted(
+        b for b in bands_trimmed if b is not None
+    ) or [None]
 
     # letter list: >2x in EVERY pass where DuckDB >= 0.3 s (stable);
     # queries over in SOME passes are listed separately (unstable)
@@ -295,9 +309,10 @@ def main() -> None:
         for res in all_passes:
             r = ratio(res.get(name, {}))
             rats.append(f"{r:.2f}" if r is not None else "")
+        d_cell = d if d is not None else row.get("duckdb_note", "")
         lines.append(
             f"| {name} | {s if s is not None else ''} | "
-            f"{d if d is not None else ''} | " + " | ".join(rats) + " |"
+            f"{d_cell} | " + " | ".join(rats) + " |"
         )
     text = open("BASELINE.md").read()
     head = text.split(MARKER)[0].rstrip()
