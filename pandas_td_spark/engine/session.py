@@ -126,8 +126,8 @@ def stop_spark() -> None:
         active.stop()
 
 
-def spread(df, partitions: int | None = None):
-    """Round-robin a (narrow) DataFrame across the cluster before
+def spread(df, partitions: int | None = None, by: str | None = None):
+    """Spread a (narrow) DataFrame across the cluster before
     row-multiplying or per-row-expensive work.
 
     Compact fixture tables arrive as a single parquet row group = ONE
@@ -139,6 +139,20 @@ def spread(df, partitions: int | None = None):
     the extra shuffle is wasted only if the scan already has enough
     splits — callers apply this ONLY where per-row downstream work, not
     scan size, dominates; there it is noise at any scale.
+
+    ``by`` (r15): hash-partition on a key column instead of round-robin.
+    RoundRobinPartitioning is non-deterministic, so two plan branches
+    over the same spread() subtree never canonicalize equal and Spark
+    can NEVER reuse the exchange — a self-join or a broadcast-rollup
+    branch silently computes the whole expensive subtree twice (caught
+    on q110: the winnowing pass ran once per join side, 2.07 -> 1.0 s
+    when the spread became deterministic). Pass a high-cardinality
+    unique key (doc_id) wherever one exists and any downstream plan
+    forks; balance is equivalent for a unique key. Bonus: downstream
+    groupBy/Window keyed on ``by`` (or a superset) inherits the
+    clustering and skips its own exchange entirely (q199: 2.0->0.95 s).
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(n, by)
     return df.repartition(n)

@@ -87,9 +87,17 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-nested-loop plan multiplied the scan cost by the 84-month
     dimension). Genuinely overlapping or irregular interval dims keep the
     real join: small dim → ``operators/interval.py::interval_join`` (BNLJ),
-    large×large → q76's bucketized equi-join."""
-    from pandas_td_spark.queries._util import dsum
+    large×large → q76's bucketized equi-join.
 
+    Floor decomposition at sf0.1 (r15, interleaved medians): scan 2
+    cols 0.12 s; + pushed filter 0.17; + date_trunc 0.27; full 0.45.
+    The r14 letter (0.67 s, 2.1x) was the qty sum running through
+    dsum's decimal(28,6) buffers (+0.25 s over a native sum);
+    l_quantity is integral by the TPC-H data contract (verified: zero
+    non-integral rows), so a bigint sum is exact, order-insensitive,
+    and bit-equal to the decimal oracle — dsum stays the generic tool
+    for genuinely fractional columns. Residual vs DuckDB (~0.27 s) is
+    the scan + one 84-group exchange: fixed Spark stage machinery."""
     li = spark.table("lineitem").where(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2002-01-01").cast("timestamp"))
@@ -100,7 +108,12 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("month_epoch")
         )
-        .agg(F.count("*").alias("n_lines"), dsum("l_quantity").alias("qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("double")
+            .alias("qty"),
+        )
     )
 
 

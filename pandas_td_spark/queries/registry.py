@@ -108,7 +108,7 @@ def _ensure_loaded() -> None:
 # produced by the changed code) — no manual deletion, so the map can't
 # silently rot (tests/test_registry_order.py pins both properties).
 _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
-    "q61_range_join": 4,  # zero-join plan replaced the interval join
+    # ("q61_range_join" r4 entry superseded by its r15 row below) — zero-join plan replaced the interval join
     # round 5 edits to queries with a green r4 row (value-identical
     # changes, but the standing green predates the shipped code):
     "q138_hierarchy_rollup": 8,  # r5: depth-derived rounds; r8: probe
@@ -163,7 +163,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # with EAGER checkpoint-block release replaces clear()-on-overflow
     # across the pairs/sigs/index/DSIR/BPE/edge caches (ADVICE r10).
     # Values and plans identical — only the memo bookkeeping changed:
-    "q54_simhash_pairs": 11,
+    # ("q54_simhash_pairs" r11 entry superseded by its r15 row below)
     "q56_embedding_lsh_topk": 11,
     # (q65_near_dup_clusters / q80_near_dup_prefix r11 entries
     # superseded by their r12 rows below)
@@ -177,8 +177,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q197_link_prediction": 11,
     # (q235_dup_rate_by_source / q264_split_leakage r11 entries
     # superseded by their r12 rows below)
-    "q265_bpe_train": 11,
-    "q270_bpe_encode_stats": 11,
+    # ("q265_bpe_train" r11 entry superseded by its r15 row below)
+    # ("q270_bpe_encode_stats" r11 entry superseded by its r15 row below)
     "q131_weighted_sample": 6,  # true TakeOrdered top-k (was 1-partition window)
     # (q140_key_skew's r6 Gini-rank entry superseded by its r11 row below)
     # (q156_rfm_segments also touched in r6 — call sites now pass the
@@ -187,8 +187,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # round 7:
     # (q202_abc_classification's r7 prefix-agg entry superseded by its
     # r11 row below)
-    "q204_pmi_collocations": 7,  # top-20 via TakeOrdered, rank on bounded frame
-    "q207_zipf_fit": 7,  # top-1000 via TakeOrdered, rank on bounded frame
+    # ("q204_pmi_collocations" r7 entry superseded by its r15 row below) — top-20 via TakeOrdered, rank on bounded frame
+    # ("q207_zipf_fit" r7 entry superseded by its r15 row below) — top-1000 via TakeOrdered, rank on bounded frame
     # (q95_unigram_nll's r7 entry superseded by its r13 row below)
     "q104_ccnet_buckets": 7,  # lazy broadcast token total
     # (q186_bigram_nll's r7 entry superseded by its r12 row below)
@@ -198,8 +198,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # null-free fixtures):
     # round-7 repeated-subtree perf pass (values identical; plans
     # reshaped to cut duplicate corpus passes / driver actions):
-    "q211_source_overlap": 7,  # fingerprint set checkpointed (3 consumers)
-    "q108_gopher_verdict": 11,  # r7 fused pipelines; r11 docstring-only
+    # ("q211_source_overlap" r7 entry superseded by its r15 row below) — fingerprint set checkpointed (3 consumers)
+    # ("q108_gopher_verdict" r11 entry superseded by its r15 row below) — r7 fused pipelines; r11 docstring-only
     # closed-at-floor note (values/plan identical)
     "q180_rrf_fusion": 7,  # corpus size as lazy broadcast, not d.count()
     "q238_wav_roundtrip": 7,
@@ -215,8 +215,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # closing sweep/bench and they were missed here — the hand-maintained
     # map demonstrably failed; test_fingerprints.py now derives staleness
     # mechanically from per-round source fingerprints:
-    "q92_winnowing": 7,  # shared _winnow_fps rewrite (r7 snapshot commit)
-    "q110_substring_overlap": 7,  # same shared _winnow_fps rewrite
+    # ("q92_winnowing" r7 entry superseded by its r15 row below) — shared _winnow_fps rewrite (r7 snapshot commit)
+    # ("q110_substring_overlap" r7 entry superseded by its r15 row below) — same shared _winnow_fps rewrite
     # round 8:
     # (q85_repetition_stats's r8 entry — revert to the r6 exploded form
     # after the r7 row-local rewrite measured 6.6 s — superseded by its
@@ -227,12 +227,12 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # (values identical; the corpus scalar rides as a 1-row broadcast
     # aggregate instead of a driver-side count job):
     "q46_tfidf_top_terms": 8,
-    "q199_tfidf_topk": 8,
+    # ("q199_tfidf_topk" r8 entry superseded by its r15 row below)
     # (q86_bm25's r8 entry superseded by its r13 floor-audit row below)
     "q96_funnel": 8,  # r7: NULL conv on empty funnel; r8: lazy stages
     "q215_persistent_topk": 10,  # r8: lazy broadcast ny; r10: ny from
     # the post-rank slice via whole-partition window (one fact agg)
-    "q128_ngram_novelty": 11,  # r8: 64-bit hashed shingle keys; r9: df
+    # ("q128_ngram_novelty" r11 entry superseded by its r15 row below) — r8: 64-bit hashed shingle keys; r9: df
     # via whole-partition window count on the one exchange (no join —
     # 10x scale ratio 4.2 -> ~1.7, warm 0.96 -> 0.74 s); r11
     # comment-only closed-at-shape note (third rejected variant)
@@ -282,14 +282,14 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # checkpoint in substring_run_pairs) — values identical, plans
     # identical except q274's halved verify subtree; q53/q65/q80
     # re-verified green at sf0.01 the same session:
-    "q53_minhash_lsh_pairs": 12,
-    "q65_near_dup_clusters": 12,
-    "q80_near_dup_prefix": 12,
-    "q159_cluster_survivor": 12,
-    "q235_dup_rate_by_source": 12,
-    "q264_split_leakage": 12,
+    # ("q53_minhash_lsh_pairs" r12 entry superseded by its r15 row below)
+    # ("q65_near_dup_clusters" r12 entry superseded by its r15 row below)
+    # ("q80_near_dup_prefix" r12 entry superseded by its r15 row below)
+    # ("q159_cluster_survivor" r12 entry superseded by its r15 row below)
+    # ("q235_dup_rate_by_source" r12 entry superseded by its r15 row below)
+    # ("q264_split_leakage" r12 entry superseded by its r15 row below)
     # round 12 perf pass (values identical; plans reshaped):
-    "q186_bigram_nll": 12,  # bigram-LM checkpoint now size-gated at
+    # ("q186_bigram_nll" r12 entry superseded by its r15 row below) — bigram-LM checkpoint now size-gated at
     # 20k docs (r11's unconditional checkpoint was the 1.03->1.19 s
     # regression; AQE broadcasts the tiny LM below the gate anyway)
     "q118_kmeans_clusters": 12,  # one-probe driver Lloyd gate at 10k
@@ -305,9 +305,9 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q167_bootstrap_ci": 12,  # docstring-only: no-explode variant
     # A/B-rejected (2.19 vs 1.20 s — wide agg buffers defeat codegen)
     # round 13 perf pass (oracles unchanged, re-green at sf0.001/0.01):
-    "q85_repetition_stats": 13,  # ONE tagged (n, g) explode feeds both
+    # ("q85_repetition_stats" r13 entry superseded by its r15 row below) — ONE tagged (n, g) explode feeds both
     # gram stats — one Generate + one exchange instead of two chains
-    "q95_unigram_nll": 13,  # checkpoint the (doc, w) counts (the shared
+    # ("q95_unigram_nll" r13 entry superseded by its r15 row below) — checkpoint the (doc, w) counts (the shared
     # artifact), not the vocab table: the corpus explode runs once and
     # the scoring join probes doc-vocab grain instead of token grain
     "q236_decontaminate_spans": 13,  # broadcast the sparse starts frame
@@ -338,6 +338,46 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # (semdedup_pairs_anchored) replace the learned-kmeans cells; the
     # anchor selection, exact-bigint Voronoi assignment, and dot_chain
     # cosine all replay in the DuckDB oracle
+    # round 15 perf pass (oracles unchanged, re-green at sf0.01):
+    "q61_range_join": 15,  # bigint qty sum (l_quantity integral by the
+    # TPC-H contract, verified) replaces the decimal(28,6) buffers:
+    # 0.67 -> 0.45 s, floor decomposition in the docstring
+    "q110_substring_overlap": 15,  # spread(by="doc_id"): round-robin
+    # blocked exchange reuse, so the winnowing pass ran once per join
+    # side (2.07 -> 1.10 s); decomposition + rejected posting-list A/B
+    # in the docstring
+    "q199_tfidf_topk": 15,  # doc_id-keyed spread BEFORE the explode:
+    # the (doc_id, word) aggregate and the per-doc top-3 window both
+    # inherit hashpartitioning(doc_id), killing the token-grain tf
+    # exchange and the window exchange (2.04 -> 0.95 s same-window)
+    # round 15 spread()-signature drift: spread gained the optional
+    # ``by`` parameter (engine/session.py) — fingerprints of every
+    # spread() caller moved; call sites below are UNCHANGED round-robin
+    # behavior (default args), values and plans identical:
+    "q29_stats_agg": 15,
+    "q52_near_dup_pairs": 15,
+    "q53_minhash_lsh_pairs": 15,
+    "q54_simhash_pairs": 15,
+    "q65_near_dup_clusters": 15,
+    "q80_near_dup_prefix": 15,
+    "q85_repetition_stats": 15,
+    "q92_winnowing": 15,
+    "q95_unigram_nll": 15,
+    "q108_gopher_verdict": 15,
+    "q128_ngram_novelty": 15,
+    "q159_cluster_survivor": 15,
+    "q186_bigram_nll": 15,
+    "q204_pmi_collocations": 15,
+    "q207_zipf_fit": 15,
+    "q211_source_overlap": 15,
+    "q235_dup_rate_by_source": 15,
+    "q256_sequence_packing": 15,
+    "q258_bpe_pair_counts": 15,
+    "q259_truncation_loss": 15,
+    "q264_split_leakage": 15,
+    "q265_bpe_train": 15,
+    "q269_curation_funnel": 15,
+    "q270_bpe_encode_stats": 15,
 }
 
 

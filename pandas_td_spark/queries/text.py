@@ -507,8 +507,22 @@ def q110_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= 3 winnowing fingerprints, with the
     shared-fingerprint count. Fingerprint selection rides the row-local
     q92 helper, so postings reach the self-join with zero pre-join
-    shuffles (the exploded array is distinct per doc by construction)."""
-    d = spread(spark.table("documents"))
+    shuffles (the exploded array is distinct per doc by construction).
+
+    Stage decomposition at sf0.1 (r15, interleaved medians): one
+    winnowing pass (doc-keyed spread + k-gram md5 + window minima +
+    explode) = 0.62 s; full query = ~1.0-1.6 s = winnow + fp-shuffle
+    self-join + pair aggregate. The r14 letter (3.9-5.5x) was paying a
+    SECOND full winnowing pass: round-robin spread() made the two join
+    sides non-canonicalizable, so the exchange was never reused and the
+    md5 stack ran once per side (2.07 s med). spread(by="doc_id")
+    restores subtree equality and the join sides share one shuffle
+    stage. Remaining gap vs DuckDB (~0.37 s) is the two-stage shuffle
+    machinery itself — candidate-bounded postings, no skew (md5 space),
+    posting-list pair generation was A/B'd (collect_list + row-local
+    pair explode) and LOST (2.47 s med): the sorted-list build costs
+    more than the joint shuffle it saves at every tested size."""
+    d = spread(spark.table("documents"), by="doc_id")
     fp_arr, hs = _winnow_fps(_words())
     fps = (
         d.select("doc_id", hs.alias("__hs"))
@@ -735,10 +749,27 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (ties broken lexically)."""
+    """Top-3 TF-IDF terms per document (ties broken lexically).
+
+    r15 plan: hash-spread the COMPACT document rows by doc_id BEFORE the
+    explode. hashpartitioning(doc_id) satisfies the (doc_id, word)
+    aggregate clustering AND the per-doc top-3 window, so after the one
+    doc-grain exchange (whole text strings — 3-5x fewer bytes than the
+    exploded tokens the r14 plan shuffled) the token explode, tf
+    aggregate, broadcast-df join, and window all run exchange-free.
+    Stage decomposition at sf0.1 (interleaved medians): doc exchange +
+    explode 0.47 s; + tf aggregate 0.45 s (clustering inherited, zero
+    cost); full 0.95 s — the residual is the df broadcast-build branch
+    replaying the explode (AQE materializes broadcast stages eagerly,
+    before the main stage exists to reuse). r14 shape measured 2.04 s
+    same-window: its token-grain tf exchange + a second WindowGroupLimit
+    exchange + the same build replay. Rejected A/B: df via a word-
+    partitioned window (1.14 s, no broadcast build) — Zipf skew puts
+    every tf row of a hot word in one task at scale; pair-grain
+    repartition after partial agg (2.01 s)."""
     from pyspark.sql import Window
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     tf = (
         d.select(
             "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -748,8 +779,11 @@ def q199_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    # corpus size as a lazy broadcast 1-row aggregate (no driver action)
-    nd = d.agg(F.count("*").cast("double").alias("__n"))
+    # corpus size as a lazy broadcast 1-row aggregate (no driver action;
+    # unspread scan — a count needs no repartition)
+    nd = spark.table("documents").agg(
+        F.count("*").cast("double").alias("__n")
+    )
     scored = (
         tf.join(F.broadcast(df), "word")
         .crossJoin(F.broadcast(nd))
