@@ -1047,9 +1047,15 @@ def q150_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED (r15): without the hint DuckDB inlines CTEs, and q166's
+# chained per-round references (e3 -> e2 -> e1 -> e, two IN-subqueries
+# per level) re-expand the co-purchase self-join exponentially — the
+# sf0.1 comparator run spilled >8 GB of temp and hit the watchdog.
+# Materialized, the whole peel runs in ~1 s at sf0.1.
 _COPURCHASE_EDGES_SQL = """
-    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e AS (
+    li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS MATERIALIZED (
       SELECT DISTINCT a.p AS u, b.p AS v
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
     )
@@ -1271,23 +1277,23 @@ _KCORE_K = 12
     "q166_kcore",
     oracle=f"""
     WITH {_COPURCHASE_EDGES_SQL},
-    d1 AS (SELECT node, COUNT(*) AS dg FROM
+    d1 AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM
            (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
            GROUP BY node),
-    k1 AS (SELECT node FROM d1 WHERE dg >= {_KCORE_K}),
-    e1 AS (SELECT u, v FROM e
+    k1 AS MATERIALIZED (SELECT node FROM d1 WHERE dg >= {_KCORE_K}),
+    e1 AS MATERIALIZED (SELECT u, v FROM e
            WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
-    d2 AS (SELECT node, COUNT(*) AS dg FROM
+    d2 AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM
            (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
            GROUP BY node),
-    k2 AS (SELECT node FROM d2 WHERE dg >= {_KCORE_K}),
-    e2 AS (SELECT u, v FROM e1
+    k2 AS MATERIALIZED (SELECT node FROM d2 WHERE dg >= {_KCORE_K}),
+    e2 AS MATERIALIZED (SELECT u, v FROM e1
            WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
-    d3 AS (SELECT node, COUNT(*) AS dg FROM
+    d3 AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM
            (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
            GROUP BY node),
-    k3 AS (SELECT node FROM d3 WHERE dg >= {_KCORE_K}),
-    e3 AS (SELECT u, v FROM e2
+    k3 AS MATERIALIZED (SELECT node FROM d3 WHERE dg >= {_KCORE_K}),
+    e3 AS MATERIALIZED (SELECT u, v FROM e2
            WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
     SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
       (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)

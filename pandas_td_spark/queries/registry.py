@@ -318,8 +318,11 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # battery artifact; plan pushdown verified, 0.67 s clean)
     "q208_proration": 13,  # docstring-only: floor decomposition (the
     # plan is already broadcast-join + one exchange + minimal sorts)
-    "q166_kcore": 13,  # docstring-only: r13 clean re-A/B recorded in
-    # kcore_peel (lazy keep confirmed, 2.62 vs 2.90 median)
+    "q166_kcore": 15,  # r13: docstring-only clean re-A/B in kcore_peel
+    # (lazy keep confirmed, 2.62 vs 2.90 median); r15: ORACLE-side only
+    # — MATERIALIZED hints on the shared co-purchase CTEs + per-round
+    # peel CTEs stop DuckDB's inlining re-expansion (the >8 GB sf0.1
+    # spill; now ~1 s). Engine plan unchanged.
     # (q274's r13 docstring-only entry superseded by its r14 row below)
     # round 14 perf pass (oracle unchanged, re-green at sf0.001/0.01):
     "q178_sole_returner": 14,  # two lineitem distincts fused into one
