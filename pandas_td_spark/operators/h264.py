@@ -8,12 +8,13 @@ CAVLC ENTROPY layer for I-frames (the VERDICT r12 #5 item): coeff_token
 / total_zeros / run_before VLC tables, the §9.2.2 adaptive level
 machinery, the I_4x4/I_16x16 macroblock syntax with CBP + nC neighbor
 bookkeeping, an in-repo emitter (:func:`encode_h264_cavlc`) and the
-exact-coefficient decoder (:func:`h264_decode_cavlc_islice`). What
+exact-coefficient decoder (:func:`h264_decode_cavlc_islice`). r14
+added full pixel RECONSTRUCTION for the subset (dequant, inverse
+transforms, intra prediction — :func:`h264_reconstruct_islice`); r15
+adds I_PCM macroblocks (raw-sample payloads, §7.3.5) end to end. What
 remains stubbed and refuses cleanly: CABAC, inter prediction (P/B
-residuals), I_PCM, multi-slice pictures, and pixel reconstruction
-(prediction/transform — the decode target is the exact quantized
-coefficient surface, which is what media_features and the q277 gate
-consume). The structural layer is closed-form bitstream machinery of
+residuals), and multi-slice pictures.
+The structural layer is closed-form bitstream machinery of
 the same class as the MP3 entropy work in operators/codecs.py:
 
 - **Annex-B byte-stream framing**: start-code scan (3- and 4-byte),
@@ -1161,6 +1162,48 @@ def encode_h264_cavlc_video(
         luma_grid = _NcGrid()
         chroma_grids = (_NcGrid(), _NcGrid())
         for mb in range(n_mbs):
+            if mb16[mb] == "pcm":
+                # I_PCM (§7.3.5, r15): mb_type 25, pcm_alignment_zero_
+                # bits to the byte boundary, then raw 8-bit samples —
+                # 256 luma (raster), 64 Cb, 64 Cr. luma[mb] is 16 rows
+                # x 16 samples, chroma[mb] is [2][8][8]. Neighbor nC is
+                # 16 for every block of an I_PCM macroblock (§9.2.1).
+                mbx, mby = mb % w_mbs, mb // w_mbs
+                if len(luma[mb]) != 16 or any(
+                    len(r_) != 16 for r_ in luma[mb]
+                ):
+                    raise ValueError("I_PCM luma must be 16x16 samples")
+                if len(chroma[mb]) != 2 or any(
+                    len(cp) != 8 or any(len(r_) != 8 for r_ in cp)
+                    for cp in chroma[mb]
+                ):
+                    raise ValueError("I_PCM chroma must be [2][8][8]")
+                w.ue(25)
+                pad = -sum(len(b) for b in w.bits) % 8
+                if pad:
+                    w.u(0, pad)
+                for row in luma[mb]:
+                    for s in row:
+                        if not 0 <= s <= 255:
+                            raise ValueError("I_PCM sample out of range")
+                        w.u(s, 8)
+                for cp in chroma[mb]:
+                    for row in cp:
+                        for s in row:
+                            if not 0 <= s <= 255:
+                                raise ValueError(
+                                    "I_PCM sample out of range"
+                                )
+                            w.u(s, 8)
+                for blk in range(16):
+                    bx, by = _blk_xy(blk)
+                    luma_grid.put(mbx * 4 + bx, mby * 4 + by, 16)
+                for comp in range(2):
+                    for blk in range(4):
+                        chroma_grids[comp].put(
+                            mbx * 2 + (blk & 1), mby * 2 + (blk >> 1), 16
+                        )
+                continue
             is16 = bool(mb16[mb])
             any_luma_ac = any(
                 luma[mb][blk][ci]
@@ -1236,8 +1279,10 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
     Multi-frame all-intra streams decode every picture into
     ``frames`` (a list of per-picture dicts; the top-level fields
     mirror frame 0). Refuses (NotImplementedError) CABAC, non-I
-    slices, I_PCM, multi-slice PICTURES (first_mb != 0) and
-    prefix-only PPSes; corrupt bitstreams raise ValueError."""
+    slices, multi-slice PICTURES (first_mb != 0) and
+    prefix-only PPSes; I_PCM macroblocks decode to raw sample
+    surfaces (r15: ``mb_pcm``/``pcm_luma``/``pcm_chroma``); corrupt
+    bitstreams raise ValueError."""
     nals = h264_split_nals(payload)
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
@@ -1305,6 +1350,9 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
             chroma_mode = [0] * n_mbs
             i4_modes: list[list[int] | None] = [None] * n_mbs
             qp_mb = [0] * n_mbs
+            mb_pcm = [False] * n_mbs
+            pcm_luma: list = [None] * n_mbs
+            pcm_chroma: list = [None] * n_mbs
             # per-4x4-block intra prediction mode grid for the §8.3.1.1
             # most-probable-mode derivation: blocks of non-I_4x4 MBs
             # count as DC (2); out-of-frame neighbors make the
@@ -1316,7 +1364,37 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
                 mbx, mby = mb % w_mbs, mb // w_mbs
                 mb_type = r.ue()
                 if mb_type == 25:
-                    raise NotImplementedError("I_PCM")
+                    # I_PCM (§7.3.5, r15): byte-align then raw samples;
+                    # QP is unchanged; every block counts nC = 16 for
+                    # later neighbors (§9.2.1); I_4x4 most-probable-mode
+                    # derivation sees the MB as DC (not Intra_4x4)
+                    pad = -r.pos % 8
+                    if pad and r.u(pad) != 0:
+                        raise ValueError(
+                            "nonzero pcm_alignment_zero_bit"
+                        )
+                    pcm_luma[mb] = [
+                        [r.u(8) for _ in range(16)] for _ in range(16)
+                    ]
+                    pcm_chroma[mb] = [
+                        [[r.u(8) for _ in range(8)] for _ in range(8)]
+                        for _ in range(2)
+                    ]
+                    mb_pcm[mb] = True
+                    qp_mb[mb] = qp
+                    for blk in range(16):
+                        bx, by = _blk_xy(blk)
+                        gx, gy = mbx * 4 + bx, mby * 4 + by
+                        luma_grid.put(gx, gy, 16)
+                        mode_grid[(gx, gy)] = 2
+                    for comp in range(2):
+                        for blk in range(4):
+                            chroma_grids[comp].put(
+                                mbx * 2 + (blk & 1),
+                                mby * 2 + (blk >> 1),
+                                16,
+                            )
+                    continue
                 if mb_type > 25:
                     raise ValueError(f"invalid I mb_type {mb_type}")
                 is16 = mb_type >= 1
@@ -1395,6 +1473,12 @@ def h264_decode_cavlc_islice(payload: bytes) -> dict:
                 "chroma_mode": chroma_mode,
                 "i4_modes": i4_modes,
                 "qp_mb": qp_mb,
+                # r15 I_PCM: raw-sample macroblocks (coeff surfaces
+                # stay zero for them); pcm_luma[mb] is 16x16 rows,
+                # pcm_chroma[mb] is [2][8][8], None for coded MBs
+                "mb_pcm": mb_pcm,
+                "pcm_luma": pcm_luma,
+                "pcm_chroma": pcm_chroma,
             }
             if out is None:
                 # top level mirrors frame 0 (the r13 single-frame shape)
@@ -1457,6 +1541,7 @@ def h264_residual_stats(payload: bytes) -> dict:
         "n_frames": len(d["frames"]),
         "qp": d["qp"],
         "n_mb16": sum(1 for b in d["mb16"] if b),
+        "n_pcm": sum(1 for b in d.get("mb_pcm", []) if b),
         "n_nonzero": n_nonzero,
         "sum_vals": sum_vals,
         "sum_abs": sum_abs,
@@ -1750,7 +1835,9 @@ def h264_reconstruct_islice(payload: bytes) -> dict:
     ``{"w", "h", "frames": [{"y": [[...]], "cb": [[...]], "cr":
     [[...]], "n_clip"}]}`` where planes are row-major lists of ints in
     [0, 255] and ``n_clip`` counts samples that hit the clip rails.
-    Inherits the decoder's refusals (CABAC, P/B, I_PCM, multi-slice);
+    Inherits the decoder's refusals (CABAC, P/B, multi-slice);
+    I_PCM macroblocks copy their raw samples into the planes (r15) and
+    serve as prediction neighbors for later macroblocks;
     additionally refuses I_4x4 prediction modes other than DC
     (NotImplementedError — the in-repo emitter never produces them)
     and raises ValueError on mode/neighbor nonconformance."""
@@ -1778,6 +1865,22 @@ def h264_reconstruct_islice(payload: bytes) -> dict:
         for mb in range(w_mbs * h_mbs):
             mbx, mby = mb % w_mbs, mb // w_mbs
             qp = fr["qp_mb"][mb]
+            if fr.get("mb_pcm") and fr["mb_pcm"][mb]:
+                # I_PCM: samples copy straight into the planes (no
+                # prediction, no residual, no clipping — already 8-bit)
+                # and later MBs predict from them via the plane state
+                for yy in range(16):
+                    prow = y_pl.px[mby * 16 + yy]
+                    prow[mbx * 16 : mbx * 16 + 16] = list(
+                        fr["pcm_luma"][mb][yy]
+                    )
+                for comp in range(2):
+                    for yy in range(8):
+                        prow = c_pl[comp].px[mby * 8 + yy]
+                        prow[mbx * 8 : mbx * 8 + 8] = list(
+                            fr["pcm_chroma"][mb][comp][yy]
+                        )
+                continue
             if fr["mb16"][mb]:
                 pred = _pred16(y_pl, mbx * 16, mby * 16, fr["pred16"][mb])
                 # luma DC: zigzag-scanned 4x4 DC array -> inverse

@@ -3538,3 +3538,245 @@ def _q279_classes() -> tuple:
             int(np.abs(sp).sum()), eq_chk,
         ))
     return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# L5n — H.264 I_PCM macroblocks (r15, VERDICT r14 #3): raw-sample
+# macroblock payloads (§7.3.5 mb_type 25) mixed with coded zero-residual
+# I_16x16 DC macroblocks, driven END TO END — emit (byte-align + raw
+# samples + emulation-prevention escaping), decode (alignment check, nC
+# = 16 neighbor bookkeeping), reconstruct (direct sample copy, PCM
+# pixels serving as intra-prediction NEIGHBORS for later macroblocks) —
+# while the DuckDB oracle regenerates every pixel of every class from
+# the closed-form sample lattice and replays the DC prediction
+# recurrence (left-edge, top-edge, and the §8.3.4.1 both-edge chroma
+# grouping) in SQL. Model-grain: 40 classes in the driver,
+# broadcast-joined onto docs (q275-q279 playbook).
+# Class geometry: w_mbs=2, h_mbs=1+((k//2)%2); PCM at (mb+k)%2==0.
+# k%4==0: PCM|coded (left-edge DC). k%4==1: coded(128)|PCM.
+# k%4==2: 2x2 with coded mb3 predicted from a coded top AND a PCM left
+# (the both-edge case). k%4==3: all coded MBs neighbor-free (128).
+# ---------------------------------------------------------------------------
+_Q282_ORACLE = """
+    WITH ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), defs AS (
+      SELECT k, 1 + ((k // 2) % 2) AS h FROM ks
+    ), esum AS (
+      SELECT d.k, d.h,
+        (SELECT SUM((d.k*31 + 0*17 + y.range*5 + 45) % 256)
+         FROM range(16) y) AS l0,
+        (SELECT SUM((d.k*31 + 2*17 + y.range*5 + 45) % 256)
+         FROM range(16) y) AS l2,
+        (SELECT SUM((d.k*13 + 0*7 + y.range*3 + 77) % 256)
+         FROM range(4) y) AS cb0t,
+        (SELECT SUM((d.k*13 + 0*7 + y.range*3 + 77) % 256)
+         FROM range(4, 8) y) AS cb0b,
+        (SELECT SUM((d.k*13 + 2*7 + y.range*3 + 77) % 256)
+         FROM range(4) y) AS cb2t,
+        (SELECT SUM((d.k*13 + 2*7 + y.range*3 + 77) % 256)
+         FROM range(4, 8) y) AS cb2b,
+        (SELECT SUM((d.k*11 + 0*19 + y.range*7 + 35) % 256)
+         FROM range(4) y) AS cr0t,
+        (SELECT SUM((d.k*11 + 0*19 + y.range*7 + 35) % 256)
+         FROM range(4, 8) y) AS cr0b,
+        (SELECT SUM((d.k*11 + 2*19 + y.range*7 + 35) % 256)
+         FROM range(4) y) AS cr2t,
+        (SELECT SUM((d.k*11 + 2*19 + y.range*7 + 35) % 256)
+         FROM range(4, 8) y) AS cr2b
+      FROM defs d
+    ), dc AS (
+      SELECT k, h,
+        (l0 + 8) // 16 AS dcy1,
+        (16 * ((l0 + 8) // 16) + l2 + 16) // 32 AS dcy3,
+        (cb0t + 2) // 4 AS cb1t, (cb0b + 2) // 4 AS cb1b,
+        (cr0t + 2) // 4 AS cr1t, (cr0b + 2) // 4 AS cr1b,
+        cb2t, cb2b, cr2t, cr2b
+      FROM esum
+    ), luma AS (
+      SELECT d.k,
+        x.range AS x, y.range AS y,
+        CASE WHEN ((y.range // 16) * 2 + (x.range // 16) + d.k) % 2 = 0
+          THEN (d.k*31 + ((y.range // 16) * 2 + (x.range // 16))*17
+                + (y.range % 16)*5 + (x.range % 16)*3) % 256
+          ELSE CASE (y.range // 16) * 2 + (x.range // 16)
+            WHEN 1 THEN d.dcy1 WHEN 3 THEN d.dcy3 ELSE 128 END
+        END AS v
+      FROM dc d CROSS JOIN range(32) x CROSS JOIN range(32) y
+      WHERE y.range < d.h * 16
+    ), chroma AS (
+      SELECT d.k, cp.range AS comp, x.range AS x, y.range AS y,
+        CASE WHEN ((y.range // 8) * 2 + (x.range // 8) + d.k) % 2 = 0
+          THEN CASE WHEN cp.range = 0
+            THEN (d.k*13 + ((y.range // 8) * 2 + (x.range // 8))*7
+                  + (y.range % 8)*3 + (x.range % 8)*11) % 256
+            ELSE (d.k*11 + ((y.range // 8) * 2 + (x.range // 8))*19
+                  + (y.range % 8)*7 + (x.range % 8)*5) % 256 END
+          ELSE CASE (y.range // 8) * 2 + (x.range // 8)
+            WHEN 1 THEN CASE
+              WHEN cp.range = 0 AND (y.range % 8) < 4 THEN d.cb1t
+              WHEN cp.range = 0 THEN d.cb1b
+              WHEN (y.range % 8) < 4 THEN d.cr1t
+              ELSE d.cr1b END
+            WHEN 3 THEN CASE
+              -- sub-blocks of the interior coded MB: top edge is the
+              -- flat bottom half of MB1, left edge is MB2's PCM col 7
+              WHEN cp.range = 0 AND (x.range % 8) < 4
+                   AND (y.range % 8) < 4
+                THEN (4 * d.cb1b + d.cb2t + 4) // 8
+              WHEN cp.range = 0 AND (x.range % 8) >= 4
+                   AND (y.range % 8) < 4
+                THEN d.cb1b
+              WHEN cp.range = 0 AND (x.range % 8) < 4
+                THEN (d.cb2b + 2) // 4
+              WHEN cp.range = 0
+                THEN (4 * d.cb1b + d.cb2b + 4) // 8
+              WHEN (x.range % 8) < 4 AND (y.range % 8) < 4
+                THEN (4 * d.cr1b + d.cr2t + 4) // 8
+              WHEN (x.range % 8) >= 4 AND (y.range % 8) < 4
+                THEN d.cr1b
+              WHEN (x.range % 8) < 4
+                THEN (d.cr2b + 2) // 4
+              ELSE (4 * d.cr1b + d.cr2b + 4) // 8 END
+            ELSE 128 END
+        END AS v
+      FROM dc d CROSS JOIN range(2) cp
+      CROSS JOIN range(16) x CROSS JOIN range(16) y
+      WHERE y.range < d.h * 8
+    ), agg AS (
+      SELECT l.k,
+        CAST(SUM(l.v) AS BIGINT) AS luma_sum,
+        CAST(SUM(l.v * (1 + l.y * 32 + l.x)) AS BIGINT) AS luma_chk
+      FROM luma l GROUP BY l.k
+    ), cagg AS (
+      SELECT c.k,
+        CAST(SUM(c.v) AS BIGINT) AS chroma_sum,
+        CAST(SUM(c.v * (500000 + c.comp * 250000 + c.y * 16 + c.x))
+             AS BIGINT) AS chroma_chk
+      FROM chroma c GROUP BY c.k
+    ), meta AS (
+      SELECT d.k,
+        CAST(2 * d.h AS BIGINT) AS n_mbs,
+        CAST((SELECT COUNT(*) FROM range(4) mb
+              WHERE mb.range < 2 * d.h AND (mb.range + d.k) % 2 = 0)
+             AS BIGINT) AS n_pcm
+      FROM defs d
+    )
+    SELECT doc.doc_id, m.n_mbs, m.n_pcm,
+           a.luma_sum, a.luma_chk, c.chroma_sum, c.chroma_chk
+    FROM documents doc
+    JOIN meta m ON m.k = doc.doc_id % 40
+    JOIN agg a ON a.k = doc.doc_id % 40
+    JOIN cagg c ON c.k = doc.doc_id % 40
+"""
+
+
+@query(
+    "q282_h264_ipcm_roundtrip",
+    oracle=_Q282_ORACLE,
+    scale_note=(
+        "model-grain like q276-q278: 40 mixed I_PCM/coded frames "
+        "emitted/decoded/reconstructed once in the driver, "
+        "broadcast-joined onto documents"
+    ),
+)
+def q282_h264_ipcm_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form I_PCM sample lattices mixed with coded DC
+    macroblocks → REAL Annex-B emit → REAL decode → assert sample- and
+    coefficient-exact → full pixel reconstruction (PCM copy + DC
+    prediction FROM the PCM samples) → pixel stats the SQL oracle
+    regenerates from the lattice definition."""
+    classes = spark.createDataFrame(
+        _q282_classes(),
+        "k long, n_mbs long, n_pcm long, luma_sum long, luma_chk long, "
+        "chroma_sum long, chroma_chk long",
+    )
+    d = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("k")
+    )
+    return d.join(F.broadcast(classes), "k").drop("k")
+
+
+def _q282_pcm_luma(k: int, mb: int, y: int, x: int) -> int:
+    return (k * 31 + mb * 17 + y * 5 + x * 3) % 256
+
+
+def _q282_pcm_chroma(k: int, mb: int, comp: int, y: int, x: int) -> int:
+    if comp == 0:
+        return (k * 13 + mb * 7 + y * 3 + x * 11) % 256
+    return (k * 11 + mb * 19 + y * 7 + x * 5) % 256
+
+
+@lru_cache(maxsize=1)
+def _q282_classes() -> tuple:
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_decode_cavlc_islice,
+        h264_pixel_stats,
+        h264_reconstruct_islice,
+        h264_stream_info,
+    )
+
+    rows = []
+    for k in range(40):
+        h_mbs = 1 + ((k // 2) % 2)
+        n = 2 * h_mbs
+        luma, chroma, mb16 = [], [], []
+        for mb in range(n):
+            if (mb + k) % 2 == 0:
+                mb16.append("pcm")
+                luma.append([
+                    [_q282_pcm_luma(k, mb, y, x) for x in range(16)]
+                    for y in range(16)
+                ])
+                chroma.append([
+                    [
+                        [_q282_pcm_chroma(k, mb, c, y, x)
+                         for x in range(8)]
+                        for y in range(8)
+                    ]
+                    for c in range(2)
+                ])
+            else:
+                mb16.append(True)
+                luma.append([[0] * 16 for _ in range(16)])
+                chroma.append(
+                    [[[0] * 16 for _ in range(4)] for _ in range(2)]
+                )
+        payload = encode_h264_cavlc(
+            2, h_mbs, luma, chroma, mb16, qp=20 + k % 12,
+            pred16=[2] * n, chroma_modes=[0] * n,
+        )
+        dec = h264_decode_cavlc_islice(payload)
+        assert h264_stream_info(payload)["entropy_mode"] == "cavlc"
+        n_pcm = 0
+        for mb in range(n):
+            if mb16[mb] == "pcm":
+                n_pcm += 1
+                assert dec["mb_pcm"][mb], "I_PCM flag drift"
+                assert dec["pcm_luma"][mb] == luma[mb], "PCM luma drift"
+                assert dec["pcm_chroma"][mb] == chroma[mb], (
+                    "PCM chroma drift"
+                )
+            else:
+                assert not dec["mb_pcm"][mb]
+                assert dec["luma"][mb] == luma[mb], "coded coeff drift"
+        fr = h264_reconstruct_islice(payload)["frames"][0]
+        for mb in range(n):
+            if mb16[mb] != "pcm":
+                continue
+            mbx, mby = mb % 2, mb // 2
+            for y in range(16):
+                assert (
+                    fr["y"][mby * 16 + y][mbx * 16 : mbx * 16 + 16]
+                    == luma[mb][y]
+                ), "reconstructed PCM pixels drift"
+        assert fr["n_clip"] == 0
+        st = h264_pixel_stats(payload)
+        rows.append((
+            k, n, n_pcm, st["luma_sum"], st["luma_chk"],
+            st["chroma_sum"], st["chroma_chk"],
+        ))
+    return tuple(rows)

@@ -609,3 +609,101 @@ def test_chroma_dc_interior_mb_both_edges():
         assert got == {want}, (bx, by, got, want)
     # cr untouched: flat 128 everywhere including the interior MB
     assert all(v == 128 for row in fr["cr"] for v in row)
+
+
+def test_ipcm_roundtrip_and_nc_bookkeeping():
+    """I_PCM macroblocks (r15): raw samples round-trip bit-exactly, a
+    coded MB WITH residuals following a PCM MB decodes through the
+    nC=16 coeff_token table (the §9.2.1 neighbor rule), reconstruction
+    copies PCM pixels and predicts later MBs from them."""
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_decode_cavlc_islice,
+        h264_reconstruct_islice,
+        h264_residual_stats,
+    )
+
+    n = 2
+    pcm_y = [[(y * 16 + x) % 256 for x in range(16)] for y in range(16)]
+    pcm_c = [
+        [[(c * 100 + y * 8 + x) % 256 for x in range(8)] for y in range(8)]
+        for c in range(2)
+    ]
+    # coded MB1 carries REAL residuals: its nC derivation sees MB0's
+    # blocks as total_coeff 16 -> the high-nC (FLC) coeff_token table
+    luma1 = [[0] * 16 for _ in range(16)]
+    for blk in range(16):
+        luma1[blk][0] = (blk % 5) - 2
+        luma1[blk][3] = 1 if blk % 3 == 0 else 0
+    chroma1 = [[[0] * 16 for _ in range(4)] for _ in range(2)]
+    chroma1[0][0][0] = 2
+    payload = encode_h264_cavlc(
+        2, 1, [pcm_y, luma1], [pcm_c, chroma1], ["pcm", True], qp=26,
+        pred16=[2, 2], chroma_modes=[0, 0],
+    )
+    d = h264_decode_cavlc_islice(payload)
+    assert d["mb_pcm"] == [True, False]
+    assert d["pcm_luma"][0] == pcm_y
+    assert d["pcm_chroma"][0] == pcm_c
+    assert d["luma"][1] == luma1 and d["chroma"][1] == chroma1
+    assert h264_residual_stats(payload)["n_pcm"] == 1
+    fr = h264_reconstruct_islice(payload)["frames"][0]
+    for y in range(16):
+        assert fr["y"][y][:16] == pcm_y[y]
+    for y in range(8):
+        assert fr["cb"][y][:8] == pcm_c[0][y]
+        assert fr["cr"][y][:8] == pcm_c[1][y]
+    # MB1's DC prediction reads MB0's PCM right column
+    dc = (sum(pcm_y[y][15] for y in range(16)) + 8) >> 4
+    zero_blocks = {
+        fr["y"][y][16 + x]
+        for y in range(16) for x in range(16)
+        if all(v == 0 for v in luma1[(y // 4) * 4 + x // 4])
+    }
+    assert zero_blocks and all(abs(v - dc) <= 16 for v in zero_blocks)
+
+
+def test_ipcm_refusals_and_validation():
+    """Corrupt I_PCM streams refuse cleanly; the emitter validates
+    sample shapes and ranges."""
+    import pytest
+
+    from pandas_td_spark.operators.h264 import (
+        encode_h264_cavlc,
+        h264_decode_cavlc_islice,
+    )
+
+    pcm_y = [[128] * 16 for _ in range(16)]
+    pcm_c = [[[128] * 8 for _ in range(8)] for _ in range(2)]
+    zl = [[[0] * 16 for _ in range(16)]]
+    zc = [[[[0] * 16 for _ in range(4)] for _ in range(2)]]
+    with pytest.raises(ValueError, match="16x16"):
+        encode_h264_cavlc(1, 1, [[[0] * 16] * 4], [pcm_c], ["pcm"])
+    with pytest.raises(ValueError, match=r"\[2\]\[8\]\[8\]"):
+        encode_h264_cavlc(1, 1, [pcm_y], zc, ["pcm"])
+    bad = [[300] + [0] * 15] + [[0] * 16 for _ in range(15)]
+    with pytest.raises(ValueError, match="out of range"):
+        encode_h264_cavlc(1, 1, [bad], [pcm_c], ["pcm"])
+    # truncated PCM payload refuses (cut mid-samples)
+    good = encode_h264_cavlc(1, 1, [pcm_y], [pcm_c], ["pcm"])
+    with pytest.raises(ValueError):
+        h264_decode_cavlc_islice(good[: len(good) - 40])
+    # non-PCM streams keep working untouched
+    ok = encode_h264_cavlc(1, 1, zl[:1], zc[:1], [True], pred16=[2],
+                           chroma_modes=[0])
+    d = h264_decode_cavlc_islice(ok)
+    assert d["mb_pcm"] == [False]
+
+
+def test_ipcm_media_features():
+    """media_features consumes an I_PCM stream: residual slots see the
+    PCM MB as zero-coefficient, pixel slots reflect the raw samples."""
+    from pandas_td_spark.operators.codecs import media_features
+    from pandas_td_spark.operators.h264 import encode_h264_cavlc
+
+    pcm_y = [[200] * 16 for _ in range(16)]
+    pcm_c = [[[90] * 8 for _ in range(8)] for _ in range(2)]
+    payload = encode_h264_cavlc(1, 1, [pcm_y], [pcm_c], ["pcm"])
+    v = media_features(payload, 16)
+    assert v[12] == 200.0  # mean luma is the flat PCM value
+    assert v[13] == 0.0  # no clipping
