@@ -3369,13 +3369,63 @@ _MP3_HUFF_T3 = _canonical_code({
     (2, 0): 5, (2, 1): 5, (2, 2): 6,
 })
 
-#: table_select -> (code map, max |value|); table 0 is the all-zero
-#: pseudo-table (no bits)
-_MP3_HUFF_TABLES = {
-    1: (_MP3_HUFF_T1, 1),
-    2: (_MP3_HUFF_T2, 2),
-    3: (_MP3_HUFF_T3, 2),
+def _mp3_escape_lengths(kind: int) -> "dict[tuple[int, int], int]":
+    """Deterministic 16x16 code-length table for the big_values ESCAPE
+    classes (r15). PROVENANCE: the ISO B.7 escape tables (16-23 share
+    one 256-entry length array, 24-31 another) are NOT reliably
+    transcribable from memory, so these lengths are an IN-REPO
+    construction — a true Huffman code over a geometric weight surface
+    (``kind`` 0 steeper for the low-linbits 16-23 family, 1 flatter for
+    24-31), Kraft-complete by construction. The ESC-15 + linbits + sign
+    MACHINERY is spec-exact; the honesty model matches tables 2/3
+    (codewords canonical, not claimed ISO-bit-identical: the in-repo
+    encoder/decoder pair round-trips exactly, a real-encoder stream at
+    worst hits the part2_3_length ValueError backstop, never silently
+    wrong samples)."""
+    import heapq
+
+    heap = []
+    for x in range(16):
+        for y in range(16):
+            decay = 2 * (x + y) if kind == 0 else (x + y + max(x, y))
+            w = max(1, 1 << max(0, 20 - decay))
+            heap.append((w, (x, y), ((x, y),)))
+    heapq.heapify(heap)
+    depth = {(x, y): 0 for x in range(16) for y in range(16)}
+    while len(heap) > 1:
+        w1, t1, s1 = heapq.heappop(heap)
+        w2, t2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (w1 + w2, min(t1, t2), s1 + s2))
+    return depth
+
+
+#: big_values escape classes: table_select -> linbits (ISO 11172-3
+#: Table B.7 assignment; 16-23 share one length table, 24-31 another —
+#: here the two in-repo _mp3_escape_lengths surfaces)
+_MP3_LINBITS = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
 }
+_MP3_HUFF_ESC0 = _canonical_code(_mp3_escape_lengths(0))
+_MP3_HUFF_ESC1 = _canonical_code(_mp3_escape_lengths(1))
+
+#: table_select -> (code map, max |value|, linbits); table 0 is the
+#: all-zero pseudo-table (no bits). For escape tables (linbits > 0) the
+#: max |value| is 15 + 2^linbits - 1.
+_MP3_HUFF_TABLES = {
+    1: (_MP3_HUFF_T1, 1, 0),
+    2: (_MP3_HUFF_T2, 2, 0),
+    3: (_MP3_HUFF_T3, 2, 0),
+}
+for _t, _lb in _MP3_LINBITS.items():
+    _MP3_HUFF_TABLES[_t] = (
+        _MP3_HUFF_ESC0 if _t < 24 else _MP3_HUFF_ESC1,
+        15 + (1 << _lb) - 1,
+        _lb,
+    )
+del _t, _lb
 
 #: long-block scalefactor-band boundaries (23 edges = 22 sfbs; the last
 #: band 21 takes no scalefactor) per MPEG-1 sample rate — public-spec
@@ -3467,14 +3517,14 @@ def mp3_encode_entropy(
         )
     if table_select not in _MP3_HUFF_TABLES:
         raise NotImplementedError(
-            f"Huffman table {table_select}: tables 1-3 implemented "
-            "(linbits escape tables stay outside the subset)"
+            f"Huffman table {table_select}: tables 1-3 and the escape "
+            "classes 16-31 implemented"
         )
-    huff, vmax = _MP3_HUFF_TABLES[table_select]
+    huff, vmax, linbits = _MP3_HUFF_TABLES[table_select]
     if np.abs(spectra).max(initial=0) > vmax:
         raise NotImplementedError(
             f"entropy subset: |value| <= {vmax} for Huffman table "
-            f"{table_select}; linbits escape tables are not implemented"
+            f"{table_select} (escape range 15 + 2^linbits - 1)"
         )
     if np.abs(spectra[:, :, :, 2 * big_values:]).max(initial=0) > 1:
         raise ValueError(
@@ -3527,9 +3577,18 @@ def mp3_encode_entropy(
                 vals = spectra[f, g, ch]
                 for p in range(big_values):
                     x, y = int(vals[2 * p]), int(vals[2 * p + 1])
-                    bits.append(huff[(abs(x), abs(y))])
+                    # escape classes (r15): |v| >= 15 codes the pair
+                    # symbol at 15 and appends a linbits field holding
+                    # |v| - 15; field order per §7.3.2.3.2.3.1:
+                    # hcod, linbits_x, sign_x, linbits_y, sign_y
+                    ax, ay = min(abs(x), 15), min(abs(y), 15)
+                    bits.append(huff[(ax, ay)])
+                    if linbits and ax == 15:
+                        bits.append(format(abs(x) - 15, f"0{linbits}b"))
                     if x != 0:
                         bits.append("1" if x < 0 else "0")
+                    if linbits and ay == 15:
+                        bits.append(format(abs(y) - 15, f"0{linbits}b"))
                     if y != 0:
                         bits.append("1" if y < 0 else "0")
                 # count1 quadruples cover up to the last nonzero; the
@@ -3627,8 +3686,8 @@ def mp3_decode_entropy(payload: bytes) -> dict:
     sr = br = None
     inv_tabs = {
         t: ({v: k for k, v in tab.items()},
-            max(len(v) for v in tab.values()))
-        for t, (tab, _) in _MP3_HUFF_TABLES.items()
+            max(len(v) for v in tab.values()), lb)
+        for t, (tab, _, lb) in _MP3_HUFF_TABLES.items()
     }
     res_bits = ""  # rolling tail of the main-data stream (reservoir)
     res_base = 0  # absolute bit index of res_bits[0]
@@ -3742,8 +3801,8 @@ def mp3_decode_entropy(payload: bytes) -> dict:
             for t in gr["table_select"]:
                 if t not in (0,) and t not in inv_tabs:
                     raise NotImplementedError(
-                        f"Huffman table {t}: tables 0-3 implemented, "
-                        "linbits escape tables refused"
+                        f"Huffman table {t}: tables 0-3 and escape "
+                        "classes 16-31 implemented"
                     )
             if gr["big_values"] and len(set(gr["table_select"])) > 1:
                 # the decode loop below applies table_select[0] to every
@@ -3762,8 +3821,9 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                 # (encoder emits one table everywhere); table 0 = zeros
                 if gr["table_select"][0] == 0:
                     x = y = 0
+                    lb = 0
                 else:
-                    inv, maxlen = inv_tabs[gr["table_select"][0]]
+                    inv, maxlen, lb = inv_tabs[gr["table_select"][0]]
                     code = ""
                     while code not in inv:
                         if len(code) > maxlen:
@@ -3773,8 +3833,15 @@ def mp3_decode_entropy(payload: bytes) -> dict:
                         code += bits[bp]
                         bp += 1
                     x, y = inv[code]
+                # escape classes (r15): symbol 15 extends by a linbits
+                # field; §7.3.2.3.2.3.1 order hcod, linbits_x, sign_x,
+                # linbits_y, sign_y
+                if lb and x == 15:
+                    x += take(lb)
                 if x and take(1):
                     x = -x
+                if lb and y == 15:
+                    y += take(lb)
                 if y and take(1):
                     y = -y
                 vals[i], vals[i + 1] = x, y

@@ -3780,3 +3780,191 @@ def _q282_classes() -> tuple:
             st["chroma_sum"], st["chroma_chk"],
         ))
     return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# L5o — MP3 big_values ESCAPE (linbits) round-trip (r15, VERDICT r14
+# #4): all 16 escape classes (table_select 16-31, ISO linbits
+# assignment) drive the §7.3.2.3.2.3.1 field order — hcod, linbits_x,
+# sign_x, linbits_y, sign_y — through the REAL encoder/decoder pair
+# while the DuckDB oracle recomputes the spectra, the per-granule
+# part2_3 bit accounting (code lengths joined from the shared in-repo
+# canonical length surface + linbits + sign fields), and an
+# escape-field checksum from the closed-form surface definition.
+# Table provenance: the 256-entry ISO length arrays are not reliably
+# transcribable from memory, so the LENGTH surfaces are in-repo Huffman
+# constructions (codecs._mp3_escape_lengths — Kraft-complete by
+# construction); the ESC machinery itself is spec-exact. Model-grain:
+# 40 classes in the driver, broadcast-joined onto docs.
+# ---------------------------------------------------------------------------
+_Q283_LUT = (0, 1, 15, 0, -16, 0, 2, 0, 16, 0, -15, 0, 3, -1, 0, 7, 0,
+             -14, 0)
+_Q283_LUT_SQL = "CASE ({m}) " + " ".join(
+    f"WHEN {i} THEN {v}" for i, v in enumerate(_Q283_LUT) if v
+) + " ELSE 0 END"
+
+
+def _q283_sql_parts() -> dict:
+    from pandas_td_spark.operators.codecs import (
+        _MP3_HUFF_ESC0,
+        _MP3_HUFF_ESC1,
+        _MP3_LINBITS,
+    )
+
+    hl = ", ".join(
+        f"({kind},{x},{y},{len(tab[(x, y)])})"
+        for kind, tab in ((0, _MP3_HUFF_ESC0), (1, _MP3_HUFF_ESC1))
+        for x in range(16)
+        for y in range(16)
+    )
+    lb = "CASE t " + " ".join(
+        f"WHEN {t} THEN {v}" for t, v in sorted(_MP3_LINBITS.items())
+    ) + " END"
+    return {"hl": hl, "lb": lb}
+
+
+_Q283_P = _q283_sql_parts()
+
+_Q283_ORACLE = f"""
+    WITH ks AS (
+      SELECT DISTINCT doc_id % 40 AS k FROM documents
+    ), defs AS (
+      SELECT k, 16 + k % 16 AS t, 96 + 8 * (k % 12) AS bound
+      FROM ks
+    ), defs2 AS (
+      SELECT k, t, bound, {_Q283_P["lb"]} AS lb,
+             CASE WHEN t < 24 THEN 0 ELSE 1 END AS kind
+      FROM defs
+    ), defs3 AS (
+      SELECT k, t, bound, lb, kind,
+             15 + (1 << lb) - 1 AS vmax,
+             GREATEST(1, (15 + (1 << lb) - 1) // 16) AS step
+      FROM defs2
+    ), hl(kind, x, y, len) AS (
+      VALUES {_Q283_P["hl"]}
+    ), lines AS (
+      SELECT d.k, g.range AS g, l.range AS l,
+             CASE WHEN l.range < d.bound THEN
+               CASE WHEN ({_Q283_LUT_SQL.format(
+                   m="(d.k*7 + 11*g.range + l.range*(l.range+3)) % 19"
+               )}) >= 0 THEN 1 ELSE -1 END
+               * LEAST(d.vmax,
+                       abs({_Q283_LUT_SQL.format(
+                   m="(d.k*7 + 11*g.range + l.range*(l.range+3)) % 19"
+                       )}) * d.step)
+             ELSE 0 END AS v
+      FROM defs3 d CROSS JOIN range(2) g CROSS JOIN range(576) l
+    ), pairs AS (
+      SELECT n.k, n.g, n.l // 2 AS p, d.kind, d.lb,
+             LEAST(MAX(CASE WHEN n.l % 2 = 0 THEN abs(n.v) END),
+                   15) AS ax,
+             LEAST(MAX(CASE WHEN n.l % 2 = 1 THEN abs(n.v) END),
+                   15) AS ay,
+             MAX(CASE WHEN n.l % 2 = 0 THEN abs(n.v) END) AS fx,
+             MAX(CASE WHEN n.l % 2 = 1 THEN abs(n.v) END) AS fy
+      FROM lines n JOIN defs3 d USING (k)
+      WHERE n.l < 576
+      GROUP BY n.k, n.g, n.l // 2, d.kind, d.lb
+    ), hbits AS (
+      SELECT p.k,
+             SUM(h.len
+                 + CASE WHEN p.ax = 15 THEN p.lb ELSE 0 END
+                 + CASE WHEN p.fx > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN p.ay = 15 THEN p.lb ELSE 0 END
+                 + CASE WHEN p.fy > 0 THEN 1 ELSE 0 END) AS bits
+      FROM pairs p JOIN hl h
+        ON h.kind = p.kind AND h.x = p.ax AND h.y = p.ay
+      WHERE p.p < 288
+      GROUP BY p.k
+    ), agg AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero,
+             CAST(SUM(v) AS BIGINT) AS sum_vals,
+             CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(SUM(CASE WHEN abs(v) >= 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_esc,
+             CAST(SUM(CASE WHEN abs(v) >= 15
+                      THEN (abs(v) - 15) * (1 + g * 1000000 + l)
+                      ELSE 0 END) AS BIGINT) AS esc_chk
+      FROM lines GROUP BY k
+    )
+    SELECT doc.doc_id,
+           CAST(h.bits AS BIGINT) AS part23,
+           a.n_nonzero, a.sum_vals, a.sum_abs, a.n_esc, a.esc_chk
+    FROM documents doc
+    JOIN hbits h ON h.k = doc.doc_id % 40
+    JOIN agg a ON a.k = doc.doc_id % 40
+"""
+
+
+@query(
+    "q283_mp3_linbits_roundtrip",
+    oracle=_Q283_ORACLE,
+    scale_note=(
+        "model-grain like q275/q279: 40 escape-class spectra encoded/"
+        "decoded once in the driver, broadcast-joined onto documents"
+    ),
+)
+def q283_mp3_linbits_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Escape-heavy spectra -> REAL MP3 entropy encode across all 16
+    linbits classes -> decode -> assert bit-exact -> part2_3/escape
+    stats the SQL oracle replays from the closed-form surface."""
+    classes = spark.createDataFrame(
+        _q283_classes(),
+        "k long, part23 long, n_nonzero long, sum_vals long, "
+        "sum_abs long, n_esc long, esc_chk long",
+    )
+    d = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("k")
+    )
+    return d.join(F.broadcast(classes), "k").drop("k")
+
+
+@lru_cache(maxsize=1)
+def _q283_classes() -> tuple:
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MP3_HUFF_TABLES,
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rows = []
+    for k in range(40):
+        t = 16 + k % 16
+        vmax = _MP3_HUFF_TABLES[t][1]
+        step = max(1, vmax // 16)
+        bound = 96 + 8 * (k % 12)
+        sp = np.zeros((1, 2, 576), dtype=np.int64)
+        for g in range(2):
+            for ln in range(bound):
+                base = _Q283_LUT[(k * 7 + 11 * g + ln * (ln + 3)) % 19]
+                sp[0, g, ln] = (
+                    (1 if base >= 0 else -1) * min(vmax, abs(base) * step)
+                )
+        payload = mp3_encode_entropy(
+            sp, bitrate_kbps=320, big_values=288, table_select=t
+        )
+        d = mp3_decode_entropy(payload)
+        assert (d["spectra"] == sp).all(), "mp3 linbits spectra drift"
+        part23 = 0
+        for g in range(2):
+            gr = d["side_info"][0]["granules"][g]
+            assert gr["table_select"] == [t] * 3
+            part23 += gr["part2_3_length"]
+        esc_chk = n_esc = 0
+        for g in range(2):
+            for ln in range(576):
+                a = abs(int(sp[0, g, ln]))
+                if a >= 15:
+                    n_esc += 1
+                    esc_chk += (a - 15) * (1 + g * 1_000_000 + ln)
+        rows.append((
+            k, part23, int((sp != 0).sum()), int(sp.sum()),
+            int(np.abs(sp).sum()), n_esc, esc_chk,
+        ))
+    return tuple(rows)

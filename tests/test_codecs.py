@@ -1787,16 +1787,21 @@ def test_mp3_tables23_scalefactor_randomized_roundtrip():
 def test_mp3_canonical_tables_are_prefix_free():
     from pandas_td_spark.operators.codecs import _MP3_HUFF_TABLES
 
-    for t, (tab, vmax) in _MP3_HUFF_TABLES.items():
+    for t, (tab, vmax, linbits) in _MP3_HUFF_TABLES.items():
         codes = list(tab.values())
         assert len(set(codes)) == len(codes)
-        for a in codes:
-            for b in codes:
-                if a is not b:
-                    assert not b.startswith(a), (t, a, b)
+        assert sum(2.0 ** -len(c) for c in codes) == 1.0  # Kraft
+        prefix_sorted = sorted(codes)
+        for a, b in zip(prefix_sorted, prefix_sorted[1:]):
+            assert not b.startswith(a), (t, a, b)
+        # escape classes code symbols 0..15 with |v| = 15 + linbits
+        # field; plain tables code the full value range directly
+        sym_max = 15 if linbits else vmax
         assert set(tab) == {
-            (x, y) for x in range(vmax + 1) for y in range(vmax + 1)
+            (x, y) for x in range(sym_max + 1) for y in range(sym_max + 1)
         }
+        if linbits:
+            assert vmax == 15 + (1 << linbits) - 1
 
 
 def test_mp3_32khz_sfb_geometry_and_contract():
@@ -1857,3 +1862,73 @@ def test_mp3_mixed_region_tables_refuse():
     payload[4 + 7] ^= 0x04
     with pytest.raises(NotImplementedError, match="mixed region"):
         mp3_decode_entropy(bytes(payload))
+
+
+def test_mp3_linbits_escape_roundtrip():
+    """r15 escape classes: every linbits table round-trips spectra with
+    |v| up to 15 + 2^linbits - 1 bit-exactly, including the boundary
+    values 15 (escape field 0) and vmax, across sign combinations."""
+    import numpy as np
+
+    from pandas_td_spark.operators.codecs import (
+        _MP3_LINBITS,
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    rng = np.random.RandomState(99)
+    for t, lb in sorted(_MP3_LINBITS.items()):
+        vmax = 15 + (1 << lb) - 1
+        cap = min(vmax, 60)
+        sp = np.zeros((1, 2, 576), dtype=np.int64)
+        sp[:, :, :120] = rng.randint(-cap, cap + 1, size=(1, 2, 120))
+        sp[0, 0, 0], sp[0, 0, 1] = vmax, -vmax
+        sp[0, 0, 2], sp[0, 0, 3] = 15, -15
+        sp[0, 1, 0], sp[0, 1, 1] = 14, -14  # just below the escape
+        payload = mp3_encode_entropy(
+            sp, bitrate_kbps=320, big_values=60, table_select=t
+        )
+        d = mp3_decode_entropy(payload)
+        assert (d["spectra"] == sp).all(), f"table {t} drift"
+        gr = d["side_info"][0]["granules"][0]
+        assert gr["table_select"] == [t] * 3
+    # values past the escape range refuse cleanly
+    import pytest
+
+    sp = np.zeros((1, 2, 576), dtype=np.int64)
+    sp[0, 0, 0] = 17
+    with pytest.raises(NotImplementedError, match="escape range"):
+        mp3_encode_entropy(sp, big_values=2, table_select=16)
+
+
+def test_mp3_linbits_hypothesis_roundtrip():
+    """Property: random escape-class spectra round-trip exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_td_spark.operators.codecs import (
+        mp3_decode_entropy,
+        mp3_encode_entropy,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.sampled_from([16, 19, 21, 24, 29, 31]),
+        st.integers(0, 2**31 - 1),
+    )
+    def check(t, seed):
+        from pandas_td_spark.operators.codecs import _MP3_HUFF_TABLES
+
+        vmax = _MP3_HUFF_TABLES[t][1]
+        rng = np.random.RandomState(seed)
+        cap = min(vmax, 40)
+        sp = np.zeros((1, 2, 576), dtype=np.int64)
+        n = int(rng.randint(0, 100))
+        sp[:, :, :n] = rng.randint(-cap, cap + 1, size=(1, 2, n))
+        payload = mp3_encode_entropy(
+            sp, bitrate_kbps=320, big_values=50, table_select=t
+        )
+        assert (mp3_decode_entropy(payload)["spectra"] == sp).all()
+
+    check()
