@@ -54,3 +54,57 @@ def warn_if_global_window_input_large(
             stacklevel=2,
         )
     return df
+
+
+#: Above this many build-side rows, a driver-built broadcast hash
+#: relation is a cliff even when the BYTE estimate sits under the
+#: autoBroadcastJoinThreshold: compressed parquet bytes understate rows
+#: ~5-10x, and the 10x scale audit measured q208's 24 MB / 1.5 M-row
+#: orders build side at 16 s (the whole query) vs sub-linear growth
+#: once the planner switched to a shuffle join at 100x.
+DEFAULT_BROADCAST_MAX_BUILD_ROWS = 1_000_000
+
+
+def exact_scan_rows(df: DataFrame) -> int | None:
+    """Exact row count for a scan-rooted frame from parquet FOOTER
+    metadata (driver-side, no job): sums ``num_rows`` over the frame's
+    input files. Returns None when the plan has no parquet inputs or a
+    footer is unreadable. This sidesteps Catalyst's bytes-only scan
+    estimate, which under snappy compression understates rows by the
+    compression ratio."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def hint_shuffle_join_if_rowheavy(
+    df: DataFrame,
+    max_rows: int = DEFAULT_BROADCAST_MAX_BUILD_ROWS,
+) -> DataFrame:
+    """Guard a would-be broadcast build side against the row-heavy
+    narrow-table cliff (r15, VERDICT r14 #5): when the frame's EXACT
+    scan row count (parquet footers) exceeds ``max_rows``, attach a
+    MERGE join hint so the planner never builds a multi-million-entry
+    driver hash relation just because the byte estimate cleared the
+    broadcast threshold. Below the bound the frame is returned
+    unchanged and the planner's normal broadcast choice stands. Returns
+    a frame either way, so it drops into a join fluently:
+
+        li.join(hint_shuffle_join_if_rowheavy(orders), ...)
+    """
+    rows = exact_scan_rows(df)
+    if rows is not None and rows > max_rows:
+        return df.hint("merge")
+    return df

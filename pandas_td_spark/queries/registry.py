@@ -316,8 +316,11 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # re-A/B-rejected (2.37/1.82 vs 1.45-1.54 s); rank path is the floor
     "q86_bm25": 13,  # docstring-only: floor audit (r12's 2.98 s was the
     # battery artifact; plan pushdown verified, 0.67 s clean)
-    "q208_proration": 13,  # docstring-only: floor decomposition (the
-    # plan is already broadcast-join + one exchange + minimal sorts)
+    "q208_proration": 15,  # r13: docstring-only floor decomposition;
+    # r15: orders build side goes through the new rowheavy guard
+    # (plans/guards.py MERGE hint past 1 M footer rows — plan identical
+    # at sf0.1 where 150 k rows keep the broadcast; kills the 10x
+    # broadcast-threshold cliff)
     "q166_kcore": 15,  # r13: docstring-only clean re-A/B in kcore_peel
     # (lazy keep confirmed, 2.62 vs 2.90 median); r15: ORACLE-side only
     # — MATERIALIZED hints on the shared co-purchase CTEs + per-round

