@@ -130,3 +130,151 @@ def holt_winters_forecast(
     return _spread_groups(df, key).groupBy(key).applyInPandas(
         _fc, schema=out_schema
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str,
+    order_cols: "list[str]",
+    x_cents: str,
+    m: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition by moving averages
+    (r15 capability — the window-form complement to the Holt-Winters
+    walk: no python, no recursion, pure JVM window expressions).
+
+    Semantics (statsmodels ``seasonal_decompose`` class, additive):
+    ``trend_t`` = centered m-term moving average (odd m only — even m
+    needs the 2xm weighted MA and refuses); ``detrended = x - trend``
+    (defined on interior rows where the frame is full); the seasonal
+    index for position j = (rn-1) mod m is the mean of detrended at j,
+    CENTERED by the grand mean of the m indices; ``resid = detrended -
+    seasonal``. Edge rows (first/last m//2) carry NULL
+    trend/seasonal/resid.
+
+    BIT-EXACT ORACLE DISCIPLINE: ``x_cents`` must be an exact integer
+    column (cents). Every mean is formed as ONE division of an exact
+    BIGINT sum — trend = sum7/m, the j-index from m*x - sum7 (still
+    integral) — and the only float sums are the m-term grand-mean fold,
+    written as an explicit left-associated chain both engines parse
+    identically. Groups shorter than 2m-1 rows are dropped (shorter
+    series leave seasonal positions with no interior observation).
+
+    At 100 TB: one shuffle on the series key; every window inherits
+    that partitioning (zero further exchanges); series count scales
+    out.
+    """
+    from pyspark.sql import Window, functions as F
+
+    if m % 2 == 0:
+        raise NotImplementedError(
+            "even seasonal period needs the 2xm weighted moving "
+            "average; odd m only (classical additive subset)"
+        )
+    h = m // 2
+    wk = Window.partitionBy(key)
+    wo = wk.orderBy(*order_cols)
+    d = (
+        df.withColumn("rn", F.row_number().over(wo))
+        .withColumn("__n", F.count("*").over(wk))
+        .where(F.col("__n") >= 2 * m - 1)
+        .withColumn("__s", F.sum(x_cents).over(wo.rowsBetween(-h, h)))
+        .withColumn("__c", F.count(x_cents).over(wo.rowsBetween(-h, h)))
+        .withColumn("__j", (F.col("rn") - 1) % m)
+    )
+    full = F.col("__c") == m
+    # 7*detrended, exactly integral: m*x - sum_m
+    d = d.withColumn(
+        "__dm", F.when(full, m * F.col(x_cents) - F.col("__s"))
+    )
+    wj = Window.partitionBy(key, "__j")
+    d = (
+        d.withColumn("__Sj", F.sum("__dm").over(wj))
+        .withColumn("__nj", F.count("__dm").over(wj))
+        .withColumn(
+            "__sj",
+            F.col("__Sj").cast("double")
+            / (m * F.col("__nj")).cast("double"),
+        )
+    )
+    # grand mean over the m seasonal indices: pivot to columns so the
+    # float fold has ONE fixed association both engines share
+    for jj in range(m):
+        d = d.withColumn(
+            f"__sj{jj}",
+            F.max(F.when(F.col("__j") == jj, F.col("__sj"))).over(wk),
+        )
+    grand = F.col("__sj0")
+    for jj in range(1, m):
+        grand = grand + F.col(f"__sj{jj}")
+    grand = grand / F.lit(float(m))
+    d = d.withColumn("seasonal", F.when(full, F.col("__sj") - grand))
+    d = d.withColumn(
+        "trend",
+        F.when(full, F.col("__s").cast("double") / F.lit(float(m))),
+    )
+    d = d.withColumn(
+        "resid",
+        F.when(
+            full,
+            F.col("__dm").cast("double") / F.lit(float(m))
+            - F.col("seasonal"),
+        ),
+    )
+    return d.select(
+        key, "rn", F.col(x_cents).alias("x_cents"),
+        "trend", "seasonal", "resid",
+    )
+
+
+def _exact_median(d, key: str, col: str, out: str):
+    """Per-key median with NO engine-defined interpolation: explicit
+    rank pick of the two middle elements (equal when the count is odd)
+    and a dyadic (lo+hi)/2 — bit-identical across engines."""
+    from pyspark.sql import Window, functions as F
+
+    wk = Window.partitionBy(key)
+    wr = wk.orderBy(col, "rn")
+    d = (
+        d.withColumn("__rr", F.row_number().over(wr))
+        .withColumn("__cc", F.count(col).over(wk))
+    )
+    lo = F.max(
+        F.when(
+            F.col("__rr") == ((F.col("__cc") + 1) / 2).cast("long"),
+            F.col(col),
+        )
+    ).over(wk)
+    hi = F.max(
+        F.when(
+            F.col("__rr") == (F.col("__cc") / 2).cast("long") + 1,
+            F.col(col),
+        )
+    ).over(wk)
+    return d.withColumn(out, (lo + hi) / 2).drop("__rr", "__cc")
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key: str,
+    order_cols: "list[str]",
+    x_cents: str,
+    m: int = 7,
+    k: float = 4.0,
+) -> DataFrame:
+    """Residual anomaly bands over :func:`seasonal_decompose`: flag
+    interior rows whose |resid - median(resid)| exceeds ``k`` x the
+    median absolute deviation. Both medians use the explicit rank-pick
+    form (no quantile interpolation ambiguity); with dyadic ``k`` the
+    comparison is bit-exact against the SQL replay."""
+    from pyspark.sql import functions as F
+
+    dec = seasonal_decompose(df, key, order_cols, x_cents, m=m).where(
+        F.col("resid").isNotNull()
+    )
+    dec = _exact_median(dec, key, "resid", "__med")
+    dec = dec.withColumn("dev", F.abs(F.col("resid") - F.col("__med")))
+    dec = _exact_median(dec, key, "dev", "mad")
+    return dec.where(F.col("dev") > k * F.col("mad")).select(
+        key, "rn", "resid", "dev", "mad"
+    )

@@ -2658,3 +2658,172 @@ def q281_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_forecast(
         daily, "priority", ["d"], "x", m=7, horizon=14
     ).select("priority", "h", "yhat")
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition + MAD anomaly bands (r15, VERDICT
+# r14 #8 builder's-choice capability — the WINDOW-form complement to
+# q280's sequential walk: centered moving average, seasonal indices,
+# residuals, and rank-pick median bands, all pure JVM window
+# expressions, zero python, zero recursion). Bit-exactness discipline:
+# cents-integral input, every mean ONE division of an exact bigint sum,
+# the m-term grand-mean float fold written as the same left-associated
+# chain in both engines, and medians as explicit two-middle-element
+# picks with a dyadic (lo+hi)/2 — no engine quantile interpolation.
+# Unlike the q280/q281 recursive-CTE walks (~75 s oracle pain), this
+# oracle is plain window SQL and runs in comparator time.
+# ---------------------------------------------------------------------------
+_SD_CORE_SQL = """
+    seq AS (
+      SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+             xc
+      FROM (
+        SELECT o_orderpriority AS grp, o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100
+                    AS BIGINT) AS xc
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY 1, 2
+      )
+    ), w1 AS (
+      SELECT grp, rn, xc,
+             SUM(xc) OVER (PARTITION BY grp ORDER BY rn
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(xc) OVER (PARTITION BY grp ORDER BY rn
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS c7,
+             COUNT(*) OVER (PARTITION BY grp) AS n,
+             (rn - 1) % 7 AS j
+      FROM seq
+    ), w2 AS (
+      SELECT grp, rn, xc, s7, c7, j,
+             CASE WHEN c7 = 7 THEN 7 * xc - s7 END AS dm
+      FROM w1 WHERE n >= 13
+    ), w3 AS (
+      SELECT *, SUM(dm) OVER (PARTITION BY grp, j) AS sjsum,
+                COUNT(dm) OVER (PARTITION BY grp, j) AS nj
+      FROM w2
+    ), w4 AS (
+      SELECT *, CAST(sjsum AS DOUBLE) / CAST(7 * nj AS DOUBLE) AS sj
+      FROM w3
+    ), w5 AS (
+      SELECT *,
+        MAX(CASE WHEN j = 0 THEN sj END) OVER (PARTITION BY grp) AS sj0,
+        MAX(CASE WHEN j = 1 THEN sj END) OVER (PARTITION BY grp) AS sj1,
+        MAX(CASE WHEN j = 2 THEN sj END) OVER (PARTITION BY grp) AS sj2,
+        MAX(CASE WHEN j = 3 THEN sj END) OVER (PARTITION BY grp) AS sj3,
+        MAX(CASE WHEN j = 4 THEN sj END) OVER (PARTITION BY grp) AS sj4,
+        MAX(CASE WHEN j = 5 THEN sj END) OVER (PARTITION BY grp) AS sj5,
+        MAX(CASE WHEN j = 6 THEN sj END) OVER (PARTITION BY grp) AS sj6
+      FROM w4
+    ), dec AS (
+      SELECT grp, rn, xc,
+             CASE WHEN c7 = 7
+               THEN CAST(s7 AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
+             CASE WHEN c7 = 7
+               THEN sj - (sj0 + sj1 + sj2 + sj3 + sj4 + sj5 + sj6)
+                    / CAST(7 AS DOUBLE) END AS seasonal,
+             CASE WHEN c7 = 7
+               THEN CAST(dm AS DOUBLE) / CAST(7 AS DOUBLE)
+                    - (sj - (sj0 + sj1 + sj2 + sj3 + sj4 + sj5 + sj6)
+                       / CAST(7 AS DOUBLE)) END AS resid
+      FROM w5
+    )
+"""
+
+
+def _sd_daily(spark: SparkSession):
+    return (
+        spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")) * 100
+            ).cast("bigint").alias("xc")
+        )
+    )
+
+
+@query(
+    "q284_seasonal_decompose",
+    oracle=f"""
+    WITH {_SD_CORE_SQL}
+    SELECT grp AS priority, rn, xc AS x_cents, trend, seasonal, resid
+    FROM dec
+    """,
+    scale_note=(
+        "one shuffle on the series key; every window (MA frame, "
+        "seasonal index, grand-mean pivot) inherits that partitioning "
+        "— zero further exchanges; series count scales out"
+    ),
+)
+def q284_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority daily-revenue classical decomposition (m=7):
+    centered moving-average trend, centered weekly seasonal indices,
+    residuals — raw doubles, bit-identical to the window-SQL oracle."""
+    from pandas_td_spark.operators.forecast import seasonal_decompose
+
+    return seasonal_decompose(
+        _sd_daily(spark), "priority", ["d"], "xc", m=7
+    ).select(
+        "priority", "rn", "x_cents", "trend", "seasonal", "resid"
+    )
+
+
+@query(
+    "q285_seasonal_anomalies",
+    oracle=f"""
+    WITH {_SD_CORE_SQL}, mk AS (
+      SELECT grp, rn, resid,
+             row_number() OVER (PARTITION BY grp ORDER BY resid, rn)
+               AS rr,
+             COUNT(resid) OVER (PARTITION BY grp) AS cc
+      FROM dec WHERE resid IS NOT NULL
+    ), m1 AS (
+      SELECT grp, rn, resid,
+        (MAX(CASE WHEN rr = (cc + 1) // 2 THEN resid END)
+           OVER (PARTITION BY grp)
+         + MAX(CASE WHEN rr = cc // 2 + 1 THEN resid END)
+           OVER (PARTITION BY grp)) / 2 AS med
+      FROM mk
+    ), d1 AS (
+      SELECT grp, rn, resid, abs(resid - med) AS dev FROM m1
+    ), d2 AS (
+      SELECT grp, rn, resid, dev,
+             row_number() OVER (PARTITION BY grp ORDER BY dev, rn)
+               AS rr,
+             COUNT(dev) OVER (PARTITION BY grp) AS cc
+      FROM d1
+    ), d3 AS (
+      SELECT grp, rn, resid, dev,
+        (MAX(CASE WHEN rr = (cc + 1) // 2 THEN dev END)
+           OVER (PARTITION BY grp)
+         + MAX(CASE WHEN rr = cc // 2 + 1 THEN dev END)
+           OVER (PARTITION BY grp)) / 2 AS mad
+      FROM d2
+    )
+    SELECT grp AS priority, rn, resid, dev, mad
+    FROM d3 WHERE dev > 4 * mad
+    """,
+    scale_note=(
+        "q284's windows + two rank-pick median rounds on the same key "
+        "partitioning (no quantile interpolation — explicit "
+        "two-middle-element dyadic average)"
+    ),
+)
+def q285_seasonal_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual anomalies: interior days whose |resid - median| exceeds
+    4x the median absolute deviation, both medians rank-picked."""
+    from pandas_td_spark.operators.forecast import seasonal_anomalies
+
+    return seasonal_anomalies(
+        _sd_daily(spark), "priority", ["d"], "xc", m=7, k=4.0
+    )

@@ -1268,3 +1268,83 @@ def test_holt_winters_tracks_linear_trend(spark):
     assert abs(out["trend"].iloc[-1] - 3.0) < 0.2
     tail_err = (out["fitted"].iloc[-10:] - pd.Series(xs[-10:]).values).abs()
     assert tail_err.max() < 1.5
+
+
+def test_seasonal_decompose_exact_contract(spark):
+    """r15 classical decomposition invariants: a pure weekly pattern
+    plus linear trend decomposes EXACTLY — trend recovers the linear
+    part on interior rows (the 7-term centered MA of a line is the
+    line; the weekly pattern sums to zero over any 7-frame), seasonal
+    recovers the centered pattern, residuals are exactly zero. Edge
+    rows carry NULLs; short series drop; even m refuses."""
+    import pandas as pd
+    import pytest
+
+    from pandas_td_spark.operators.forecast import (
+        seasonal_anomalies,
+        seasonal_decompose,
+    )
+
+    pat = [700, -1400, 2100, -700, 1400, -2100, 0]  # sums to 0
+    n = 42
+    rows = []
+    for t in range(n):
+        base = 10_000 + 70 * t  # cents; 7-term MA of a line = itself
+        rows.append(("a", t, base + pat[t % 7]))
+    rows += [("tiny", t, 100) for t in range(10)]  # < 2m-1: dropped
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "d", "xc"])
+    )
+    out = (
+        seasonal_decompose(df, "k", ["d"], "xc", m=7)
+        .toPandas()
+        .sort_values(["k", "rn"], ignore_index=True)
+    )
+    assert set(out["k"]) == {"a"}  # the 10-row series dropped
+    a = out[out["k"] == "a"]
+    assert len(a) == n
+    interior = a[a["trend"].notna()]
+    assert len(interior) == n - 6
+    for _, r in interior.iterrows():
+        t = int(r["rn"]) - 1
+        assert r["trend"] == 10_000 + 70 * t, r
+        assert r["resid"] == 0.0, r
+    # seasonal index = centered pattern value for the row's weekday
+    for _, r in interior.iterrows():
+        assert r["seasonal"] == pat[(int(r["rn"]) - 1) % 7]
+    # zero residuals -> mad 0 -> no anomalies
+    assert (
+        seasonal_anomalies(df, "k", ["d"], "xc", m=7).count() == 0
+    )
+    with pytest.raises(NotImplementedError, match="odd m"):
+        seasonal_decompose(df, "k", ["d"], "xc", m=12)
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    """A single planted spike on an otherwise exact series is the ONLY
+    flagged row, and its residual deviation dominates the band."""
+    import pandas as pd
+
+    from pandas_td_spark.operators.forecast import seasonal_anomalies
+
+    rows = []
+    for t in range(42):
+        x = 5_000 + (300 if t % 7 == 2 else -50)
+        if t == 20:
+            x += 9_999  # the anomaly
+        rows.append(("a", t, x))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "d", "xc"])
+    )
+    got = seasonal_anomalies(df, "k", ["d"], "xc", m=7, k=4.0).toPandas()
+    assert 21 in set(got["rn"])  # rn is 1-based; t=20 -> rn 21
+    # the spike leaks into its MA frame AND its weekday's seasonal
+    # index (classical decomposition is not robust — that is the
+    # documented semantics), so secondary rows may flag against the
+    # tiny MAD of an otherwise-exact series; the spike itself must
+    # dominate every other deviation by an order of magnitude
+    spike = got[got["rn"] == 21].iloc[0]
+    rest = got[got["rn"] != 21]
+    assert spike["dev"] == got["dev"].max()
+    if len(rest):
+        assert spike["dev"] > 3 * rest["dev"].max()
