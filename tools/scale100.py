@@ -222,9 +222,12 @@ def main() -> None:
             "per_decade": round(t100 / t10, 2) if t10 else None,
         }
         print(key, out[key], flush=True)
-    with open("SCALE100.json", "w") as f:
-        json.dump(out, f, indent=1)
-        f.write("\n")
+        # write-through after every shape: a late-shape OOM (the r15
+        # first run died at q166's 100x checkpoint while other Spark
+        # sessions shared the box) must not discard finished rows
+        with open("SCALE100.json", "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
     print(json.dumps(out))
 
 
