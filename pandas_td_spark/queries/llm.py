@@ -1192,6 +1192,41 @@ def q235_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L5b — REAL audio codec round-trip, oracle-certified. Each document
 # synthesizes a deterministic PCM16 square wave (amplitude from doc_id,
 # length from n_chars), encodes it as genuine RIFF/WAVE bytes, then the
+def _spread_docs(d: DataFrame, key_mod: int | None = None) -> DataFrame:
+    """Hash-spread the narrow doc scan across the cluster before per-row
+    / per-class Python codec work (guide §2.5 input skew + §4; the same
+    fix operators/dedup.py got in r14): the compact one-row-group
+    fixture arrives as ONE input split, so a mapInPandas codec chain
+    otherwise runs on a single core regardless of cluster size
+    (measured r15: q247 1.23 s / q261 0.97 s / q267 0.91 s / q248
+    0.82 s of single-task executor time each). ``key_mod`` spreads by
+    the payload-cache key (doc_id % key_mod) so every distinct payload
+    is synthesized/encoded by exactly ONE task — total distinct-grain
+    codec work is unchanged, only parallelized; ``None`` spreads by
+    doc_id (per-row codecs, no cache to preserve). At real scale the
+    scan has many splits and this narrow pre-explosion shuffle is
+    noise; the partitioning key stays deterministic (never round-robin)
+    so plan branches canonicalize and exchanges stay reusable.
+
+    Measured policy (r15, sf0.1 warm): spread pays exactly where the
+    PER-ROW codec work is heavy — q247 1.30→0.54 s, q272 0.51→0.41,
+    q238 0.49→0.45, q239/q262/q263/q266 ~0.05 s each — and costs more
+    than it buys where the work is cache-bound at class grain with a
+    trivial per-row loop (q249/q250/q260/q273 regressed ~+0.1 s from
+    the added exchange and keep the plain scan: their class-grain work
+    is O(distinct classes), corpus-independent, and at real scale the
+    scan has many splits natively, so 1-task is a fixture artifact,
+    not a scale hazard). The 3-node mapInPandas chains (q248/q261/
+    q267) gain little locally because the Python boundary costs
+    ~0.2 s/node fixed (measured with an identity 3-chain: 0.87 s at 32
+    partitions vs 0.19 s at 1) — kept spread anyway: at scale the
+    chain cost is per-byte, not per-node."""
+    n = d.sparkSession.sparkContext.defaultParallelism
+    if key_mod is None:
+        return d.repartition(n, "doc_id")
+    return d.repartition(n, F.pmod(F.col("doc_id"), F.lit(key_mod)))
+
+
 # REAL pure-numpy decoder (operators/codecs.py — chunk walk, int16
 # dequantization) recovers samples and computes features. Every feature
 # has a closed form the oracle reproduces: the quantized magnitude is
@@ -1237,6 +1272,7 @@ def q238_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())  # null docs: nothing to synth
         .select("doc_id", F.length("text").cast("bigint").alias("n"))
     )
+    d = _spread_docs(d)
     schema = (
         "doc_id long, n_samples long, sample_rate long, "
         "duration_s double, rms double, peak double, zcr double"
@@ -1309,6 +1345,7 @@ def q239_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d)
     schema = (
         "doc_id long, fmt string, height long, width long, "
         "n_pixels long, mean_r double, mean_g double, mean_b double"
@@ -1399,6 +1436,7 @@ def q247_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d)
     schema = (
         "doc_id long, filter_type long, height long, width long, "
         "n_pixels long, mean_r double, mean_g double, mean_b double"
@@ -1473,6 +1511,7 @@ def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d)
 
     def _mk(it):
         for pdf in it:
@@ -1790,6 +1829,7 @@ def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=240)
     pal = np.stack(
         [
             np.arange(256, dtype=np.uint8),
@@ -1895,6 +1935,7 @@ def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=40)
     schema = (
         "doc_id long, n_samples long, compressed_bytes long, "
         "pcm_bytes long, snr_db double"
@@ -2124,6 +2165,7 @@ def q263_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=128)
 
     def _batches(it):
         # the mosaic is a pure function of doc_id % 128 ((i*2) % 256 is
@@ -2312,6 +2354,7 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.codecs import decode_flac, encode_flac
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=48)
 
     def _batches(it):
         # payload is a pure function of doc_id % 48 — cache the codec
@@ -2405,6 +2448,7 @@ def q272_flac_lpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.codecs import decode_flac, encode_flac
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=48)
 
     def _batches(it):
         cache: dict = {}
@@ -2485,6 +2529,7 @@ def q267_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
+    d = _spread_docs(d, key_mod=48)
 
     def _mk(it):
         cache: dict = {}

@@ -202,7 +202,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # ("q108_gopher_verdict" r11 entry superseded by its r15 row below) — r7 fused pipelines; r11 docstring-only
     # closed-at-floor note (values/plan identical)
     "q180_rrf_fusion": 7,  # corpus size as lazy broadcast, not d.count()
-    "q238_wav_roundtrip": 7,
+    # ("q238_wav_roundtrip" r7 entry superseded by its r15 row below)
     "q62_multimodal_features": 7,
     "q64_embedding_near_dup": 7,
     "q55_embedding_topk": 7,
@@ -244,8 +244,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # indices that COVER the tail (round(j*(total-1)/(n-1)) instead of
     # j*(total//n)) — q248/q261 sample source frames {0,2,5,7} and their
     # oracles' closed-form offsets moved with them:
-    "q248_y4m_frames": 9,
-    "q261_gif_frames": 9,
+    # ("q248_y4m_frames" r9 entry superseded by its r15 row below)
+    # ("q261_gif_frames" r9 entry superseded by its r15 row below)
     # round 10 comment/docstring-only drifts (values and plans
     # identical): q128 documents the rejected no-sort A/B variant
     # in-body; q63's docstring points at its new md5 twin:
@@ -261,8 +261,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # round 10: encode_flac gained the LPC candidate (decode unchanged;
     # FLAC is lossless so decoded values — and these rows — are
     # identical; the sawtooth still picks FIXED so even the bytes match):
-    "q266_flac_roundtrip": 10,
-    "q267_audio_chunks": 10,
+    # ("q266_flac_roundtrip" r10 entry superseded by its r15 row below)
+    # ("q267_audio_chunks" r10 entry superseded by its r15 row below)
     # round 12 (ADVICE r11): loud int64-envelope guard on the bigint-cent
     # moments (values identical in-envelope; assert_true threaded through
     # the 3-row tail):
@@ -384,6 +384,20 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q265_bpe_train": 15,
     "q269_curation_funnel": 15,
     "q270_bpe_encode_stats": 15,
+    # round 15 (optimization): _spread_docs hash-spread of the one-split
+    # documents scan before per-row/per-class Python codec work
+    # (queries/llm.py — guide §2.5 input skew; values identical, oracle
+    # re-verified at sf0.01 for all ten):
+    "q238_wav_roundtrip": 15,
+    "q239_image_roundtrip": 15,
+    "q247_png_roundtrip": 15,
+    "q248_y4m_frames": 15,
+    "q261_gif_frames": 15,
+    "q262_adpcm_roundtrip": 15,
+    "q263_progressive_jpeg": 15,
+    "q266_flac_roundtrip": 15,
+    "q267_audio_chunks": 15,
+    "q272_flac_lpc_roundtrip": 15,
 }
 
 
