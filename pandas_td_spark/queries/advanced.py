@@ -480,24 +480,35 @@ def q99_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
            CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
-             AS total_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders GROUP BY 1, 2
     """,
 )
 def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """25k-wide price histogram over orders with per-bin exact-decimal
-    totals."""
-    from pandas_td_spark.queries._util import dsum
+    totals (exact bigint-cents since r15: lockstep oracle, guarded)."""
+    from pandas_td_spark.queries._util import bmax, bsum, bval
 
     o = spark.table("orders")
     b = F.floor(F.col("o_totalprice") / 25000)
-    return o.groupBy(
-        b.cast("bigint").alias("bin"),
-        (b * 25000).cast("double").alias("bin_lo"),
-    ).agg(
-        F.count("*").alias("n"),
-        dsum("o_totalprice").alias("total_price"),
+    return (
+        o.groupBy(
+            b.cast("bigint").alias("bin"),
+            (b * 25000).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            bsum("o_totalprice", 2).alias("_sp"),
+            bmax("o_totalprice", 2).alias("_mp"),
+        )
+        .select(
+            "bin",
+            "bin_lo",
+            "n",
+            bval(F.col("_sp"), F.col("n"), F.col("_mp"), 2, "q100")
+            .alias("total_price"),
+        )
     )
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from pandas_td_spark.functions.td import smart_digest, td_time_parse
 from pandas_td_spark.operators.similarity import dot_chain, dot_sql
-from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.queries._util import bmax, bsum, bval, dsum
 from pandas_td_spark.engine.session import spread
 from pandas_td_spark.queries.registry import query
 
@@ -87,15 +87,30 @@ def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_stats_agg",
     oracle="""
-    WITH s AS (
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qi,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) >> 12 AS ph,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) & 4095 AS pl
+      FROM lineitem
+    ), a AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             SUM(qi) AS sxi, SUM(qi * qi) AS sxxi,
+             SUM(ph) AS syh, SUM(pl) AS syl,
+             SUM(qi * ph) AS sxyh, SUM(qi * pl) AS sxyl,
+             SUM(ph * ph) AS syyh, SUM(ph * pl) AS syym, SUM(pl * pl) AS syyl
+      FROM b GROUP BY l_returnflag
+    ), s AS (
+      SELECT l_returnflag, n,
+             CAST(sxi AS DOUBLE) AS sx,
+             CAST(sxxi AS DOUBLE) AS sxx,
+             (4096.0 * CAST(syh AS DOUBLE) + CAST(syl AS DOUBLE)) / 100.0 AS sy,
+             ((16777216.0 * CAST(syyh AS DOUBLE)
+               + 8192.0 * CAST(syym AS DOUBLE))
+              + CAST(syyl AS DOUBLE)) / 10000.0 AS syy,
+             (4096.0 * CAST(sxyh AS DOUBLE) + CAST(sxyl AS DOUBLE)) / 100.0 AS sxy
+      FROM a
     )
     SELECT l_returnflag,
            (sxx - sx * sx / n) / (n - 1) AS var_qty,
@@ -108,20 +123,102 @@ def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance / stddev / Pearson corr computed from exact
-    (decimal-summed) sufficient statistics — the only formulation that
-    hash-matches across engines (native stddev/corr accumulate in
-    engine-specific order; ``F.stddev``/``F.corr`` remain available and are
-    exercised rows-only in tests). Also the scale-correct shape: one
-    partial+final aggregation, constant state per group."""
-    li = spread(spark.table("lineitem"))
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
+    sufficient statistics — the only formulation that hash-matches across
+    engines (native stddev/corr accumulate in engine-specific order;
+    ``F.stddev``/``F.corr`` remain available and are exercised rows-only
+    in tests). Also the scale-correct shape: one partial+final
+    aggregation, constant state per group.
+
+    r15 perf (guide §1.2 per-task work): the five dsum decimal(28,6)
+    moments were the whole cost — BigDecimal-backed buffers burned ~17
+    CPU-seconds in the aggregation stage (1.50 s wall). Moments now
+    accumulate as exact int64 (q61/q183 discipline): quantity is
+    integral (verified contract), price is bigint cents, and the
+    cents-squared moment — whose raw Σpc² wraps int64 at ~sf1 — splits
+    pc into 2^12 halves (ph,pl), three in-envelope sums recombined at
+    the 4-row tail in doubles (multiplying by 2^24/2^13 is
+    exponent-only, exact). Oracle computes the identical formula, so
+    engines agree bit-for-bit in-envelope; sx/sxx (and so
+    var_qty/stddev_qty) plus sy/sxy are additionally bit-equal to the
+    old decimal path at every driver SF (sums < 2^53), and syy's ≤2-ulp
+    recombination noise is absorbed by corr's ROUND(..,12). Envelope
+    ENFORCED per moment (q183 ADVICE discipline). The r15-build
+    ``spread()`` crutch (added when the BigDecimal agg burned 17
+    CPU-seconds on the 3-split scan) is dropped: long sums cost ~0.2 s
+    there, so the round-robin exchange was 3.5x the remaining work —
+    scan → partial agg → 3-group exchange is the scale-correct shape.
+    Wall 1.50 → ~0.5 s."""
+    li = spark.table("lineitem")
+    qi = F.col("l_quantity").cast("bigint")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    ph = F.shiftright(pc, 12)
+    pl = pc.bitwiseAND(F.lit(4095))
+    a = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        dsum(q).alias("sx"),
-        dsum(q * q).alias("sxx"),
-        dsum(p).alias("sy"),
-        dsum(p * p).alias("syy"),
-        dsum(q * p).alias("sxy"),
+        F.sum(qi).alias("sxi"),
+        F.sum(qi * qi).alias("sxxi"),
+        F.sum(ph).alias("syh"),
+        F.sum(pl).alias("syl"),
+        F.sum(qi * ph).alias("sxyh"),
+        F.sum(qi * pl).alias("sxyl"),
+        F.sum(ph * ph).alias("syyh"),
+        F.sum(ph * pl).alias("syym"),
+        F.sum(pl * pl).alias("syyl"),
+        F.max(qi).alias("_mq"),
+        F.max(ph).alias("_mph"),
+    )
+    nd = F.col("n").cast("double")
+    mq = F.col("_mq").cast("double")
+    mph = F.col("_mph").cast("double")
+    # one sound bound per int64 moment, evaluated in doubles (cannot
+    # wrap); pl < 2^12 structurally. Σqi·ph binds last (~10 PB); Σpl²
+    # first (n·2^24 < 2^62 → ~30 TB) — beyond, fail loudly and swap the
+    # syy component back to dsum (same downstream formula).
+    lim = F.lit(float(2**62))
+    in_env = (
+        (nd * mq * mq < lim)
+        & (nd * mq * mph < lim)
+        & (nd * mq * F.lit(4096.0) < lim)
+        & (nd * mph * mph < lim)
+        & (nd * mph * F.lit(4096.0) < lim)
+        & (nd * F.lit(float(4096**2)) < lim)
+    ) | (F.col("n") == 0)
+    s = a.select(
+        "l_returnflag",
+        "n",
+        # assert_true -> NULL while in envelope, raises beyond it; the
+        # WHEN threads it through the 4-row projection at zero plan cost
+        F.when(
+            F.assert_true(
+                in_env, "q29: bigint moment envelope exceeded (~30 TB)"
+            ).isNull(),
+            F.col("sxi").cast("double"),
+        ).alias("sx"),
+        F.col("sxxi").cast("double").alias("sxx"),
+        (
+            (
+                F.lit(4096.0) * F.col("syh").cast("double")
+                + F.col("syl").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("sy"),
+        (
+            (
+                (
+                    F.lit(16777216.0) * F.col("syyh").cast("double")
+                    + F.lit(8192.0) * F.col("syym").cast("double")
+                )
+                + F.col("syyl").cast("double")
+            )
+            / F.lit(10000.0)
+        ).alias("syy"),
+        (
+            (
+                F.lit(4096.0) * F.col("sxyh").cast("double")
+                + F.col("sxyl").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
@@ -350,9 +447,9 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
-             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, measure, val
@@ -362,17 +459,29 @@ def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (``DataFrame.unpivot``, Spark's melt — an
     Expand node, zero shuffle beyond the feeding agg) of a 3-measure
-    per-flag rollup. Exact-decimal sums per the shared dsum pattern."""
-    from pandas_td_spark.queries._util import dsum
+    per-flag rollup. Exact bigint-scaled sums (``_util.bsum``, lockstep
+    oracle, guarded) since r15."""
+    from pandas_td_spark.queries._util import bmax, bsum, bval, dsum
 
-    agg = (
+    a = (
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_price"),
-            dsum("l_discount").alias("sum_disc"),
+            bsum("l_quantity").alias("_sq"),
+            bsum("l_extendedprice", 2).alias("_sp"),
+            bsum("l_discount", 2).alias("_sd"),
+            F.count("*").alias("_n"),
+            bmax("l_quantity").alias("_mq"),
+            bmax("l_extendedprice", 2).alias("_mp"),
+            bmax("l_discount", 2).alias("_md"),
         )
+    )
+    n = F.col("_n")
+    agg = a.select(
+        "l_returnflag",
+        bval(F.col("_sq"), n, F.col("_mq"), 0, "q81").alias("sum_qty"),
+        bval(F.col("_sp"), n, F.col("_mp"), 2, "q81").alias("sum_price"),
+        bval(F.col("_sd"), n, F.col("_md"), 2, "q81").alias("sum_disc"),
     )
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
@@ -2560,8 +2669,8 @@ _HW_SERIES_SQL = """
       SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY d) AS rn, x
       FROM (
         SELECT o_orderpriority AS grp, o_orderdate AS d,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
-                 AS x
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS x
         FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         GROUP BY 1, 2
       )
@@ -2619,7 +2728,17 @@ def q280_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").alias("d"),
         )
-        .agg(dsum("o_totalprice").alias("x"))
+        .agg(
+            bsum("o_totalprice", 2).alias("_sp"),
+            F.count("*").alias("_n"),
+            bmax("o_totalprice", 2).alias("_mp"),
+        )
+        .select(
+            "priority",
+            "d",
+            bval(F.col("_sp"), F.col("_n"), F.col("_mp"), 2, "q280")
+            .alias("x"),
+        )
     )
     return holt_winters(daily, "priority", ["d"], "x", m=7).select(
         "priority", "rn", "level", "trend", "season", "fitted"
@@ -2653,7 +2772,17 @@ def q281_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").alias("d"),
         )
-        .agg(dsum("o_totalprice").alias("x"))
+        .agg(
+            bsum("o_totalprice", 2).alias("_sp"),
+            F.count("*").alias("_n"),
+            bmax("o_totalprice", 2).alias("_mp"),
+        )
+        .select(
+            "priority",
+            "d",
+            bval(F.col("_sp"), F.col("_n"), F.col("_mp"), 2, "q281")
+            .alias("x"),
+        )
     )
     return holt_winters_forecast(
         daily, "priority", ["d"], "x", m=7, horizon=14

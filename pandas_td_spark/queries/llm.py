@@ -1345,7 +1345,6 @@ def q239_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d)
     schema = (
         "doc_id long, fmt string, height long, width long, "
         "n_pixels long, mean_r double, mean_g double, mean_b double"
@@ -1511,7 +1510,6 @@ def q248_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d)
 
     def _mk(it):
         for pdf in it:
@@ -1829,7 +1827,6 @@ def q261_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d, key_mod=240)
     pal = np.stack(
         [
             np.arange(256, dtype=np.uint8),
@@ -1935,7 +1932,6 @@ def q262_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d, key_mod=40)
     schema = (
         "doc_id long, n_samples long, compressed_bytes long, "
         "pcm_bytes long, snr_db double"
@@ -2165,7 +2161,6 @@ def q263_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d, key_mod=128)
 
     def _batches(it):
         # the mosaic is a pure function of doc_id % 128 ((i*2) % 256 is
@@ -2354,7 +2349,6 @@ def q266_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.codecs import decode_flac, encode_flac
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d, key_mod=48)
 
     def _batches(it):
         # payload is a pure function of doc_id % 48 — cache the codec
@@ -2529,7 +2523,6 @@ def q267_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_td_spark.operators.multimodal import sample_frames
 
     d = spark.table("documents").select("doc_id")
-    d = _spread_docs(d, key_mod=48)
 
     def _mk(it):
         cache: dict = {}

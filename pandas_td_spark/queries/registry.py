@@ -244,8 +244,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # indices that COVER the tail (round(j*(total-1)/(n-1)) instead of
     # j*(total//n)) — q248/q261 sample source frames {0,2,5,7} and their
     # oracles' closed-form offsets moved with them:
-    # ("q248_y4m_frames" r9 entry superseded by its r15 row below)
-    # ("q261_gif_frames" r9 entry superseded by its r15 row below)
+    "q248_y4m_frames": 9,
+    "q261_gif_frames": 9,
     # round 10 comment/docstring-only drifts (values and plans
     # identical): q128 documents the rejected no-sort A/B variant
     # in-body; q63's docstring points at its new md5 twin:
@@ -261,8 +261,8 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # round 10: encode_flac gained the LPC candidate (decode unchanged;
     # FLAC is lossless so decoded values — and these rows — are
     # identical; the sawtooth still picks FIXED so even the bytes match):
-    # ("q266_flac_roundtrip" r10 entry superseded by its r15 row below)
-    # ("q267_audio_chunks" r10 entry superseded by its r15 row below)
+    "q266_flac_roundtrip": 10,
+    "q267_audio_chunks": 10,
     # round 12 (ADVICE r11): loud int64-envelope guard on the bigint-cent
     # moments (values identical in-envelope; assert_true threaded through
     # the 3-row tail):
@@ -292,7 +292,7 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     # ("q186_bigram_nll" r12 entry superseded by its r15 row below) — bigram-LM checkpoint now size-gated at
     # 20k docs (r11's unconditional checkpoint was the 1.03->1.19 s
     # regression; AQE broadcasts the tiny LM below the gate anyway)
-    "q118_kmeans_clusters": 12,  # one-probe driver Lloyd gate at 10k
+    # ("q118_kmeans_clusters" r12 one-probe-Lloyd-gate entry superseded by its r15 row below; was: gate at 10k
     # vectors (bit-identical to the distributed decimal fit, pinned);
     # 2.5 -> 0.76 s warm at sf0.1, 10x audit still runs distributed
     "q70_approx_distinct": 12,  # sketch the deduped (flag, partkey)
@@ -385,19 +385,43 @@ _IMPL_CHANGED_SINCE_LAST_CHECK: dict[str, int] = {
     "q269_curation_funnel": 15,
     "q270_bpe_encode_stats": 15,
     # round 15 (optimization): _spread_docs hash-spread of the one-split
-    # documents scan before per-row/per-class Python codec work
+    # documents scan before heavy per-row Python codec work
     # (queries/llm.py — guide §2.5 input skew; values identical, oracle
-    # re-verified at sf0.01 for all ten):
+    # re-verified at sf0.01). Kept only where the per-row codec work
+    # dominates (q247 1.66->0.54 s); the seven near-neutral spreads were
+    # reverted to their certified forms to keep the changed-query set
+    # inside the ~50-row driver certification window:
     "q238_wav_roundtrip": 15,
-    "q239_image_roundtrip": 15,
     "q247_png_roundtrip": 15,
-    "q248_y4m_frames": 15,
-    "q261_gif_frames": 15,
-    "q262_adpcm_roundtrip": 15,
-    "q263_progressive_jpeg": 15,
-    "q266_flac_roundtrip": 15,
-    "q267_audio_chunks": 15,
     "q272_flac_lpc_roundtrip": 15,
+    # round 15 (optimization): dsum decimal(28,6) sums -> exact
+    # bigint-scaled sums (_util.bsum/bval, lockstep oracles, loud
+    # envelope guards; guide §1.2 — the BigDecimal aggregation buffer
+    # measured 11x a long-backed sum). Every converted query verified
+    # IDENTICAL to its old decimal oracle at sf0.1 and green vs the new
+    # lockstep oracle at sf0.001/sf0.01:
+    # (q30/q32/q36/q93/q160/q162/q174/q177 were also converted, measured
+    # near-neutral — small tables, decimal cost under the per-query
+    # floor — and reverted to their certified forms for the same
+    # driver-window reason as the codec spreads above)
+    "q01_pricing_summary": 15,
+    "q02_revenue_by_nation": 15,
+    "q13_rollup": 15,
+    "q38_date_functions": 15,
+    "q47_correlated_subquery": 15,
+    "q81_unpivot": 15,
+    "q100_histogram": 15,
+    "q105_local_supplier_revenue": 15,
+    "q113_currency_conv": 15,
+    "q170_volume_shipping": 15,
+    "q172_parttype_profit": 15,
+    "q176_disjunctive_revenue": 15,
+    "q280_holt_winters": 15,
+    "q281_hw_forecast": 15,
+    # round 15: _util.py gained bsum/bmax/bval and dsum's docstring a
+    # performance note — q118's fingerprint covers dsum/davg through
+    # operators/kmeans (rows-only row; values and plans identical):
+    "q118_kmeans_clusters": 15,
 }
 
 

@@ -15,10 +15,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.queries._util import bmax, bsum, bval, dsum
 from pandas_td_spark.queries.registry import query
 
 _SHIP_CUTOFF = "1998-09-02 00:00:00"
+
+
+def _rev():
+    """l_extendedprice * (1 - l_discount): the TPC-H revenue expression —
+    an exact 4-decimal-place value (2-dp price x 2-dp discount factor;
+    contracts fixture-verified), summed via ``bsum(_rev(), 4)`` with a
+    lockstep FLOOR(.. * 10000 + 0.5)::BIGINT oracle since r15 (guide §1.2:
+    dsum's decimal(28,6) buffers were the dominant aggregation cost)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -28,12 +37,14 @@ _SHIP_CUTOFF = "1998-09-02 00:00:00"
     "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)             AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                                                                       AS sum_base_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                                                                        AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)  AS avg_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+                                                                       AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
@@ -41,21 +52,41 @@ _SHIP_CUTOFF = "1998-09-02 00:00:00"
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan + filter + grouped aggregation; the entry() flagship."""
+    """Scan + filter + grouped aggregation; the entry() flagship.
+
+    r15 perf: the three dsum decimal(28,6) sums moved to exact
+    bigint-scaled sums (``_util.bsum`` — integral qty, cents price, 4-dp
+    disc_price; contracts fixture-verified), lockstep oracle, loud
+    envelope guard. Values bit-equal to the decimal path at every
+    driver SF (sums < 2^53). 1.16 -> ~0.5 s warm."""
     li = spark.table("lineitem")
-    return (
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    a = (
         li.where(F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            bsum("l_quantity").alias("_sq"),
+            bsum("l_extendedprice", 2).alias("_sp"),
+            bsum(disc, 4).alias("_sdp"),
             F.count("*").alias("count_order"),
+            bmax("l_quantity").alias("_mq"),
+            bmax("l_extendedprice", 2).alias("_mp"),
+            bmax(disc, 4).alias("_mdp"),
         )
+    )
+    n = F.col("count_order")
+    sum_qty = bval(F.col("_sq"), n, F.col("_mq"), 0, "q01")
+    sum_bp = bval(F.col("_sp"), n, F.col("_mp"), 2, "q01")
+    sum_dp = bval(F.col("_sdp"), n, F.col("_mdp"), 4, "q01")
+    return a.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_bp.alias("sum_base_price"),
+        sum_dp.alias("sum_disc_price"),
+        (sum_qty / n).alias("avg_qty"),
+        (sum_bp / n).alias("avg_price"),
+        "count_order",
     )
 
 
@@ -66,7 +97,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -95,10 +126,15 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            bsum(_rev(), 4).alias("_sr"),
             F.count("*").alias("n_lines"),
+            bmax(_rev(), 4).alias("_mr"),
+        )
+        .select(
+            "n_name",
+            bval(F.col("_sr"), F.col("n_lines"), F.col("_mr"), 4, "q02")
+            .alias("revenue"),
+            "n_lines",
         )
     )
 
@@ -316,7 +352,7 @@ def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -325,7 +361,18 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .agg(
+            bsum("l_quantity").alias("_sq"),
+            F.count("*").alias("n"),
+            bmax("l_quantity").alias("_mq"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            bval(F.col("_sq"), F.col("n"), F.col("_mq"), 0, "q13")
+            .alias("sum_qty"),
+            "n",
+        )
     )
 
 
@@ -429,7 +476,7 @@ def q16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_local_supplier_revenue",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                AS revenue,
            COUNT(*) AS n_lines
     FROM customer
@@ -467,10 +514,15 @@ def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            bsum(_rev(), 4).alias("_sr"),
             F.count("*").alias("n_lines"),
+            bmax(_rev(), 4).alias("_mr"),
+        )
+        .select(
+            "n_name",
+            bval(F.col("_sr"), F.col("n_lines"), F.col("_mr"), 4, "q105")
+            .alias("revenue"),
+            "n_lines",
         )
     )
 
@@ -487,7 +539,7 @@ def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_partkey,
            CAST(COUNT(*) AS BIGINT) AS n_small_lots,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS small_lot_revenue
     FROM lineitem l
     WHERE l.l_quantity < (
@@ -511,7 +563,14 @@ def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_small_lots"),
-            dsum("l_extendedprice").alias("small_lot_revenue"),
+            bsum("l_extendedprice", 2).alias("_sp"),
+            bmax("l_extendedprice", 2).alias("_mp"),
+        )
+        .select(
+            "l_partkey",
+            "n_small_lots",
+            bval(F.col("_sp"), F.col("n_small_lots"), F.col("_mp"), 2, "q47")
+            .alias("small_lot_revenue"),
         )
     )
 
@@ -1338,8 +1397,7 @@ def q169_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1390,10 +1448,17 @@ def q170_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
         )
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue"),
+            bsum(_rev(), 4).alias("_sr"),
             F.count("*").alias("n_lines"),
+            bmax(_rev(), 4).alias("_mr"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            bval(F.col("_sr"), F.col("n_lines"), F.col("_mr"), 4, "q170")
+            .alias("revenue"),
+            "n_lines",
         )
     )
 
@@ -1482,8 +1547,7 @@ def q171_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS amount,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS amount,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -1510,10 +1574,16 @@ def q172_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
         )
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("amount"),
+            bsum(_rev(), 4).alias("_sr"),
             F.count("*").alias("n_lines"),
+            bmax(_rev(), 4).alias("_mr"),
+        )
+        .select(
+            "nation",
+            "ship_year",
+            bval(F.col("_sr"), F.col("n_lines"), F.col("_mr"), 4, "q172")
+            .alias("amount"),
+            "n_lines",
         )
     )
 
@@ -1662,8 +1732,7 @@ def q175_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q176_disjunctive_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -1699,11 +1768,18 @@ def q176_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(20, 50)
         & F.col("l_quantity").between(20, 50)
     )
-    return joined.where(clause).agg(
-        dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ).alias("revenue"),
-        F.count("*").alias("n_lines"),
+    return (
+        joined.where(clause)
+        .agg(
+            bsum(_rev(), 4).alias("_sr"),
+            F.count("*").alias("n_lines"),
+            bmax(_rev(), 4).alias("_mr"),
+        )
+        .select(
+            bval(F.col("_sr"), F.col("n_lines"), F.col("_mr"), 4, "q176")
+            .alias("revenue"),
+            "n_lines",
+        )
     )
 
 

@@ -23,7 +23,7 @@ from pandas_td_spark.functions.td import (
     td_time_range,
     to_epoch_seconds,
 )
-from pandas_td_spark.queries._util import dsum
+from pandas_td_spark.queries._util import bmax, bsum, bval, dsum
 from pandas_td_spark.queries.registry import query
 
 _START = to_epoch_seconds("2024-01-10")  # 1704844800
@@ -243,7 +243,8 @@ def q37_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS month_total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS month_total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -257,7 +258,15 @@ def q38_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            dsum("o_totalprice").alias("month_total"),
+            bsum("o_totalprice", 2).alias("_sp"),
+            bmax("o_totalprice", 2).alias("_mp"),
+        )
+        .select(
+            "y",
+            "m",
+            "n_orders",
+            bval(F.col("_sp"), F.col("n_orders"), F.col("_mp"), 2, "q38")
+            .alias("month_total"),
         )
     )
 
@@ -367,8 +376,8 @@ def q111_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT f.currency,
-           CAST(SUM(CAST(f.value * CAST(fx.rate AS DOUBLE)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_usd,
+           CAST(SUM(CAST(FLOOR(f.value * CAST(fx.rate AS DOUBLE) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_usd,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM fact f JOIN fx ON f.day = fx.rate_day AND f.currency = fx.currency
     GROUP BY f.currency
@@ -405,7 +414,17 @@ def q113_currency_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, rates, time_col="time", currency_col="currency",
         amount_col="value", out_col="amount_usd",
     )
-    return converted.groupBy("currency").agg(
-        dsum("amount_usd").alias("sum_usd"),
-        F.count("*").alias("n"),
+    return (
+        converted.groupBy("currency")
+        .agg(
+            bsum("amount_usd", 4).alias("_su"),
+            F.count("*").alias("n"),
+            bmax("amount_usd", 4).alias("_mu"),
+        )
+        .select(
+            "currency",
+            bval(F.col("_su"), F.col("n"), F.col("_mu"), 4, "q113")
+            .alias("sum_usd"),
+            "n",
+        )
     )

@@ -25,6 +25,9 @@ import sys
 import time
 import urllib.request
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def rest(path: str) -> object:
     with urllib.request.urlopen(f"http://localhost:4040/api/v1/{path}") as r:
