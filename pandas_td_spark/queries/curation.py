@@ -161,7 +161,7 @@ def q85_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (a doc has trigram stats iff it has >= 3 tokens, which implies
     bigram stats). Interleaved A/B at sf0.1 in the r13 close-out; the
     oracle is unchanged."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     w = _words()
     tag = lambda arr, n: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
@@ -653,7 +653,7 @@ def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under the corpus
     unigram LM (natural log, 6dp-rounded per token)."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     tok = d.select("doc_id", F.explode(_words()).alias("w"))
     # r13: fold the token stream to (doc_id, w) COUNTS first and
     # checkpoint THAT — it is the one shared artifact both the unigram
@@ -1018,7 +1018,7 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreducible without dropping a gram size; the plan is map-only and
     scales with cores, so the remaining gap to DuckDB's single-process
     0.34 s is a fixed local constant, not a scale risk."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     w = _words()
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
     # All four repetition statistics are per-document fractions, so they
@@ -1289,7 +1289,7 @@ def q127_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraction of each doc's distinct word 8-grams shared with another
     doc — the pretraining dedup/memorization diagnostic."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
     shingles = F.when(
         F.size(words) >= 8,
@@ -2133,7 +2133,7 @@ def q256_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     2048-token budget."""
     from pyspark.sql import Window
 
-    d = spread(spark.table("documents")).select(
+    d = spread(spark.table("documents"), by="doc_id").select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("toks"),
@@ -2292,7 +2292,7 @@ def q258_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax table of the first BPE merge."""
     from pyspark.sql import Window
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     tok = d.select(F.explode(F.split("text", " ")).alias("w")).where(
         F.length("w") >= 2
     )
@@ -2348,7 +2348,7 @@ def q258_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q259_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document/token loss if every document is hard-truncated
     at the 2048-token context window."""
-    d = spread(spark.table("documents")).select(
+    d = spread(spark.table("documents"), by="doc_id").select(
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("toks"),
     )
@@ -2463,7 +2463,7 @@ def _bpe_merges_cached(spark: SparkSession) -> list:
     key = (spark, _CURRENT_VIEWS.get(spark))
     got = cache_touch(_BPE_MERGE_CACHE, key)
     if got is None:
-        words = words_with_counts(spread(spark.table("documents")))
+        words = words_with_counts(spread(spark.table("documents"), by="doc_id"))
         got = cache_put(
             _BPE_MERGE_CACHE, key, bpe_train(words, _BPE_MERGES).collect()
         )
@@ -2567,7 +2567,7 @@ def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     all → lang → quality → bow-dedup → decontaminated."""
     from pandas_td_spark.operators.dedup import shingle_array
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     toks = F.size(F.split("text", " "))
     base = d.select(
         "doc_id",
@@ -2697,7 +2697,7 @@ def q270_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count, character mass, post-BPE token count, fertility."""
     from pandas_td_spark.operators.bpe import MARK, words_with_counts
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     words = words_with_counts(d)
     merges = _bpe_merges_cached(spark)  # model grain: ≤8 rows, memoized
     seg = words.select("word")

@@ -452,7 +452,7 @@ def q92_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprint selection is row-local, so the plan is one zero-shuffle
     projection: hash array -> per-position window minima (slice clamps
     at the tail exactly like the ROWS frame) -> distinct/sort/join."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     fps, hs = _winnow_fps(_words())
     return (
         d.select("doc_id", hs.alias("__hs"))
@@ -635,8 +635,10 @@ def q124_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           -CAST(SUM(CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)), 6)
-                   AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS nll
+           -(CAST(SUM(CAST(FLOOR(
+                 ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000
+                 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(*)
+             AS nll
     FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
     GROUP BY bg.doc_id
     """,
@@ -648,7 +650,7 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal sum by the same count, so the doubles are
     bit-identical — while rounding an arbitrary quotient double is
     where engine ROUND semantics diverge (observed once at sf0.1)."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
     n = F.size(words)
     pairs = F.when(
@@ -688,20 +690,43 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B-tested here and rejected: warm wash at sf0.1, and token-grain
     # materialization is the wrong default at 100 TB.
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    # vocabulary size rides as a lazy broadcast 1-row aggregate — a
-    # driver-side distinct().count() here was a full extra scan+job of
-    # the word explode; the exact integer count converts to the same
-    # double either way
+    # vocabulary size rides as a lazy broadcast 1-row aggregate. r15
+    # (guide §1.2): it no longer re-explodes the corpus (a third full
+    # tokenize pass, ~6 CPU-s at sf0.1) — every corpus word appears as
+    # some bigram's w1/w2 EXCEPT the single word of a space-free doc
+    # (in a doc with >=2 words, words[0..n-2] are w1s and words[n-1] is
+    # a w2; a 1-word doc is exactly a doc whose text has no space, and
+    # its word IS the text), so distinct-word count folds from the
+    # 931-row checkpointed LM plus a no-explode filtered scan. Set
+    # equality holds for any input, so the oracle's corpus-explode
+    # formulation is unchanged and the value identical.
+    one_word = (
+        spark.table("documents")
+        .where(F.col("text").isNotNull() & ~F.col("text").contains(" "))
+        .select(F.col("text").alias("w"))
+    )
     vocab = (
-        d.select(F.explode(words).alias("w"))
+        c12.select(F.col("w1").alias("w"))
+        .unionAll(c12.select(F.col("w2").alias("w")))
+        .unionAll(one_word)
         .agg(F.count_distinct("w").cast("double").alias("__v"))
     )
-    term = F.round(
-        F.log(
-            (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("__v"))
-        ),
-        6,
-    ).cast("decimal(28,6)")
+    # r15: the per-bigram 6-dp term used Spark round() (BigDecimal per
+    # row) feeding a decimal(28,6) sum (BigDecimal buffers) — the
+    # scoring stage burned 17.5 CPU-s. Same 6-dp quantization via
+    # FLOOR(ln*1e6 + 0.5) micros, pure FP per row, summed as exact
+    # int64 (bit-equal nll in-envelope: |Σmicros| < 2^53 ≈ 6e8
+    # bigrams/doc at |ln|<=15). Cross-engine tolerance is unchanged:
+    # round-to-6dp and floor-micros both flip only when the engines'
+    # ln() ulps straddle a 1e-6-grain boundary — the identical lockstep
+    # formula on identical exact inputs keeps the hash stable exactly
+    # as the old round(,6) did (verified vs the old decimal oracle at
+    # sf0.1).
+    term = F.floor(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("__v")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
     return (
         bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")
@@ -709,7 +734,10 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            (-F.sum(term).cast("double") / F.count("*")).alias("nll"),
+            (
+                -(F.sum(term).cast("double") / F.lit(1000000.0))
+                / F.count("*")
+            ).alias("nll"),
         )
     )
 
@@ -847,7 +875,7 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-word collocations by PMI (count >= 5)."""
     from pyspark.sql import Window
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
     n = F.size(words)
     pairs = F.when(
@@ -957,7 +985,7 @@ def q207_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micro-unit integer OLS moments)."""
     from pyspark.sql import Window
 
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     cnt = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
@@ -1050,7 +1078,7 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle's per-gram hashing is position-insensitive here (no
     window minimum — full k-gram sets, the stricter audit)."""
-    d = spread(spark.table("documents"))
+    d = spread(spark.table("documents"), by="doc_id")
     ws = _words()
     grams = F.when(
         F.size(ws) >= _WIN_K,
