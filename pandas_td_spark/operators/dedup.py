@@ -145,7 +145,10 @@ def minhash_signatures(
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
         % MINHASH_PRIME
     )
-    ex = spread(df).select(
+    # spread(by=) — deterministic partitioning so the signature subtree
+    # canonicalizes and both sides of a downstream self-join REUSE one
+    # exchange (round-robin here made q53 build signatures twice).
+    ex = spread(df, by=id_col).select(
         F.col(id_col), F.explode(shingle_array(text_col, shingle_n)).alias("s")
     ).select(F.col(id_col), base.alias("h"))
     aggs = [
@@ -257,7 +260,16 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # The signature table feeds BOTH sides of the band self-join. With
+    # the deterministic doc_id spread the groupBy inherits clustering and
+    # has no exchange of its own, so without materialization each side
+    # re-runs the full shingle+md5 signature build (measured 2.5 + 3.4
+    # exec-s at sf0.1). Checkpoint the tiny per-doc signature frame
+    # (rows × (1+k) bigints) instead — same rationale/limits as the
+    # posting-list checkpoint in :func:`jaccard_pairs`.
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint()
     banded = sig.select(
         F.col(id_col),
         F.posexplode(_band_struct_array(num_hashes, bands)).alias(
@@ -291,7 +303,10 @@ def verify_jaccard_on_pairs(
     """Exact Jaccard computed ONLY on candidate pairs (two hash joins to
     fetch shingle sets + array_intersect per pair) — O(candidates), unlike
     the full inverted-index join in :func:`jaccard_pairs`."""
-    sh = spread(df).select(
+    # deterministic spread: the shingle frame feeds BOTH pair sides —
+    # with a canonical exchange the two branches share one shuffle
+    # instead of re-scanning + re-shingling per side.
+    sh = spread(df, by=id_col).select(
         F.col(id_col).alias("__id"),
         shingle_array(text_col, shingle_n).alias("__sh"),
     )
@@ -338,12 +353,19 @@ def jaccard_pairs(
     ``persist(DISK_ONLY)`` or write an intermediate table instead.
     """
     sh = (
-        spread(df).select(
+        spread(df, by=id_col).select(
             F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
         )
         .select(
             F.col(id_col),
-            F.explode("shingles").alias("s"),
+            # explode_outer, NOT explode: InferFiltersFromGenerate turns
+            # an inner explode into a size(..)>0 filter that Catalyst
+            # pushes below the spread exchange — re-evaluating the whole
+            # shingle expression serially in the one-split scan stage
+            # (0.4 s single-task at sf0.1). shingle_array() is never
+            # empty (its ELSE arm emits the 1-element whole-text array),
+            # so the outer form produces identical rows and no filter.
+            F.explode_outer("shingles").alias("s"),
             F.size("shingles").alias("n_sh"),
         )
         .localCheckpoint()
@@ -403,7 +425,7 @@ def jaccard_pairs_prefix(
     asserted in tests/test_llm.py).
     """
     t = float(threshold)
-    sh = spread(df).select(
+    sh = spread(df, by=id_col).select(
         F.col(id_col), shingle_array(text_col, shingle_n).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     # materialized once: feeds both the DF-count agg and the rank join
@@ -581,7 +603,7 @@ def simhash_signatures(
     aggregates collapse map-side; the final select packs sign bits into
     one BIGINT. The md5 token hash (r10) makes the signature — and the
     banded pair set built on it — reproducible by a SQL oracle."""
-    ex = spread(df).select(
+    ex = spread(df, by=id_col).select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("w")
     ).select(
         F.col(id_col),

@@ -2579,14 +2579,20 @@ def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_t"),
         shingle_array("text", 5).alias("shingles"),
     )
+    # explode_outer, NOT explode (both branches): the inner form's
+    # inferred size(shingles)>0 filter pushes below the spread exchange
+    # and re-evaluates the whole 5-gram shingle expression serially in
+    # the one-split scan stage (2 x ~0.5 s single-task at sf0.1).
+    # shingle_array() is never empty, and the lone null row an outer
+    # explode would emit is dropped by distinct-join semantics anyway.
     bench = (
         base.where(F.col("doc_id") < 25)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode_outer("shingles").alias("s"))
         .distinct()
     )
     contaminated = (
         base.where(F.col("doc_id") >= 25)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
         .join(F.broadcast(bench), "s")
         .select("doc_id")
         .distinct()
