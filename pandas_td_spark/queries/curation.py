@@ -34,19 +34,37 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def _ngrams(words, n: int):
+def _ngrams(words, n: int, text_col: str = "text"):
     """Positional word n-grams (duplicates preserved) — empty for docs
     shorter than ``n`` tokens. Distinct-shingle work uses
     ``operators.dedup.shingle_array`` instead; repetition stats need the
-    multiplicities, so this variant keeps them."""
+    multiplicities, so this variant keeps them.
+
+    Fast path (r15, the shingle_array discipline): a single
+    lookahead-regex pass extracts every overlapping n-gram from
+    ``text_col`` directly — ``regexp_extract_all`` returns matches in
+    positional order WITH duplicates, so the sequence is identical to
+    the transform+slice form whenever the text has no empty tokens
+    (``[^ ]+`` and ``split`` agree exactly there; no match for docs
+    shorter than ``n`` tokens reproduces the empty-array arm). Texts
+    with leading/trailing/doubled separators keep the positional slice
+    arm. A/B at sf0.1 on q108's four-gram-size stack: 0.834 -> 0.414 s
+    median (slice copies O(n·len) subarrays per doc), row-identical."""
+    c = F.col(text_col)
     sz = F.size(words)
-    return F.when(
+    empty = F.array().cast("array<string>")
+    gram = " ".join(["[^ ]+"] * n)
+    fast = F.regexp_extract_all(c, F.lit(f"(?<=^| )(?=({gram}))"), F.lit(1))
+    positional = F.when(
         sz >= n,
         F.transform(
             F.sequence(F.lit(1), sz - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(empty)
+    return F.when(c.rlike("(^| )( |$)"), positional).otherwise(
+        F.when(sz >= n, fast).otherwise(empty)
+    )
 
 
 def _gram_stats(grams):
@@ -1291,11 +1309,25 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — the pretraining dedup/memorization diagnostic."""
     d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
+    # 8-grams via the shingle_array-style lookahead regex (one pass over
+    # the text) with the positional transform+slice form kept as the
+    # fallback for texts with empty tokens, where `[^ ]+` and split()
+    # disagree — same guard, same arms, same gram strings as
+    # operators/dedup.shingle_array. A/B at sf0.1: gram+hash stage
+    # 0.248 -> 0.176 s median, row-identical.
+    positional = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 7),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+    )
+    fast = F.regexp_extract_all(
+        F.col("text"),
+        F.lit("(?<=^| )(?=(" + " ".join(["[^ ]+"] * 8) + "))"),
+        F.lit(1),
+    )
     shingles = F.when(
         F.size(words) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 7),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+        F.when(F.col("text").rlike("(^| )( |$)"), positional).otherwise(
+            fast
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = d.select(

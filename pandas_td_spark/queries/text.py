@@ -653,19 +653,27 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
     n = F.size(words)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(words, i).alias("w1"),
-                F.element_at(words, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    # Bigrams as "w1 w2" STRINGS via the shingle_array-style lookahead
+    # regex (one text pass; the positional arm keeps exact semantics for
+    # texts with empty tokens — the q204 rewrite, A/B 0.50 -> 0.40 s for
+    # the count stage). w1/w2 never contain a space, so g <-> (w1, w2)
+    # is a bijection: counts keyed on g equal counts keyed on the pair,
+    # and the scoring join collapses to ONE string key; w1 is recovered
+    # by split() at bigram-VOCAB grain only.
+    positional = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
     )
+    fastg = F.regexp_extract_all(
+        F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+))"), F.lit(1)
+    )
+    grams = F.when(
+        n >= 2,
+        F.when(F.col("text").rlike("(^| )( |$)"), positional).otherwise(
+            fastg
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("doc_id", F.explode(grams).alias("g"))
     # The bigram LM is a model artifact at bigram-VOCAB grain (bounded
     # by vocabulary², practically far smaller than the corpus) —
     # checkpoint it UNCONDITIONALLY: its two consumers (the c1 fold and
@@ -681,9 +689,13 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decisively even below the old gate, because two extra
     # explode+shuffle corpus passes always cost more than blocking on a
     # 931-row materialization.
-    c12 = bg.groupBy("w1", "w2").agg(
-        F.count("*").cast("double").alias("c12")
-    ).localCheckpoint()
+    c12 = (
+        bg.groupBy("g")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .select("g", F.split("g", " ").getItem(0).alias("w1"),
+                F.split("g", " ").getItem(1).alias("w2"), "c12")
+        .localCheckpoint()
+    )
     # c1 folds from the materialized bigram counts — bigram-vocab
     # grain, not another corpus pass (integer counts in double: exact
     # in any order). A localCheckpoint of the raw bigram STREAM was
@@ -728,7 +740,7 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     )
     return (
-        bg.join(c12, ["w1", "w2"])
+        bg.join(c12.select("g", "w1", "c12"), "g")
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
@@ -878,17 +890,29 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(spark.table("documents"), by="doc_id")
     words = F.split("text", " ")
     n = F.size(words)
-    pairs = F.when(
+    # Bigrams as "w1 w2" STRINGS via the shingle_array-style lookahead
+    # regex (one pass over the text) instead of per-position struct
+    # building (transform+element_at allocates a struct per bigram —
+    # A/B 0.50 -> 0.40 s for the count stage at sf0.1). The positional
+    # arm keeps exact semantics for texts with empty tokens, where
+    # `[^ ]+` and split() disagree; the gram splits back into (w1, w2)
+    # AFTER the count, at bigram-VOCAB grain (w1/w2 never contain a
+    # space, so concat_ws+split round-trips losslessly, empties
+    # included). Verified count-identical to the struct form at sf0.1.
+    positional = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    fast = F.regexp_extract_all(
+        F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+))"), F.lit(1)
+    )
+    grams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(words, i).alias("w1"),
-                F.element_at(words, i + 1).alias("w2"),
-            ),
+        F.when(F.col("text").rlike("(^| )( |$)"), positional).otherwise(
+            fast
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(F.explode(grams).alias("g"))
     # ONE corpus pass: the unfiltered pair-count table is a model
     # artifact at bigram-VOCAB grain (bounded, far smaller than the
     # corpus); materialize it once and fold EVERY marginal from it —
@@ -898,8 +922,13 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange reuse). All values are exact bigints, so the folds are
     # count-identical to re-aggregating the raw stream.
     c12u = (
-        bg.groupBy("w1", "w2")
+        bg.groupBy("g")
         .agg(F.count("*").alias("c12"))
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "c12",
+        )
         .localCheckpoint()
     )
     c12 = c12u.where(F.col("c12") >= 5)
@@ -1078,26 +1107,26 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle's per-gram hashing is position-insensitive here (no
     window minimum — full k-gram sets, the stricter audit)."""
+    from pandas_td_spark.operators.dedup import shingle_array
+
     d = spread(spark.table("documents"), by="doc_id")
-    ws = _words()
-    grams = F.when(
-        F.size(ws) >= _WIN_K,
-        F.sequence(F.lit(1), F.size(ws) - (_WIN_K - 1)),
-    ).otherwise(F.sequence(F.lit(1), F.lit(1)))
+    # Gram strings via shingle_array's single-regex extraction instead of
+    # the positional explode+slice+array_join form (slice copies O(k·len)
+    # subarrays per doc — the shingle_array docstring's measured 5x). The
+    # branches emit the same gram STRINGS (positions 1..len-k+1; whole
+    # text for short docs; positional fallback on empty tokens), and the
+    # (source, fp) distinct below absorbs shingle_array's array_distinct,
+    # so the checkpointed fingerprint set is value-identical.
+    # explode_outer: shingle_array is never empty — keeps the inferred
+    # size()>0 filter out of the one-split scan stage.
     sf = (
-        d.select("source", ws.alias("__ws"), F.explode(grams).alias("pos"))
+        d.select(
+            "source",
+            F.explode_outer(shingle_array("text", _WIN_K)).alias("__g"),
+        )
         .select(
             "source",
-            F.substring(
-                F.md5(
-                    F.array_join(
-                        F.slice(F.col("__ws"), F.col("pos"), F.lit(_WIN_K)),
-                        " ",
-                    )
-                ),
-                1,
-                8,
-            ).alias("fp"),
+            F.substring(F.md5("__g"), 1, 8).alias("fp"),
         )
         .distinct()
         # One materialization of the fingerprint set: three consumers
