@@ -2098,12 +2098,22 @@ def q208_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rr",
         F.row_number().over(wo.orderBy(rem.desc(), "l_linenumber")),
     ).withColumn(
-        # integer `div` over an exact decimal product, matching the
-        # oracle's `(t * q) // qt`: floor of the double quotient flips
-        # allocations once t*q passes 2^53 (plausible cents x quantity
-        # magnitudes at warehouse scale)
+        # exact integer product matching the oracle's `(t * q) // qt`.
+        # r15: the DECIMAL(38,0) cast allocated a BigDecimal per row in
+        # the window stage (A/B 0.82 -> 0.73 s at sf0.1) and was also
+        # inconsistent — `rem` above already forms t*q as BIGINT. Both
+        # now share the int64 product under a LOUD envelope (the
+        # bsum/q183 discipline): t < 2^43 cents (~$88B/order — order
+        # totals are scale-INVARIANT, they never grow with corpus
+        # size) and q < 2^20 keep t*q under 2^63 with proof, and
+        # assert_true raises instead of wrapping silently.
         "b",
-        F.expr("(CAST(t AS DECIMAL(38,0)) * q) div qt"),
+        F.expr(
+            "CASE WHEN assert_true(t >= 0 AND t < 8796093022208 "
+            "AND q >= 0 AND q < 1048576, "
+            "'q208: t*q exceeds the int64 envelope') IS NULL "
+            "THEN (t * q) div qt END"
+        ),
     )
     li = li.withColumn("sb", F.sum("b").over(wo))
     return li.select(
