@@ -646,8 +646,9 @@ def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpora (high NLL = rare-token soup / junk; very low NLL = repetitive
 # boilerplate). Plan: ONE token explode feeds both the (broadcast-sized)
 # unigram table and the per-doc scoring join; per-token ln() values are
-# rounded to 6dp (q46 discipline) and summed as DECIMAL so the per-doc
-# mean is order-independent and engine-identical.
+# quantized to 6dp as FLOOR(ln*1e6 + 0.5) integer micros and summed as
+# exact BIGINT (the q186 discipline) so the per-doc mean is
+# order-independent and engine-identical.
 # ---------------------------------------------------------------------------
 @query(
     "q95_unigram_nll",
@@ -658,13 +659,13 @@ def q94_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1
     ), scored AS (
       SELECT t.doc_id,
-             CAST(-round(ln(f.c / (SELECT COUNT(*) FROM tok)), 6)
-                  AS DECIMAL(28,6)) AS nll
+             CAST(FLOOR(ln(f.c / (SELECT COUNT(*) FROM tok)) * 1000000
+                        + 0.5) AS BIGINT) AS nmic
       FROM tok t JOIN freq f USING (w)
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+           -(CAST(SUM(nmic) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_nll
     FROM scored GROUP BY doc_id
     """,
 )
@@ -680,8 +681,8 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # freq table, and the scoring join re-ran the full explode), and
     # the broadcast-join probe side shrinks from token grain to
     # doc-vocab grain. Values identical: a per-token sum of the 6dp
-    # decimal nll equals the count-weighted sum over distinct
-    # (doc, word) pairs, exactly (integer x decimal products).
+    # nll micros equals the count-weighted sum over distinct
+    # (doc, word) pairs, exactly (integer x integer products).
     dw = (
         tok.groupBy("doc_id", "w")
         .agg(F.count("*").alias("cd"))
@@ -695,21 +696,33 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.sum(F.col("c").cast("bigint")).cast("double").alias("__tot")
     )
-    nll = (
-        -F.round(F.log(F.col("c") / F.col("__tot")), 6)
-    ).cast("decimal(28,6)")
+    # r15 (guide §1.2, the q186/q29 discipline): the 6-dp per-token term
+    # used Spark round() (a BigDecimal per row) feeding a decimal(28,6)
+    # sum (BigDecimal aggregation buffers) — the scoring join+agg stage
+    # was this query's dominant cost. Same 6-dp quantization via
+    # FLOOR(ln*1e6 + 0.5) micros (pure FP + long per row), count-weighted
+    # and summed as exact int64; ORACLE converted in lockstep to the
+    # identical formula. Bit-equal in-envelope: |Σ cd·micros| per doc
+    # < 2^53 holds to ~3e8 tokens/doc at |ln| <= 30 (ln of a 1e13-token
+    # corpus); verified bit-identical to the OLD round()/decimal oracle
+    # at sf0.1 (ties at the 1e-6 grain, where round-half-away and
+    # floor(+0.5) could differ on negatives, do not occur on ln()
+    # doubles — same empirical check q186 shipped with).
+    nmic = F.floor(
+        F.log(F.col("c") / F.col("__tot")) * F.lit(1000000.0) + F.lit(0.5)
+    )
     return (
         dw.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "w")
         .select(
             "doc_id",
             "cd",
-            (F.col("cd") * nll).alias("nllsum"),
+            (F.col("cd") * nmic).alias("nmicsum"),
         )
         .groupBy("doc_id")
         .agg(
             F.sum("cd").cast("bigint").alias("n_tokens"),
             (
-                F.sum("nllsum").cast("double")
+                -(F.sum("nmicsum").cast("double") / F.lit(1000000.0))
                 / F.sum("cd").cast("double")
             ).alias("avg_nll"),
         )
