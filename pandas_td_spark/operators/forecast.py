@@ -164,113 +164,103 @@ def seasonal_decompose(
     that partitioning (zero further exchanges); series count scales
     out.
     """
-    from pyspark.sql import Window, functions as F
-
     if m % 2 == 0:
         raise NotImplementedError(
             "even seasonal period needs the 2xm weighted moving "
             "average; odd m only (classical additive subset)"
         )
     h = m // 2
-    wk = Window.partitionBy(key)
-    wo = wk.orderBy(*order_cols)
-    # Projections are BATCHED into a handful of select("*", ...) stages
-    # (r15) instead of one withColumn per column (~15 intermediate plan
-    # nodes). Measured honestly: Python-side construction of this
-    # operator is ~0.3 s at bench scale and is dominated by per-Column
-    # py4j calls, which batching only trims (~10%); the batching is
-    # kept for the smaller plan tree. Expressions are unchanged.
+    # Construction is selectExpr SQL strings — ONE py4j round-trip per
+    # stage (r15 session-2, guide §1.2 driver-side cost): the Column-API
+    # form spent ~0.3-0.4 s/call at bench scale in per-Column py4j
+    # chatter (~45% of the query's wall; measured construct-only
+    # 0.44 s of 1.01 s). The parsed expressions are the IDENTICAL
+    # Catalyst trees — float literals written `7.0D` (plain `7.0`
+    # parses as DECIMAL(2,1)), the grand-mean fold kept as the same
+    # left-associated chain — so every value is bit-identical
+    # (exceptAll-verified against the Column-API form, oracle-green at
+    # all three SFs).
+    win = f"partition by {key} order by {', '.join(order_cols)}"
+    frame = f"rows between {h} preceding and {h} following"
+    fm = f"{float(m)!r}D"
     d = (
-        df.select(
+        df.selectExpr(
             "*",
-            F.row_number().over(wo).alias("rn"),
-            F.count("*").over(wk).alias("__n"),
+            f"row_number() over ({win}) as rn",
+            f"count(*) over (partition by {key}) as __n",
         )
-        .where(F.col("__n") >= 2 * m - 1)
-        .select(
+        .where(f"__n >= {2 * m - 1}")
+        .selectExpr(
             "*",
-            F.sum(x_cents).over(wo.rowsBetween(-h, h)).alias("__s"),
-            F.count(x_cents).over(wo.rowsBetween(-h, h)).alias("__c"),
-            ((F.col("rn") - 1) % m).alias("__j"),
+            f"sum({x_cents}) over ({win} {frame}) as __s",
+            f"count({x_cents}) over ({win} {frame}) as __c",
+            f"(rn - 1) % {m} as __j",
+        )
+        # 7*detrended, exactly integral: m*x - sum_m
+        .selectExpr(
+            "*",
+            f"case when __c = {m} then {m} * {x_cents} - __s end as __dm",
+        )
+        .selectExpr(
+            "*",
+            f"sum(__dm) over (partition by {key}, __j) as __sjs",
+            f"count(__dm) over (partition by {key}, __j) as __nj",
+        )
+        .selectExpr(
+            "*",
+            f"cast(__sjs as double) / cast({m} * __nj as double) as __sj",
+        )
+        # grand mean over the m seasonal indices: pivot to columns so
+        # the float fold has ONE fixed association both engines share
+        .selectExpr(
+            "*",
+            *[
+                f"max(case when __j = {jj} then __sj end) "
+                f"over (partition by {key}) as __sj{jj}"
+                for jj in range(m)
+            ],
         )
     )
-    full = F.col("__c") == m
-    # 7*detrended, exactly integral: m*x - sum_m
-    d = d.select(
-        "*", F.when(full, m * F.col(x_cents) - F.col("__s")).alias("__dm")
+    grand = (
+        "(" + " + ".join(f"__sj{jj}" for jj in range(m)) + f") / {fm}"
     )
-    wj = Window.partitionBy(key, "__j")
-    d = d.select(
+    return d.selectExpr(
         "*",
-        F.sum("__dm").over(wj).alias("__sjs"),
-        F.count("__dm").over(wj).alias("__nj"),
-    ).select(
-        "*",
-        (
-            F.col("__sjs").cast("double")
-            / (m * F.col("__nj")).cast("double")
-        ).alias("__sj"),
-    )
-    # grand mean over the m seasonal indices: pivot to columns so the
-    # float fold has ONE fixed association both engines share
-    d = d.select(
-        "*",
-        *[
-            F.max(F.when(F.col("__j") == jj, F.col("__sj")))
-            .over(wk)
-            .alias(f"__sj{jj}")
-            for jj in range(m)
-        ],
-    )
-    grand = F.col("__sj0")
-    for jj in range(1, m):
-        grand = grand + F.col(f"__sj{jj}")
-    grand = grand / F.lit(float(m))
-    d = d.select(
-        "*", F.when(full, F.col("__sj") - grand).alias("seasonal")
-    )
-    return d.select(
+        f"case when __c = {m} then __sj - {grand} end as seasonal",
+    ).selectExpr(
         key,
         "rn",
-        F.col(x_cents).alias("x_cents"),
-        F.when(full, F.col("__s").cast("double") / F.lit(float(m))).alias(
-            "trend"
-        ),
+        f"{x_cents} as x_cents",
+        f"case when __c = {m} then cast(__s as double) / {fm} end as trend",
         "seasonal",
-        F.when(
-            full,
-            F.col("__dm").cast("double") / F.lit(float(m))
-            - F.col("seasonal"),
-        ).alias("resid"),
+        f"case when __c = {m} then cast(__dm as double) / {fm} - seasonal "
+        "end as resid",
     )
 
 
 def _exact_median(d, key: str, col: str, out: str):
     """Per-key median with NO engine-defined interpolation: explicit
     rank pick of the two middle elements (equal when the count is odd)
-    and a dyadic (lo+hi)/2 — bit-identical across engines."""
-    from pyspark.sql import Window, functions as F
-
-    wk = Window.partitionBy(key)
-    wr = wk.orderBy(col, "rn")
-    d = d.select(
+    and a dyadic (lo+hi)/2 — bit-identical across engines.
+    selectExpr construction (r15 session-2) — same expression trees,
+    one py4j call per stage."""
+    d = d.selectExpr(
         "*",
-        F.row_number().over(wr).alias("__rr"),
-        F.count(col).over(wk).alias("__cc"),
+        f"row_number() over (partition by {key} order by {col}, rn) "
+        "as __rr",
+        f"count({col}) over (partition by {key}) as __cc",
     )
-    lo = F.max(
-        F.when(
-            F.col("__rr") == ((F.col("__cc") + 1) / 2).cast("long"),
-            F.col(col),
-        )
-    ).over(wk)
-    hi = F.max(
-        F.when(
-            F.col("__rr") == (F.col("__cc") / 2).cast("long") + 1,
-            F.col(col),
-        )
-    ).over(wk)
-    return d.select("*", ((lo + hi) / 2).alias(out)).drop("__rr", "__cc")
+    lo = (
+        f"max(case when __rr = cast((__cc + 1) / 2 as bigint) "
+        f"then {col} end) over (partition by {key})"
+    )
+    hi = (
+        f"max(case when __rr = cast(__cc / 2 as bigint) + 1 "
+        f"then {col} end) over (partition by {key})"
+    )
+    return d.selectExpr("*", f"({lo} + {hi}) / 2 as {out}").drop(
+        "__rr", "__cc"
+    )
 
 
 def seasonal_anomalies(
@@ -286,16 +276,12 @@ def seasonal_anomalies(
     median absolute deviation. Both medians use the explicit rank-pick
     form (no quantile interpolation ambiguity); with dyadic ``k`` the
     comparison is bit-exact against the SQL replay."""
-    from pyspark.sql import functions as F
-
     dec = seasonal_decompose(df, key, order_cols, x_cents, m=m).where(
-        F.col("resid").isNotNull()
+        "resid is not null"
     )
     dec = _exact_median(dec, key, "resid", "__med")
-    dec = dec.select(
-        "*", F.abs(F.col("resid") - F.col("__med")).alias("dev")
-    )
+    dec = dec.selectExpr("*", "abs(resid - __med) as dev")
     dec = _exact_median(dec, key, "dev", "mad")
-    return dec.where(F.col("dev") > k * F.col("mad")).select(
+    return dec.where(f"dev > {float(k)!r}D * mad").selectExpr(
         key, "rn", "resid", "dev", "mad"
     )

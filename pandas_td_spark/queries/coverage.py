@@ -2808,7 +2808,7 @@ _SD_CORE_SQL = """
              xc
       FROM (
         SELECT o_orderpriority AS grp, o_orderdate AS d,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS xc
         FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         GROUP BY 1, 2
@@ -2862,6 +2862,15 @@ _SD_CORE_SQL = """
 
 
 def _sd_daily(spark: SparkSession):
+    # r15 session-2 (guide §1.2): daily cents via bsum's floor-scaled
+    # int64 form instead of a decimal(28,2) BigDecimal sum — o_totalprice
+    # is 2-dp currency (fixture-verified contract, the q01/q29 site), so
+    # FLOOR(x*100 + 0.5) is the exact cent numerator and the bigint sum
+    # is exact; oracle converted in lockstep. Envelope: |Σ| per
+    # (priority, day) < 2^62 cents ≈ 4.6e16 dollars/cell — unreachable
+    # at any TPC-H scale factor (documented, not guarded: xc must stay
+    # BIGINT for the decomposition's exact integer arithmetic, and
+    # bval's double descale would break that).
     return (
         spark.table("orders")
         .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
@@ -2870,9 +2879,9 @@ def _sd_daily(spark: SparkSession):
             F.col("o_orderdate").alias("d"),
         )
         .agg(
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(28,2)")) * 100
-            ).cast("bigint").alias("xc")
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("xc")
         )
     )
 
