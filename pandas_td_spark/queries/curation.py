@@ -107,6 +107,52 @@ def _gram_stats(grams):
     )
 
 
+_WS_SQL = "split(text, ' ')"
+_EMPTY_ARR_SQL = "CAST(array() AS array<string>)"
+
+
+def _ngrams_sql(n: int) -> str:
+    """SQL-string twin of :func:`_ngrams` (same expression tree, parsed
+    JVM-side in one round-trip). The Column form costs ~27 ms of py4j
+    per higher-order lambda at CONSTRUCTION time — q108 builds four
+    gram sizes through ``_gram_stats`` per run, and the bench (like any
+    repeated production submission) pays that driver chatter on every
+    run. String composition is pure Python; the parsed plan is
+    identical, which plans/r15/q108_* pin."""
+    gram = " ".join(["[^ ]+"] * n)
+    positional = (
+        f"CASE WHEN size({_WS_SQL}) >= {n} THEN "
+        f"transform(sequence(1, size({_WS_SQL}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({_WS_SQL}, i, {n}))) "
+        f"ELSE {_EMPTY_ARR_SQL} END"
+    )
+    fast = f"regexp_extract_all(text, '(?<=^| )(?=({gram}))', 1)"
+    return (
+        f"CASE WHEN text RLIKE '(^| )( |$)' THEN {positional} "
+        f"ELSE CASE WHEN size({_WS_SQL}) >= {n} THEN {fast} "
+        f"ELSE {_EMPTY_ARR_SQL} END END"
+    )
+
+
+def _gram_stats_sql(g: str) -> str:
+    """SQL-string twin of :func:`_gram_stats` over a gram-array SQL
+    expression (run-length scan -> struct(mx, nd, tot)); the finish
+    lambda sizes the UNSORTED gram expression exactly like the Column
+    form."""
+    one = "CAST(1 AS BIGINT)"
+    run = f"CASE WHEN x = acc.prev THEN acc.run + 1 ELSE {one} END"
+    return (
+        f"aggregate(array_sort({g}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'mx', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'mx', greatest(acc.mx, {run}), "
+        "'nd', CASE WHEN x = acc.prev THEN acc.nd ELSE acc.nd + 1 END), "
+        f"acc -> named_struct('mx', acc.mx, 'nd', acc.nd, "
+        f"'tot', CAST(size({g}) AS BIGINT)))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters: top-bigram fraction + duplicate-trigram
 # fraction. Plan: one scan explodes bigrams and trigrams (positional, with
@@ -1050,8 +1096,6 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with cores, so the remaining gap to DuckDB's single-process
     0.34 s is a fixed local constant, not a scale risk."""
     d = spread(spark.table("documents"), by="doc_id")
-    w = _words()
-    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
     # All four repetition statistics are per-document fractions, so they
     # run ROW-LOCALLY via the _gram_stats run-length scan — no explode,
     # no (doc, gram) shuffle, no join back: the whole query is one
@@ -1059,53 +1103,61 @@ def q108_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fraction matches the exploded form bit-for-bit; short docs (empty
     # gram arrays) hit the tot == 0 branch, reproducing the old
     # left-join-then-fillna(0.0) semantics.
-    def _frac(n: int):
-        s = F.col(f"__s{n}")
-        top = s["mx"].cast("double") / s["tot"].cast("double")
-        dup = F.lit(1.0) - s["nd"].cast("double") / s["tot"].cast("double")
-        return F.when(
-            s["tot"] > 0, dup if n == 5 else top
-        ).otherwise(F.lit(0.0)).alias(f"f{n}")
+    #
+    # r15 construction cost: the Column-API form of this projection made
+    # ~4200 py4j round-trips (0.63 s per run, measured — mostly the 14
+    # higher-order lambdas at ~27 ms each), more than the query's
+    # executor time. The SAME expression trees are now composed as SQL
+    # strings (pure Python) and parsed JVM-side in three selectExpr
+    # calls; float literals carry the D suffix so they stay DOUBLE
+    # exactly like Python-float literals did. Plan-identical
+    # (plans/r15/q108_*), bit-identical output (exceptAll both ways),
+    # oracle-green at sf0.001/0.01/0.1.
+    def _frac_sql(n: int) -> str:
+        top = f"CAST(__s{n}.mx AS DOUBLE) / CAST(__s{n}.tot AS DOUBLE)"
+        dup = f"1.0D - CAST(__s{n}.nd AS DOUBLE) / CAST(__s{n}.tot AS DOUBLE)"
+        inner = dup if n == 5 else top
+        return (
+            f"CASE WHEN __s{n}.tot > 0 THEN {inner} ELSE 0.0D END AS f{n}"
+        )
 
-    j = d.select(
+    stop_sql = "('the','be','to','of','and','that','have','with')"
+    j = d.selectExpr(
         "doc_id",
-        F.size(w).cast("bigint").alias("n_words"),
-        (
-            F.length(F.array_join(w, "")).cast("double") / F.size(w)
-        ).alias("mean_word_len"),
-        (
-            F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
-            / F.size(w)
-        ).alias("alpha_word_frac"),
-        F.size(
-            F.filter(w, lambda x: F.lower(x).isin(stop))
-        ).cast("bigint").alias("n_stopwords"),
-        *[_gram_stats(_ngrams(w, n)).alias(f"__s{n}") for n in (2, 3, 4, 5)],
-    ).select(
+        f"CAST(size({_WS_SQL}) AS BIGINT) AS n_words",
+        f"CAST(length(array_join({_WS_SQL}, '')) AS DOUBLE)"
+        f" / size({_WS_SQL}) AS mean_word_len",
+        f"CAST(size(filter({_WS_SQL}, x -> x RLIKE '[a-zA-Z]')) AS DOUBLE)"
+        f" / size({_WS_SQL}) AS alpha_word_frac",
+        f"CAST(size(filter({_WS_SQL}, x -> lower(x) IN {stop_sql}))"
+        f" AS BIGINT) AS n_stopwords",
+        *[
+            f"{_gram_stats_sql(_ngrams_sql(n))} AS __s{n}"
+            for n in (2, 3, 4, 5)
+        ],
+    ).selectExpr(
         "doc_id",
         "n_words",
         "mean_word_len",
         "alpha_word_frac",
         "n_stopwords",
-        *[_frac(n) for n in (2, 3, 4, 5)],
+        *[_frac_sql(n) for n in (2, 3, 4, 5)],
     )
     rules = {
-        "ok_word_count": F.col("n_words").between(50, 100000),
-        "ok_mean_word_len": F.col("mean_word_len").between(3, 10),
-        "ok_top_bigram": F.col("f2") <= 0.20,
-        "ok_top_trigram": F.col("f3") <= 0.18,
-        "ok_top_fourgram": F.col("f4") <= 0.16,
-        "ok_dup_fivegram": F.col("f5") <= 0.15,
-        "ok_alpha_words": F.col("alpha_word_frac") >= 0.80,
-        "ok_stopwords": F.col("n_stopwords") >= 2,
+        "ok_word_count": "n_words BETWEEN 50 AND 100000",
+        "ok_mean_word_len": "mean_word_len BETWEEN 3 AND 10",
+        "ok_top_bigram": "f2 <= 0.20D",
+        "ok_top_trigram": "f3 <= 0.18D",
+        "ok_top_fourgram": "f4 <= 0.16D",
+        "ok_dup_fivegram": "f5 <= 0.15D",
+        "ok_alpha_words": "alpha_word_frac >= 0.80D",
+        "ok_stopwords": "n_stopwords >= 2",
     }
-    keep = None
-    for c in rules.values():
-        keep = c if keep is None else (keep & c)
-    return j.select(
+    keep = " AND ".join(f"({c})" for c in rules.values())
+    return j.selectExpr(
         "doc_id",
-        *[c.alias(name) for name, c in rules.items()],
-        keep.alias("keep"),
+        *[f"{c} AS {name}" for name, c in rules.items()],
+        f"{keep} AS keep",
     )
 
 
