@@ -93,6 +93,29 @@ def shingle_array(text_col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
+def _shingle_array_sql(text_col: str = "text", n: int = 3) -> str:
+    """SQL-string twin of :func:`shingle_array` (same expression tree,
+    parsed JVM-side in one round-trip). The Column form costs ~27 ms of
+    py4j lambda setup per call at CONSTRUCTION time; the near-dup
+    operators build several shingle trees per query and the driver pays
+    that chatter on every submission. q91's call site keeps the Column
+    form (its fingerprint must not move); value-parity of the two forms
+    is pinned in tests/test_operators.py."""
+    words = f"split({text_col}, ' ')"
+    gram = " ".join(["[^ ]+"] * n)
+    positional = (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+    fast = f"regexp_extract_all({text_col}, '(?<=^| )(?=({gram}))', 1)"
+    return (
+        f"array_distinct(CASE WHEN {text_col} RLIKE '(^| )( |$)' "
+        f"THEN {positional} "
+        f"WHEN size({words}) >= {n} THEN {fast} "
+        f"ELSE array(array_join({words}, ' ')) END)"
+    )
+
+
 #: modulus of the universal hash family (Mersenne prime 2^31 - 1): keeps
 #: every a*h + b product under 2^62 so the arithmetic is exact BIGINT in
 #: both Spark and any ANSI-SQL oracle engine.
@@ -141,20 +164,23 @@ def minhash_signatures(
     variant was measured 70× slower here: the signature subtree got
     re-evaluated per band and fell out of whole-stage codegen.)
     """
+    # Expression trees composed as SQL strings (the q108 construction
+    # discipline): the Column form of this builder made ~1000 py4j
+    # round-trips per query construction (32 agg expressions + the
+    # shingle lambda); the string form parses JVM-side in a handful.
     base = (
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_PRIME
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_PRIME}"
     )
     # spread(by=) — deterministic partitioning so the signature subtree
     # canonicalizes and both sides of a downstream self-join REUSE one
     # exchange (round-robin here made q53 build signatures twice).
-    ex = spread(df, by=id_col).select(
-        F.col(id_col), F.explode(shingle_array(text_col, shingle_n)).alias("s")
-    ).select(F.col(id_col), base.alias("h"))
+    ex = spread(df, by=id_col).selectExpr(
+        id_col,
+        f"explode({_shingle_array_sql(text_col, shingle_n)}) AS s",
+    ).selectExpr(id_col, f"{base} AS h")
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(
-            f"mh{i}"
-        )
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -166,17 +192,13 @@ def _band_struct_array(num_hashes: int, bands: int) -> Column:
     band index, and the streaming row-local path, so all three collide
     on identical keys by construction."""
     r = num_hashes // bands
-    return F.array(
-        *[
-            F.struct(
-                *[
-                    F.col(f"mh{b * r + j}").alias(f"h{j}")
-                    for j in range(r)
-                ]
-            )
-            for b in range(bands)
-        ]
+    structs = ", ".join(
+        "named_struct("
+        + ", ".join(f"'h{j}', mh{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
     )
+    return F.expr(f"array({structs})")
 
 
 def minhash_band_rows(
@@ -305,10 +327,11 @@ def verify_jaccard_on_pairs(
     the full inverted-index join in :func:`jaccard_pairs`."""
     # deterministic spread: the shingle frame feeds BOTH pair sides —
     # with a canonical exchange the two branches share one shuffle
-    # instead of re-scanning + re-shingling per side.
-    sh = spread(df, by=id_col).select(
-        F.col(id_col).alias("__id"),
-        shingle_array(text_col, shingle_n).alias("__sh"),
+    # instead of re-scanning + re-shingling per side. (SQL-string
+    # shingle tree: one parse instead of per-call lambda chatter.)
+    sh = spread(df, by=id_col).selectExpr(
+        f"{id_col} AS __id",
+        f"{_shingle_array_sql(text_col, shingle_n)} AS __sh",
     )
     out = (
         pairs.join(
@@ -353,8 +376,9 @@ def jaccard_pairs(
     ``persist(DISK_ONLY)`` or write an intermediate table instead.
     """
     sh = (
-        spread(df, by=id_col).select(
-            F.col(id_col), shingle_array(text_col, shingle_n).alias("shingles")
+        spread(df, by=id_col).selectExpr(
+            id_col,
+            f"{_shingle_array_sql(text_col, shingle_n)} AS shingles",
         )
         .select(
             F.col(id_col),

@@ -110,6 +110,36 @@ def test_prefix_jaccard_equals_naive(spark):
     assert naive == pre and len(naive) > 0
 
 
+def test_shingle_sql_twin_equals_column_form(spark):
+    """`_shingle_array_sql` (the construction-cheap SQL-string twin the
+    minhash/jaccard operators build from since r15) must produce the
+    exact rows of the Column-form `shingle_array` on all separator
+    shapes, including the empty-token fallback branch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_td_spark.operators.dedup import (
+        _shingle_array_sql,
+        shingle_array,
+    )
+
+    texts = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=24
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts=texts)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        for n in (2, 3):
+            old = df.select(shingle_array("text", n).alias("a"))
+            new = df.selectExpr(f"{_shingle_array_sql('text', n)} AS a")
+            assert old.exceptAll(new).count() == 0
+            assert new.exceptAll(old).count() == 0
+
+    check()
+
+
 def test_shingle_fast_path_equals_positional_definition(spark):
     """The lookahead-regex shingle fast path must agree with the
     positional transform+slice definition on ALL inputs, including the
