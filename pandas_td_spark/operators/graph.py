@@ -413,9 +413,28 @@ def kcore_peel(
     median 2.90 / min 2.73 — the lazy form wins again and stays; the
     battery regression was the r12 session-pressure artifact the
     per-repeat bench drain now removes (bench.py r13 note).
+
+    r15 (guide §1.2 — fewer jobs, same passes): two refinements to HOW
+    the per-round edge checkpoints materialize, neither changing the
+    2-consumers-per-round analysis above. (a) The LAST round's edge
+    frame has exactly ONE consumer (the terminal degree aggregate), so
+    checkpointing it duplicated nothing to begin with — it is left
+    lazy, folding the round-3 join into the final aggregate's job.
+    (b) The interior rounds use ``localCheckpoint(eager=False)``: the
+    lineage cut and block reuse are identical, but materialization
+    happens inside the NEXT round's first consumer instead of a
+    standalone blocking job per round (this is NOT the r10
+    "lazy-persist" variant — persist kept full lineage visible to the
+    planner and exploded to 38 stages; a lazy localCheckpoint still
+    truncates the plan at first materialization). Interleaved A/B at
+    sf0.1 (x7, GC drain per run): eager-all 2.57 -> last-lazy 2.33 ->
+    +lazy-interior 2.07 s median; results exceptAll-identical and
+    oracle-green at all three SFs. A single-scan explode degree
+    variant re-measured neutral-to-worse (2.11 vs 2.00) and the union
+    form stays.
     """
     e = edges if not materialize else edges.localCheckpoint()
-    for _ in range(rounds):
+    for i in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select("v"))
@@ -423,11 +442,11 @@ def kcore_peel(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("node")
-        e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u")
-            .join(keep.withColumnRenamed("node", "v"), "v")
-            .localCheckpoint()
+        e = e.join(keep.withColumnRenamed("node", "u"), "u").join(
+            keep.withColumnRenamed("node", "v"), "v"
         )
+        if i < rounds - 1:
+            e = e.localCheckpoint(eager=False)
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
