@@ -2662,19 +2662,21 @@ def q265_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative doc/token survival through the curation pipeline:
     all → lang → quality → bow-dedup → decontaminated."""
-    from pandas_td_spark.operators.dedup import shingle_array
+    from pandas_td_spark.operators.dedup import _shingle_array_sql
 
     d = spread(spark.table("documents"), by="doc_id")
-    toks = F.size(F.split("text", " "))
-    base = d.select(
+    # SQL-string projections (the q108 construction discipline): the
+    # Column form of this query made ~1350 py4j round-trips per
+    # construction (0.23 s of driver chatter per run, dominated by the
+    # shingle lambda); identical expression trees, one parse each.
+    base = d.selectExpr(
         "doc_id",
         "lang",
-        toks.cast("bigint").alias("toks"),
-        F.array_join(
-            F.array_sort(F.array_distinct(F.split("text", " "))), " "
-        ).alias("bow"),
-        F.length("text").alias("n_chars_t"),
-        shingle_array("text", 5).alias("shingles"),
+        "CAST(size(split(text, ' ')) AS BIGINT) AS toks",
+        "array_join(array_sort(array_distinct(split(text, ' '))), ' ')"
+        " AS bow",
+        "length(text) AS n_chars_t",
+        f"{_shingle_array_sql('text', 5)} AS shingles",
     )
     # explode_outer, NOT explode (both branches): the inner form's
     # inferred size(shingles)>0 filter pushes below the spread exchange
@@ -2695,13 +2697,14 @@ def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
-    lang_ok = F.col("lang") == "en"
-    mwl = (F.col("n_chars_t") - (F.col("toks") - 1)).cast("double") / F.col(
-        "toks"
-    )
-    cum2 = lang_ok & F.col("toks").between(12, 90) & mwl.between(2, 12)
-    flagged = base.select(
-        "doc_id", "toks", "bow", lang_ok.alias("lang_ok"), cum2.alias("cum2")
+    mwl = "(CAST(n_chars_t - (toks - 1) AS DOUBLE) / toks)"
+    flagged = base.selectExpr(
+        "doc_id",
+        "toks",
+        "bow",
+        "(lang = 'en') AS lang_ok",
+        f"(lang = 'en') AND (toks BETWEEN 12 AND 90)"
+        f" AND ({mwl} BETWEEN 2 AND 12) AS cum2",
     )
     w = Window.partitionBy("bow")
     dedup = flagged.withColumn(
@@ -2717,16 +2720,17 @@ def q269_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum3") & (F.col("doc_id") >= 25) & F.col("is_cont").isNull(),
     )
     wide = final.agg(
-        F.count("*").alias("d0"),
-        F.sum("toks").alias("t0"),
+        F.expr("count(*) AS d0"),
+        F.expr("sum(toks) AS t0"),
         *[
             x
             for i, c in enumerate(["lang_ok", "cum2", "cum3", "cum4"], 1)
             for x in (
-                F.count(F.when(F.col(c), 1)).alias(f"d{i}"),
-                F.coalesce(
-                    F.sum(F.when(F.col(c), F.col("toks"))), F.lit(0)
-                ).alias(f"t{i}"),
+                F.expr(f"count(CASE WHEN {c} THEN 1 END) AS d{i}"),
+                F.expr(
+                    f"coalesce(sum(CASE WHEN {c} THEN toks END), 0)"
+                    f" AS t{i}"
+                ),
             )
         ],
     )

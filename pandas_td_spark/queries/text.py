@@ -607,6 +607,22 @@ def q124_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: "w1 w2" positional bigram array as ONE SQL expression — the exact
+#: tree q186/q204 built through the Column API (lookahead-regex fast
+#: path, positional transform+slice arm behind the empty-token guard,
+#: empty array under 2 tokens). Composed as a string so construction
+#: costs one JVM parse instead of the ~27 ms py4j lambda plus ~100
+#: round-trips per query per run (the q108 construction discipline).
+_BIGRAMS2_SQL = (
+    "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+    "CASE WHEN text RLIKE '(^| )( |$)' THEN "
+    "transform(sequence(1, size(split(text, ' ')) - 1), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+    "ELSE regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+))', 1) END "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+
 # ---------------------------------------------------------------------------
 # Bigram language-model quality score (L4l) — per-doc average negative
 # log-likelihood under an add-one-smoothed corpus bigram LM, the
@@ -651,8 +667,6 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical — while rounding an arbitrary quotient double is
     where engine ROUND semantics diverge (observed once at sf0.1)."""
     d = spread(spark.table("documents"), by="doc_id")
-    words = F.split("text", " ")
-    n = F.size(words)
     # Bigrams as "w1 w2" STRINGS via the shingle_array-style lookahead
     # regex (one text pass; the positional arm keeps exact semantics for
     # texts with empty tokens — the q204 rewrite, A/B 0.50 -> 0.40 s for
@@ -660,20 +674,7 @@ def q186_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a bijection: counts keyed on g equal counts keyed on the pair,
     # and the scoring join collapses to ONE string key; w1 is recovered
     # by split() at bigram-VOCAB grain only.
-    positional = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-    )
-    fastg = F.regexp_extract_all(
-        F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+))"), F.lit(1)
-    )
-    grams = F.when(
-        n >= 2,
-        F.when(F.col("text").rlike("(^| )( |$)"), positional).otherwise(
-            fastg
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = d.select("doc_id", F.explode(grams).alias("g"))
+    bg = d.selectExpr("doc_id", f"explode({_BIGRAMS2_SQL}) AS g")
     # The bigram LM is a model artifact at bigram-VOCAB grain (bounded
     # by vocabulary², practically far smaller than the corpus) —
     # checkpoint it UNCONDITIONALLY: its two consumers (the c1 fold and
@@ -888,8 +889,6 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(spark.table("documents"), by="doc_id")
-    words = F.split("text", " ")
-    n = F.size(words)
     # Bigrams as "w1 w2" STRINGS via the shingle_array-style lookahead
     # regex (one pass over the text) instead of per-position struct
     # building (transform+element_at allocates a struct per bigram —
@@ -899,20 +898,7 @@ def q204_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AFTER the count, at bigram-VOCAB grain (w1/w2 never contain a
     # space, so concat_ws+split round-trips losslessly, empties
     # included). Verified count-identical to the struct form at sf0.1.
-    positional = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-    )
-    fast = F.regexp_extract_all(
-        F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+))"), F.lit(1)
-    )
-    grams = F.when(
-        n >= 2,
-        F.when(F.col("text").rlike("(^| )( |$)"), positional).otherwise(
-            fast
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = d.select(F.explode(grams).alias("g"))
+    bg = d.selectExpr(f"explode({_BIGRAMS2_SQL}) AS g")
     # ONE corpus pass: the unfiltered pair-count table is a model
     # artifact at bigram-VOCAB grain (bounded, far smaller than the
     # corpus); materialize it once and fold EVERY marginal from it —
@@ -1107,7 +1093,7 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle's per-gram hashing is position-insensitive here (no
     window minimum — full k-gram sets, the stricter audit)."""
-    from pandas_td_spark.operators.dedup import shingle_array
+    from pandas_td_spark.operators.dedup import _shingle_array_sql
 
     d = spread(spark.table("documents"), by="doc_id")
     # Gram strings via shingle_array's single-regex extraction instead of
@@ -1116,17 +1102,18 @@ def q211_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches emit the same gram STRINGS (positions 1..len-k+1; whole
     # text for short docs; positional fallback on empty tokens), and the
     # (source, fp) distinct below absorbs shingle_array's array_distinct,
-    # so the checkpointed fingerprint set is value-identical.
+    # so the checkpointed fingerprint set is value-identical. (SQL-string
+    # shingle tree — one parse instead of per-call lambda chatter.)
     # explode_outer: shingle_array is never empty — keeps the inferred
     # size()>0 filter out of the one-split scan stage.
     sf = (
-        d.select(
+        d.selectExpr(
             "source",
-            F.explode_outer(shingle_array("text", _WIN_K)).alias("__g"),
+            f"explode_outer({_shingle_array_sql('text', _WIN_K)}) AS __g",
         )
-        .select(
+        .selectExpr(
             "source",
-            F.substring(F.md5("__g"), 1, 8).alias("fp"),
+            "substring(md5(__g), 1, 8) AS fp",
         )
         .distinct()
         # One materialization of the fingerprint set: three consumers
