@@ -65,7 +65,14 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.toLocalIterator():
+        # collect(), not toLocalIterator(): the iterator schedules a
+        # fetch job per partition while this branch's row count is
+        # already bounded by driver_side_threshold (a few MB) — one
+        # job, one transfer. Measured wall-neutral at sf0.1 (q159
+        # 1.16 -> 1.10 s median, the difference sits under AQE stage
+        # latency); kept for the strictly smaller job count at any
+        # partition count.
+        for r in edges.collect():
             a, b = r.a, r.b
             parent.setdefault(a, a)
             parent.setdefault(b, b)
