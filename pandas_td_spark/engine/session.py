@@ -36,6 +36,18 @@ DEFAULT_CONFS: dict[str, str] = {
     # -- pandas / Arrow edge --------------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # -- driver-side call overhead (r15, guide §1.2) --------------------------
+    # PySpark 4's DataFrame-debugging hook wraps EVERY Column/DataFrame
+    # API call with a Python stack walk plus two extra py4j round-trips
+    # (PySparkCurrentOrigin.set/clear) purely to enrich error messages
+    # with the user call site. Measured ~35% of query CONSTRUCTION time
+    # across the registry (q29 0.35 -> 0.11 s, q01 0.18 -> 0.08 s per
+    # construction) — driver-side, scale-independent overhead paid on
+    # every submission. Plans, results and error SEMANTICS are
+    # unchanged; only the "called from <file>:<line>" context line in
+    # error messages is lost. Flip to "true" when debugging a query
+    # interactively.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # -- determinism ----------------------------------------------------------
     "spark.sql.session.timeZone": "UTC",
     # parquet TIMESTAMP(NANOS) is unreadable by Spark 4.x as a timestamp;
