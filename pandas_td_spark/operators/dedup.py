@@ -20,6 +20,8 @@ trade recall vs shuffle volume exactly as in the LSH S-curve.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,7 +102,15 @@ def _shingle_array_sql(text_col: str = "text", n: int = 3) -> str:
     operators build several shingle trees per query and the driver pays
     that chatter on every submission. q91's call site keeps the Column
     form (its fingerprint must not move); value-parity of the two forms
-    is pinned in tests/test_operators.py."""
+    is pinned in tests/test_llm.py (n = 2, 3 and q269's 5).
+
+    ``text_col`` must be a plain column NAME (the string is spliced
+    into SQL verbatim — unlike the Column twin, an expression or a
+    name needing quoting would be mis-parsed, so reject it loudly)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text_col):
+        raise ValueError(
+            f"_shingle_array_sql needs a plain column name, got {text_col!r}"
+        )
     words = f"split({text_col}, ' ')"
     gram = " ".join(["[^ ]+"] * n)
     positional = (

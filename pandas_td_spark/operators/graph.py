@@ -417,9 +417,14 @@ def kcore_peel(
     r15 (guide §1.2 — fewer jobs, same passes): two refinements to HOW
     the per-round edge checkpoints materialize, neither changing the
     2-consumers-per-round analysis above. (a) The LAST round's edge
-    frame has exactly ONE consumer (the terminal degree aggregate), so
-    checkpointing it duplicated nothing to begin with — it is left
-    lazy, folding the round-3 join into the final aggregate's job.
+    frame feeds only the terminal aggregate's ONE action — its union
+    does reference the frame twice (u-leg + v-leg), so the un-
+    checkpointed round-``rounds`` join is evaluated once per leg, but
+    both legs probe REUSED broadcasts over the cached prior-round
+    blocks; the extra probe pass measured cheaper than an eager
+    materialize job + block write (the duplication the interior
+    checkpoints exist to stop is the 2^rounds SUBTREE blowup, which a
+    single terminal union does not trigger).
     (b) The interior rounds use ``localCheckpoint(eager=False)``: the
     lineage cut and block reuse are identical, but materialization
     happens inside the NEXT round's first consumer instead of a

@@ -114,30 +114,58 @@ def test_shingle_sql_twin_equals_column_form(spark):
     """`_shingle_array_sql` (the construction-cheap SQL-string twin the
     minhash/jaccard operators build from since r15) must produce the
     exact rows of the Column-form `shingle_array` on all separator
-    shapes, including the empty-token fallback branch."""
+    shapes, including the empty-token fallback branch; n covers the
+    production grams (2, 3 and q269's 5). The q186/q204 bigram builder
+    (`text._BIGRAMS2_SQL`) duplicates curation's `_ngrams_sql(2)` with
+    a different CASE nesting — their row-wise equality is pinned here
+    too so the two modules cannot drift apart silently. Row-wise
+    null-safe comparison: ONE job per (frame, n), and strictly stronger
+    than a two-way exceptAll (which would pass if two rows swapped
+    values)."""
+    import pytest
     from hypothesis import given, settings
     from hypothesis import strategies as st
+    from pyspark.sql import functions as F
 
     from pandas_td_spark.operators.dedup import (
         _shingle_array_sql,
         shingle_array,
     )
+    from pandas_td_spark.queries.curation import _ngrams_sql
+    from pandas_td_spark.queries.text import _BIGRAMS2_SQL
 
     texts = st.lists(
         st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=24
     )
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=12, deadline=None)
     @given(texts=texts)
     def check(texts):
         df = spark.createDataFrame([(t,) for t in texts], "text string")
-        for n in (2, 3):
-            old = df.select(shingle_array("text", n).alias("a"))
-            new = df.selectExpr(f"{_shingle_array_sql('text', n)} AS a")
-            assert old.exceptAll(new).count() == 0
-            assert new.exceptAll(old).count() == 0
+        for n in (2, 3, 5):
+            bad = (
+                df.select(
+                    shingle_array("text", n).alias("a"),
+                    F.expr(_shingle_array_sql("text", n)).alias("b"),
+                )
+                .where("NOT (a <=> b)")
+                .count()
+            )
+            assert bad == 0, f"shingle twin diverges at n={n}"
+        bad = (
+            df.select(
+                F.expr(_BIGRAMS2_SQL).alias("a"),
+                F.expr(_ngrams_sql(2)).alias("b"),
+            )
+            .where("NOT (a <=> b)")
+            .count()
+        )
+        assert bad == 0, "text._BIGRAMS2_SQL diverges from _ngrams_sql(2)"
 
     check()
+    # the SQL twin splices the name verbatim — reject non-identifiers
+    with pytest.raises(ValueError):
+        _shingle_array_sql("lower(text)", 3)
 
 
 def test_shingle_fast_path_equals_positional_definition(spark):
